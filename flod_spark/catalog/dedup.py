@@ -1,0 +1,207 @@
+"""Deduplication operators for LLM training data (driver mandate).
+
+Three tiers, all with exact DuckDB oracles (hash functions are md5, which
+is engine-identical; min-over-fixed-width-hex == numeric min-hash):
+
+- dedup_exact   : md5-fingerprint grouping (hash-groupBy)
+- dedup_minhash : char-shingle MinHash + LSH banding -> candidate pairs
+- dedup_simhash : ±1-bit-vote SimHash signatures + exact-signature groups
+
+Scale notes (100 TB):
+- exact: one shuffle on a 16-byte key; skew impossible (hash keys uniform).
+- minhash: shingling is map-only row explosion (bounded: first 4 KB per
+  doc); the doc×seed min-agg is a partial-agg-friendly groupBy; the LSH
+  bucket join shuffles only (band, 4×32B signature) pairs — candidates,
+  never full texts. Bucket skew (boilerplate docs) -> cap bucket size
+  (operators/minhash.py has the salted variant).
+- simhash: map-only per doc + tiny groupBy; Hamming-radius pairing at
+  scale uses the pigeonhole band trick (same LSH machinery).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flod_spark.io import load
+from flod_spark.registry import query
+
+# normalized text, capped at 4 KB (both engines) — honest bounded fingerprinting
+_NORM_SQL = "substr(regexp_replace(lower(text), '[ \\t\\r\\n]+', ' ', 'g'), 1, 4000)"
+SHINGLE = 8
+SEEDS = 16
+BANDS = 4  # 4 rows/band
+
+
+def _norm_col() -> F.Column:
+    return F.substring(F.regexp_replace(F.lower("text"), "[ \\t\\r\\n]+", " "), 1, 4000)
+
+
+@query(
+    "dedup_exact",
+    oracle=(
+        f"WITH h AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents) "
+        "SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id, "
+        "  doc_id <> MIN(doc_id) OVER (PARTITION BY fp) AS is_dup "
+        "FROM h"
+    ),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 of normalized text; canonical = min doc_id per
+    fingerprint. Output is the full doc->canonical mapping (what a 100 TB
+    dedup job writes back)."""
+    docs = load(spark, sf_dir, "documents")
+    h = docs.select("doc_id", F.md5(_norm_col().cast("binary")).alias("fp"))
+    w = Window.partitionBy("fp")
+    return h.select(
+        "doc_id",
+        "fp",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+    )
+
+
+@query(
+    "dedup_minhash",
+    oracle=(
+        f"WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents), "
+        f"sh AS (SELECT DISTINCT doc_id, substr(t, i, {SHINGLE}) AS s "
+        f"  FROM norm, range(1, 4001) g(i) WHERE i <= greatest(length(t) - {SHINGLE - 1}, 1)), "
+        f"mh AS (SELECT doc_id, seed // {SEEDS // BANDS} AS band, seed, "
+        "    MIN(md5(seed || ':' || s)) AS m "
+        f"  FROM sh, range(0, {SEEDS}) r(seed) GROUP BY doc_id, band, seed), "
+        "sig AS (SELECT doc_id, band, string_agg(m, ',' ORDER BY seed) AS bs "
+        "  FROM mh GROUP BY doc_id, band) "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM sig a JOIN sig b ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id"
+    ),
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: 8-char shingles -> 16 min-hashes
+    (min over md5 hex == min-hash; fixed-width hex keeps lexicographic ==
+    numeric order) -> 4 bands x 4 rows -> docs sharing any band signature.
+
+    Plan shape: explode(shingles) [narrow] -> distinct+groupBy(doc,seed)
+    [shuffle 1, partial-agg] -> groupBy(doc,band) signatures [shuffle 2,
+    tiny] -> self-join on (band, sig) [shuffle 3, signatures only] ->
+    distinct pairs. No full-text ever crosses a shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    norm = docs.select("doc_id", _norm_col().alias("t"))
+    idx = F.explode(F.sequence(F.lit(1), F.greatest(F.length("t") - (SHINGLE - 1), F.lit(1)))).alias("i")
+    sh = (
+        norm.select("doc_id", "t", idx)
+        .select("doc_id", F.col("t").substr(F.col("i"), F.lit(SHINGLE)).alias("s"))
+        .distinct()
+    )
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(SEEDS - 1))).alias("seed")
+    mh = (
+        sh.select("doc_id", "s", seeds)
+        .withColumn("m", F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("s")).cast("binary")))
+        .groupBy("doc_id", F.expr(f"seed div {SEEDS // BANDS}").alias("band"), "seed")
+        .agg(F.min("m").alias("m"))
+    )
+    sig = (
+        mh.groupBy("doc_id", "band")
+        .agg(F.array_join(F.array_sort(F.collect_list(F.struct("seed", "m"))).getField("m"), ",").alias("bs"))
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bs") == F.col("b.bs")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+@query(
+    "dedup_simhash",
+    oracle=(
+        f"WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents), "
+        "tok AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(t, '[a-z0-9]+')) AS tk FROM norm), "
+        "bits AS (SELECT doc_id, p, "
+        "    SUM(CASE WHEN strpos('89abcdef', substr(md5(tk), p, 1)) > 0 THEN 1 ELSE -1 END) AS v "
+        "  FROM tok, range(1, 17) r(p) GROUP BY doc_id, p), "
+        "sig AS (SELECT doc_id, string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS simhash "
+        "  FROM bits GROUP BY doc_id) "
+        "SELECT doc_id, simhash, MIN(doc_id) OVER (PARTITION BY simhash) AS canonical_id FROM sig"
+    ),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: per-token md5, 16 hex-digit positions vote ±1 (digit >= '8'
+    => +1); sign of the vote sum is the signature bit. Identical signatures
+    group near-identical token sets. 16-bit here for oracle compactness;
+    operators/simhash.py parameterizes width (64-bit for production)."""
+    docs = load(spark, sf_dir, "documents")
+    norm = docs.select("doc_id", _norm_col().alias("t"))
+    tok = norm.select(
+        "doc_id", F.explode(F.array_distinct(F.regexp_extract_all(F.col("t"), F.lit("[a-z0-9]+"), F.lit(0)))).alias("tk")
+    ).distinct()
+    pos = F.explode(F.sequence(F.lit(1), F.lit(16))).alias("p")
+    bits = (
+        tok.select("doc_id", "tk", pos)
+        .withColumn("hexd", F.substring(F.md5(F.col("tk").cast("binary")), 1, 16).substr(F.col("p"), F.lit(1)))
+        .withColumn("vote", F.when(F.instr(F.lit("89abcdef"), F.col("hexd")) > 0, 1).otherwise(-1))
+        .groupBy("doc_id", "p")
+        .agg(F.sum("vote").alias("v"))
+    )
+    sig = bits.groupBy("doc_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.struct("p", F.when(F.col("v") >= 0, "1").otherwise("0").alias("b")))).getField("b"),
+            "",
+        ).alias("simhash")
+    )
+    w = Window.partitionBy("simhash")
+    return sig.select("doc_id", "simhash", F.min("doc_id").over(w).alias("canonical_id"))
+
+
+@query(
+    "dedup_ngram",
+    oracle=(
+        f"WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents), "
+        f"sh AS (SELECT DISTINCT doc_id, substr(t, i, {SHINGLE}) AS s "
+        f"  FROM norm, range(1, 4001) g(i) WHERE i <= greatest(length(t) - {SHINGLE - 1}, 1)), "
+        "cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i "
+        "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY doc_a, doc_b), "
+        "j AS (SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard "
+        "  FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b) "
+        "SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8"
+    ),
+)
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (8-char shingle) Jaccard near-dup pairs (>= 0.8).
+
+    The shingle-inverted-index join computes |A∩B| without materializing
+    O(n²) pairs: only docs SHARING a shingle meet. Integer counts + one
+    rounded division keep the oracle exact. At 100 TB the hot shingles are
+    capped (operators/minhash.py::prune_frequent_shingles) — a shingle in
+    k docs contributes k² join rows."""
+    docs = load(spark, sf_dir, "documents")
+    norm = docs.select("doc_id", _norm_col().alias("t"))
+    idx = F.explode(F.sequence(F.lit(1), F.greatest(F.length("t") - (SHINGLE - 1), F.lit(1)))).alias("i")
+    sh = (
+        norm.select("doc_id", "t", idx)
+        .select("doc_id", F.col("t").substr(F.col("i"), F.lit(SHINGLE)).alias("s"))
+        .distinct()
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    j = (
+        inter.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("i").cast("double") / (F.col("ca.n") + F.col("cb.n") - F.col("i"))).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= 0.8)

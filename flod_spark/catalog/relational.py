@@ -1,0 +1,422 @@
+"""Relational surface (SURVEY.md §2.5 extension mandate).
+
+Absent from the reference (README.md:46 roadmap) — mandated by BASELINE.json.
+All thin wrappers over Catalyst-optimized built-ins; oracles are 1:1 SQL.
+
+Determinism: double SUMs go through DECIMAL (exact, order-insensitive) then
+back to DOUBLE; every rank has a unique-key tiebreak. See registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flod_spark.io import load
+from flod_spark.registry import query
+
+
+# ---------------------------------------------------------- aggregations
+
+@query(
+    "agg_group",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        "  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+        "  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+        "  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price, "
+        "  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge, "
+        "  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty, "
+        "  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price, "
+        "  COUNT(*) AS count_order "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+)
+def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregation (hash agg, partial+final).
+    Scale: map-side partial aggregation collapses 100 TB to |groups| rows
+    per task before the shuffle; group key cardinality here is tiny (R/A/N
+    x O/F) so the exchange is negligible. Decimal sums are exact => safe
+    under any partial-agg order."""
+    li = load(spark, sf_dir, "lineitem")
+    qty_d = F.col("l_quantity").cast("decimal(18,2)")
+    price_d = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    charge = (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).cast("decimal(28,6)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty_d).cast("double").alias("sum_qty"),
+            F.sum(price_d).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(qty_d).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(price_d).cast("double") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle=(
+        "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, "
+        "  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expand + two-phase agg in Catalyst).
+    Scale: exact distinct shuffles the distinct pairs; for 100 TB dashboards
+    use approx_count_distinct (HLL, no second shuffle) — exposed as
+    functions.approx_distinct, excluded from the oracle (not deterministic
+    across engines)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+        "  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    ),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (Expand operator: one input row -> G rows).
+    Scale: expansion factor == #grouping sets (3 here) before partial agg —
+    acceptable; CUBE on high-arity keys would not be."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+# ----------------------------------------------------------------- joins
+
+@query(
+    "join_equi",
+    oracle=(
+        "SELECT n.n_name, COUNT(*) AS num_orders, "
+        "  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "GROUP BY n.n_name"
+    ),
+)
+def join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join chain with explicit broadcast of the dimension tables.
+    Scale: orders⋈customer would sort-merge at 100 TB (both large, shuffle
+    on custkey); customer⋈nation must broadcast (25 rows). We broadcast
+    customer too at test SF; AQE converts to shuffle join if it outgrows
+    the threshold. Plan asserted broadcast in tests/test_plans.py."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("num_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "join_outer",
+    oracle=(
+        "SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders "
+        "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_custkey, c.c_name"
+    ),
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_semi",
+    oracle=(
+        "SELECT p_partkey, p_name FROM part WHERE p_partkey IN "
+        "(SELECT l_partkey FROM lineitem WHERE l_quantity > 45)"
+    ),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS). Scale: semi-join needs only the key column
+    of the probe side — Catalyst prunes to l_partkey before the shuffle."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select("p_partkey", "p_name")
+
+
+@query(
+    "join_anti",
+    oracle=(
+        "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)"
+    ),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers who never ordered."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_asof",
+    oracle=(
+        "WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), "
+        "clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), "
+        "cand AS (SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts, "
+        "  c.event_id AS click_id, c.ts AS click_ts, "
+        "  row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn "
+        "  FROM purchases p JOIN clicks c ON c.user_id = p.user_id AND c.ts <= p.ts) "
+        "SELECT purchase_id, user_id, purchase_ts, click_id, click_ts "
+        "FROM cand WHERE rn = 1"
+    ),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.5): for each purchase, the latest preceding
+    click by the same user. Implemented via flod_spark.operators.asof
+    (union + single per-key time-sorted window pass — ONE shuffle on the
+    key, no conditional-join explosion; tie-break (ts, event_id) total)."""
+    from flod_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = asof_join(
+        left=purchases,
+        right=clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        left_cols={"event_id": "purchase_id", "ts": "purchase_ts"},
+        right_cols={"event_id": "click_id", "ts": "click_ts"},
+        tiebreak="event_id",
+    )
+    return out.select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+
+
+@query(
+    "join_range",
+    oracle=(
+        "SELECT e1.event_id AS eid_a, e2.event_id AS eid_b "
+        "FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id "
+        " AND e2.event_id <> e1.event_id "
+        " AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 60 SECOND "
+        "WHERE e1.event_type = 'signup' AND e2.event_type = 'click'"
+    ),
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: clicks within 60s after a signup, same user.
+    Scale: equi-key on user_id keeps it a hash/sort-merge join; the range
+    predicate is a post-join filter within the key group. Without an equi
+    key this becomes a bucketed-time join (bucket ts to 60s grains, join on
+    adjacent grains) — implemented in operators/rangejoin.py."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("eid_a"), F.col("user_id").alias("u"), F.col("ts").alias("ts_a")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("eid_b"), F.col("user_id").alias("u2"), F.col("ts").alias("ts_b")
+    )
+    joined = s.join(
+        c,
+        (F.col("u") == F.col("u2"))
+        & (F.col("eid_b") != F.col("eid_a"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 60 SECOND")),
+    )
+    return joined.select("eid_a", "eid_b")
+
+
+# --------------------------------------------------------------- windows
+
+@query(
+    "window_rank",
+    oracle=(
+        "SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM ("
+        "  SELECT o_custkey, o_orderkey, o_totalprice, "
+        "    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+        "  FROM orders) WHERE rn <= 3"
+    ),
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking: top-3 orders per customer. Scale: one shuffle on
+    o_custkey; per-key sort is local. Skewed keys -> AQE skew handling or
+    pre-aggregate with a bounded heap via mapInPandas (operators note)."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "window_running",
+    oracle=(
+        "SELECT o_custkey, o_orderkey, "
+        "  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER "
+        "    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total, "
+        "  lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order "
+        "FROM orders"
+    ),
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals + lag per customer (frame-based window agg).
+    Decimal accumulation keeps prefix sums exact in both engines."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(frame).cast("double").alias("running_total"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+    )
+
+
+# ------------------------------------------------------------ sort / topk
+
+@query(
+    "sort_topk",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100"
+    ),
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Catalyst plans TakeOrderedAndProject (per-partition
+    heap + single merge) — no full sort of 100 TB ever happens. Plan
+    asserted in tests/test_plans.py."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- set ops
+
+@query(
+    "set_union",
+    oracle="SELECT o_custkey AS custkey FROM orders UNION SELECT c_custkey AS custkey FROM customer",
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct). Scale: union is free (no shuffle); the distinct is
+    one hash-agg shuffle on the key."""
+    orders = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    customer = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return orders.union(customer).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="SELECT l_partkey AS partkey FROM lineitem INTERSECT SELECT p_partkey AS partkey FROM part",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").select(F.col("p_partkey").alias("partkey"))
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("partkey"))
+    return li.intersect(part)
+
+
+@query(
+    "set_except",
+    oracle="SELECT c_custkey AS custkey FROM customer EXCEPT SELECT o_custkey AS custkey FROM orders",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    orders = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return customer.exceptAll(orders.distinct()).distinct()
+
+
+# ------------------------------------------------------------ scalar fns
+
+@query(
+    "scalar_fns",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, "
+        "  l_returnflag || '/' || l_linestatus AS flag_status, "
+        "  l_extendedprice * (1 - l_discount) AS net_price, "
+        "  CAST(year(l_shipdate) AS INTEGER) AS ship_year, "
+        "  CAST(month(l_shipdate) AS INTEGER) AS ship_month, "
+        "  CASE WHEN l_quantity > 25 THEN 'H' ELSE 'L' END AS qty_class, "
+        "  ABS(l_discount - 0.05) AS disc_dev, "
+        "  GREATEST(l_tax, l_discount) AS max_rate, "
+        "  l_shipdate + INTERVAL 30 DAY AS ship_plus_30, "
+        "  substr(l_returnflag, 1, 1) AS flag1, "
+        "  length(l_linestatus) AS status_len "
+        "FROM lineitem"
+    ),
+)
+def scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar expression gallery (SURVEY §2.5 'scalar fns'): string, date,
+    math, conditional — all whole-stage-codegen JVM expressions (no UDFs).
+    Per-row IEEE double arithmetic is bit-identical to the oracle."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("flag_status"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+        F.when(F.col("l_quantity") > 25, "H").otherwise("L").alias("qty_class"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        (F.col("l_shipdate") + F.expr("INTERVAL 30 DAY")).alias("ship_plus_30"),
+        F.substring("l_returnflag", 1, 1).alias("flag1"),
+        F.length("l_linestatus").alias("status_len"),
+    )
+
+
+@query(
+    "tpch_q6",
+    oracle=(
+        "SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "AND l_discount BETWEEN 0.04 AND 0.07 AND l_quantity < 24"
+    ),
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped filter+agg: the pushdown showcase. All four filters
+    reach the parquet scan (PushedFilters asserted in tests/test_plans.py);
+    only 4 columns are read from a 11-column table."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.04, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )

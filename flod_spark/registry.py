@@ -1,0 +1,58 @@
+"""Query/oracle registry — the driver-contract surface.
+
+Every operator from SURVEY.md §2 registers here with a canonical qkey, a
+(spark, sf_dir) -> DataFrame callable, and (where SQL-expressible) a DuckDB
+oracle string. ``__spark_entry__.py`` re-exports these.
+
+Determinism rules (so the driver's order-insensitive value-hash matches):
+- Any SUM/AVG over doubles goes through CAST(x AS DECIMAL(…)) first (exact,
+  associative), then the result is CAST back to DOUBLE — bit-identical in
+  Spark and DuckDB regardless of partial-aggregation order.
+- Per-row double arithmetic (IEEE, fixed op order) is bit-identical already.
+- Array reductions use sequential fold on DOUBLE in both engines
+  (Spark aggregate() / DuckDB list_reduce()) so dot products match bitwise.
+- Every rank/limit has a total-order tiebreak on a unique key.
+- Hash functions in dedup/fingerprint ops are md5 (identical hex in both).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+_CATALOG_MODULES = (
+    "flod_spark.catalog.surface",
+    "flod_spark.catalog.relational",
+    "flod_spark.catalog.streaming_batch",
+    "flod_spark.catalog.text",
+    "flod_spark.catalog.dedup",
+    "flod_spark.catalog.similarity",
+    "flod_spark.catalog.media",
+)
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a qkey. ``oracle`` is ANSI SQL DuckDB runs on the same tables;
+    omit only for genuinely non-SQL-expressible ops (driver then records a
+    weaker rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_catalog() -> None:
+    """Import all catalog modules (idempotent) so registries are populated."""
+    for mod in _CATALOG_MODULES:
+        importlib.import_module(mod)
