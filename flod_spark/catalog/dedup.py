@@ -84,34 +84,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: explode(shingles) [narrow] -> distinct+groupBy(doc,seed)
     [shuffle 1, partial-agg] -> groupBy(doc,band) signatures [shuffle 2,
     tiny] -> self-join on (band, sig) [shuffle 3, signatures only] ->
-    distinct pairs. No full-text ever crosses a shuffle."""
+    distinct pairs. No full-text ever crosses a shuffle.
+
+    Implementation shared with flod_spark.operators.minhash (parameterized;
+    the params here must stay in lockstep with the oracle constants)."""
+    from flod_spark.operators.minhash import minhash_candidates
+
     docs = load(spark, sf_dir, "documents")
-    norm = docs.select("doc_id", _norm_col().alias("t"))
-    idx = F.explode(F.sequence(F.lit(1), F.greatest(F.length("t") - (SHINGLE - 1), F.lit(1)))).alias("i")
-    sh = (
-        norm.select("doc_id", "t", idx)
-        .select("doc_id", F.col("t").substr(F.col("i"), F.lit(SHINGLE)).alias("s"))
-        .distinct()
-    )
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(SEEDS - 1))).alias("seed")
-    mh = (
-        sh.select("doc_id", "s", seeds)
-        .withColumn("m", F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("s")).cast("binary")))
-        .groupBy("doc_id", F.expr(f"seed div {SEEDS // BANDS}").alias("band"), "seed")
-        .agg(F.min("m").alias("m"))
-    )
-    sig = (
-        mh.groupBy("doc_id", "band")
-        .agg(F.array_join(F.array_sort(F.collect_list(F.struct("seed", "m"))).getField("m"), ",").alias("bs"))
-    )
-    a = sig.alias("a")
-    b = sig.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bs") == F.col("b.bs")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    return pairs
+    return minhash_candidates(docs, shingle=SHINGLE, seeds=SEEDS, bands=BANDS, cap=4000)
 
 
 @query(

@@ -1,0 +1,134 @@
+"""Multimodal column plumbing (driver mandate): media as opaque binary +
+typed metadata, processed by Arrow-batched mapInPandas stages.
+
+The container has no image/audio codecs, so `decode` is a clearly-marked
+DETERMINISTIC FAKE (parses our own header format); everything around it —
+schema, batch iteration, partition sizing — is the real production shape.
+Swap `_fake_decode` for PIL/ffmpeg bindings and nothing else changes.
+
+Scale notes: media rows are big (MBs); the mapInPandas stage must bound
+Arrow batch size (spark.sql.execution.arrow.maxRecordsPerBatch) and the
+input should be repartitioned by size, not row count, upstream. Decoded
+features (small) flow on; raw bytes are dropped as early as possible.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# our synthetic media header: magic(4s) kind(B) width(H) height(H) n_frames(H)
+_HEADER = struct.Struct("<4sBHHH")
+MAGIC = b"FMED"
+KINDS = {0: "image", 1: "audio", 2: "video"}
+
+
+def pack_media(kind: int, width: int, height: int, n_frames: int, payload: bytes) -> bytes:
+    """Build a synthetic media blob (test fixture generator)."""
+    return _HEADER.pack(MAGIC, kind, width, height, n_frames) + payload
+
+
+def _fake_decode(blob: bytes) -> dict:
+    """DETERMINISTIC FAKE decoder. A real build replaces this with
+    PIL.Image.open / soundfile / pyav; the returned dict schema is the
+    contract that stays fixed."""
+    if blob is None or len(blob) < _HEADER.size or blob[:4] != MAGIC:
+        return {"kind": "unknown", "width": 0, "height": 0, "n_frames": 0, "feature": None}
+    magic, kind, w, h, nf = _HEADER.unpack(blob[: _HEADER.size])
+    payload = blob[_HEADER.size :]
+    # "feature extraction": stable 8-dim sketch of the payload bytes
+    digest = hashlib.sha256(payload).digest()
+    feature = [b / 255.0 for b in digest[:8]]
+    return {
+        "kind": KINDS.get(kind, "unknown"),
+        "width": w,
+        "height": h,
+        "n_frames": nf,
+        "feature": feature,
+    }
+
+
+DECODED_SCHEMA = (
+    "media_id long, kind string, width int, height int, n_frames int, "
+    "n_bytes long, feature array<double>"
+)
+
+
+def decode_media(df: DataFrame, id_col: str = "media_id", blob_col: str = "blob") -> DataFrame:
+    """mapInPandas decode stage: iterator-of-Arrow-batches in, decoded
+    metadata + feature vector out. Raw bytes do NOT survive this stage.
+
+    The worker closure is deliberately SELF-CONTAINED: cloudpickle
+    serializes module-level helpers by reference, which requires
+    flod_spark to be importable on every executor; inlining the decode
+    keeps the stage runnable on clusters that only ship the driver script.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+        import struct as _st
+
+        header = _st.Struct("<4sBHHH")
+        kinds = {0: "image", 1: "audio", 2: "video"}
+
+        def fake_decode(blob):
+            if blob is None or len(blob) < header.size or bytes(blob[:4]) != b"FMED":
+                return {"kind": "unknown", "width": 0, "height": 0, "n_frames": 0, "feature": None}
+            _, kind, w, h, nf = header.unpack(bytes(blob[: header.size]))
+            digest = _hl.sha256(bytes(blob[header.size :])).digest()
+            return {
+                "kind": kinds.get(kind, "unknown"),
+                "width": w,
+                "height": h,
+                "n_frames": nf,
+                "feature": [b / 255.0 for b in digest[:8]],
+            }
+
+        for pdf in batches:
+            decoded = [fake_decode(b) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].values,
+                    "kind": [d["kind"] for d in decoded],
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "n_frames": [d["n_frames"] for d in decoded],
+                    "n_bytes": [len(b) if b is not None else 0 for b in pdf[blob_col]],
+                    "feature": [d["feature"] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage stub: records target dims; real impl writes new blobs.
+    Raises clearly if someone expects real pixels in this container."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "resize requires an image codec (PIL/opencv) not present in this "
+            "container; decode_media + feature flow is the testable path"
+        )
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int) -> DataFrame:
+    """Frame-sampling as pure metadata arithmetic (no codec needed):
+    which frame indexes a video decoder would emit."""
+    return df.withColumn(
+        "sampled_frames",
+        F.when(
+            F.col("n_frames") > 0,
+            F.filter(
+                F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0))),
+                lambda i: i % every_n == 0,
+            ),
+        ).otherwise(F.array().cast("array<bigint>")),
+    )

@@ -46,6 +46,12 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Python workers must import flod_spark for pickled-by-reference
+        # closures (Pandas UDF stages) regardless of the driver's cwd.
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -1,0 +1,28 @@
+"""Structured Streaming surface (SURVEY.md §2.5 streaming rows + phase 2).
+
+flod streams are unbounded arrival-ordered element flows with no event
+time; Spark's model adds event time + watermarks. This package provides:
+
+- replay:   file-backed deterministic micro-batch replay of a batch table
+            (the test harness for stream/batch parity — FIXTURES.md
+            events_replay)
+- windows:  tumbling / sliding / session event-time windows with
+            watermarks (batch twins in catalog/streaming_batch.py)
+- take:     stateful streaming take(n) — flod's short-circuit semantics
+            (push returning < chunk length, adapter.d:110-113) on an
+            unbounded stream
+- queue:    OutputRangeSource (S5) as a streaming source: caller put()s
+            chunks, each becomes a micro-batch
+"""
+
+from flod_spark.streaming.replay import replay_stream
+from flod_spark.streaming.windows import session_windows, sliding_counts, tumbling_counts
+from flod_spark.streaming.take import streaming_take_per_key
+
+__all__ = [
+    "replay_stream",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_windows",
+    "streaming_take_per_key",
+]

@@ -1,0 +1,149 @@
+"""Reference-surface operator tests, mirroring the reference's test strategy
+(SURVEY.md §5): parameterized operator × input-size matrix with exact,
+order-aware assertions (sizes {0, n/3, n-1, n, n+1} like pipeline.d:1318),
+take edge limits (package.d:209-228), byLine separator/terminator edge cases
+(range.d:470-483, 511-547), byChunk partial last chunk (range.d:627-632),
+file round-trip (file.d:69-84).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import flod_spark as fs
+
+N = 173  # scaled-down analog of the reference's 173447-element stream
+
+
+def values(p):
+    return [r.value for r in p.to_array()]
+
+
+SIZES = [0, N // 3, N - 1, N, N + 1]
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_from_range_roundtrip(spark, n):
+    assert values(fs.from_range(spark, 0, n)) == list(range(n))
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_from_array_roundtrip(spark, n):
+    data = [i * 7 for i in range(n)]
+    assert values(fs.from_array(spark, data)) == data
+
+
+# take limits mirror package.d:218: 0, 1, n/3, n-1, n, n+1, huge
+@pytest.mark.parametrize("limit", [0, 1, N // 3, N - 1, N, N + 1, 999_999_999_999])
+def test_take_limits(spark, limit):
+    out = values(fs.from_range(spark, 0, N).take(limit))
+    assert out == list(range(min(limit, N)))
+
+
+def test_take_chains(spark):
+    # take(take(s, a), b) == take(s, min(a,b)) — flod stacks Take stages
+    p = fs.from_range(spark, 0, N).take(100).take(17)
+    assert values(p) == list(range(17))
+
+
+@pytest.mark.parametrize(
+    "text,sep,keep,expected",
+    [
+        # classic: terminated + unterminated final line (range.d:407-419)
+        ("first\nsecond\nthird", "\n", False, ["first", "second", "third"]),
+        ("first\nsecond\n", "\n", False, ["first", "second"]),
+        # keepTerminator (range.d:445-451)
+        ("first\nsecond\nthird", "\n", True, ["first\n", "second\n", "third"]),
+        ("first\nsecond\n", "\n", True, ["first\n", "second\n"]),
+        # CRLF with empty lines (range.d:470-483 pattern)
+        ("Foo\r\nBar\r\n\r\n", "\r\n", False, ["Foo", "Bar", ""]),
+        # multi-char separator
+        ("a--b--c", "--", False, ["a", "b", "c"]),
+        # UTF-8 text (Polish/Korean, range.d:511-547)
+        ("Zażółć gęślą jaźń\n여보세요 세계", "\n", False, ["Zażółć gęślą jaźń", "여보세요 세계"]),
+        # empty input
+        ("", "\n", False, []),
+        # separator-only
+        ("\n", "\n", False, [""]),
+    ],
+)
+def test_by_line(spark, text, sep, keep, expected):
+    p = fs.from_array(spark, [text], type_hint="string").by_line(sep=sep, keep_terminator=keep)
+    assert values(p) == expected
+
+
+def test_by_line_multirow_order(spark):
+    # lines from consecutive stream elements keep global order
+    p = fs.from_array(spark, ["a\nb", "c", "d\ne\n"], type_hint="string").by_line()
+    assert values(p) == ["a", "b", "c", "d", "e"]
+
+
+@pytest.mark.parametrize("size,n", [(1, 5), (2, 5), (3, 10), (4, 4), (7, 6)])
+def test_by_chunk_partial_last(spark, size, n):
+    # mirrors range.d:627-632: last chunk is partial
+    p = fs.from_range(spark, 0, n).by_chunk(size)
+    rows = p.to_array()
+    chunks: dict[int, list[int]] = {}
+    for r in rows:
+        chunks.setdefault(r.chunk_id, []).append(r.value)
+    expected = {i: list(range(i * size, min((i + 1) * size, n))) for i in range((n + size - 1) // size)}
+    assert {k: sorted(v) for k, v in chunks.items()} == expected
+
+
+def test_sink_file_roundtrip(spark, tmp_path):
+    # file.d:69-84 round-trip through a real file sink
+    src = fs.from_range(spark, 0, 100)
+    path = str(tmp_path / "roundtrip.parquet")
+    src.write_parquet(path)
+    back = fs.read_parquet(spark, path).ordered_by("seq")
+    assert values(back) == list(range(100))
+
+
+def test_sink_copy_and_discard(spark):
+    p = fs.from_range(spark, 0, 10)
+    target: list = []
+    p.copy_to(target)
+    assert [r.value for r in target] == list(range(10))
+    assert p.discard() == 10
+
+
+def test_queue_put_chunks(spark):
+    q = fs.Queue(spark)
+    q.put([1, 2])
+    q.put([3])
+    q.put([])
+    q.put([4, 5, 6])
+    assert values(q.snapshot()) == [1, 2, 3, 4, 5, 6]
+
+
+def test_iterate_as_input_range(spark):
+    # entry point B: lazy element-wise iteration (pipeline.d:467-470)
+    it = iter(fs.from_range(spark, 0, 1000))
+    first = [next(it).value for _ in range(5)]
+    assert first == [0, 1, 2, 3, 4]
+
+
+def test_tags_nearest_upstream(spark):
+    p = fs.from_array(spark, [1], type_hint="long")
+    p2 = p.set_tag("k", "a").set_tag("k", "b")
+    assert p2.get_tag("k") == "b"
+    with pytest.raises(KeyError):
+        p.get_tag("missing")
+
+
+def test_on_change_fires(spark):
+    seen: list = []
+    p = fs.from_array(spark, [1], type_hint="long").on_change("rate", seen.append)
+    p.set_tag("rate", 48000)
+    assert seen == [48000]
+
+
+def test_order_required_error(spark):
+    with pytest.raises(ValueError, match="ordered_by"):
+        fs.read_parquet(spark, "/root/testdata/sf0.001/nation.parquet").by_chunk(4)
+
+
+def test_adapter_noop_identity(spark):
+    # adapters are identity on data (adapter.d:12-580)
+    p = fs.from_range(spark, 0, 50)
+    assert sorted(values(p.repartition_hint(4))) == list(range(50))

@@ -1,0 +1,86 @@
+"""Streaming-vs-batch parity (the reference's both-drive-modes test,
+pipeline.d:1351-1356, re-expressed): replay events as micro-batches and
+assert streaming windowed results equal the batch twins."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flod_spark.io import load
+from flod_spark.streaming import replay_stream, session_windows, streaming_take_per_key, tumbling_counts
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load(spark, sf_dir, "events")
+
+
+def _run_to_memory(stream_df, name: str, spark):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"/tmp/flod_ckpt_{name}")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_stream_matches_batch(spark, events, tmp_path):
+    stream = replay_stream(spark, events, "ts", str(tmp_path / "replay"), n_batches=5)
+    import shutil
+
+    shutil.rmtree("/tmp/flod_ckpt_tumbling", ignore_errors=True)
+    got = _run_to_memory(tumbling_counts(stream), "tumbling", spark).toPandas()
+    expect = tumbling_counts(events).toPandas()  # batch mode: watermark is a no-op
+    # append mode only emits windows CLOSED by the watermark when the
+    # stream ends; drop still-open windows from the batch expectation
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - pd.Timedelta(hours=2) - pd.Timedelta(hours=1)
+    expect = expect[expect.win_start <= horizon]
+    got = got[got.win_start <= horizon]
+    key = ["win_start", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    expect = expect.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expect, check_like=True)
+
+
+def test_session_stream_matches_batch(spark, events, tmp_path):
+    stream = replay_stream(spark, events, "ts", str(tmp_path / "replay_s"), n_batches=5)
+    import shutil
+
+    shutil.rmtree("/tmp/flod_ckpt_session", ignore_errors=True)
+    got = _run_to_memory(session_windows(stream), "session", spark).toPandas()
+    expect = session_windows(events).toPandas()
+    # exclude sessions the watermark had not closed at end-of-stream
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - pd.Timedelta(hours=2) - pd.Timedelta(minutes=30)
+    expect = expect[expect.session_start <= horizon]
+    got = got[got.session_start <= horizon]
+    key = ["user_id", "session_start"]
+    got = got.sort_values(key).reset_index(drop=True)
+    expect = expect.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expect, check_like=True)
+
+
+def test_streaming_take_per_key(spark, events, tmp_path):
+    n = 3
+    stream = replay_stream(spark, events, "ts", str(tmp_path / "replay_t"), n_batches=4)
+    import shutil
+
+    shutil.rmtree("/tmp/flod_ckpt_take", ignore_errors=True)
+    got = _run_to_memory(streaming_take_per_key(stream, n), "take", spark).toPandas()
+    # every key capped at n
+    counts = got.groupby("user_id").size()
+    assert (counts <= n).all()
+    # keys with >= n events in the source must have exactly n
+    src = events.groupBy("user_id").count().toPandas().set_index("user_id")["count"]
+    for uid, c in src.items():
+        assert counts.get(uid, 0) == min(c, n), f"user {uid}"
+    # the taken rows are the earliest by ts per key
+    first = events.toPandas().sort_values(["ts", "event_id"]).groupby("user_id").head(n)
+    assert set(got.event_id) == set(first.event_id)
