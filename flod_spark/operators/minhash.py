@@ -26,15 +26,25 @@ def normalize_text(col="text", cap: int = 4000):
     return F.substring(F.regexp_replace(F.lower(col), "[ \\t\\r\\n]+", " "), 1, cap)
 
 
-def shingles(df: DataFrame, id_col: str = "doc_id", shingle: int = 8, cap: int = 4000) -> DataFrame:
-    """Distinct character shingles of the normalized text prefix."""
-    norm = df.select(id_col, normalize_text(cap=cap).alias("t"))
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", shingle: int = 8, cap: int = 4000, distinct: bool = True
+) -> DataFrame:
+    """Character shingles of the normalized text prefix (distinct per doc
+    unless distinct=False — MinHash's min is duplicate-insensitive, so its
+    path skips that full shuffle; Jaccard counting must keep it).
+
+    Explicit repartition first: a document table often arrives as few
+    parquet files (one input split), and shingling amplifies each row
+    ~cap/1 fold — without the exchange ALL that work lands on one task.
+    The same rule applies at 100 TB: partition count must track post-
+    explosion volume, not input bytes."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    norm = df.select(id_col, normalize_text(cap=cap).alias("t")).repartition(parallelism)
     idx = F.explode(F.sequence(F.lit(1), F.greatest(F.length("t") - (shingle - 1), F.lit(1)))).alias("i")
-    return (
-        norm.select(id_col, "t", idx)
-        .select(id_col, F.col("t").substr(F.col("i"), F.lit(shingle)).alias("s"))
-        .distinct()
+    out = norm.select(id_col, "t", idx).select(
+        id_col, F.col("t").substr(F.col("i"), F.lit(shingle)).alias("s")
     )
+    return out.distinct() if distinct else out
 
 
 def prune_frequent_shingles(sh: DataFrame, max_docs_per_shingle: int) -> DataFrame:
@@ -48,25 +58,46 @@ def prune_frequent_shingles(sh: DataFrame, max_docs_per_shingle: int) -> DataFra
 def minhash_signatures(
     sh: DataFrame, id_col: str = "doc_id", seeds: int = 16, bands: int = 4
 ) -> DataFrame:
-    """(doc, band) -> comma-joined band signature of seeds/bands min-hashes."""
+    """(doc, band) -> comma-joined band signature of seeds/bands min-hashes.
+
+    Cost shape: ONE aggregate does everything — the seed hashes are inline
+    expressions inside min() (md5 fuses into the whole-stage-codegen'd
+    partial aggregate; no seed explode, no vocab join, no extra pass over
+    the shingle stream), so the only exchange is the |docs|-row final agg.
+    Map-side combine collapses each task to one row per doc before the
+    shuffle — at 100 TB the exchange carries |docs| x 16 x 32B, not
+    shingles."""
     rows_per_band = seeds // bands
-    seed = F.explode(F.sequence(F.lit(0), F.lit(seeds - 1))).alias("seed")
-    mh = (
-        sh.select(id_col, "s", seed)
-        .withColumn(
-            "m",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("s")).cast("binary")),
-        )
-        .groupBy(id_col, F.expr(f"seed div {rows_per_band}").alias("band"), "seed")
-        .agg(F.min("m").alias("m"))
+    mins = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")).cast("binary"))).alias(f"_m{i}")
+            for i in range(seeds)
+        ]
     )
-    return mh.groupBy(id_col, "band").agg(
-        F.array_join(F.array_sort(F.collect_list(F.struct("seed", "m"))).getField("m"), ",").alias("bs")
+    band_sigs = [
+        F.concat_ws(",", *[F.col(f"_m{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(f"_b{b}")
+        for b in range(bands)
+    ]
+    stacked = mins.select(id_col, *band_sigs).select(
+        id_col,
+        F.expr(
+            "stack("
+            + str(bands)
+            + ", "
+            + ", ".join(f"{b}, _b{b}" for b in range(bands))
+            + ") AS (band, bs)"
+        ),
     )
+    return stacked
 
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs sharing any band signature."""
+    """Distinct (doc_a < doc_b) pairs sharing any band signature.
+
+    sig is persisted first: a DataFrame self-join re-executes the whole
+    upstream pipeline for each side (no automatic subplan reuse), and the
+    signature table is tiny (|docs| x bands) even at 100 TB input."""
+    sig = sig.persist()
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
@@ -89,7 +120,7 @@ def minhash_candidates(
     cap: int = 4000,
     max_docs_per_shingle: int | None = None,
 ) -> DataFrame:
-    sh = shingles(df, id_col, shingle, cap)
+    sh = shingles(df, id_col, shingle, cap, distinct=False)
     if max_docs_per_shingle is not None:
-        sh = prune_frequent_shingles(sh, max_docs_per_shingle)
+        sh = prune_frequent_shingles(sh.distinct(), max_docs_per_shingle)
     return lsh_candidate_pairs(minhash_signatures(sh, id_col, seeds, bands), id_col)
