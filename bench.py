@@ -45,7 +45,15 @@ def main() -> None:
     spark = get_spark("flod-spark-bench")
     qs = entry.queries()
 
-    # warmup: boot executor threads + codegen on a tiny action
+    # warmup: boot executor threads and JIT the codepaths the timed queries
+    # use (parquet scan, hash agg, noop sink) on the TINY sf0.001 tables —
+    # different files than the benchmarked sf, so only code gets warm, not
+    # the bench data.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    warm = spark.read.parquet(os.path.join(warm_dir, "lineitem.parquet"))
+    warm.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
     spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}

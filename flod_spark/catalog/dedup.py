@@ -61,33 +61,54 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash",
-    oracle=(
+def _minhash_oracle() -> str:
+    """DuckDB twin of operators/minhash.py, generated from the SAME hash
+    family so the two can never drift. The oracle may be slow — it only
+    runs at sf0.01 — but it is bitwise exact: the base hash is the first
+    15 hex digits of md5 (60-bit, fits BIGINT) and every affine transform
+    stays below 2^62."""
+    from flod_spark.operators.minhash import P, hash_family
+
+    rows_per_band = SEEDS // BANDS
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {P}) AS m{i}" for i, (a, b) in enumerate(hash_family(SEEDS))
+    )
+    bands = " UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, {sig} AS bs FROM mins".format(
+            band=b,
+            sig=" || ',' || ".join(
+                f"CAST(m{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    return (
         f"WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents), "
         f"sh AS (SELECT DISTINCT doc_id, substr(t, i, {SHINGLE}) AS s "
         f"  FROM norm, range(1, 4001) g(i) WHERE i <= greatest(length(t) - {SHINGLE - 1}, 1)), "
-        f"mh AS (SELECT doc_id, seed // {SEEDS // BANDS} AS band, seed, "
-        "    MIN(md5(seed || ':' || s)) AS m "
-        f"  FROM sh, range(0, {SEEDS}) r(seed) GROUP BY doc_id, band, seed), "
-        "sig AS (SELECT doc_id, band, string_agg(m, ',' ORDER BY seed) AS bs "
-        "  FROM mh GROUP BY doc_id, band) "
+        f"hb AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {P} AS h FROM sh), "
+        f"mins AS (SELECT doc_id, {mins} FROM hb GROUP BY doc_id), "
+        f"sig AS ({bands}) "
         "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
         "FROM sig a JOIN sig b ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id"
-    ),
-)
+    )
+
+
+@query("dedup_minhash", oracle=_minhash_oracle())
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates: 8-char shingles -> 16 min-hashes
-    (min over md5 hex == min-hash; fixed-width hex keeps lexicographic ==
-    numeric order) -> 4 bands x 4 rows -> docs sharing any band signature.
+    """MinHash-LSH near-dup candidates: 8-char shingles -> one 60-bit base
+    hash per shingle -> 16 affine min-hashes (a_i*x+b_i mod 2^31-1, the
+    Spark MLlib MinHashLSH construction) -> 4 bands x 4 rows -> docs
+    sharing any band signature.
 
-    Plan shape: explode(shingles) [narrow] -> distinct+groupBy(doc,seed)
-    [shuffle 1, partial-agg] -> groupBy(doc,band) signatures [shuffle 2,
-    tiny] -> self-join on (band, sig) [shuffle 3, signatures only] ->
-    distinct pairs. No full-text ever crosses a shuffle.
+    Plan shape: explode(shingles) [narrow] -> groupBy(doc) taking all 16
+    minima in one partial-agg-friendly aggregate [shuffle 1, |docs| rows]
+    -> stack to band signatures [narrow] -> self-join on (band, sig)
+    [shuffle 2, signatures only] -> distinct pairs. No full text and no
+    per-seed row explosion ever crosses a shuffle.
 
-    Implementation shared with flod_spark.operators.minhash (parameterized;
-    the params here must stay in lockstep with the oracle constants)."""
+    Implementation shared with flod_spark.operators.minhash; the oracle is
+    GENERATED from the same hash-family constants (see _minhash_oracle)."""
     from flod_spark.operators.minhash import minhash_candidates
 
     docs = load(spark, sf_dir, "documents")

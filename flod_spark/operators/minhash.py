@@ -1,19 +1,24 @@
 """MinHash + LSH near-duplicate candidate generation (SURVEY §2.5 mandate).
 
 Pipeline (all DataFrame built-ins, scale notes in catalog/dedup.py):
-  normalize -> char shingles (bounded prefix) -> per-(doc, seed) min of
-  md5(seed:shingle) -> band signatures -> bucket self-join -> pairs.
+  normalize -> char shingles (bounded prefix) -> ONE md5 per shingle,
+  folded to a 60-bit integer -> per-doc min of k affine transforms
+  h_i(x) = (a_i*x + b_i) mod P -> band signatures -> bucket self-join.
 
-min over fixed-width md5 hex strings == numeric min-hash (lexicographic
-order equals numeric order at fixed width), and md5 is identical across
-engines, which keeps the DuckDB oracle exact.
+The affine hash family over one base hash is the standard MinHash
+construction (it is what Spark MLlib's MinHashLSH uses); it hashes each
+shingle ONCE instead of once per seed — 16x less hashing than the naive
+md5(seed:shingle) scheme at identical statistical quality. P = 2^31-1
+keeps every product a_i*x < 2^62, exact in int64 on both engines, so the
+DuckDB oracle (CAST('0x'||substr(md5(s),1,15) AS BIGINT)) stays bitwise
+identical.
 
 100 TB notes:
 - prune_frequent_shingles caps inverted-index skew: a shingle occurring in
   k docs contributes k² candidate join rows; boilerplate (headers, license
   text) explodes without this cap.
 - the bounded 4 KB normalization prefix keeps shingling O(1) per doc.
-- only (doc_id, band, 4x32B signature) crosses the bucket-join shuffle.
+- only (doc_id, band, signature) crosses the bucket-join shuffle.
 """
 
 from __future__ import annotations
@@ -21,9 +26,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Mersenne prime 2^31 - 1: products stay < 2^62 (exact int64 everywhere).
+P = 2_147_483_647
+
+
+def hash_family(seeds: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) coefficients for h_i(x) = (a_i*x + b_i) mod P.
+
+    Fixed LCG so Spark builder and oracle-SQL generator share one family.
+    """
+    x = 0x5DEECE66D % P
+    coeffs: list[tuple[int, int]] = []
+    for _ in range(seeds):
+        x = (x * 1103515245 + 12345) % P
+        a = x % (P - 1) + 1  # a != 0
+        x = (x * 1103515245 + 12345) % P
+        coeffs.append((a, x))
+    return coeffs
+
 
 def normalize_text(col="text", cap: int = 4000):
     return F.substring(F.regexp_replace(F.lower(col), "[ \\t\\r\\n]+", " "), 1, cap)
+
+
+def shingle_hash(col: str = "s") -> F.Column:
+    """60-bit integer base hash of a shingle, reduced mod P.
+
+    First 15 hex digits of md5 — portable: DuckDB computes the identical
+    value as CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % P.
+    """
+    return F.conv(F.substring(F.md5(F.col(col).cast("binary")), 1, 15), 16, 10).cast("long") % P
 
 
 def shingles(
@@ -60,25 +92,27 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc, band) -> comma-joined band signature of seeds/bands min-hashes.
 
-    Cost shape: ONE aggregate does everything — the seed hashes are inline
-    expressions inside min() (md5 fuses into the whole-stage-codegen'd
-    partial aggregate; no seed explode, no vocab join, no extra pass over
-    the shingle stream), so the only exchange is the |docs|-row final agg.
-    Map-side combine collapses each task to one row per doc before the
-    shuffle — at 100 TB the exchange carries |docs| x 16 x 32B, not
-    shingles."""
+    Cost shape: one projection computes the base hash (md5 once per
+    shingle), then ONE aggregate takes all seed minima as inline affine
+    expressions (fused by whole-stage codegen into the partial aggregate;
+    no seed explode, no second pass over the shingle stream). Map-side
+    combine collapses each task to one row per doc before the shuffle —
+    at 100 TB the exchange carries |docs| x seeds x 8B, not shingles."""
     rows_per_band = seeds // bands
-    mins = sh.groupBy(id_col).agg(
+    hashed = sh.select(id_col, shingle_hash("s").alias("h"))
+    mins = hashed.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")).cast("binary"))).alias(f"_m{i}")
-            for i in range(seeds)
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P)).alias(f"_m{i}")
+            for i, (a, b) in enumerate(hash_family(seeds))
         ]
     )
     band_sigs = [
-        F.concat_ws(",", *[F.col(f"_m{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(f"_b{b}")
+        F.concat_ws(
+            ",", *[F.col(f"_m{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        ).alias(f"_b{b}")
         for b in range(bands)
     ]
-    stacked = mins.select(id_col, *band_sigs).select(
+    return mins.select(id_col, *band_sigs).select(
         id_col,
         F.expr(
             "stack("
@@ -88,7 +122,6 @@ def minhash_signatures(
             + ") AS (band, bs)"
         ),
     )
-    return stacked
 
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
