@@ -37,8 +37,10 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: map-side partial aggregation collapses 100 TB to |groups| rows
     per task before the shuffle; group key cardinality here is tiny (R/A/N
     x O/F) so the exchange is negligible. Decimal sums are exact => safe
-    under any partial-agg order."""
-    li = load(spark, sf_dir, "lineitem")
+    under any partial-agg order. spread=True: the decimal-sum compute is
+    the cost here, so under-split local inputs repartition first (no-op on
+    a real multi-file table; see io._respread)."""
+    li = load(spark, sf_dir, "lineitem", spread=True)
     qty_d = F.col("l_quantity").cast("decimal(18,2)")
     price_d = F.col("l_extendedprice").cast("decimal(18,2)")
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
