@@ -1,0 +1,81 @@
+"""User-defined stage surface (SURVEY §2.5 `udf_stage`).
+
+flod's closest analog to a UDF is "any user struct with the right methods
+is a stage" (traits.d:64-92) and the lambda-driven `pass!(E, fun)` source
+(range.d:265-268). On Spark the stage-authoring surface is:
+
+- scalar `pandas_udf`  — element-wise vectorized stage (Arrow batches);
+- `mapInPandas`        — chunk-wise stage, the direct analog of flod's
+                         peek/consume loop (iterator of batches in, out);
+- `applyInPandas`      — grouped-map stage (partitioned peek/consume).
+
+`udf_stage` registers the mapInPandas form because it is the one flod
+users would reach for (whole-chunk custom logic). The computation inside
+is deliberately SQL-expressible so DuckDB can oracle-check the plumbing
+(Arrow round-trip, schema contract, batch iteration) bitwise: same IEEE
+double ops in the same order on both sides.
+
+100 TB notes: mapInPandas is a narrow transformation — no shuffle, no
+driver involvement; each task streams Arrow batches through one Python
+worker. Cost = serialization bandwidth, so select only needed columns
+BEFORE the stage (column pruning cannot reach inside the Python fn).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from flod_spark.io import load
+from flod_spark.registry import query
+
+
+def _charge_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Chunk-wise user stage: effective charge + price band per lineitem.
+
+    Mirrors the oracle's expression order exactly:
+    charge = (price * (1 - discount)) * (1 + tax), left-associated.
+    """
+    for b in batches:
+        charge = (b["l_extendedprice"] * (1.0 - b["l_discount"])) * (1.0 + b["l_tax"])
+        band = pd.Series("mid", index=b.index)
+        band[charge < 20000.0] = "low"
+        band[charge >= 60000.0] = "high"
+        yield pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_linenumber": b["l_linenumber"],
+                "charge": charge,
+                "band": band,
+            }
+        )
+
+
+@query(
+    "udf_stage",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, "
+        "  (l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS charge, "
+        "  CASE WHEN (l_extendedprice * (1 - l_discount)) * (1 + l_tax) < 20000 THEN 'low' "
+        "       WHEN (l_extendedprice * (1 - l_discount)) * (1 + l_tax) >= 60000 THEN 'high' "
+        "       ELSE 'mid' END AS band "
+        "FROM lineitem"
+    ),
+)
+def udf_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-authored chunk-wise stage via mapInPandas (Arrow-batched; the
+    slow-path escape hatch used ONLY when built-ins can't express the
+    logic — this example is SQL-expressible precisely so the oracle can
+    verify the Python/Arrow plumbing end-to-end).
+
+    Plan shape: pruned 5-column scan -> mapInPandas [narrow] -> done.
+    Nothing shuffles; parallelism = scan splits."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+    )
+    return li.mapInPandas(
+        _charge_stage,
+        schema="l_orderkey long, l_linenumber long, charge double, band string",
+    )

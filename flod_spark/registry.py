@@ -35,6 +35,7 @@ _CATALOG_MODULES = (
     "flod_spark.catalog.dedup",
     "flod_spark.catalog.similarity",
     "flod_spark.catalog.media",
+    "flod_spark.catalog.udf",
 )
 
 
