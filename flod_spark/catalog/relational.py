@@ -100,6 +100,26 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_cube",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+        "  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price "
+        "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"
+    ),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality keys (Expand: 4 grouping sets).
+    Scale: expansion factor == 2^k grouping sets BEFORE partial agg — fine
+    for k<=3 low-cardinality keys; beyond that, compute per-set aggregates
+    separately and union (same result, no blow-up)."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+    )
+
+
 # ----------------------------------------------------------------- joins
 
 @query(
