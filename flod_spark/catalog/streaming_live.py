@@ -1,0 +1,112 @@
+"""LIVE Structured Streaming queries (north-star centerpiece).
+
+Unlike catalog/streaming_batch.py (batch shadows of the streaming ops so
+DuckDB can oracle them), these run the REAL streaming path end to end
+inside the driver's correctness gate: replay the events table as
+time-ordered micro-batches (streaming/replay.py), run the streaming
+query (watermark + window agg / custom stateful operator), drain it into
+a memory sink, and return the materialized result as the batch DataFrame
+the driver hash-compares against DuckDB.
+
+Determinism contract (what makes an exact oracle possible):
+- replay emits files in global ts order, one per trigger -> per-key rows
+  arrive in event-time order across micro-batches;
+- (user_id, ts) is unique in `events` (verified at generation), so
+  within-batch ts sorting leaves no ties;
+- append-mode window emission is fixed by the final watermark: a window
+  emits iff it closed before end-of-stream, i.e. win_end <= max(ts) -
+  watermark. The oracle applies the same horizon cutoff.
+
+Scale notes (100 TB / real cluster): the replay source swaps for Kafka
+with zero changes downstream (Structured Streaming's unified model).
+State stores shard by key hash across executors; watermarks bound state
+for windows, and the take operator's state is one counter per key.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flod_spark.io import load
+from flod_spark.registry import query
+from flod_spark.streaming import replay_stream, streaming_take_per_key, tumbling_counts
+
+_WINDOW = "1 hour"
+_WATERMARK = "2 hours"
+_TAKE_N = 3
+
+
+def _drain(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Run a streaming DataFrame to completion into a memory sink and
+    return the materialized result (unique names: re-entrant per call)."""
+    name = "live_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix=f"flod_ckpt_{name}_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
+@query(
+    "stream_window_live",
+    oracle=(
+        "SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type, "
+        "  COUNT(*) AS n_events, "
+        "  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "FROM events "
+        "GROUP BY win_start, event_type "
+        "HAVING win_start <= (SELECT max(ts) - INTERVAL '3 hours' FROM events)"
+    ),
+)
+def stream_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming tumbling-window aggregation: readStream over
+    time-ordered micro-batches -> withWatermark + window() -> append-mode
+    memory sink. The horizon filter keeps exactly the windows append mode
+    deterministically emitted (closed by the final watermark); the oracle
+    applies the same cutoff, so the comparison is exact, not 'close'."""
+    ev = load(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_w_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=5)
+    got = _drain(tumbling_counts(stream, window=_WINDOW, watermark=_WATERMARK), spark)
+    # windows closed by the final watermark: win_end <= max_ts - 2h
+    horizon = F.lit(max_ts) - F.expr("INTERVAL 3 HOURS")
+    return got.filter(F.col("win_start") <= horizon)
+
+
+@query(
+    "stream_take_live",
+    oracle=(
+        "SELECT event_id, ts, user_id, event_type, value, props FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events"
+        f") WHERE rn <= {_TAKE_N}"
+    ),
+)
+def stream_take_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL custom stateful streaming operator: flod's take(n) short-circuit
+    (package.d:114-199) per key on an unbounded stream, implemented with
+    applyInPandasWithState (streaming/take.py) — a per-key counter state;
+    rows past n are dropped. Because replay preserves event-time order and
+    (user_id, ts) is unique, the taken rows are exactly the n earliest per
+    key, giving the exact SQL oracle."""
+    ev = load(spark, sf_dir, "events")
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_t_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4)
+    got = _drain(streaming_take_per_key(stream, _TAKE_N), spark)
+    return got.select("event_id", "ts", "user_id", "event_type", "value", "props")

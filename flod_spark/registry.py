@@ -36,6 +36,7 @@ _CATALOG_MODULES = (
     "flod_spark.catalog.similarity",
     "flod_spark.catalog.media",
     "flod_spark.catalog.udf",
+    "flod_spark.catalog.streaming_live",
 )
 
 
