@@ -1,0 +1,74 @@
+"""Codec pipeline + non-parquet format round-trips.
+
+codec_gzip re-creates the reference's README flagship pipeline
+(README.md:10-14): deflate/inflate a text stream around a byLine ->
+strip-trailing-whitespace -> rejoin transformation. The oracle computes
+only the text transformation — if the codec round-trip corrupted
+anything, the hashes would differ, so the comparison covers the codec
+too.
+
+sink_csv / sink_json mirror sink_file (K1) for the two ubiquitous text
+formats: write to a temp dir, read back with the ORIGINAL schema (format
+round-trips must never rely on inference), return the read-back rows.
+
+100 TB notes: format round-trip cost is scan+write bandwidth, no shuffle.
+CSV/JSON lose types without an explicit schema — the engine always
+supplies one on read. Parquet (sink_file) remains the production format;
+these exist for interchange.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flod_spark.io import load
+from flod_spark.operators.codec import deflate, inflate
+from flod_spark.registry import query
+
+
+@query(
+    "codec_gzip",
+    oracle=(
+        "SELECT doc_id, array_to_string("
+        "  list_transform(string_split(text, chr(10)), x -> regexp_replace(x, '[ \\t]+$', '')), "
+        "  chr(10)) AS cleaned "
+        "FROM documents"
+    ),
+)
+def codec_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flod README flagship (README.md:10-14): deflate -> inflate -> byLine
+    -> stripRight each line -> join('\\n'). The deflate/inflate pair is a
+    real zlib round-trip through Arrow-batched pandas UDFs; the line
+    transformation runs JVM-side (split/transform/array_join). The oracle
+    checks the final text, which transitively verifies the codec."""
+    docs = load(spark, sf_dir, "documents")
+    packed = docs.select("doc_id", deflate(F.col("text")).alias("z"))
+    unpacked = packed.select("doc_id", inflate(F.col("z")).alias("t"))
+    lines = F.split(F.col("t"), "\n", -1)
+    stripped = F.transform(lines, lambda x: F.regexp_replace(x, "[ \\t]+$", ""))
+    return unpacked.select("doc_id", F.array_join(stripped, "\n").alias("cleaned"))
+
+
+def _roundtrip(spark: SparkSession, df: DataFrame, fmt: str, **options) -> DataFrame:
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/rt.{fmt}"
+        df.write.mode("overwrite").options(**options).format(fmt).save(path)
+        back = (
+            spark.read.schema(df.schema).options(**options).format(fmt).load(path)
+        ).localCheckpoint(eager=True)  # materialize before tmpdir vanishes
+    return back
+
+
+@query("sink_csv", oracle="SELECT * FROM supplier")
+def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 write() for CSV: round-trip with explicit schema on read-back."""
+    return _roundtrip(spark, load(spark, sf_dir, "supplier"), "csv", header="true")
+
+
+@query("sink_json", oracle="SELECT * FROM supplier")
+def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 write() for JSON lines: round-trip with explicit schema."""
+    return _roundtrip(spark, load(spark, sf_dir, "supplier"), "json")

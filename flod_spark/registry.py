@@ -37,6 +37,7 @@ _CATALOG_MODULES = (
     "flod_spark.catalog.media",
     "flod_spark.catalog.udf",
     "flod_spark.catalog.streaming_live",
+    "flod_spark.catalog.codec_formats",
 )
 
 
