@@ -174,3 +174,40 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower("text"), WS_RE, " ")
     return docs.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
+
+
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+_URL_RE = "https?://[a-zA-Z0-9./_?=&%#~+-]+"
+
+
+@query(
+    "text_clean",
+    oracle=(
+        "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, "
+        f"  '{_URL_RE}', '<URL>', 'g'), "
+        f"  '{_EMAIL_RE}', '<EMAIL>', 'g'), "
+        "  '[ \\t]+', ' ', 'g') AS cleaned, "
+        f"  length(text) - length(regexp_replace(text, '{_EMAIL_RE}', '', 'g')) > 0 AS had_email, "
+        f"  length(text) - length(regexp_replace(text, '{_URL_RE}', '', 'g')) > 0 AS had_url "
+        "FROM documents"
+    ),
+)
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/noise scrub: mask URLs then emails, collapse runs of spaces/tabs
+    (newlines preserved) — the pre-training cleanup shape. Flags record
+    which docs were touched (for audit sampling downstream). Map-only at
+    100 TB; explicit ASCII classes keep Java and RE2 regex identical."""
+    docs = load(spark, sf_dir, "documents")
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace("text", _URL_RE, "<URL>"), _EMAIL_RE, "<EMAIL>"),
+        "[ \\t]+",
+        " ",
+    )
+    had_email = F.length("text") - F.length(F.regexp_replace("text", _EMAIL_RE, "")) > 0
+    had_url = F.length("text") - F.length(F.regexp_replace("text", _URL_RE, "")) > 0
+    return docs.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        had_email.alias("had_email"),
+        had_url.alias("had_url"),
+    )
