@@ -110,3 +110,54 @@ def stream_take_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4)
     got = _drain(streaming_take_per_key(stream, _TAKE_N), spark)
     return got.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@query(
+    "stream_join_live",
+    oracle=(
+        "SELECT e1.event_id AS signup_id, e2.event_id AS click_id "
+        "FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id "
+        " AND e2.event_id <> e1.event_id "
+        " AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 30 MINUTE "
+        "WHERE e1.event_type = 'signup' AND e2.event_type = 'click'"
+    ),
+)
+def stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream inner join with watermarks (SURVEY §2.5 joins
+    row): clicks within 30 min after a signup, same user, both sides
+    unbounded streams. Two filtered branches of one replayed source join
+    on the user equi-key plus the event-time range; the watermark + range
+    bound lets Spark evict join state (signups older than watermark-30min
+    can never match again). Inner-join append emission is exact — every
+    on-time pair emits exactly once — so the batch SQL oracle applies
+    with no horizon cutoff, unlike windowed aggregation."""
+    ev = load(spark, sf_dir, "events")
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_j_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4)
+    signups = (
+        stream.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("u"),
+            F.col("ts").alias("ts_s"),
+        )
+        .withWatermark("ts_s", "2 hours")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("u2"),
+            F.col("ts").alias("ts_c"),
+        )
+        .withWatermark("ts_c", "2 hours")
+    )
+    joined = signups.join(
+        clicks,
+        (F.col("u") == F.col("u2"))
+        & (F.col("click_id") != F.col("signup_id"))
+        & (F.col("ts_c") >= F.col("ts_s"))
+        & (F.col("ts_c") <= F.col("ts_s") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("signup_id", "click_id")
+    return _drain(joined, spark)
