@@ -6,19 +6,25 @@ unordered, so order-sensitive operators (take, by_line across chunks,
 by_chunk regrouping) key on an explicit ``seq: long`` column.
 
 ``with_seq`` computes a gap-free global rank 0..n-1 over a total order
-WITHOUT a single-partition window:
+WITHOUT a single-partition window and WITHOUT caching the input:
 
-1. ``repartitionByRange`` on the order columns — range partitioner assigns
-   ascending key ranges to ascending partition ids, so partition id order
-   == key order.
-2. per-partition local rank (window partitioned by ``spark_partition_id()``
-   — parallel, no global shuffle to one reducer).
-3. per-partition row counts (tiny: one row per partition) are collected,
-   turned into cumulative offsets, and broadcast-joined back.
+1. A deterministic hash-sample of the order key (xxhash64 % rate == 0 —
+   stable across re-evaluation, unlike RangePartitioner's RDD-id-seeded
+   sampling) is collected to the driver and turned into P-1 boundary
+   literals; sample size targets ~20·P keys regardless of input size
+   (the rate adapts to the optimizer's size estimate).
+2. ``bucket = Σ (key >= boundary_i)`` — a pure, deterministic expression,
+   so every subtree that computes it agrees without any persist/reuse
+   coordination.
+3. Local rank within bucket (window partitioned by bucket — one hash
+   exchange, parallel across buckets) + per-bucket counts rolled into
+   cumulative offsets (a tiny P-row aggregate, broadcast-joined back).
 
-At 100 TB this is two narrow passes + one range shuffle; the collected
-offset table is O(#partitions), never O(rows). This is the same trick as
-RDD.zipWithIndex, expressed in DataFrame ops so codegen/AQE still apply.
+At 100 TB: one pass to sample ~20·P keys, one hash exchange of the data,
+a P-row offset table — nothing is cached, nothing is collected that
+scales with rows. Boundary-sample quality affects only bucket BALANCE
+(performance), never correctness: any deterministic bucketing that is
+monotone in the total order yields the same seq.
 """
 
 from __future__ import annotations
@@ -28,6 +34,25 @@ from pyspark.sql import functions as F
 
 SEQ = "seq"
 
+_TARGET_SAMPLES_PER_PART = 20
+_ASSUMED_ROW_BYTES = 64
+
+
+def _sample_rate_mod(df: DataFrame, parts: int) -> int:
+    """Power-of-two modulus so the expected sample is ~20·parts keys.
+    Uses the optimizer's size estimate (parquet footer stats) — accuracy
+    only affects sample size, not correctness."""
+    try:
+        est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est_bytes = 0
+    est_rows = max(1, est_bytes // _ASSUMED_ROW_BYTES)
+    want = max(1, est_rows // (_TARGET_SAMPLES_PER_PART * parts))
+    mod = 1
+    while mod < want and mod < (1 << 40):
+        mod <<= 1
+    return mod
+
 
 def with_seq(df: DataFrame, *order_cols: str | Column, num_partitions: int | None = None) -> DataFrame:
     """Add a deterministic gap-free ``seq`` column ranking by ``order_cols``.
@@ -36,30 +61,81 @@ def with_seq(df: DataFrame, *order_cols: str | Column, num_partitions: int | Non
     """
     if not order_cols:
         raise ValueError("with_seq requires at least one order column")
-    parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    ranged = df.repartitionByRange(int(parts), *order_cols)
-    local = (
-        ranged.withColumn("_pid", F.spark_partition_id())
-        .withColumn("_lrank", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols)) - 1)
-        # RangePartitioner samples with an RDD-id-derived seed, so two separate
-        # actions (the offset collect below + the caller's action) could see
-        # DIFFERENT boundaries. persist() pins one materialization; eviction
-        # recomputes the same RDD lineage (same id -> same seed), still stable.
-        .persist()
+    parts = int(num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    keyed = df.select("*", *[c.alias(f"_k{i}") for i, c in enumerate(cols)])
+    knames = [f"_k{i}" for i in range(len(cols))]
+    ktypes = {f.name: f.dataType for f in keyed.schema.fields if f.name in knames}
+
+    # 1. deterministic boundary sample
+    mod = _sample_rate_mod(df, parts)
+    cap = 50 * _TARGET_SAMPLES_PER_PART * parts  # guard vs a bad size estimate
+    sample = (
+        keyed.select(*knames)
+        .filter(F.pmod(F.xxhash64(*knames), F.lit(mod)) == 0)
+        .limit(cap)
+        .collect()
     )
-    # tiny per-partition histogram -> cumulative offsets on the driver
-    counts = local.groupBy("_pid").count().collect()
-    offsets: dict[int, int] = {}
-    running = 0
-    for row in sorted(counts, key=lambda r: r["_pid"]):
-        offsets[row["_pid"]] = running
-        running += row["count"]
-    if not offsets:  # empty input: no partitions reported, seq == local rank
-        return local.withColumn(SEQ, F.col("_lrank")).drop("_pid", "_lrank")
-    offmap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    # null-containing keys are never boundaries (they'd make the struct
+    # comparison three-valued); nulls sort first and land in bucket 0.
+    sample = [r for r in sample if all(v is not None for v in r)]
+    sample.sort(key=lambda r: tuple(r))
+    step = max(1, len(sample) // parts)
+    boundaries = [sample[i] for i in range(step, len(sample), step)][: parts - 1]
+    # dedupe equal boundaries (massive ties collapse into one bucket)
+    seen, uniq = set(), []
+    for b in boundaries:
+        t = tuple(b)
+        if t not in seen:
+            seen.add(t)
+            uniq.append(b)
+
+    # 2. pure deterministic bucket expression (monotone in the total order):
+    # binary-search WHEN-tree over the boundaries — log2(P) struct
+    # comparisons per row instead of P.
+    key = F.struct(*[F.col(k) for k in knames])
+
+    def blit(b):
+        return F.struct(*[F.lit(b[k]).cast(ktypes[k]).alias(k) for k in knames])
+
+    def search(lo: int, hi: int):  # bucket index within uniq[lo:hi] + lo
+        if lo >= hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        # key >= uniq[mid] (null-safe false: null keys sort first)
+        ge = F.coalesce((key >= blit(uniq[mid])).cast("boolean"), F.lit(False))
+        return F.when(ge, search(mid + 1, hi)).otherwise(search(lo, mid))
+
+    bucketed = keyed.withColumn("_bk", search(0, len(uniq)))
+
+    # 3. local rank within bucket + cumulative bucket offsets (P rows).
+    # One EXPLICIT hash exchange on _bk that BOTH subtrees consume: the
+    # window's required distribution is already satisfied, and the counts
+    # aggregate reads the same exchange — ReuseExchange dedupes it, so the
+    # input is scanned and shuffled exactly once (a perf property only;
+    # correctness never depends on reuse because _bk is deterministic).
+    shuffled = bucketed.repartition(parts, "_bk")
+    order_exprs = [F.col(k).asc_nulls_first() for k in knames]
+    local = shuffled.withColumn(
+        "_lrank", F.row_number().over(Window.partitionBy("_bk").orderBy(*order_exprs)) - 1
+    )
+    counts = shuffled.groupBy("_bk").agg(F.count("*").alias("_n"))
+    offs = (
+        counts.withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_bk", "_off")
+    )
     return (
-        local.withColumn(SEQ, F.coalesce(offmap[F.col("_pid")], F.lit(0)) + F.col("_lrank"))
-        .drop("_pid", "_lrank")
+        local.join(F.broadcast(offs), "_bk")
+        .withColumn(SEQ, F.col("_off") + F.col("_lrank"))
+        .drop("_bk", "_lrank", "_off", *knames)
     )
 
 
