@@ -221,3 +221,26 @@ def sink_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
     for row in region.toLocalIterator():
         target.append(row)
     return spark.createDataFrame(target, region.schema)
+
+
+@query(
+    "scan_binary",
+    oracle=(
+        "SELECT CAST(size AS BIGINT) AS length, md5(hex(content)) AS content_md5 "
+        "FROM read_blob('/root/repo/FIXTURES.md')"
+    ),
+)
+def scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 read()/FileReader (file.d:14-34) in its RAWEST form: the
+    reference reads files as untyped ubyte streams; Spark's analog is the
+    binaryFile source (whole file -> one binary row). Both engines hash
+    the same fixed repo file at gate time (sf-independent by design —
+    raw-byte scanning has no scale factor). At 100 TB the binaryFile
+    source is the media-ingest entry point: one task per file, rows
+    carry (path, length, content) and downstream stages drop bytes
+    early (see catalog/media.py)."""
+    df = spark.read.format("binaryFile").load("/root/repo/FIXTURES.md")
+    return df.select(
+        F.col("length"),
+        F.md5(F.hex(F.col("content")).cast("binary")).alias("content_md5"),
+    )
