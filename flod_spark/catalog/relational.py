@@ -442,3 +442,100 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+
+
+@query(
+    "agg_pivot",
+    oracle=(
+        "SELECT o_orderpriority, "
+        "  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F, "
+        "  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O, "
+        "  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P "
+        "FROM orders GROUP BY o_orderpriority"
+    ),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide): total price per priority x status. Explicit
+    value list — at scale NEVER let pivot infer values (that is an extra
+    distinct pass over 100 TB); decimal partial sums as usual."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle=(
+        "SELECT l_returnflag, "
+        "  quantile_cont(l_quantity, 0.5) AS median_qty, "
+        "  quantile_cont(l_extendedprice, 0.25) AS p25_price, "
+        "  quantile_cont(l_extendedprice, 0.75) AS p75_price "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark percentile
+    == DuckDB quantile_cont, bit-identical interpolation). Scale: exact
+    percentile buffers the group — for 100 TB switch to approx_percentile
+    (t-digest, mergeable partial aggregation); kept exact here because
+    the oracle demands determinism."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25_price"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("p75_price"),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle=(
+        "SELECT n_regionkey, array_to_string(list(n_name ORDER BY n_name), ',') AS nations "
+        "FROM nation GROUP BY n_regionkey"
+    ),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation (collect_list + array_sort == DuckDB
+    list(ORDER BY)). Scale: list agg is unmergeable beyond memory — only
+    sane for bounded groups (here: nations per region)."""
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@query(
+    "tpch_q3",
+    oracle=(
+        "SELECT l_orderkey, "
+        "  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue, "
+        "  o_orderdate "
+        "FROM customer, orders, lineitem "
+        "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey "
+        "  AND o_orderdate < TIMESTAMP '1997-06-01' AND l_shipdate > TIMESTAMP '1997-06-01' "
+        "GROUP BY l_orderkey, o_orderdate "
+        "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"
+    ),
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): selective dim filter ->
+    broadcast -> fact join -> decimal agg -> top-10. Scale: customer
+    filter broadcast-prunes orders; orders⋈lineitem co-shuffles on
+    orderkey; TakeOrderedAndProject caps the sort at 10 rows per
+    partition. Date filters push to both parquet scans."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-06-01")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-01")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
