@@ -32,6 +32,9 @@ HEADLINE = [
     "sim_topk",
     "text_stats",
     "take_limit",
+    "tpch_q3",
+    "codec_gzip",
+    "udf_stage",
 ]
 
 
@@ -53,7 +56,12 @@ def main() -> None:
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
     warm = spark.read.parquet(os.path.join(warm_dir, "lineitem.parquet"))
-    warm.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
+    warm.groupBy("l_returnflag").agg(
+        {"l_quantity": "count"}
+    ).write.format("noop").mode("overwrite").save()
+    warm.selectExpr(
+        "sum(cast(l_quantity as decimal(18,2)))", "sum(cast(l_extendedprice as decimal(28,6)))"
+    ).write.format("noop").mode("overwrite").save()
     spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
