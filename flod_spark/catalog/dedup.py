@@ -11,9 +11,9 @@ Scale notes (100 TB):
 - exact: one shuffle on a 16-byte key; skew impossible (hash keys uniform).
 - minhash: shingling is map-only row explosion (bounded: first 4 KB per
   doc); the doc×seed min-agg is a partial-agg-friendly groupBy; the LSH
-  bucket join shuffles only (band, 4×32B signature) pairs — candidates,
+  bucket join shuffles only (band, signature) pairs — candidates,
   never full texts. Bucket skew (boilerplate docs) -> cap bucket size
-  (operators/minhash.py has the salted variant).
+  (operators/minhash.py::lsh_candidate_pairs(max_bucket=...)).
 - simhash: map-only per doc + tiny groupBy; Hamming-radius pairing at
   scale uses the pigeonhole band trick (same LSH machinery).
 """

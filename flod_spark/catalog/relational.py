@@ -253,7 +253,9 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: equi-key on user_id keeps it a hash/sort-merge join; the range
     predicate is a post-join filter within the key group. Without an equi
     key this becomes a bucketed-time join (bucket ts to 60s grains, join on
-    adjacent grains) — implemented in operators/rangejoin.py."""
+    adjacent grains) — implemented in operators/rangejoin.py::
+    range_join_bucketed and asserted equal to this plan in
+    tests/test_operators.py."""
     ev = load(spark, sf_dir, "events")
     s = ev.filter(F.col("event_type") == "signup").select(
         F.col("event_id").alias("eid_a"), F.col("user_id").alias("u"), F.col("ts").alias("ts_a")

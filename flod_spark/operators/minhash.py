@@ -124,13 +124,29 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
+) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing any band signature.
 
     sig is persisted first: a DataFrame self-join re-executes the whole
     upstream pipeline for each side (no automatic subplan reuse), and the
-    signature table is tiny (|docs| x bands) even at 100 TB input."""
+    signature table is tiny (|docs| x bands) even at 100 TB input.
+
+    ``max_bucket`` is the skew cap for 100 TB: a band bucket with k docs
+    emits k² pairs, and boilerplate-heavy corpora produce giant buckets.
+    Buckets above the cap are dropped (their members are so common that
+    the exact-dup pass catches them anyway) — the same judgment as
+    prune_frequent_shingles, applied at the band level."""
     sig = sig.persist()
+    if max_bucket is not None:
+        small = (
+            sig.groupBy("band", "bs")
+            .agg(F.count("*").alias("_k"))
+            .filter(F.col("_k") <= max_bucket)
+            .select("band", "bs")
+        )
+        sig = sig.join(F.broadcast(small), ["band", "bs"])
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(

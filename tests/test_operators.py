@@ -111,3 +111,69 @@ def test_lsh_bucket_recall(spark, sf_dir):
     same = b.bucket.to_numpy()[:, None] == b.bucket.to_numpy()[None, :]
     mask = ~np.eye(n, dtype=bool)
     assert sims[same & mask].mean() > sims[mask].mean()
+
+
+def test_range_join_bucketed_matches_plain(spark, sf_dir):
+    """Bucketed-time range join == plain range join (same pairs)."""
+    from pyspark.sql import functions as F
+
+    from flod_spark.io import load
+    from flod_spark.operators.rangejoin import range_join_bucketed
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("eid_a"), F.col("user_id").alias("u"), F.col("ts").alias("ts_a")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("eid_b"), F.col("user_id").alias("u2"), F.col("ts").alias("ts_b")
+    )
+    w = 1800
+    plain = s.join(
+        c,
+        (F.col("u") == F.col("u2"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"INTERVAL {w} SECONDS")),
+    ).select("eid_a", "eid_b")
+    bucketed = range_join_bucketed(
+        s, c, "ts_a", "ts_b", w, extra_on=F.col("u") == F.col("u2")
+    ).select("eid_a", "eid_b")
+    got = {(r.eid_a, r.eid_b) for r in bucketed.collect()}
+    expect = {(r.eid_a, r.eid_b) for r in plain.collect()}
+    assert got == expect and len(expect) > 0
+
+
+def test_lsh_max_bucket_caps_pairs(spark):
+    """Oversized LSH buckets are dropped under max_bucket."""
+    from flod_spark.operators.minhash import lsh_candidate_pairs
+
+    rows = [(i, 0, "sig_big") for i in range(10)] + [(100, 0, "sig_small"), (101, 0, "sig_small")]
+    sig = spark.createDataFrame(rows, "doc_id long, band int, bs string")
+    capped = lsh_candidate_pairs(sig, max_bucket=5).collect()
+    assert {(r.doc_a, r.doc_b) for r in capped} == {(100, 101)}
+    full = lsh_candidate_pairs(sig).collect()
+    assert len(full) == 45 + 1
+
+
+def test_simhash_64bit_near_dups_collide(spark):
+    """64-bit SimHash: identical token sets => identical signature; a
+    one-token change => small Hamming distance (pigeonhole band match)."""
+    from flod_spark.operators.simhash import simhash_bands, simhash_signatures
+
+    base = " ".join(f"token{i} word{i} item{i}" for i in range(30))
+    rows = [
+        (1, base),
+        (2, base + " extra"),          # near-dup: one extra token
+        (3, base.replace("fox", "cat")),  # near-dup: one swapped token
+        (4, "completely different words entirely unrelated content here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = simhash_signatures(df, width=64)
+    vals = {r.doc_id: r.simhash for r in sig.collect()}
+    ham = lambda a, b: bin((vals[a] ^ vals[b]) & (2**64 - 1)).count("1")
+    assert ham(1, 2) <= 7 and ham(1, 3) <= 10
+    assert ham(1, 4) > 16
+    # pigeonhole: docs within Hamming < bands share a band exactly
+    bands = simhash_bands(sig, bands=8, width=64)
+    b1 = {(r.band, r.band_bits) for r in bands.filter("doc_id = 1").collect()}
+    b2 = {(r.band, r.band_bits) for r in bands.filter("doc_id = 2").collect()}
+    assert b1 & b2
