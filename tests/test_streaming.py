@@ -84,3 +84,27 @@ def test_streaming_take_per_key(spark, events, tmp_path):
     # the taken rows are the earliest by ts per key
     first = events.toPandas().sort_values(["ts", "event_id"]).groupby("user_id").head(n)
     assert set(got.event_id) == set(first.event_id)
+
+
+def test_streaming_queue_and_dedup(spark, tmp_path):
+    """Entry point C live: put() chunks -> micro-batches; duplicate keys
+    across chunks are dropped (first arrival wins)."""
+    from flod_spark.streaming.dedup import drop_duplicates_unbounded
+    from flod_spark.streaming.queue import StreamingQueue
+
+    q = StreamingQueue(spark, spool_dir=str(tmp_path / "spool"))
+    q.put([1, 2, 3])
+    q.put([2, 3, 4])   # dupes of batch 1
+    q.put([5, 1])      # one dupe, one new
+    deduped = drop_duplicates_unbounded(q.stream(), "value")
+    sq = (
+        deduped.writeStream.format("memory")
+        .queryName("qdedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    sq.processAllAvailable()
+    sq.stop()
+    got = sorted(r.value for r in spark.sql("SELECT * FROM qdedup").collect())
+    assert got == [1, 2, 3, 4, 5]
