@@ -13,13 +13,20 @@ time; Spark's model adds event time + watermarks. This package provides:
             unbounded stream
 - queue:    OutputRangeSource (S5) as a streaming source: caller put()s
             chunks, each becomes a micro-batch
+- dedup:    first-arrival dedup in both state regimes (unbounded exact /
+            watermark-bounded)
 """
 
+from flod_spark.streaming.dedup import drop_duplicates_unbounded, drop_duplicates_within
+from flod_spark.streaming.queue import StreamingQueue
 from flod_spark.streaming.replay import replay_stream
 from flod_spark.streaming.windows import session_windows, sliding_counts, tumbling_counts
 from flod_spark.streaming.take import streaming_take_per_key
 
 __all__ = [
+    "StreamingQueue",
+    "drop_duplicates_unbounded",
+    "drop_duplicates_within",
     "replay_stream",
     "tumbling_counts",
     "sliding_counts",
