@@ -114,6 +114,24 @@ class Pipeline:
             self.df.withColumn("chunk_id", F.expr(f"{SEQ} div {int(size)}"))
         )
 
+    def by_chunk_arrays(self, size: int) -> "Pipeline":
+        """flod byChunk's TRUE element type: each chunk becomes ONE element
+        whose value is the array of its members in stream order
+        (range.d:549-581 — the stream's element type changes from E to
+        E[]). seq becomes the chunk index. Scale: one hash exchange on
+        chunk_id; each group is `size` elements, so memory per group is
+        bounded by construction."""
+        self._require_seq()
+        chunked = self.df.withColumn("chunk_id", F.expr(f"{SEQ} div {int(size)}"))
+        gathered = (
+            chunked.groupBy("chunk_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct(SEQ, VALUE))).getField(VALUE).alias(VALUE)
+            )
+            .withColumnRenamed("chunk_id", SEQ)
+        )
+        return self._derive(gathered)
+
     def map_batches(self, fn, schema) -> "Pipeline":
         """Chunk-wise user stage = mapInPandas — the Arrow-batched analog of
         flod's peek/consume loop (SURVEY §4.1 'zero-copy peek path'). `fn`

@@ -147,3 +147,14 @@ def test_adapter_noop_identity(spark):
     # adapters are identity on data (adapter.d:12-580)
     p = fs.from_range(spark, 0, 50)
     assert sorted(values(p.repartition_hint(4))) == list(range(50))
+
+
+@pytest.mark.parametrize("size,n", [(16, 100), (7, 50), (5, 5), (3, 0)])
+def test_by_chunk_arrays_element_type(spark, size, n):
+    """byChunk's true semantics: chunks ARE the elements (E -> E[]),
+    last partial chunk kept (range.d:627-632)."""
+    p = fs.from_range(spark, 0, n).ordered_by("value").by_chunk_arrays(size)
+    rows = sorted(p.to_array(), key=lambda r: r.seq)
+    expect = [list(range(i, min(i + size, n))) for i in range(0, n, size)]
+    assert [r.value for r in rows] == expect
+    assert [r.seq for r in rows] == list(range(len(expect)))
