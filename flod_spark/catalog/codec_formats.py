@@ -72,3 +72,64 @@ def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1 write() for JSON lines: round-trip with explicit schema."""
     return _roundtrip(spark, load(spark, sf_dir, "supplier"), "json")
+
+
+@query("sink_partitioned", oracle="SELECT * FROM orders WHERE o_orderstatus = 'F'")
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write + partition-PRUNED read: the scan of
+    one status touches only that directory (PartitionFilters in the plan,
+    asserted in tests/test_plans.py). At 100 TB partition pruning is the
+    difference between scanning a shard and scanning the lake; partition
+    columns must be low-cardinality (status: 3 values), never ids."""
+    o = load(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/orders_part"
+        o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+        back = (
+            spark.read.parquet(path)
+            .filter(F.col("o_orderstatus") == "F")
+            # partition col comes back last + as read type; restore order/type
+            .select(*o.columns)
+            .localCheckpoint(eager=True)
+        )
+    return back
+
+
+@query(
+    "join_bucketed",
+    oracle=(
+        "SELECT o.o_orderkey, COUNT(*) AS n_lines, "
+        "  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+        "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY o.o_orderkey"
+    ),
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides written bucketBy(orderkey) ->
+    the join needs NO exchange (both inputs pre-hashed on the key; the
+    plan joins scan-to-scan). THE technique for repeated 100 TB
+    fact-to-fact joins: pay the shuffle once at write time, never again.
+    The groupBy on the same key also reuses the bucketing."""
+    import uuid as _uuid
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    tag = _uuid.uuid4().hex[:8]
+    to, tl = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to)
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
+    try:
+        bo, bl = spark.table(to), spark.table(tl)
+        out = (
+            bo.join(bl, bl.l_orderkey == bo.o_orderkey)
+            .groupBy("o_orderkey")
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("total"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {to}")
+        spark.sql(f"DROP TABLE IF EXISTS {tl}")
+    return out

@@ -44,3 +44,42 @@ def test_codegen_covers_scan_filter(spark, sf_dir):
         assert plan.count("[codegen id : 1]") >= 3
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Reading one partition of a partitionBy write shows PartitionFilters
+    and lists only that directory's files."""
+    from pyspark.sql import functions as F
+
+    from flod_spark.io import load
+
+    o = load(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_part")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    pruned = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    p = plan_of(pruned)
+    assert "PartitionFilters" in p and "o_orderstatus" in p.split("PartitionFilters")[1][:200]
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Joining two tables bucketed on the join key runs with ZERO shuffle
+    exchanges (SortMergeJoin directly over bucketed scans)."""
+    import uuid
+
+    from flod_spark.io import load
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    tag = uuid.uuid4().hex[:8]
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    to, tl = f"t_bo_{tag}", f"t_bl_{tag}"
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to)
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
+    try:
+        bo, bl = spark.table(to), spark.table(tl)
+        joined = bo.join(bl, bl.l_orderkey == bo.o_orderkey)
+        p = plan_of(joined)
+        assert "Exchange hashpartitioning" not in p, p
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {to}")
+        spark.sql(f"DROP TABLE IF EXISTS {tl}")
