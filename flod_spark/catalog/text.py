@@ -211,3 +211,32 @@ def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         had_email.alias("had_email"),
         had_url.alias("had_url"),
     )
+
+
+@query(
+    "json_extract",
+    oracle=(
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k, "
+        "  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) "
+        "    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS running_k "
+        "FROM events"
+    ),
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column access: JSON path extraction from the props
+    string + a windowed aggregate over the extracted value. Scale:
+    get_json_object is JVM-side (Jackson) and pipelines with the scan —
+    but at 100 TB, parse ONCE (from_json to a struct column at ingest)
+    instead of re-parsing per expression."""
+    from flod_spark.io import load as _load
+
+    ev = _load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        F.sum(k).over(w).cast("long").alias("running_k"),
+    )
