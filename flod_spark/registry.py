@@ -17,7 +17,11 @@ Determinism rules (so the driver's order-insensitive value-hash matches):
 
 from __future__ import annotations
 
+import functools
 import importlib
+import os
+import tempfile
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,6 +30,33 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Make flod_spark importable on every executor of THIS session.
+
+    The grading driver (and any real cluster) builds its own session with
+    no knowledge of our PYTHONPATH; module-level Python stage functions
+    are cloudpickled BY REFERENCE, so workers must be able to import the
+    package. addPyFile ships a zip once per session and prepends it to
+    every worker's sys.path — the standard way to ship a driver-local
+    package without a deploy step."""
+    if getattr(spark, "_flod_spark_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "flod_spark_pkg.zip")
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join("flod_spark", os.path.relpath(full, pkg_dir))
+                        z.write(full, rel)
+        os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+    spark._flod_spark_shipped = True
 
 _CATALOG_MODULES = (
     "flod_spark.catalog.surface",
@@ -47,7 +78,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     weaker rows-only check)."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
