@@ -23,7 +23,9 @@ def entry(spark: SparkSession) -> DataFrame:
     map-side partial agg — see flod_spark/catalog/relational.py::agg_group).
     """
     from flod_spark.catalog.relational import agg_group
+    from flod_spark.registry import ensure_shipped
 
+    ensure_shipped(spark)  # executors can import flod_spark in any session
     return agg_group(spark, "/root/testdata/sf0.001")
 
 
