@@ -86,3 +86,37 @@ def test_chunk_ids_closed_form(spark, size):
     rows = sorted(p.to_array(), key=lambda r: r.seq)
     assert [r.chunk_id for r in rows] == [i // 16 for i in range(size)]
     assert [r.value for r in rows] == list(range(size))
+
+
+@pytest.mark.parametrize("n", [0, 7, 40])
+def test_string_chain_by_line_take(spark, n):
+    """String-stream chain: values -> by_line -> take -> map, modeled in
+    Python (the reference's mixed-type chains, traits.d:196-197)."""
+    texts = [f"l{i}a\nl{i}b\nl{i}c" for i in range(n)]
+    p = (
+        fs.from_array(spark, texts, type_hint="string")
+        .ordered_by("value")
+        .by_line()
+        .take(2 * n)
+        .map_values(F.upper(F.col("value")))
+    )
+    rows = sorted(p.to_array(), key=lambda r: r.seq)
+    model = [line.upper() for t in sorted(texts) for line in t.split("\n")][: 2 * n]
+    assert [r.value for r in rows] == model
+
+
+@pytest.mark.parametrize("n,c", [(25, 4), (16, 16), (3, 8)])
+def test_chunk_array_chain(spark, n, c):
+    """tag -> chunk-arrays -> take(chunks): E -> E[] element-type switch
+    mid-chain, then chunk-level take."""
+    p = (
+        fs.from_range(spark, 0, n)
+        .ordered_by("value")
+        .map_values(F.col("value") * 16 + 2)
+        .by_chunk_arrays(c)
+        .take(2)
+    )
+    rows = sorted(p.to_array(), key=lambda r: r.seq)
+    tagged = [x * 16 + 2 for x in range(n)]
+    chunks = [tagged[i : i + c] for i in range(0, n, c)][:2]
+    assert [r.value for r in rows] == chunks
