@@ -9,6 +9,7 @@ Usage: python tools/parity.py [sf_dir] [qkey ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -80,9 +81,19 @@ def main() -> int:
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as e
-    from flod_spark.session import get_spark
+    if os.environ.get("PARITY_BARE"):
+        # exact driver replica: a vanilla session, none of our confs
+        from pyspark.sql import SparkSession
 
-    spark = get_spark("parity", cpus=8, shuffle_partitions=8)
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from flod_spark.session import get_spark
+
+        spark = get_spark("parity", cpus=8, shuffle_partitions=8)
     qs, os_ = e.queries(), e.oracle_sql()
     con = duck_connect(sf_dir)
 
