@@ -541,3 +541,38 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "array_fns",
+    oracle=(
+        "WITH a AS (SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS arr "
+        "  FROM lineitem GROUP BY l_orderkey) "
+        "SELECT l_orderkey, "
+        "  CAST(len(arr) AS INTEGER) AS n, "
+        "  arr[1] AS first_line, "
+        "  array_to_string(arr[1:2], ',') AS first_two, "
+        "  COALESCE(array_to_string(list_filter(arr, x -> x % 2 = 0), ','), '') AS evens, "
+        "  CAST(list_reduce(arr, (acc, x) -> acc + x) AS BIGINT) AS line_sum "
+        "FROM a"
+    ),
+)
+def array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function gallery (SURVEY §2.5 'array fns'): build per-order
+    line arrays, then size / element_at / slice / filter / sequential
+    fold — all JVM higher-order functions, bitwise-matched to DuckDB's
+    list_* twins. List outputs are emitted as joined strings (the
+    compare layer cannot sort array cells). Scale: one groupBy shuffle;
+    arrays are bounded by lines-per-order (max 7 in TPC-H)."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_linenumber")).alias("arr")
+    )
+    return a.select(
+        "l_orderkey",
+        F.size("arr").alias("n"),
+        F.element_at("arr", 1).alias("first_line"),
+        F.array_join(F.slice("arr", 1, 2), ",").alias("first_two"),
+        F.array_join(F.filter("arr", lambda x: x % 2 == 0), ",").alias("evens"),
+        F.aggregate("arr", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("line_sum"),
+    )
