@@ -120,3 +120,24 @@ def test_chunk_array_chain(spark, n, c):
     tagged = [x * 16 + 2 for x in range(n)]
     chunks = [tagged[i : i + c] for i in range(0, n, c)][:2]
     assert [r.value for r in rows] == chunks
+
+
+def test_reference_scale_chain(spark):
+    """The reference's exact stream length (173,447 ulongs,
+    pipeline.d:1354) through a tag -> chunk -> summary chain; totals
+    verified in closed form."""
+    n = 173_447
+    p = (
+        fs.from_range(spark, 0, n)
+        .ordered_by("value")
+        .map_values(F.col("value") * 16 + 1)
+        .by_chunk(4096)
+    )
+    agg = (
+        p.df.groupBy("chunk_id")
+        .agg(F.count("*").alias("c"), F.sum("value").alias("s"))
+        .collect()
+    )
+    assert sorted(r.chunk_id for r in agg) == list(range((n + 4095) // 4096))
+    assert {r.chunk_id: r.c for r in agg}[n // 4096] == n % 4096
+    assert sum(r.s for r in agg) == sum(x * 16 + 1 for x in range(n))
