@@ -31,6 +31,7 @@ _NORM_SQL = "substr(regexp_replace(lower(text), '[ \\t\\r\\n]+', ' ', 'g'), 1, 4
 SHINGLE = 8
 SEEDS = 16
 BANDS = 4  # 4 rows/band
+NGRAM_MAX_DF = 64  # dedup_ngram: shingles in more docs are boilerplate
 
 
 def _norm_col() -> F.Column:
@@ -160,8 +161,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram",
     oracle=(
         f"WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents), "
-        f"sh AS (SELECT DISTINCT doc_id, substr(t, i, {SHINGLE}) AS s "
+        f"sh0 AS (SELECT DISTINCT doc_id, substr(t, i, {SHINGLE}) AS s "
         f"  FROM norm, range(1, 4001) g(i) WHERE i <= greatest(length(t) - {SHINGLE - 1}, 1)), "
+        f"keep AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= {NGRAM_MAX_DF}), "
+        "sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)), "
         "cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
         "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i "
         "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY doc_a, doc_b), "
@@ -171,13 +174,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram (8-char shingle) Jaccard near-dup pairs (>= 0.8).
+    """Exact n-gram (8-char shingle) Jaccard near-dup pairs (>= 0.8),
+    computed over NON-BOILERPLATE shingles: any shingle in more than
+    NGRAM_MAX_DF docs is dropped on BOTH sides (same rule in the oracle,
+    so the comparison stays exact).
 
     The shingle-inverted-index join computes |A∩B| without materializing
-    O(n²) pairs: only docs SHARING a shingle meet. Integer counts + one
-    rounded division keep the oracle exact. At 100 TB the hot shingles are
-    capped (operators/minhash.py::prune_frequent_shingles) — a shingle in
-    k docs contributes k² join rows."""
+    O(n²) pairs: only docs SHARING a kept shingle meet. The cap is the
+    scale guarantee — a shingle in k docs contributes k² join rows, and
+    without it common English shingles join most of the corpus to itself
+    (observed: heap OOM at sf0.1 on a 1 GB driver; bounded and fast with
+    the cap)."""
     docs = load(spark, sf_dir, "documents")
     norm = docs.select("doc_id", _norm_col().alias("t"))
     idx = F.explode(F.sequence(F.lit(1), F.greatest(F.length("t") - (SHINGLE - 1), F.lit(1)))).alias("i")
@@ -186,6 +193,9 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("t").substr(F.col("i"), F.lit(SHINGLE)).alias("s"))
         .distinct()
     )
+    from flod_spark.operators.minhash import prune_frequent_shingles
+
+    sh = prune_frequent_shingles(sh, NGRAM_MAX_DF).persist()
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -81,10 +81,15 @@ def shingles(
 
 def prune_frequent_shingles(sh: DataFrame, max_docs_per_shingle: int) -> DataFrame:
     """Drop shingles appearing in more than `max_docs_per_shingle` docs
-    (boilerplate); bounds the k² blow-up of inverted-index joins."""
+    (boilerplate); bounds the k² blow-up of inverted-index joins.
+
+    Broadcasts the DROP set, not the keep set: hot shingles are by
+    definition few distinct values (boilerplate), while keepers are the
+    long tail — at 100 TB the keep list is unboundedly large but the
+    drop list stays broadcastable."""
     freq = sh.groupBy("s").agg(F.count("*").alias("_k"))
-    keep = freq.filter(F.col("_k") <= max_docs_per_shingle).select("s")
-    return sh.join(F.broadcast(keep), "s")
+    hot = freq.filter(F.col("_k") > max_docs_per_shingle).select("s")
+    return sh.join(F.broadcast(hot), "s", "left_anti")
 
 
 def minhash_signatures(
