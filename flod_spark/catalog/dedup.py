@@ -195,7 +195,9 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from flod_spark.operators.minhash import prune_frequent_shingles
 
-    sh = prune_frequent_shingles(sh, NGRAM_MAX_DF).persist()
+    # no persist: the shingle stream is a map-only explode (cheap to
+    # recompute) and MULTIPLES of the input size — never cache it at scale
+    sh = prune_frequent_shingles(sh, NGRAM_MAX_DF)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
