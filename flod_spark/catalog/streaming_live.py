@@ -161,3 +161,27 @@ def stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ts_c") <= F.col("ts_s") + F.expr("INTERVAL 30 MINUTES")),
     ).select("signup_id", "click_id")
     return _drain(joined, spark)
+
+
+@query(
+    "stream_queue_live",
+    oracle=(
+        "SELECT CAST(i * 7 + 1 AS BIGINT) AS value, "
+        "  CAST((i * 7 + 1) % 10 AS BIGINT) AS bucket "
+        "FROM range(0, 600) t(i)"
+    ),
+)
+def stream_queue_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL entry point C (flod `pass!E`, range.d:211-237): the caller
+    put()s chunks into a StreamingQueue; each put is one micro-batch.
+    Six chunks of 100 values flow through a narrow transform and drain
+    append-mode — the closed-form oracle regenerates the stream."""
+    from flod_spark.streaming.queue import StreamingQueue
+
+    q = StreamingQueue(spark, spool_dir=tempfile.mkdtemp(prefix="flod_sq_live_"))
+    for c in range(6):
+        q.put(range(c * 100 * 7 + 1, (c + 1) * 100 * 7 + 1, 7))
+    enriched = q.stream().select(
+        F.col("value"), (F.col("value") % 10).alias("bucket")
+    )
+    return _drain(enriched, spark)
