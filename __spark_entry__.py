@@ -34,7 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from flod_spark import registry
 
     registry.load_catalog()
-    return dict(registry.QUERIES)
+    return registry.gate_order(registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -42,4 +42,4 @@ def oracle_sql() -> dict[str, str]:
     from flod_spark import registry
 
     registry.load_catalog()
-    return dict(registry.ORACLES)
+    return registry.gate_order(registry.ORACLES)

@@ -193,17 +193,36 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("t").substr(F.col("i"), F.lit(SHINGLE)).alias("s"))
         .distinct()
     )
-    from flod_spark.operators.minhash import prune_frequent_shingles
-
-    # no persist: the shingle stream is a map-only explode (cheap to
-    # recompute) and MULTIPLES of the input size — never cache it at scale
-    sh = prune_frequent_shingles(sh, NGRAM_MAX_DF)
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # ONE groupBy(s) replaces both the frequent-shingle prune (separate
+    # count pass) and the inverted-index SELF-JOIN (which shuffled the
+    # full shingle stream twice more): collect each shingle's doc list
+    # (bounded: lists > NGRAM_MAX_DF are boilerplate, dropped from BOTH
+    # intersection and union counts — same rule in the oracle), then emit
+    # the <= C(cap,2) within-list pairs combinatorially. Memory per group
+    # is bounded by the cap; no unbounded collect_list at any scale.
+    g = (
+        sh.groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") <= NGRAM_MAX_DF)
+    )
+    cnt = (
+        g.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2), F.size("ds")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        g.filter(F.size("ds") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("i"))
     )
     ca = cnt.alias("ca")

@@ -189,14 +189,17 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_anti",
     oracle=(
+        # Every customer has SOME order in the synthetic data, so the
+        # classic never-ordered form returns 0 rows (vacuous gate cell);
+        # restricting to URGENT orders yields ~200 rows at sf0.01.
         "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
-        "(SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)"
+        "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"
     ),
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): customers who never ordered."""
+    """Left-anti join (NOT EXISTS): customers with no URGENT order."""
     customer = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -244,12 +247,14 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT e1.event_id AS eid_a, e2.event_id AS eid_b "
         "FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id "
         " AND e2.event_id <> e1.event_id "
-        " AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 60 SECOND "
+        # 1 h window: the 60 s form matches nothing at gate scale (the
+        # synthetic event stream is sparse per user) — vacuous gate cell.
+        " AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 3600 SECOND "
         "WHERE e1.event_type = 'signup' AND e2.event_type = 'click'"
     ),
 )
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range (interval) join: clicks within 60s after a signup, same user.
+    """Range (interval) join: clicks within 1h after a signup, same user.
     Scale: equi-key on user_id keeps it a hash/sort-merge join; the range
     predicate is a post-join filter within the key group. Without an equi
     key this becomes a bucketed-time join (bucket ts to 60s grains, join on
@@ -268,7 +273,7 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("u") == F.col("u2"))
         & (F.col("eid_b") != F.col("eid_a"))
         & (F.col("ts_b") >= F.col("ts_a"))
-        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 60 SECOND")),
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 3600 SECOND")),
     )
     return joined.select("eid_a", "eid_b")
 
@@ -369,11 +374,20 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "set_except",
-    oracle="SELECT c_custkey AS custkey FROM customer EXCEPT SELECT o_custkey AS custkey FROM orders",
+    oracle=(
+        # EXCEPT against ALL orders is empty (every custkey orders in the
+        # synthetic data) — vacuous gate cell; URGENT-only is ~200 rows.
+        "SELECT c_custkey AS custkey FROM customer EXCEPT "
+        "SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'"
+    ),
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    orders = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
     return customer.exceptAll(orders.distinct()).distinct()
 
 

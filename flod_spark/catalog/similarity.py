@@ -27,6 +27,11 @@ K = 5
 NQ = 10
 DIM = 64
 PLANES = 6
+# Near-dup cosine threshold. The synthetic embeddings' max same-label
+# cosine at sf0.01 is ~0.47, so a production-style 0.95 matches nothing
+# and the gate cell is vacuous (0 == 0). 0.30 yields O(100) pairs at
+# sf0.01 while keeping the same plan shape.
+DEDUP_COS = 0.30
 
 # DuckDB-side sequential dot product over DOUBLE lists
 _DOT = (
@@ -171,11 +176,11 @@ def sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"    {_DOT.format(a='a.v', b='b.v')} / "
         f"    (sqrt({_DOT.format(a='a.v', b='a.v')}) * sqrt({_DOT.format(a='b.v', b='b.v')})) AS cos "
         "  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) "
-        "SELECT vec_a, vec_b, cos AS cosine FROM p WHERE cos >= 0.95"
+        f"SELECT vec_a, vec_b, cos AS cosine FROM p WHERE cos >= {DEDUP_COS}"
     ),
 )
 def embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine >= 0.95), blocked by label (the
+    """Embedding near-dup pairs (cosine >= DEDUP_COS), blocked by label (the
     cluster id a production pipeline gets from LSH/IVF) — avoids O(n²);
     within-block pairs only. One shuffle on the block key."""
     emb = load(spark, sf_dir, "embeddings")
@@ -188,6 +193,6 @@ def embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), cos.alias("cos"))
-        .filter(F.col("cos") >= 0.95)
+        .filter(F.col("cos") >= DEDUP_COS)
         .select("vec_a", "vec_b", F.col("cos").alias("cosine"))
     )

@@ -41,14 +41,50 @@ def stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sliding",
+    oracle=(
+        # Each event lands in exactly length/slide = 4 overlapping windows;
+        # DuckDB time_bucket's fixed origin (2000-01-03) and Spark's (epoch)
+        # are both 15-min aligned, so the window starts agree.
+        "WITH w AS (SELECT event_type, value, unnest(generate_series("
+        "    time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '45 minutes', "
+        "    time_bucket(INTERVAL '15 minutes', ts), INTERVAL '15 minutes')) AS win_start "
+        "  FROM events) "
+        "SELECT win_start, event_type, COUNT(*) AS n_events, "
+        "  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "FROM w GROUP BY win_start, event_type"
+    ),
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window, 15-minute slide, per event_type (flod has no
+    native windows; SURVEY §2.5 maps its chunked re-aggregation onto
+    Spark's windowed groupBy). Streaming twin: streaming/windows.py::
+    sliding_counts (withWatermark + window(len, slide)).
+    Scale: Spark expands each row to len/slide = 4 window instances before
+    the shuffle — partial agg collapses them to |windows × types| rows per
+    task, so the exchange carries aggregates, not events."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@query(
     "stream_session",
     oracle=(
         "WITH o AS (SELECT user_id, event_id, ts, value, "
         "    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), "
         "m AS (SELECT *, CASE WHEN prev_ts IS NULL "
         "    OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM o), "
-        "s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
-        "    ROWS UNBOUNDED PRECEDING) AS session_id FROM m) "
+        # CAST: DuckDB SUM() OVER yields HUGEINT (renders as float in the
+        # compare layer); Spark emits BIGINT — cast so both agree bitwise.
+        "s AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM m) "
         "SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end, "
         "  COUNT(*) AS n_events, "
         "  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "

@@ -154,6 +154,46 @@ def by_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "by_chunk_arrays",
+    oracle=(
+        "WITH s AS (SELECT l_orderkey, "
+        "  row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_extendedprice) - 1 AS seq "
+        "  FROM lineitem) "
+        "SELECT seq // 512 AS seq_chunk, COUNT(*) AS n, "
+        "  string_agg(l_orderkey::VARCHAR, ',' ORDER BY seq) AS value "
+        "FROM s GROUP BY seq_chunk"
+    ),
+)
+def by_chunk_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 byChunk's TRUE element type (range.d:549-581): the stream's
+    element type changes from E to E[] — each 512-element chunk becomes ONE
+    element whose value is the array of its members in stream order; seq
+    becomes the chunk index (Pipeline.by_chunk_arrays is the façade form).
+    Arrays are emitted as joined strings because the compare layer cannot
+    sort array cells (same convention as array_fns).
+    Scale: one hash exchange on chunk_id; group size bounded at 512 by
+    construction, so collect_list memory is bounded."""
+    from flod_spark.seq import with_seq
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    s = with_seq(li, "l_orderkey", "l_linenumber", "l_extendedprice")
+    return (
+        s.withColumn("seq_chunk", F.expr("seq div 512"))
+        .groupBy("seq_chunk")
+        .agg(
+            F.count("*").alias("n"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq", "l_orderkey"))).getField("l_orderkey"),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("value"),
+        )
+    )
+
+
 @query("by_element", oracle="SELECT * FROM part ORDER BY p_partkey LIMIT 500")
 def by_element(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5 ByElement / entry point B (pipeline.d:467-470, range.d:309-340):

@@ -45,7 +45,13 @@ class Pipeline:
 
     # ---- internal -------------------------------------------------------
     def _derive(self, df: DataFrame, ordered: bool | None = None) -> "Pipeline":
-        return Pipeline(df, self.ordered if ordered is None else ordered, dict(self._tags))
+        p = Pipeline(df, self.ordered if ordered is None else ordered, dict(self._tags))
+        # onChange listeners survive transforms (pipeline.d:251-262: the hook
+        # is part of the pipeline's metadata chain, not of one stage).
+        listeners = getattr(self, "_listeners", None)
+        if listeners:
+            p._listeners = {k: list(v) for k, v in listeners.items()}
+        return p
 
     def _require_seq(self) -> None:
         if not self.ordered:
@@ -86,7 +92,12 @@ class Pipeline:
         line_no) when the stream is ordered.
         """
         df = self.df
-        parts = F.split(F.col(VALUE), F.lit(sep).cast("string"), -1)
+        # flod's Splitter takes a LITERAL terminator (any string, incl.
+        # multi-char, range.d:359-515); F.split expects a Java regex, so
+        # quote it (\Q...\E = Pattern.quote semantics). \E inside the
+        # separator would close the quote early — re-open around it.
+        quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+        parts = F.split(F.col(VALUE), F.lit(quoted).cast("string"), -1)
         # split('a\nb\n') -> ['a','b',''] ; trailing '' means terminated end.
         exploded = df.select(
             *[c for c in df.columns if c != VALUE],
@@ -148,19 +159,29 @@ class Pipeline:
     # ---- tags (metadata.d; SURVEY §1.4) --------------------------------
     def set_tag(self, key: str, value: Any) -> "Pipeline":
         """@tagSetter metadata.d:38-41 — value visible to downstream getters;
-        nearest-upstream-setter wins (metadata.d:256-264)."""
-        p = self._derive(self.df)
+        nearest-upstream-setter wins (metadata.d:256-264). Writes through
+        to the ENGINE layer (StructField metadata, flod_spark.tags) so the
+        tag survives hand-off to plain-DataFrame code, parquet round-trips,
+        and Pipelines reconstructed from a bare df; the driver-side dict
+        keeps flod's synchronous onChange semantics."""
+        from flod_spark import tags as engine_tags
+
+        p = self._derive(engine_tags.set_tag(self.df, key, value))
         p._tags = {**self._tags, key: self._tags.get(key, []) + [value]}
         for cb in getattr(self, "_listeners", {}).get(key, []):
             cb(value)
         return p
 
     def get_tag(self, key: str) -> Any:
-        """@tagGetter — reads the nearest upstream setter's value."""
+        """@tagGetter — reads the nearest upstream setter's value (falls
+        back to StructField metadata when this Pipeline was built from a
+        DataFrame whose plan already carries engine-layer tags)."""
         vals = self._tags.get(key)
-        if not vals:
-            raise KeyError(f"tag {key!r} has no upstream setter (metadata.d:102-116 semantics)")
-        return vals[-1]
+        if vals:
+            return vals[-1]
+        from flod_spark import tags as engine_tags
+
+        return engine_tags.get_tag(self.df, key)
 
     def on_change(self, key: str, cb: Callable[[Any], None]) -> "Pipeline":
         """onChange!key hook (pipeline.d:251-262): fires when the tag is set."""

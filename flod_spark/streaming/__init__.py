@@ -15,9 +15,12 @@ time; Spark's model adds event time + watermarks. This package provides:
             chunks, each becomes a micro-batch
 - dedup:    first-arrival dedup in both state regimes (unbounded exact /
             watermark-bounded)
+- infinite: unbounded rate source (flod's infinite-range pipes,
+            range.d:107-119) + the take guard that terminates it
 """
 
 from flod_spark.streaming.dedup import drop_duplicates_unbounded, drop_duplicates_within
+from flod_spark.streaming.infinite import rate_source, take_infinite
 from flod_spark.streaming.queue import StreamingQueue
 from flod_spark.streaming.replay import replay_stream
 from flod_spark.streaming.windows import session_windows, sliding_counts, tumbling_counts
@@ -32,4 +35,6 @@ __all__ = [
     "sliding_counts",
     "session_windows",
     "streaming_take_per_key",
+    "rate_source",
+    "take_infinite",
 ]

@@ -5,13 +5,20 @@ replays them with maxFilesPerTrigger=1 — a reproducible stand-in for a
 Kafka-like source. At production scale the same code reads a real stream
 source; every transformation downstream is identical (that is the point
 of Structured Streaming's unified model).
+
+Scale: batch assignment is by exact-quantile RANGE boundaries on the
+time column — one quantile pass + one pushdown-filtered scan per batch.
+No global sort, no window function, nothing driver-side that grows with
+row count (the only collected values are the n_batches-1 boundaries).
+Rows tie-ing with a boundary go to the later batch, so cross-batch
+event-time ordering (every row in batch b <= every row in batch b+1)
+still holds — the downstream determinism contract in
+catalog/streaming_live.py only needs that plus within-batch sorting.
 """
 
 from __future__ import annotations
 
-import math
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -22,17 +29,29 @@ def replay_stream(
     out_dir: str,
     n_batches: int = 10,
 ) -> DataFrame:
-    """Write df as n_batches time-ordered parquet files under out_dir and
+    """Write df as n_batches time-range parquet files under out_dir and
     return a streaming DataFrame reading them one file per trigger."""
-    n = df.count()
-    per = max(1, math.ceil(n / n_batches))
-    ordered = df.withColumn(
-        "_b", F.floor((F.row_number().over(Window.orderBy(order_col)) - 1) / per)
-    )
+    # Exact (relativeError=0), deterministic quantile boundaries. Micros
+    # fit a double exactly (< 2^53) so the round-trip is lossless.
+    mc = "_replay_us"
+    with_us = df.withColumn(mc, F.unix_micros(F.col(order_col)))
+    fracs = [b / n_batches for b in range(1, n_batches)]
+    bounds = [int(v) for v in with_us.stat.approxQuantile(mc, fracs, 0.0)] if fracs else []
+    edges = [None, *bounds, None]  # (lo, hi] per batch; None = unbounded
     for b in range(n_batches):
-        part = ordered.filter(F.col("_b") == b).drop("_b")
+        lo, hi = edges[b], edges[b + 1]
+        if lo is not None and hi is not None and lo >= hi:
+            continue  # duplicate boundary -> provably empty bucket
+        part = with_us
+        if lo is not None:
+            part = part.filter(F.col(mc) >= lo)
+        if hi is not None:
+            part = part.filter(F.col(mc) < hi)
+        part = part.drop(mc)
         if part.isEmpty():
             continue
+        # written sequentially -> file mod-times ascend in ts order, which
+        # is the order the file stream source replays them in
         part.coalesce(1).write.mode("append").parquet(out_dir)
     return (
         spark.readStream.schema(df.schema)

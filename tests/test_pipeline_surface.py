@@ -9,6 +9,7 @@ file round-trip (file.d:69-84).
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 import flod_spark as fs
 
@@ -65,6 +66,14 @@ def test_take_chains(spark):
         ("", "\n", False, []),
         # separator-only
         ("\n", "\n", False, [""]),
+        # regex-metachar separators split LITERALLY (flod Splitter takes
+        # arbitrary terminator strings, range.d:359-515)
+        ("a.b.c", ".", False, ["a", "b", "c"]),
+        ("a|b|c", "|", False, ["a", "b", "c"]),
+        ("a$b$", "$", False, ["a", "b"]),
+        ("x**y**z", "**", False, ["x", "y", "z"]),
+        ("a\\Qb\\Qc", "\\Q", False, ["a", "b", "c"]),
+        ("a\\Eb\\Ec", "\\E", False, ["a", "b", "c"]),
     ],
 )
 def test_by_line(spark, text, sep, keep, expected):
@@ -136,6 +145,19 @@ def test_on_change_fires(spark):
     p = fs.from_array(spark, [1], type_hint="long").on_change("rate", seen.append)
     p.set_tag("rate", 48000)
     assert seen == [48000]
+
+
+def test_on_change_survives_transforms(spark):
+    # listeners are pipeline metadata, not stage state: an intervening
+    # transform must not drop them (pipeline.d:251-262)
+    seen: list = []
+    p = fs.from_array(spark, [1, 2, 3], type_hint="long").on_change("rate", seen.append)
+    p2 = p.take(2).map_values(F.col("value") * 2)
+    p2.set_tag("rate", 8000)
+    assert seen == [8000]
+    # and the original pipeline's listener list is not aliased
+    p.set_tag("rate", 16000)
+    assert seen == [8000, 16000]
 
 
 def test_order_required_error(spark):

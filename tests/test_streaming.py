@@ -108,3 +108,14 @@ def test_streaming_queue_and_dedup(spark, tmp_path):
     sq.stop()
     got = sorted(r.value for r in spark.sql("SELECT * FROM qdedup").collect())
     assert got == [1, 2, 3, 4, 5]
+
+
+def test_take_over_infinite_rate_stream(spark):
+    # flod take(n) over an infinite pipe (range.d:107-119 repeat/iota):
+    # the rate source is unbounded; the take guard + terminator must stop
+    # it after exactly n rows, values from the monotone iota
+    from flod_spark.streaming import rate_source, take_infinite
+
+    rows = take_infinite(rate_source(spark, rows_per_second=200), 7, spark)
+    assert len(rows) == 7
+    assert sorted(r.value for r in rows) == list(range(7))
