@@ -35,6 +35,10 @@ HEADLINE = [
     "tpch_q3",
     "codec_gzip",
     "udf_stage",
+    # scale guard: dedup_ngram's pair generation is bounded by the
+    # NGRAM_MAX_DF cap — benching it at sf0.1 asserts the cap holds
+    # (the uncapped form was quadratic in hot shingles: minutes, not s)
+    "dedup_ngram",
 ]
 
 

@@ -120,17 +120,16 @@ def with_seq(df: DataFrame, *order_cols: str | Column, num_partitions: int | Non
         "_lrank", F.row_number().over(Window.partitionBy("_bk").orderBy(*order_exprs)) - 1
     )
     counts = shuffled.groupBy("_bk").agg(F.count("*").alias("_n"))
+    # cumulative offsets WITHOUT a global-order window (a Window.orderBy
+    # with no partitionBy funnels through ONE partition and logs the
+    # WindowExec perf trap even on this P-row table): a triangular
+    # self-join over counts is bounded at P^2 <= ~1k pairs by
+    # construction and keeps the whole plan window-free.
+    ca, cb = counts.alias("ca"), counts.alias("cb")
     offs = (
-        counts.withColumn(
-            "_off",
-            F.coalesce(
-                F.sum("_n").over(
-                    Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("_bk", "_off")
+        ca.join(cb, F.col("cb._bk") < F.col("ca._bk"), "left")
+        .groupBy(F.col("ca._bk").alias("_bk"))
+        .agg(F.coalesce(F.sum("cb._n"), F.lit(0)).alias("_off"))
     )
     return (
         local.join(F.broadcast(offs), "_bk")
