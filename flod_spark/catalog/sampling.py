@@ -1,0 +1,166 @@
+"""Deterministic sampling operators for LLM training-data pipelines
+(driver mandate, SURVEY.md §2.5 last row — the sampling/mixture half).
+
+A 100 TB corpus is never trained on whole: pipelines subsample, re-weight
+sources into a mixture, and carve train/val/test splits. All four ops
+here are HASH-deterministic (md5 over a salted key), the production form:
+
+- reproducible across runs, engines, and cluster sizes (no RNG seed
+  plumbing, no RangePartitioner nondeterminism);
+- map-only — the sample predicate is a pure expression on each row, so
+  there is NO shuffle and the filter pipelines with the parquet scan;
+- stable under retries/speculative execution (a re-run task keeps
+  exactly the same rows — rand()-based sampling silently is not).
+
+md5 hex is byte-identical between Spark and DuckDB (verified:
+catalog/text.py fingerprint), and equal-length lowercase hex compares
+lexicographically the same in both, so a rate-r keep test is simply
+``substr(md5(key), 1, 8) < hex(floor(r * 16^8))`` — no integer parsing
+(DuckDB lacks Spark's conv()). Each op salts the key differently so the
+sample, mixture, and split decisions are mutually independent.
+
+flod has no sampling surface (README.md:44-49 roadmap stops at archives);
+these are north-star extensions like the dedup/similarity families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flod_spark.io import load
+from flod_spark.registry import query
+
+SAMPLE_RATE = 0.10
+STRAT_K = 10
+TRAIN_FRAC, VAL_FRAC = 0.8, 0.1  # test = remainder
+# per-source mixture weights, keyed on the numeric suffix of source
+# ('src7' -> 7): suffix % 3 == 0 -> 0.5, == 1 -> 0.2, == 2 -> 0.05
+MIX_RATES = {0: 0.5, 1: 0.2, 2: 0.05}
+
+_HEXW = 8  # compare the first 8 md5 hex chars (32 bits of the hash)
+
+
+def _thr(rate: float) -> str:
+    """Lexicographic keep-threshold: first _HEXW hex chars of the hash
+    below this string <=> uniform keep with probability `rate`."""
+    return format(int(rate * (16**_HEXW)), f"0{_HEXW}x")
+
+
+def _hash_prefix(salt: str, col) -> F.Column:
+    """Spark side: first _HEXW hex chars of md5(salt || key)."""
+    return F.substring(F.md5(F.concat(F.lit(salt), col.cast("string")).cast("binary")), 1, _HEXW)
+
+
+def _sql_hash_prefix(salt: str, expr: str) -> str:
+    """DuckDB side of _hash_prefix (same bytes hashed)."""
+    return f"substr(md5('{salt}' || CAST({expr} AS VARCHAR)), 1, {_HEXW})"
+
+
+@query(
+    "sample_hash",
+    oracle=(
+        f"SELECT doc_id, lang, source FROM documents "
+        f"WHERE {_sql_hash_prefix('s|', 'doc_id')} < '{_thr(SAMPLE_RATE)}'"
+    ),
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform deterministic sample (rate=SAMPLE_RATE) of documents.
+    Scale: a pure filter expression — map-only, pipelines with the scan,
+    zero shuffle; the kept set is identical on any cluster size."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(_hash_prefix("s|", F.col("doc_id")) < _thr(SAMPLE_RATE)).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _mix_rate_thr_sql() -> str:
+    cases = " ".join(
+        f"WHEN CAST(substr(source, 4) AS INTEGER) % 3 = {k} THEN '{_thr(r)}'"
+        for k, r in MIX_RATES.items()
+    )
+    return f"CASE {cases} END"
+
+
+def _mix_rate_thr_col() -> F.Column:
+    suffix = F.substring(F.col("source"), 4, 16).cast("int") % 3
+    out = None
+    for k, r in MIX_RATES.items():
+        cond = suffix == k
+        out = F.when(cond, F.lit(_thr(r))) if out is None else out.when(cond, F.lit(_thr(r)))
+    return out
+
+
+@query(
+    "sample_mixture",
+    oracle=(
+        f"SELECT source, COUNT(*) AS n_kept FROM documents "
+        f"WHERE {_sql_hash_prefix('m|', 'doc_id')} < {_mix_rate_thr_sql()} "
+        f"GROUP BY source"
+    ),
+)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture re-weighting: each source family keeps a different fraction
+    (MIX_RATES) — the dataset-mixing step of a training pipeline (e.g.
+    upsample curated sources, downsample crawl). Returns per-source kept
+    counts (the mixture audit a pipeline logs).
+    Scale: the per-row decision is still one hash + one CASE — map-only;
+    the only shuffle is the tiny per-source count aggregate, collapsed
+    map-side to |sources| rows per task by partial aggregation."""
+    docs = load(spark, sf_dir, "documents")
+    kept = docs.filter(_hash_prefix("m|", F.col("doc_id")) < _mix_rate_thr_col())
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
+@query(
+    "split_assign",
+    oracle=(
+        f"WITH h AS (SELECT lang, {_sql_hash_prefix('p|', 'doc_id')} AS hp FROM documents) "
+        f"SELECT CASE WHEN hp < '{_thr(TRAIN_FRAC)}' THEN 'train' "
+        f"  WHEN hp < '{_thr(TRAIN_FRAC + VAL_FRAC)}' THEN 'val' ELSE 'test' END AS split, "
+        f"  lang, COUNT(*) AS n_docs "
+        f"FROM h GROUP BY split, lang"
+    ),
+)
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment (TRAIN_FRAC/VAL_FRAC/rest) by hash —
+    membership is a pure function of doc_id, so the split never leaks
+    rows across sets when the corpus is re-processed or appended to.
+    Returns per-(split, lang) counts (the split audit).
+    Scale: map-only assignment + partial-agg count; adding new documents
+    later cannot move an existing document between splits."""
+    docs = load(spark, sf_dir, "documents")
+    hp = _hash_prefix("p|", F.col("doc_id"))
+    split = (
+        F.when(hp < _thr(TRAIN_FRAC), "train")
+        .when(hp < _thr(TRAIN_FRAC + VAL_FRAC), "val")
+        .otherwise("test")
+    )
+    return docs.select(split.alias("split"), "lang").groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle=(
+        f"SELECT doc_id, lang FROM (SELECT doc_id, lang, "
+        f"  row_number() OVER (PARTITION BY lang "
+        f"    ORDER BY {_sql_hash_prefix('t|', 'doc_id')}, doc_id) AS rn "
+        f"  FROM documents) WHERE rn <= {STRAT_K}"
+    ),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified fixed-size sample: exactly STRAT_K docs per lang, chosen
+    by hash order (deterministic, unbiased within stratum).
+    Scale: rank-over-partition with a rank<=k predicate compiles to
+    WindowGroupLimit (same pushdown as sort_topk) — each task keeps only
+    its local top-k per stratum BEFORE the exchange, so the shuffle
+    carries at most k rows per (stratum, task), immune to stratum skew."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(_hash_prefix("t|", F.col("doc_id")), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= STRAT_K)
+        .select("doc_id", "lang")
+    )

@@ -84,9 +84,12 @@ _GATE_ORDER = (
     # LLM-data ops
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
     "sim_topk", "sim_lsh", "embed_dedup", "media_meta",
-    # text analysis
-    "text_stats", "lang_id", "token_count", "doc_quality",
-    "fingerprint", "text_clean", "json_extract",
+    # text analysis (token_count/text_clean overflow: same map-only
+    # regex shape as their siblings here, still parity-verified locally)
+    "text_stats", "lang_id", "doc_quality", "fingerprint", "json_extract",
+    # deterministic sampling flagships (the two distinct plan shapes:
+    # map-only hash filter / WindowGroupLimit stratified)
+    "sample_hash", "sample_stratified",
     # TPC-H composites + codec
     "tpch_q3", "tpch_q6", "codec_gzip",
 )
@@ -112,6 +115,7 @@ _CATALOG_MODULES = (
     "flod_spark.catalog.udf",
     "flod_spark.catalog.streaming_live",
     "flod_spark.catalog.codec_formats",
+    "flod_spark.catalog.sampling",
 )
 
 
