@@ -187,24 +187,46 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cap)."""
     docs = load(spark, sf_dir, "documents")
     norm = docs.select("doc_id", _norm_col().alias("t"))
-    idx = F.explode(F.sequence(F.lit(1), F.greatest(F.length("t") - (SHINGLE - 1), F.lit(1)))).alias("i")
-    sh = (
-        norm.select("doc_id", "t", idx)
-        .select("doc_id", F.col("t").substr(F.col("i"), F.lit(SHINGLE)).alias("s"))
-        .distinct()
+    # Within-document dedup happens MAP-SIDE: build each doc's shingle
+    # ARRAY and array_distinct it before exploding — (doc_id, s) is then
+    # unique by construction, so the old full-stream .distinct() shuffle
+    # disappears entirely.
+    shingle_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("t") - (SHINGLE - 1), F.lit(1))),
+            lambda i: F.col("t").substr(i, F.lit(SHINGLE)),
+        )
     )
-    # ONE groupBy(s) replaces both the frequent-shingle prune (separate
-    # count pass) and the inverted-index SELF-JOIN (which shuffled the
-    # full shingle stream twice more): collect each shingle's doc list
-    # (bounded: lists > NGRAM_MAX_DF are boilerplate, dropped from BOTH
-    # intersection and union counts — same rule in the oracle), then emit
-    # the <= C(cap,2) within-list pairs combinatorially. Memory per group
-    # is bounded by the cap; no unbounded collect_list at any scale.
+    sh = norm.select("doc_id", F.explode(shingle_arr).alias("s"))
+    # Boilerplate prune + bounded collect in ONE exchange: rank docs
+    # within each shingle and keep rank <= cap+1. This compiles to
+    # WindowGroupLimit, which truncates each task's input to its local
+    # top-(cap+1) per shingle BEFORE the exchange — a shingle appearing
+    # in millions of docs ships at most cap+1 rows per task, never its
+    # full posting list, so shuffle volume and every aggregation buffer
+    # below are bounded at any corpus size with NO broadcast-size
+    # assumption (the count-prune alternative must broadcast the hot
+    # set, whose worst-case size is unbounded). A group whose global
+    # rank reaches cap+1 has df > cap (boilerplate) and is dropped from
+    # BOTH intersection and union counts — same rule in the oracle, so
+    # the comparison stays exact. Collecting first and filtering on
+    # size() after would instead materialize a hot shingle's full
+    # posting list in one buffer before the filter could drop it.
+    # groupBy(s) reuses the window's hash partitioning (no second
+    # exchange) and collect_list is provably <= cap elements.
+    w = Window.partitionBy("s").orderBy("doc_id")
+    ranked = sh.select("s", "doc_id", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= NGRAM_MAX_DF + 1
+    )
     g = (
-        sh.groupBy("s")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") <= NGRAM_MAX_DF)
+        ranked.groupBy("s")
+        .agg(F.max("rn").alias("mx"), F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.col("mx") <= NGRAM_MAX_DF)
+        .select("ds")
     )
+    # The <= C(cap,2) within-list pairs are emitted combinatorially —
+    # this replaces the inverted-index SELF-JOIN, which shuffled the
+    # full shingle stream twice more.
     cnt = (
         g.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")
