@@ -102,11 +102,13 @@ _PLANE_SQL = (
 )
 
 
-def _plane_spark(p: int):
-    """±1 plane p as array<double>. NOTE: the lambda must take exactly ONE
-    parameter — PySpark treats a 2-parameter lambda (even via a default
-    arg) as the (element, index) form, silently rebinding the second name."""
-    prefix = F.lit(f"{p}_")
+def _plane_spark(p: int, salt: str = ""):
+    """±1 plane p as array<double> (salt distinguishes independent LSH
+    tables for OR-amplification — '' is table 0, the oracle's table).
+    NOTE: the lambda must take exactly ONE parameter — PySpark treats a
+    2-parameter lambda (even via a default arg) as the (element, index)
+    form, silently rebinding the second name."""
+    prefix = F.lit(f"{salt}{p}_")
     return F.transform(
         F.sequence(F.lit(1), F.lit(DIM)),
         lambda d: F.when(
@@ -120,11 +122,15 @@ def _plane_spark(p: int):
     )
 
 
-def _bucket_spark(v):
-    """SRP bucket string for a double-array column (Spark twin of _bucket_sql)."""
+def _bucket_spark(v, salt: str = ""):
+    """SRP bucket string for a double-array column (Spark twin of
+    _bucket_sql). One bucketing catches ~prod_p(1 - theta_p/pi) of true
+    neighbors; production recall comes from OR-amplification — L salted
+    tables, candidates = union of same-bucket sets (tests/test_similarity
+    measures both)."""
     bits = []
     for p in range(PLANES):
-        dot = F.aggregate(F.zip_with(_plane_spark(p), v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+        dot = F.aggregate(F.zip_with(_plane_spark(p, salt), v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
         bits.append(F.when(dot >= 0, "1").otherwise("0"))
     return F.concat(*bits)
 
@@ -195,4 +201,122 @@ def embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), cos.alias("cos"))
         .filter(F.col("cos") >= DEDUP_COS)
         .select("vec_a", "vec_b", F.col("cos").alias("cosine"))
+    )
+
+
+# --- IVF-style ANN (the centroid-probe scale path) -----------------------
+N_CELLS = 16
+N_PROBE = 4
+
+# deterministic centroid choice: the N_CELLS corpus vectors with the
+# smallest md5 prefix of their id (hash order — stable, engine-identical)
+_CENT_SQL = (
+    "cent AS (SELECT vec_id AS cent_id, v AS cv FROM e "
+    f"  ORDER BY substr(md5('c|' || CAST(vec_id AS VARCHAR)), 1, 8), vec_id LIMIT {N_CELLS})"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+
+
+@query(
+    "sim_ivf",
+    oracle=(
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        + _CENT_SQL
+        + ", "
+        "sc AS (SELECT e.vec_id, e.v, cent_id, "
+        f"    {_cos_sql('e.v', 'cv')} AS cos FROM e, cent), "
+        "a AS (SELECT vec_id, v, cent_id AS cell FROM (SELECT *, "
+        "    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM sc) "
+        "  WHERE rn = 1), "
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT {NQ}), "
+        "qs AS (SELECT query_id, qv, cent_id, "
+        f"    {_cos_sql('qv', 'cv')} AS cos FROM q, cent), "
+        "qp AS (SELECT query_id, qv, cent_id AS cell FROM (SELECT *, "
+        "    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cent_id) AS rn FROM qs) "
+        f"  WHERE rn <= {N_PROBE}), "
+        "cand AS (SELECT query_id, qv, a.vec_id AS neighbor_id, a.v FROM qp "
+        "  JOIN a USING (cell) WHERE a.vec_id <> query_id), "
+        f"s AS (SELECT query_id, neighbor_id, {_cos_sql('qv', 'v')} AS cos FROM cand), "
+        "r AS (SELECT query_id, neighbor_id, cos, "
+        "    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM s) "
+        f"SELECT query_id, neighbor_id, cos AS cosine, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= {K}"
+    ),
+)
+def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: partition the corpus into N_CELLS Voronoi cells
+    around deterministically-chosen centroids (hash-order sample — the
+    stand-in for k-means, which would converge iteratively; the probe
+    machinery is identical), then answer each query by scanning only its
+    N_PROBE nearest cells. This is the other half of the ANN scale story
+    next to sim_lsh: LSH buckets by random projection, IVF by nearest
+    centroid — both turn O(n) per query into O(n * probe_fraction).
+
+    The oracle runs the SAME IVF (same centroids, same probes), so the
+    comparison is exact — recall vs brute force is asserted separately in
+    tests/test_similarity.py against sim_topk.
+
+    Scale (100 TB): centroids broadcast (N_CELLS rows); cell assignment
+    is a map-side cross with partial-agg max_by — the shuffle carries ONE
+    row per corpus vector (its cell id), not the N_CELLS scored copies;
+    per-query work touches N_PROBE/N_CELLS of the corpus; final top-k is
+    a WindowGroupLimit rank. At real scale N_CELLS grows to sqrt(n) and
+    the assignment output is written bucketed-by-cell so queries prune
+    cells at the scan (partition pruning), not per-row."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    cent = (
+        e.orderBy(
+            F.substring(
+                F.md5(F.concat(F.lit("c|"), F.col("vec_id").cast("string")).cast("binary")), 1, 8
+            ),
+            "vec_id",
+        )
+        .limit(N_CELLS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+    )
+    cos_vc = _dot_spark(F.col("v"), F.col("cv")) / (
+        F.sqrt(_dot_spark(F.col("v"), F.col("v"))) * F.sqrt(_dot_spark(F.col("cv"), F.col("cv")))
+    )
+    # argmax over centroids via max_by(struct): highest cos, ties to the
+    # smallest cent_id (== the oracle's ORDER BY cos DESC, cent_id rn=1).
+    # Partial aggregation collapses the N_CELLS scored copies to one row
+    # per vector per task BEFORE the exchange.
+    a = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "cent_id", cos_vc.alias("cos"))
+        .groupBy("vec_id", "v")
+        .agg(F.max_by("cent_id", F.struct(F.col("cos"), (-F.col("cent_id")).alias("neg"))).alias("cell"))
+    )
+    q = (
+        e.orderBy("vec_id")
+        .limit(NQ)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    )
+    cos_qc = _dot_spark(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_dot_spark(F.col("qv"), F.col("qv"))) * F.sqrt(_dot_spark(F.col("cv"), F.col("cv")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cent_id"))
+    qp = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qv", "cent_id", cos_qc.alias("cos"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "qv", F.col("cent_id").alias("cell"))
+    )
+    cand = a.join(F.broadcast(qp), "cell").filter(F.col("vec_id") != F.col("query_id"))
+    cos_qv = _dot_spark(F.col("qv"), F.col("v")) / (
+        F.sqrt(_dot_spark(F.col("qv"), F.col("qv"))) * F.sqrt(_dot_spark(F.col("v"), F.col("v")))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), cos_qv.alias("cos"))
+        .withColumn("rk", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rk") <= K)
+        .select("query_id", "neighbor_id", F.col("cos").alias("cosine"), "rk")
     )
