@@ -590,3 +590,51 @@ def array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.filter("arr", lambda x: x % 2 == 0), ",").alias("evens"),
         F.aggregate("arr", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("line_sum"),
     )
+
+
+SALT_FACTOR = 8
+
+
+@query(
+    "join_salted",
+    oracle=(
+        "SELECT l_returnflag, COUNT(*) AS n_items, "
+        "  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_orderpriority = '1-URGENT' "
+        "GROUP BY l_returnflag"
+    ),
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join: the SALTING pattern as a first-class op.
+    The probe side's key is salted with hash(key) % SALT_FACTOR and the
+    build side is replicated across all SALT_FACTOR salt values, so one
+    hot key's rows spread over SALT_FACTOR reducers instead of one. The
+    join RESULT is identical to the plain equi-join (the oracle is the
+    unsalted SQL) — salting only changes the exchange's key space.
+
+    Scale: this is the manual lever when AQE's skew-join split cannot
+    help (e.g. a hot key inside one aggregation group, or a build side
+    that is replicable but not broadcastable). Replication multiplies
+    the build side by SALT_FACTOR — pick the factor from the observed
+    hot-key multiplicity, not larger. With AQE on (our default), prefer
+    spark.sql.adaptive.skewJoin first; this operator shows the shape
+    for when you must do it by hand."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag", "l_extendedprice")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    salted_li = li.withColumn("_salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(SALT_FACTOR)))
+    salted_orders = orders.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_FACTOR - 1)))
+    )
+    joined = salted_li.join(
+        salted_orders,
+        (F.col("l_orderkey") == F.col("o_orderkey")) & (salted_li._salt == salted_orders._salt),
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast("double").alias("sum_price"),
+    )
