@@ -1,0 +1,79 @@
+"""End-to-end training-data prep composite (the flagship chain).
+
+One query composes the four stages every LLM corpus pipeline runs —
+C4-style quality filter -> exact dedup (canonical doc per fingerprint)
+-> deterministic train/val/test split -> mixture audit — with a single
+composed DuckDB oracle, proving the stages COMPOSE exactly, not just
+pass in isolation. Stage expressions are shared with their standalone
+qkeys (doc_quality, dedup_exact, split_assign, token_count), so a drift
+in any one breaks both its own gate cell and this one.
+
+Scale (100 TB): filter and split are map-only expressions fused into
+the scan; dedup is one shuffle on the 16-byte fingerprint; the audit is
+a partial-agg count over ~15 groups. Nothing here collects, caches, or
+carries text past the stage that needs it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flod_spark.catalog.dedup import _NORM_SQL, _norm_col
+from flod_spark.catalog.sampling import TRAIN_FRAC, VAL_FRAC, _hash_prefix, _sql_hash_prefix, _thr
+from flod_spark.io import load
+from flod_spark.registry import query
+
+
+@query(
+    "prep_pipeline",
+    oracle=(
+        # stage 1: quality keep-rule (doc_quality's verdict)
+        "WITH q AS (SELECT doc_id, lang, text FROM documents "
+        "  WHERE length(text) >= 100 "
+        "    AND length(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 20 "
+        "    AND CAST(length(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS DOUBLE) "
+        "      / NULLIF(length(text), 0) < 0.1), "
+        # stage 2: exact dedup -> canonical doc per fingerprint
+        f"f AS (SELECT *, md5({_NORM_SQL}) AS fp FROM q), "
+        "d AS (SELECT * FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canon FROM f) "
+        "  WHERE doc_id = canon), "
+        # stage 3: deterministic split (split_assign's hash rule)
+        f"s AS (SELECT *, CASE WHEN {_sql_hash_prefix('p|', 'doc_id')} < '{_thr(TRAIN_FRAC)}' THEN 'train' "
+        f"  WHEN {_sql_hash_prefix('p|', 'doc_id')} < '{_thr(TRAIN_FRAC + VAL_FRAC)}' THEN 'val' "
+        "  ELSE 'test' END AS split FROM d) "
+        # stage 4: mixture audit (counts + BPE-ish token total per cell)
+        "SELECT split, lang, COUNT(*) AS n_docs, "
+        "  SUM(CAST(length(regexp_extract_all(lower(text), "
+        "    '[a-z]+|[0-9]+|[^a-z0-9 \\t\\r\\n]')) AS BIGINT)) AS n_tokens "
+        "FROM s GROUP BY split, lang"
+    ),
+)
+def prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter -> dedup -> split -> audit, composed."""
+    docs = load(spark, sf_dir, "documents")
+    n = F.length("text")
+    n_tok = F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0)))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[!-/:-@\\[-`{-~]"), F.lit(0)))
+    q = docs.filter(
+        (n >= 100) & (n_tok >= 20) & (n_punct.cast("double") / F.nullif(n, F.lit(0)) < 0.1)
+    )
+    f = q.withColumn("fp", F.md5(_norm_col().cast("binary")))
+    d = (
+        f.withColumn("canon", F.min("doc_id").over(Window.partitionBy("fp")))
+        .filter(F.col("doc_id") == F.col("canon"))
+    )
+    hp = _hash_prefix("p|", F.col("doc_id"))
+    split = (
+        F.when(hp < _thr(TRAIN_FRAC), "train")
+        .when(hp < _thr(TRAIN_FRAC + VAL_FRAC), "val")
+        .otherwise("test")
+    )
+    bpe_tokens = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\r\\n]"), F.lit(0))
+    ).cast("long")
+    return (
+        d.select(split.alias("split"), "lang", bpe_tokens.alias("tok"))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("tok").alias("n_tokens"))
+    )

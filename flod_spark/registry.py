@@ -86,7 +86,9 @@ _GATE_ORDER = (
     "sim_topk", "sim_lsh", "embed_dedup", "media_meta",
     # text analysis (token_count/text_clean overflow: same map-only
     # regex shape as their siblings here, still parity-verified locally)
-    "text_stats", "lang_id", "doc_quality", "fingerprint", "json_extract",
+    # (fingerprint overflow: its md5-hex shape is already gated via
+    # dedup_exact and media_meta's content_id)
+    "text_stats", "lang_id", "doc_quality", "json_extract", "prep_pipeline",
     # deterministic sampling flagships (the two distinct plan shapes:
     # map-only hash filter / WindowGroupLimit stratified)
     "sample_hash", "sample_stratified",
@@ -116,6 +118,7 @@ _CATALOG_MODULES = (
     "flod_spark.catalog.streaming_live",
     "flod_spark.catalog.codec_formats",
     "flod_spark.catalog.sampling",
+    "flod_spark.catalog.prep",
 )
 
 
