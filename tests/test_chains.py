@@ -141,3 +141,28 @@ def test_reference_scale_chain(spark):
     assert sorted(r.chunk_id for r in agg) == list(range((n + 4095) // 4096))
     assert {r.chunk_id: r.c for r in agg}[n // 4096] == n % 4096
     assert sum(r.s for r in agg) == sum(x * 16 + 1 for x in range(n))
+
+
+def test_take_stress_reference_scale(spark):
+    # flod's take stress test drives a 10,495,832-element ulong stream
+    # through 9 limits x 4 methods (package.d:216-218; BASELINE.md). The
+    # Spark twin checks the same invariant — take(n) yields exactly the
+    # first n of the range — via closed-form count/sum/max (no driver
+    # collect of the stream; spark.range is a parallel scan, so this is
+    # the distributed form of the same stress).
+    N = 10_495_832
+    p = fs.from_range(spark, 0, N)
+    for n in (0, 1, 2, 63, 4096, N // 2, N - 1, N, N + 7):
+        got = (
+            p.take(n)
+            .df.agg(
+                F.count("*").alias("c"),
+                F.coalesce(F.sum("value"), F.lit(0)).alias("s"),
+                F.max("value").alias("m"),
+            )
+            .first()
+        )
+        k = min(n, N)
+        assert got.c == k
+        assert got.s == k * (k - 1) // 2
+        assert got.m == (k - 1 if k else None)
