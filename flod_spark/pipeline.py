@@ -25,7 +25,7 @@ from __future__ import annotations
 from collections.abc import Callable, Iterable, Iterator
 from typing import Any
 
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flod_spark.seq import SEQ, take_by_seq, with_seq
@@ -190,6 +190,64 @@ class Pipeline:
         p = self._derive(self.df)
         p._listeners = listeners
         return p
+
+    def observe(self, name: str, **aggs) -> tuple["Pipeline", Any]:
+        """Dynamic per-run tags (SURVEY §1.5): attach named aggregate
+        observations; after any action on this pipeline, ``observation.get``
+        holds the {tag: value} dict (flod's runtime tag publication —
+        values that exist only once data flows). Engine layer:
+        flod_spark.tags.observe_tags."""
+        from flod_spark import tags as engine_tags
+
+        df, obs = engine_tags.observe_tags(self.df, name, **aggs)
+        return self._derive(df), obs
+
+    # ---- training-data ops (extension mandate, chainable) --------------
+    def dedup_exact(self, *cols: str) -> "Pipeline":
+        """Keep one row per distinct value of ``cols`` (default: the
+        ``value`` column) — the chainable form of catalog dedup_exact.
+        Deterministic canonical row: the one with the smallest seq when
+        ordered, else dropDuplicates (any one row, one shuffle)."""
+        keys = list(cols) or [VALUE]
+        if self.ordered:
+            w = Window.partitionBy(*keys).orderBy(SEQ)
+            kept = (
+                self.df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            return self._derive(kept)
+        return self._derive(self.df.dropDuplicates(keys))
+
+    def sample_hash(self, rate: float, key_col: str | None = None, salt: str = "s|") -> "Pipeline":
+        """Deterministic uniform sample (catalog/sampling.py semantics):
+        keep iff md5(salt||key) prefix falls below the rate threshold.
+        Map-only, reproducible across runs/engines/cluster sizes."""
+        from flod_spark.catalog.sampling import _hash_prefix, _thr
+
+        key = F.col(key_col) if key_col else (F.col(SEQ) if self.ordered else F.col(VALUE))
+        return self._derive(self.df.filter(_hash_prefix(salt, key) < _thr(rate)))
+
+    def split(self, fracs: dict[str, float], key_col: str | None = None, salt: str = "p|") -> dict[str, "Pipeline"]:
+        """Deterministic disjoint splits (e.g. {'train': .8, 'val': .1,
+        'test': .1}); membership is a pure function of the key, so
+        appending data never moves an existing row between splits."""
+        from flod_spark.catalog.sampling import _hash_prefix, _thr
+
+        if abs(sum(fracs.values()) - 1.0) > 1e-9:
+            raise ValueError("split fractions must sum to 1")
+        key = F.col(key_col) if key_col else (F.col(SEQ) if self.ordered else F.col(VALUE))
+        hp = _hash_prefix(salt, key)
+        out: dict[str, Pipeline] = {}
+        lo = 0.0
+        for name, frac in fracs.items():
+            hi = lo + frac
+            cond = hp < _thr(hi) if hi < 1.0 else F.lit(True)
+            if lo > 0.0:
+                cond = cond & (hp >= _thr(lo))
+            out[name] = self._derive(self.df.filter(cond))
+            lo = hi
+        return out
 
     # ---- sinks (SURVEY §2.3) -------------------------------------------
     def to_array(self) -> list[Row]:

@@ -180,3 +180,32 @@ def test_by_chunk_arrays_element_type(spark, size, n):
     expect = [list(range(i, min(i + size, n))) for i in range(0, n, size)]
     assert [r.value for r in rows] == expect
     assert [r.seq for r in rows] == list(range(len(expect)))
+
+
+def test_observe_dynamic_tag(spark):
+    p, obs = fs.from_array(spark, [3, 1, 4, 1, 5], type_hint="long").observe(
+        "st", mx=F.max("value"), n=F.count(F.lit(1))
+    )
+    p.discard()  # any action materializes the observation
+    assert obs.get == {"mx": 5, "n": 5}
+
+
+def test_chainable_dedup_exact_ordered_keeps_first(spark):
+    p = fs.from_array(spark, [7, 7, 3, 3, 7], type_hint="long")
+    out = p.dedup_exact().to_array()
+    # ordered stream: canonical = first occurrence, stream order preserved
+    assert [(r.value, r.seq) for r in out] == [(7, 0), (3, 2)]
+
+
+def test_chainable_sample_and_split_disjoint_total(spark):
+    p = fs.from_range(spark, 0, 1000)
+    s = p.sample_hash(0.25)
+    n = s.df.count()
+    assert 150 <= n <= 350  # ~250 expected, deterministic but hash-spread
+    assert s.df.count() == n  # stable across evaluations
+    parts = p.split({"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {k: v.df.count() for k, v in parts.items()}
+    assert sum(counts.values()) == 1000
+    ids = [set(r.value for r in v.df.select("value").collect()) for v in parts.values()]
+    assert not (ids[0] & ids[1]) and not (ids[0] & ids[2]) and not (ids[1] & ids[2])
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
