@@ -112,7 +112,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     GENERATED from the same hash-family constants (see _minhash_oracle)."""
     from flod_spark.operators.minhash import minhash_candidates
 
-    docs = load(spark, sf_dir, "documents")
+    # shingling does ~|text| times the input bytes of work: spread the
+    # single-split local file across cores (no-op at real scale, io.py)
+    docs = load(spark, sf_dir, "documents", spread=True, amplify=2000)
     return minhash_candidates(docs, shingle=SHINGLE, seeds=SEEDS, bands=BANDS, cap=4000)
 
 
@@ -134,7 +136,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     => +1); sign of the vote sum is the signature bit. Identical signatures
     group near-identical token sets. 16-bit here for oracle compactness;
     operators/simhash.py parameterizes width (64-bit for production)."""
-    docs = load(spark, sf_dir, "documents")
+    # token explode x 16 hash positions amplifies compute far past the
+    # input bytes: spread the single-split local file (no-op at scale)
+    docs = load(spark, sf_dir, "documents", spread=True, amplify=2000)
     norm = docs.select("doc_id", _norm_col().alias("t"))
     tok = norm.select(
         "doc_id", F.explode(F.array_distinct(F.regexp_extract_all(F.col("t"), F.lit("[a-z0-9]+"), F.lit(0)))).alias("tk")
@@ -185,7 +189,9 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     without it common English shingles join most of the corpus to itself
     (observed: heap OOM at sf0.1 on a 1 GB driver; bounded and fast with
     the cap)."""
-    docs = load(spark, sf_dir, "documents")
+    # shingling amplifies compute ~|text| times the input bytes: spread
+    # the single-split local file across cores (no-op at scale, io.py)
+    docs = load(spark, sf_dir, "documents", spread=True, amplify=2000)
     norm = docs.select("doc_id", _norm_col().alias("t"))
     # Within-document dedup happens MAP-SIDE: build each doc's shingle
     # ARRAY and array_distinct it before exploding — (doc_id, s) is then
