@@ -638,3 +638,57 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast("double").alias("sum_price"),
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=(
+        "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n, "
+        "  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+        "FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())"
+    ),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: the general form rollup/cube specialize (each set
+    aggregated once, union of results; Spark expands then partial-aggs,
+    so the shuffle carries one pre-aggregated row per (set, group) per
+    task — same scale shape as agg_group)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"], []], "o_orderpriority", "o_orderstatus"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle=(
+        # frame bounds in exact MICROSECONDS on both engines: ts carries
+        # sub-second precision, so a seconds-granularity frame would
+        # include/exclude boundary peers differently per engine
+        "SELECT event_id, user_id, ts, "
+        "  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) "
+        "    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_1h "
+        "FROM events"
+    ),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-user rolling 1-hour sum by EVENT TIME (the
+    value-based frame rowsBetween cannot express — peers are rows within
+    the interval, not a row count). Scale: one shuffle on user_id; frames
+    are evaluated with a sliding accumulator over each sorted partition.
+    (window_running is the ROWS-frame twin.)"""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("rolling_1h"),
+    )
