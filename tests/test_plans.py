@@ -83,3 +83,31 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {to}")
         spark.sql(f"DROP TABLE IF EXISTS {tl}")
+
+
+def test_stratified_sample_uses_window_group_limit(spark, sf_dir):
+    # rank<=k must truncate per task BEFORE the exchange (stratum-skew
+    # immunity) — WindowGroupLimit in the plan is that guarantee
+    from flod_spark.catalog.sampling import sample_hash, sample_stratified
+
+    assert "WindowGroupLimit" in plan_of(sample_stratified(spark, sf_dir))
+    # the uniform sample is a pure scan-fused filter: no exchange at all
+    assert "Exchange" not in plan_of(sample_hash(spark, sf_dir))
+
+
+def test_dedup_ngram_bounds_posting_lists(spark, sf_dir):
+    # the rank<=cap+1 prune must compile to WindowGroupLimit — it is the
+    # memory bound for hot shingles (see catalog/dedup.py::dedup_ngram)
+    from flod_spark.catalog.dedup import dedup_ngram
+
+    assert "WindowGroupLimit" in plan_of(dedup_ngram(spark, sf_dir))
+
+
+def test_sim_ivf_broadcasts_centroids(spark, sf_dir):
+    # centroid set and probe map must broadcast; the corpus must never
+    # sort-merge against them
+    from flod_spark.catalog.similarity import sim_ivf
+
+    plan = plan_of(sim_ivf(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
