@@ -21,6 +21,14 @@ from pyspark.sql import functions as F
 
 from flod_spark.catalog.dedup import _NORM_SQL, _norm_col
 from flod_spark.catalog.sampling import TRAIN_FRAC, VAL_FRAC, _hash_prefix, _sql_hash_prefix, _thr
+from flod_spark.catalog.text import (
+    BPE_RE,
+    PUNCT_RE,
+    QUALITY_MAX_PUNCT,
+    QUALITY_MIN_CHARS,
+    QUALITY_MIN_TOKENS,
+    TOKEN_RE,
+)
 from flod_spark.io import load
 from flod_spark.registry import query
 
@@ -28,12 +36,13 @@ from flod_spark.registry import query
 @query(
     "prep_pipeline",
     oracle=(
-        # stage 1: quality keep-rule (doc_quality's verdict)
+        # stage 1: quality keep-rule (doc_quality's verdict — SAME
+        # constants, so a threshold/regex change moves both gate cells)
         "WITH q AS (SELECT doc_id, lang, text FROM documents "
-        "  WHERE length(text) >= 100 "
-        "    AND length(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 20 "
-        "    AND CAST(length(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS DOUBLE) "
-        "      / NULLIF(length(text), 0) < 0.1), "
+        f"  WHERE length(text) >= {QUALITY_MIN_CHARS} "
+        f"    AND length(regexp_extract_all(lower(text), '{TOKEN_RE}')) >= {QUALITY_MIN_TOKENS} "
+        f"    AND CAST(length(regexp_extract_all(text, '{PUNCT_RE}')) AS DOUBLE) "
+        f"      / NULLIF(length(text), 0) < {QUALITY_MAX_PUNCT}), "
         # stage 2: exact dedup -> canonical doc per fingerprint
         f"f AS (SELECT *, md5({_NORM_SQL}) AS fp FROM q), "
         "d AS (SELECT * FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canon FROM f) "
@@ -44,8 +53,7 @@ from flod_spark.registry import query
         "  ELSE 'test' END AS split FROM d) "
         # stage 4: mixture audit (counts + BPE-ish token total per cell)
         "SELECT split, lang, COUNT(*) AS n_docs, "
-        "  SUM(CAST(length(regexp_extract_all(lower(text), "
-        "    '[a-z]+|[0-9]+|[^a-z0-9 \\t\\r\\n]')) AS BIGINT)) AS n_tokens "
+        f"  SUM(CAST(length(regexp_extract_all(lower(text), '{BPE_RE}')) AS BIGINT)) AS n_tokens "
         "FROM s GROUP BY split, lang"
     ),
 )
@@ -53,10 +61,12 @@ def prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter -> dedup -> split -> audit, composed."""
     docs = load(spark, sf_dir, "documents")
     n = F.length("text")
-    n_tok = F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0)))
-    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[!-/:-@\\[-`{-~]"), F.lit(0)))
+    n_tok = F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0)))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_RE), F.lit(0)))
     q = docs.filter(
-        (n >= 100) & (n_tok >= 20) & (n_punct.cast("double") / F.nullif(n, F.lit(0)) < 0.1)
+        (n >= QUALITY_MIN_CHARS)
+        & (n_tok >= QUALITY_MIN_TOKENS)
+        & (n_punct.cast("double") / F.nullif(n, F.lit(0)) < QUALITY_MAX_PUNCT)
     )
     f = q.withColumn("fp", F.md5(_norm_col().cast("binary")))
     d = (
@@ -69,9 +79,7 @@ def prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(hp < _thr(TRAIN_FRAC + VAL_FRAC), "val")
         .otherwise("test")
     )
-    bpe_tokens = F.size(
-        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\r\\n]"), F.lit(0))
-    ).cast("long")
+    bpe_tokens = F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_RE), F.lit(0))).cast("long")
     return (
         d.select(split.alias("split"), "lang", bpe_tokens.alias("tok"))
         .groupBy("split", "lang")

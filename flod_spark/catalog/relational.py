@@ -192,8 +192,13 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Every customer has SOME order in the synthetic data, so the
         # classic never-ordered form returns 0 rows (vacuous gate cell);
         # restricting to URGENT orders yields ~200 rows at sf0.01.
+        # IS NOT NULL guard: one NULL in a NOT IN subquery makes the whole
+        # predicate UNKNOWN (0 rows) in SQL, while Spark's left_anti keeps
+        # non-matching rows — guard so both engines agree if custkeys are
+        # ever NULL
         "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
-        "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"
+        "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' "
+        " AND o_custkey IS NOT NULL)"
     ),
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:

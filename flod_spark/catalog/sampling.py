@@ -75,8 +75,11 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mix_rate_thr_sql() -> str:
+    # TRY_CAST + the same 16-char cap as the Spark side: a non-'srcN'
+    # source must yield NULL (row filtered) in BOTH engines, not a DuckDB
+    # conversion error in one and a silent drop in the other
     cases = " ".join(
-        f"WHEN CAST(substr(source, 4) AS INTEGER) % 3 = {k} THEN '{_thr(r)}'"
+        f"WHEN TRY_CAST(substr(source, 4, 16) AS INTEGER) % 3 = {k} THEN '{_thr(r)}'"
         for k, r in MIX_RATES.items()
     )
     return f"CASE {cases} END"

@@ -20,6 +20,12 @@ from flod_spark.registry import query
 TOKEN_RE = "[a-z0-9]+"
 WS_RE = "[ \\t\\r\\n]+"
 PUNCT_RE = "[!-/:-@\\[-`{-~]"
+# BPE-ish pre-tokenizer: words | numbers | single non-space symbols
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\r\\n]"
+# C4-style keep thresholds (doc_quality verdict; shared by prep_pipeline)
+QUALITY_MIN_CHARS = 100
+QUALITY_MIN_TOKENS = 20
+QUALITY_MAX_PUNCT = 0.1
 
 
 @query(
@@ -108,7 +114,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_count",
     oracle=(
         "SELECT doc_id, "
-        "  CAST(length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\r\\n]')) AS BIGINT) AS n_tokens, "
+        f"  CAST(length(regexp_extract_all(lower(text), '{BPE_RE}')) AS BIGINT) AS n_tokens, "
         "  CAST(length(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_word_tokens, "
         "  CAST(length(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT) AS n_num_tokens "
         "FROM documents"
@@ -121,7 +127,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower = F.lower("text")
     return docs.select(
         "doc_id",
-        F.size(F.regexp_extract_all(lower, F.lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\r\\n]"), F.lit(0))).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(lower, F.lit(BPE_RE), F.lit(0))).cast("long").alias("n_tokens"),
         F.size(F.regexp_extract_all(lower, F.lit("[a-z]+"), F.lit(0))).cast("long").alias("n_word_tokens"),
         F.size(F.regexp_extract_all(lower, F.lit("[0-9]+"), F.lit(0))).cast("long").alias("n_num_tokens"),
     )
@@ -131,15 +137,15 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_quality",
     oracle=(
         "WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n, "
-        "    CAST(length(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS BIGINT) AS n_punct, "
+        f"    CAST(length(regexp_extract_all(text, '{PUNCT_RE}')) AS BIGINT) AS n_punct, "
         "    CAST(length(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper, "
-        "    CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok "
+        f"    CAST(length(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tok "
         "  FROM documents) "
         "SELECT doc_id, n AS n_chars_calc, "
         "  CAST(n_punct AS DOUBLE) / NULLIF(n, 0) AS punct_ratio, "
         "  CAST(n_upper AS DOUBLE) / NULLIF(n, 0) AS upper_ratio, "
-        "  CASE WHEN n >= 100 AND n_tok >= 20 "
-        "    AND CAST(n_punct AS DOUBLE) / NULLIF(n, 0) < 0.1 THEN 'keep' ELSE 'drop' END AS verdict "
+        f"  CASE WHEN n >= {QUALITY_MIN_CHARS} AND n_tok >= {QUALITY_MIN_TOKENS} "
+        f"    AND CAST(n_punct AS DOUBLE) / NULLIF(n, 0) < {QUALITY_MAX_PUNCT} THEN 'keep' ELSE 'drop' END AS verdict "
         "FROM t"
     ),
 )
@@ -157,7 +163,10 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_chars_calc"),
         punct_ratio.alias("punct_ratio"),
         (n_upper.cast("double") / F.nullif(n, F.lit(0))).alias("upper_ratio"),
-        F.when((n >= 100) & (n_tok >= 20) & (punct_ratio < 0.1), "keep").otherwise("drop").alias("verdict"),
+        F.when(
+            (n >= QUALITY_MIN_CHARS) & (n_tok >= QUALITY_MIN_TOKENS) & (punct_ratio < QUALITY_MAX_PUNCT),
+            "keep",
+        ).otherwise("drop").alias("verdict"),
     )
 
 

@@ -163,10 +163,18 @@ class Pipeline:
         to the ENGINE layer (StructField metadata, flod_spark.tags) so the
         tag survives hand-off to plain-DataFrame code, parquet round-trips,
         and Pipelines reconstructed from a bare df; the driver-side dict
-        keeps flod's synchronous onChange semantics."""
+        keeps flod's synchronous onChange semantics (and the EXACT Python
+        object — the engine layer stores the JSON image, so a tuple reads
+        back as a list there). Values the engine layer cannot serialize
+        (arbitrary objects) stay driver-side only, like flod's in-process
+        tags."""
         from flod_spark import tags as engine_tags
 
-        p = self._derive(engine_tags.set_tag(self.df, key, value))
+        try:
+            df = engine_tags.set_tag(self.df, key, value)
+        except TypeError:  # non-JSON-serializable value: driver-side only
+            df = self.df
+        p = self._derive(df)
         p._tags = {**self._tags, key: self._tags.get(key, []) + [value]}
         for cb in getattr(self, "_listeners", {}).get(key, []):
             cb(value)
@@ -203,11 +211,19 @@ class Pipeline:
         return self._derive(df), obs
 
     # ---- training-data ops (extension mandate, chainable) --------------
+    def _reseq(self, df: DataFrame) -> "Pipeline":
+        """Re-establish the gap-free seq invariant after a row filter on an
+        ordered stream (same pattern as by_line): downstream seq-keyed
+        operators (take, by_chunk) assume seq == rank 0..n-1."""
+        out = with_seq(df.withColumnRenamed(SEQ, "_parent_seq"), "_parent_seq").drop("_parent_seq")
+        return self._derive(out, ordered=True)
+
     def dedup_exact(self, *cols: str) -> "Pipeline":
         """Keep one row per distinct value of ``cols`` (default: the
         ``value`` column) — the chainable form of catalog dedup_exact.
         Deterministic canonical row: the one with the smallest seq when
-        ordered, else dropDuplicates (any one row, one shuffle)."""
+        ordered (stream order preserved, seq re-ranked gap-free), else
+        dropDuplicates (any one row, one shuffle)."""
         keys = list(cols) or [VALUE]
         if self.ordered:
             w = Window.partitionBy(*keys).orderBy(SEQ)
@@ -216,22 +232,25 @@ class Pipeline:
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
-            return self._derive(kept)
+            return self._reseq(kept)
         return self._derive(self.df.dropDuplicates(keys))
 
     def sample_hash(self, rate: float, key_col: str | None = None, salt: str = "s|") -> "Pipeline":
         """Deterministic uniform sample (catalog/sampling.py semantics):
         keep iff md5(salt||key) prefix falls below the rate threshold.
-        Map-only, reproducible across runs/engines/cluster sizes."""
+        Map-only, reproducible across runs/engines/cluster sizes. On an
+        ordered stream the surviving rows are re-ranked gap-free."""
         from flod_spark.catalog.sampling import _hash_prefix, _thr
 
         key = F.col(key_col) if key_col else (F.col(SEQ) if self.ordered else F.col(VALUE))
-        return self._derive(self.df.filter(_hash_prefix(salt, key) < _thr(rate)))
+        kept = self.df.filter(_hash_prefix(salt, key) < _thr(rate))
+        return self._reseq(kept) if self.ordered else self._derive(kept)
 
     def split(self, fracs: dict[str, float], key_col: str | None = None, salt: str = "p|") -> dict[str, "Pipeline"]:
         """Deterministic disjoint splits (e.g. {'train': .8, 'val': .1,
         'test': .1}); membership is a pure function of the key, so
-        appending data never moves an existing row between splits."""
+        appending data never moves an existing row between splits. On an
+        ordered stream each split is re-ranked gap-free."""
         from flod_spark.catalog.sampling import _hash_prefix, _thr
 
         if abs(sum(fracs.values()) - 1.0) > 1e-9:
@@ -245,7 +264,8 @@ class Pipeline:
             cond = hp < _thr(hi) if hi < 1.0 else F.lit(True)
             if lo > 0.0:
                 cond = cond & (hp >= _thr(lo))
-            out[name] = self._derive(self.df.filter(cond))
+            kept = self.df.filter(cond)
+            out[name] = self._reseq(kept) if self.ordered else self._derive(kept)
             lo = hi
         return out
 

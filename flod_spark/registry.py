@@ -99,10 +99,11 @@ _GATE_ORDER = (
 
 def gate_order(d: dict) -> dict:
     """Reorder a qkey->X dict so _GATE_ORDER keys come first (in that
-    order), then everything else in registration order."""
+    order), then everything else in registration order (sorted() is
+    stable, so ranking alone preserves the unranked tail's order)."""
     rank = {k: i for i, k in enumerate(_GATE_ORDER)}
     n = len(rank)
-    keys = sorted(d, key=lambda k: (rank.get(k, n), list(d).index(k)))
+    keys = sorted(d, key=lambda k: rank.get(k, n))
     return {k: d[k] for k in keys}
 
 

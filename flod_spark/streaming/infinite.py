@@ -83,7 +83,10 @@ def take_infinite(
             time.sleep(0.25)
         else:
             raise TimeoutError(f"take_infinite: < {n} rows after {timeout_s}s")
-        rows = spark.table(name).orderBy(time_col, "value").limit(n).collect()
+        # deterministic tie-break: time_col first, then every remaining
+        # column (the stream need not have rate's (timestamp, value) shape)
+        rest = [c for c in stream_df.columns if c != time_col]
+        rows = spark.table(name).orderBy(time_col, *rest).limit(n).collect()
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)

@@ -31,22 +31,33 @@ def replay_stream(
 ) -> DataFrame:
     """Write df as n_batches time-range parquet files under out_dir and
     return a streaming DataFrame reading them one file per trigger."""
-    # Exact (relativeError=0), deterministic quantile boundaries. Micros
-    # fit a double exactly (< 2^53) so the round-trip is lossless.
+    # Deterministic quantile boundaries. relativeError bounds the summary
+    # memory (0 would buffer every value); boundary inexactness only
+    # shifts batch BALANCE — every row still lands in exactly one batch
+    # and cross-batch ts ordering holds because boundaries are monotone.
+    # Micros fit a double exactly (< 2^53) so the round-trip is lossless.
     mc = "_replay_us"
     with_us = df.withColumn(mc, F.unix_micros(F.col(order_col)))
     fracs = [b / n_batches for b in range(1, n_batches)]
-    bounds = [int(v) for v in with_us.stat.approxQuantile(mc, fracs, 0.0)] if fracs else []
+    bounds = [int(v) for v in with_us.stat.approxQuantile(mc, fracs, 0.001)] if fracs else []
+    # approxQuantile returns [] on an empty (or all-NULL order key) input:
+    # fall back to a single unbounded batch instead of indexing past edges
     edges = [None, *bounds, None]  # (lo, hi] per batch; None = unbounded
-    for b in range(n_batches):
+    for b in range(len(edges) - 1):
         lo, hi = edges[b], edges[b + 1]
         if lo is not None and hi is not None and lo >= hi:
             continue  # duplicate boundary -> provably empty bucket
         part = with_us
-        if lo is not None:
+        if lo is None:
+            # NULL order keys sort first (same rule as the pre-quantile
+            # row_number form): they belong to the first batch, where a
+            # plain < filter would silently drop them
+            if hi is not None:
+                part = part.filter(F.col(mc).isNull() | (F.col(mc) < hi))
+        else:
             part = part.filter(F.col(mc) >= lo)
-        if hi is not None:
-            part = part.filter(F.col(mc) < hi)
+            if hi is not None:
+                part = part.filter(F.col(mc) < hi)
         part = part.drop(mc)
         if part.isEmpty():
             continue

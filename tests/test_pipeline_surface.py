@@ -194,7 +194,15 @@ def test_chainable_dedup_exact_ordered_keeps_first(spark):
     p = fs.from_array(spark, [7, 7, 3, 3, 7], type_hint="long")
     out = p.dedup_exact().to_array()
     # ordered stream: canonical = first occurrence, stream order preserved
-    assert [(r.value, r.seq) for r in out] == [(7, 0), (3, 2)]
+    # and seq re-ranked gap-free (downstream take/by_chunk depend on it)
+    assert [(r.value, r.seq) for r in out] == [(7, 0), (3, 1)]
+
+
+def test_chainable_dedup_then_take_honors_stream_order(spark):
+    # regression: a gapped seq after dedup made take(2) return 1 row
+    p = fs.from_array(spark, [7, 7, 3, 3, 7, 9], type_hint="long")
+    assert [r.value for r in p.dedup_exact().take(2).to_array()] == [7, 3]
+    assert [r.value for r in p.dedup_exact().by_chunk_arrays(2).to_array()][0] == [7, 3]
 
 
 def test_chainable_sample_and_split_disjoint_total(spark):
@@ -209,3 +217,14 @@ def test_chainable_sample_and_split_disjoint_total(spark):
     ids = [set(r.value for r in v.df.select("value").collect()) for v in parts.values()]
     assert not (ids[0] & ids[1]) and not (ids[0] & ids[2]) and not (ids[1] & ids[2])
     assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_set_tag_accepts_arbitrary_objects(spark):
+    # engine write-through needs JSON-able values; anything else must
+    # still work driver-side (flod tags are arbitrary in-process values)
+    class Cfg:
+        rate = 48000
+
+    c = Cfg()
+    p = fs.from_array(spark, [1, 2], type_hint="long").set_tag("cfg", c).take(1)
+    assert p.get_tag("cfg") is c
