@@ -19,14 +19,16 @@ from pyspark.sql import DataFrame, SparkSession
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    TPC-H Q1-shaped grouped aggregation over lineitem (decimal-exact sums,
-    map-side partial agg — see flod_spark/catalog/relational.py::agg_group).
+    The composed training-data prep chain — C4-style quality filter ->
+    exact dedup -> deterministic train/val/test split -> mixture audit
+    (flod_spark/catalog/prep.py::prep_pipeline; each stage is also a
+    standalone oracle-gated qkey). 15 rows, stable (split, lang) schema.
     """
-    from flod_spark.catalog.relational import agg_group
+    from flod_spark.catalog.prep import prep_pipeline
     from flod_spark.registry import ensure_shipped
 
     ensure_shipped(spark)  # executors can import flod_spark in any session
-    return agg_group(spark, "/root/testdata/sf0.001")
+    return prep_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
