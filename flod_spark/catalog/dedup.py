@@ -62,12 +62,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
-    """DuckDB twin of operators/minhash.py, generated from the SAME hash
-    family so the two can never drift. The oracle may be slow — it only
-    runs at sf0.01 — but it is bitwise exact: the base hash is the first
-    15 hex digits of md5 (60-bit, fits BIGINT) and every affine transform
-    stays below 2^62."""
+def _minhash_ctes() -> tuple[str, str]:
+    """(cte_block, pair_select): the DuckDB twin of operators/minhash.py,
+    generated from the SAME hash family so the two can never drift. Split
+    in two so dedup_cluster can extend the pair query with a recursive
+    closure. The oracle may be slow — it only runs at sf0.01 — but it is
+    bitwise exact: the base hash is the first 15 hex digits of md5
+    (60-bit, fits BIGINT) and every affine transform stays below 2^62."""
     from flod_spark.operators.minhash import P, hash_family
 
     rows_per_band = SEEDS // BANDS
@@ -83,16 +84,24 @@ def _minhash_oracle() -> str:
         )
         for b in range(BANDS)
     )
-    return (
-        f"WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents), "
+    ctes = (
+        f"norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents), "
         f"sh AS (SELECT DISTINCT doc_id, substr(t, i, {SHINGLE}) AS s "
         f"  FROM norm, range(1, 4001) g(i) WHERE i <= greatest(length(t) - {SHINGLE - 1}, 1)), "
         f"hb AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {P} AS h FROM sh), "
         f"mins AS (SELECT doc_id, {mins} FROM hb GROUP BY doc_id), "
-        f"sig AS ({bands}) "
+        f"sig AS ({bands})"
+    )
+    pair_select = (
         "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
         "FROM sig a JOIN sig b ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id"
     )
+    return ctes, pair_select
+
+
+def _minhash_oracle() -> str:
+    ctes, pair_select = _minhash_ctes()
+    return f"WITH {ctes} {pair_select}"
 
 
 @query("dedup_minhash", oracle=_minhash_oracle())
@@ -265,3 +274,48 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.filter(F.col("jaccard") >= 0.8)
+
+
+def _cluster_oracle() -> str:
+    """Recursive-CTE connected components over the minhash pair graph:
+    transitive closure (n reaches r), then component = MIN(reachable).
+    Closure size is sum(|C|^2) over components — fine at oracle scale
+    (components are near-cliques of 2-3 docs at sf0.01); the Spark side
+    uses the O(log n)-round star algorithm instead (operators/graph.py)."""
+    ctes, pair_select = _minhash_ctes()
+    return (
+        f"WITH RECURSIVE {ctes}, pairs AS ({pair_select}), "
+        "und AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
+        "  UNION SELECT doc_b, doc_a FROM pairs), "
+        "reach AS (SELECT doc_id AS n, doc_id AS r FROM documents "
+        "  UNION SELECT reach.n, und.b FROM reach JOIN und ON und.a = reach.r) "
+        "SELECT n AS doc_id, MIN(r) AS cluster_id, n <> MIN(r) AS is_dup "
+        "FROM reach GROUP BY n"
+    )
+
+
+@query("dedup_cluster", oracle=_cluster_oracle())
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER assignment: the step after pair generation. LSH
+    emits pairs; a keeper per cluster needs the connected components of
+    the pair graph (A~B, B~C must collapse to one keeper even though A
+    and C never shared a bucket). Output is every doc with its cluster's
+    canonical id (min doc_id of the component) — what a 100 TB dedup job
+    writes back before dropping is_dup rows.
+
+    Pairs: the same MinHash-LSH construction as dedup_minhash (shared
+    constants, shared oracle CTEs). Components: alternating large-star /
+    small-star (operators/graph.py) — O(log n) shuffle rounds, edge-list
+    state only, no component ever materializes inside one task."""
+    from flod_spark.operators.graph import connected_components
+    from flod_spark.operators.minhash import minhash_candidates
+
+    docs = load(spark, sf_dir, "documents", spread=True, amplify=2000)
+    pairs = minhash_candidates(docs, shingle=SHINGLE, seeds=SEEDS, bands=BANDS, cap=4000)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    base = load(spark, sf_dir, "documents").select("doc_id")
+    out = base.join(cc, base["doc_id"] == cc["node"], "left").select(
+        base["doc_id"],
+        F.coalesce(cc["component"], base["doc_id"]).alias("cluster_id"),
+    )
+    return out.withColumn("is_dup", F.col("doc_id") != F.col("cluster_id"))
