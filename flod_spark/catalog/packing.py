@@ -1,0 +1,124 @@
+"""Corpus-layout operators: deterministic shuffle + sequence packing.
+
+The last stage of an LLM training-data pipeline lays the cleaned corpus
+out for the trainer: a reproducible global shuffle (so epoch order is
+stable across reruns and resumable mid-epoch) and sequence packing
+(concatenate documents, chop into fixed token-budget contexts — the
+"concat-and-chop" packing GPT-style pretraining uses).
+
+flod has no ordering/layout surface (its streams preserve arrival order,
+SURVEY.md §2.5); both ops enter via the driver's LLM-data mandate like
+the dedup/sampling families.
+
+Scale notes (100 TB):
+- sample_shuffle: order key is md5(salt || doc_id) — uniform, so the
+  range partitioning with_seq derives from its hash-sampled boundaries
+  is balanced BY CONSTRUCTION (no skewed-key hotspots possible). One
+  hash exchange + a P-row offset broadcast; nothing driver-side scales
+  with rows (seq.py docstring).
+- pack_sequences: packing is shard-local — the window partitions on a
+  uniform hash shard, so each shard's cumulative sum is an independent
+  task and NSHARDS is just re-tuned to ~cluster parallelism at scale
+  (trainers shard their input identically: one packed stream per data
+  loader). No global order, no single-partition window anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flod_spark.catalog.text import BPE_RE
+from flod_spark.io import load
+from flod_spark.registry import query
+from flod_spark.seq import SEQ, with_seq
+
+NSHARDS = 32
+PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+def _shard_col() -> F.Column:
+    """Uniform deterministic shard from the first 8 md5 hex chars of the
+    salted doc_id (same portable hex-int bridge as operators/minhash.py:
+    Spark conv(...,16,10) == DuckDB CAST('0x'|| ... AS BIGINT))."""
+    h = F.md5(F.concat(F.lit("k|"), F.col("doc_id").cast("string")).cast("binary"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % NSHARDS
+
+
+_SHARD_SQL = (
+    f"CAST('0x' || substr(md5('k|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {NSHARDS}"
+)
+
+
+@query(
+    "pack_sequences",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        f"    CAST(length(regexp_extract_all(lower(text), '{BPE_RE}')) AS BIGINT) AS n_tokens, "
+        f"    {_SHARD_SQL} AS shard FROM documents), "
+        "o AS (SELECT doc_id, shard, n_tokens, "
+        "    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS tok_offset "
+        "  FROM t) "
+        "SELECT doc_id, shard, n_tokens, tok_offset, "
+        f"  shard * 1000000 + (tok_offset // {PACK_BUDGET}) AS pack_id "
+        "FROM o"
+    ),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing: within each hash shard, documents
+    are laid end-to-end in doc_id order; a document's pack is the
+    PACK_BUDGET-token context its first token falls into (documents
+    straddle context boundaries, exactly like pretraining token streams).
+    Output is the layout manifest (doc -> shard, token offset, pack id)
+    a packing job writes for the trainer.
+
+    Plan shape: token count is a map-only JVM regexp; the only exchange
+    is the hash partition on shard; the running sum is a within-shard
+    window (no global order). DuckDB's SUM() OVER yields HUGEINT, hence
+    the CAST to BIGINT in the oracle (the stream_session lesson)."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens"),
+        _shard_col().alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = t.withColumn("tok_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return o.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "tok_offset",
+        (F.col("shard") * 1000000 + F.expr(f"tok_offset div {PACK_BUDGET}")).alias("pack_id"),
+    )
+
+
+@query(
+    "sample_shuffle",
+    oracle=(
+        "SELECT doc_id, CAST(ROW_NUMBER() OVER ("
+        "  ORDER BY md5('sh|' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos "
+        "FROM documents"
+    ),
+)
+def sample_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle: position = rank in md5-hash
+    order (salted, so independent of the sample/split/shard decisions).
+    Reproducible across runs and cluster sizes — rerunning the pipeline
+    yields the identical epoch order, and a trainer can resume mid-epoch.
+
+    Scale: rank comes from with_seq (seq.py) — hash-sampled range
+    boundaries, one exchange, P-row offset broadcast; never a global
+    single-partition sort. The md5 key makes every range bucket uniform,
+    so the exchange cannot skew regardless of doc_id distribution."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    key = F.md5(F.concat(F.lit("sh|"), F.col("doc_id").cast("string")).cast("binary"))
+    keyed = docs.withColumn("_skey", key)
+    return with_seq(keyed, "_skey", "doc_id").select("doc_id", F.col(SEQ).alias("pos"))

@@ -119,6 +119,7 @@ _CATALOG_MODULES = (
     "flod_spark.catalog.streaming_live",
     "flod_spark.catalog.codec_formats",
     "flod_spark.catalog.sampling",
+    "flod_spark.catalog.packing",
     "flod_spark.catalog.prep",
 )
 
