@@ -26,8 +26,11 @@ from flod_spark.catalog.text import (
     PUNCT_RE,
     QUALITY_MAX_PUNCT,
     QUALITY_MIN_CHARS,
+    QUALITY_MIN_STOP,
     QUALITY_MIN_TOKENS,
+    STOP_COUNT_SQL,
     TOKEN_RE,
+    stop_count_col,
 )
 from flod_spark.io import load
 from flod_spark.registry import query
@@ -42,7 +45,9 @@ from flod_spark.registry import query
         f"  WHERE length(text) >= {QUALITY_MIN_CHARS} "
         f"    AND length(regexp_extract_all(lower(text), '{TOKEN_RE}')) >= {QUALITY_MIN_TOKENS} "
         f"    AND CAST(length(regexp_extract_all(text, '{PUNCT_RE}')) AS DOUBLE) "
-        f"      / NULLIF(length(text), 0) < {QUALITY_MAX_PUNCT}), "
+        f"      / NULLIF(length(text), 0) < {QUALITY_MAX_PUNCT} "
+        f"    AND CAST({STOP_COUNT_SQL} AS DOUBLE) "
+        f"      / NULLIF(length(regexp_extract_all(lower(text), '{TOKEN_RE}')), 0) >= {QUALITY_MIN_STOP}), "
         # stage 2: exact dedup -> canonical doc per fingerprint
         f"f AS (SELECT *, md5({_NORM_SQL}) AS fp FROM q), "
         "d AS (SELECT * FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canon FROM f) "
@@ -67,6 +72,7 @@ def prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n >= QUALITY_MIN_CHARS)
         & (n_tok >= QUALITY_MIN_TOKENS)
         & (n_punct.cast("double") / F.nullif(n, F.lit(0)) < QUALITY_MAX_PUNCT)
+        & (stop_count_col().cast("double") / F.nullif(n_tok, F.lit(0)) >= QUALITY_MIN_STOP)
     )
     f = q.withColumn("fp", F.md5(_norm_col().cast("binary")))
     d = (

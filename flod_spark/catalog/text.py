@@ -26,6 +26,22 @@ BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\r\\n]"
 QUALITY_MIN_CHARS = 100
 QUALITY_MIN_TOKENS = 20
 QUALITY_MAX_PUNCT = 0.1
+# stopword-density floor (C4 drops pages whose text has too few English
+# stopwords — catches non-prose and non-English in an English pipeline)
+QUALITY_MIN_STOP = 0.01
+STOPWORDS_EN = ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for")
+_STOP_IN_SQL = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+# exact token-membership count, portable: Spark filter(lambda)+isin vs
+# DuckDB list_filter(x -> x IN (...)) — no regex word-boundary semantics
+STOP_COUNT_SQL = (
+    f"CAST(length(list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'), "
+    f"x -> x IN ({_STOP_IN_SQL}))) AS BIGINT)"
+)
+
+
+def stop_count_col() -> F.Column:
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN))).cast("long")
 
 
 @query(
@@ -139,32 +155,42 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n, "
         f"    CAST(length(regexp_extract_all(text, '{PUNCT_RE}')) AS BIGINT) AS n_punct, "
         "    CAST(length(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper, "
-        f"    CAST(length(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tok "
+        f"    CAST(length(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tok, "
+        f"    {STOP_COUNT_SQL} AS n_stop "
         "  FROM documents) "
         "SELECT doc_id, n AS n_chars_calc, "
         "  CAST(n_punct AS DOUBLE) / NULLIF(n, 0) AS punct_ratio, "
         "  CAST(n_upper AS DOUBLE) / NULLIF(n, 0) AS upper_ratio, "
+        "  CAST(n_stop AS DOUBLE) / NULLIF(n_tok, 0) AS stop_ratio, "
         f"  CASE WHEN n >= {QUALITY_MIN_CHARS} AND n_tok >= {QUALITY_MIN_TOKENS} "
-        f"    AND CAST(n_punct AS DOUBLE) / NULLIF(n, 0) < {QUALITY_MAX_PUNCT} THEN 'keep' ELSE 'drop' END AS verdict "
+        f"    AND CAST(n_punct AS DOUBLE) / NULLIF(n, 0) < {QUALITY_MAX_PUNCT} "
+        f"    AND CAST(n_stop AS DOUBLE) / NULLIF(n_tok, 0) >= {QUALITY_MIN_STOP} "
+        "    THEN 'keep' ELSE 'drop' END AS verdict "
         "FROM t"
     ),
 )
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length / punctuation / uppercase ratios with a
-    keep-drop verdict — the C4-style filter shape. Map-only at scale."""
+    """Quality scoring: length / punctuation / uppercase / stopword-density
+    ratios with a keep-drop verdict — the C4-style filter shape (incl.
+    C4's stopword floor). Map-only at scale."""
     docs = load(spark, sf_dir, "documents")
     n = F.length("text").cast("long")
     n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_RE), F.lit(0))).cast("long")
     n_upper = F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Z]"), F.lit(0))).cast("long")
     n_tok = F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))).cast("long")
     punct_ratio = n_punct.cast("double") / F.nullif(n, F.lit(0))
+    stop_ratio = stop_count_col().cast("double") / F.nullif(n_tok, F.lit(0))
     return docs.select(
         "doc_id",
         n.alias("n_chars_calc"),
         punct_ratio.alias("punct_ratio"),
         (n_upper.cast("double") / F.nullif(n, F.lit(0))).alias("upper_ratio"),
+        stop_ratio.alias("stop_ratio"),
         F.when(
-            (n >= QUALITY_MIN_CHARS) & (n_tok >= QUALITY_MIN_TOKENS) & (punct_ratio < QUALITY_MAX_PUNCT),
+            (n >= QUALITY_MIN_CHARS)
+            & (n_tok >= QUALITY_MIN_TOKENS)
+            & (punct_ratio < QUALITY_MAX_PUNCT)
+            & (stop_ratio >= QUALITY_MIN_STOP),
             "keep",
         ).otherwise("drop").alias("verdict"),
     )
