@@ -38,6 +38,26 @@ def _norm_col() -> F.Column:
     return F.substring(F.regexp_replace(F.lower("text"), "[ \\t\\r\\n]+", " "), 1, 4000)
 
 
+# per-doc DISTINCT shingle set, both engines (used by dedup_ngram and
+# decontaminate; dedup_minhash's generated oracle repeats the SQL form)
+_SHINGLE_SQL = (
+    f"SELECT DISTINCT doc_id, substr(t, i, {SHINGLE}) AS s "
+    f"FROM norm, range(1, 4001) g(i) WHERE i <= greatest(length(t) - {SHINGLE - 1}, 1)"
+)
+
+
+def _shingle_arr_col() -> F.Column:
+    """Array of a doc's distinct shingles, built MAP-SIDE from the
+    normalized text column `t` (no per-shingle shuffle rows until the
+    caller explodes)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("t") - (SHINGLE - 1), F.lit(1))),
+            lambda i: F.col("t").substr(i, F.lit(SHINGLE)),
+        )
+    )
+
+
 @query(
     "dedup_exact",
     oracle=(
@@ -174,8 +194,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram",
     oracle=(
         f"WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents), "
-        f"sh0 AS (SELECT DISTINCT doc_id, substr(t, i, {SHINGLE}) AS s "
-        f"  FROM norm, range(1, 4001) g(i) WHERE i <= greatest(length(t) - {SHINGLE - 1}, 1)), "
+        f"sh0 AS ({_SHINGLE_SQL}), "
         f"keep AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= {NGRAM_MAX_DF}), "
         "sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)), "
         "cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
@@ -206,13 +225,7 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ARRAY and array_distinct it before exploding — (doc_id, s) is then
     # unique by construction, so the old full-stream .distinct() shuffle
     # disappears entirely.
-    shingle_arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length("t") - (SHINGLE - 1), F.lit(1))),
-            lambda i: F.col("t").substr(i, F.lit(SHINGLE)),
-        )
-    )
-    sh = norm.select("doc_id", F.explode(shingle_arr).alias("s"))
+    sh = norm.select("doc_id", F.explode(_shingle_arr_col()).alias("s"))
     # Boilerplate prune + bounded collect in ONE exchange: rank docs
     # within each shingle and keep rank <= cap+1. This compiles to
     # WindowGroupLimit, which truncates each task's input to its local
@@ -319,3 +332,92 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(cc["component"], base["doc_id"]).alias("cluster_id"),
     )
     return out.withColumn("is_dup", F.col("doc_id") != F.col("cluster_id"))
+
+
+def _apply_oracle() -> str:
+    """dedup_cluster's closure, reduced to the SURVIVING corpus: keepers
+    are the nodes that equal their component minimum."""
+    ctes, pair_select = _minhash_ctes()
+    return (
+        f"WITH RECURSIVE {ctes}, pairs AS ({pair_select}), "
+        "und AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
+        "  UNION SELECT doc_b, doc_a FROM pairs), "
+        "reach AS (SELECT doc_id AS n, doc_id AS r FROM documents "
+        "  UNION SELECT reach.n, und.b FROM reach JOIN und ON und.a = reach.r), "
+        "keep AS (SELECT n AS doc_id FROM reach GROUP BY n HAVING n = MIN(r)) "
+        "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d JOIN keep USING (doc_id)"
+    )
+
+
+@query("dedup_apply", oracle=_apply_oracle())
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: the corpus that SURVIVES cluster collapse —
+    one keeper (min doc_id) per connected component of the MinHash-LSH
+    pair graph. This is the actual deliverable of a 100 TB dedup job;
+    dedup_minhash / dedup_cluster are its intermediate artifacts.
+
+    Scale shape: everything up to the keeper set is dedup_cluster's plan
+    (bounded LSH join + O(log n) star rounds over edge lists); the final
+    step joins the keeper ids (one column) back to the corpus — at scale
+    an id-only shuffle-hash join, never wide rows through the closure."""
+    cc = dedup_cluster(spark, sf_dir)
+    keep = cc.filter(~F.col("is_dup")).select("doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    return docs.join(keep, "doc_id")
+
+
+# benchmark decontamination: eval set = every DECON_BENCH_MOD-th doc;
+# a train doc is contaminated when it shares >= DECON_MIN_OVERLAP
+# distinct shingles with the benchmark union
+DECON_BENCH_MOD = 20
+DECON_MIN_OVERLAP = 5
+
+
+@query(
+    "decontaminate",
+    oracle=(
+        f"WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents), "
+        f"sh AS ({_SHINGLE_SQL}), "
+        f"bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {DECON_BENCH_MOD} = 0), "
+        f"tr AS (SELECT * FROM sh WHERE doc_id % {DECON_BENCH_MOD} <> 0), "
+        "ov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared "
+        "  FROM tr JOIN bench USING (s) GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(ov.n_shared, 0) AS n_shared, "
+        f"  COALESCE(ov.n_shared, 0) >= {DECON_MIN_OVERLAP} AS contaminated "
+        f"FROM (SELECT doc_id FROM documents WHERE doc_id % {DECON_BENCH_MOD} <> 0) d "
+        "LEFT JOIN ov USING (doc_id)"
+    ),
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs whose shingle sets
+    overlap the held-out benchmark set (here: every 20th doc_id stands in
+    for the eval benchmark). The training-pipeline step that keeps eval
+    data out of the training corpus (GPT-3 appendix C / PaLM style n-gram
+    collision check).
+
+    Scale shape: benchmarks are MBs while the corpus is TBs, so the
+    benchmark's distinct-shingle set is BROADCAST and the train side
+    never shuffles its shingles — the join is map-side, followed by one
+    partial-agg-friendly groupBy(doc_id) count. (doc_id, s) is distinct
+    by construction (array_distinct before explode), so COUNT(*) after
+    the join IS the distinct-overlap count."""
+    docs = load(spark, sf_dir, "documents", spread=True, amplify=2000)
+    norm = docs.select("doc_id", _norm_col().alias("t"))
+    sh = norm.select("doc_id", F.explode(_shingle_arr_col()).alias("s"))
+    bench = sh.filter(F.col("doc_id") % DECON_BENCH_MOD == 0).select("s").distinct()
+    train = sh.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    ov = (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    base = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+        .select("doc_id")
+    )
+    return base.join(ov, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        (F.coalesce("n_shared", F.lit(0)) >= DECON_MIN_OVERLAP).alias("contaminated"),
+    )

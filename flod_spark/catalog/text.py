@@ -275,3 +275,42 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k"),
         F.sum(k).over(w).cast("long").alias("running_k"),
     )
+
+
+TOPK_TOKENS = 100
+
+
+@query(
+    "token_histogram",
+    oracle=(
+        f"WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token "
+        "  FROM documents), "
+        "g AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occur, "
+        "    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok GROUP BY token) "
+        f"SELECT token, n_docs, n_occur FROM g ORDER BY n_occur DESC, token LIMIT {TOPK_TOKENS}"
+    ),
+)
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token histogram: top-K tokens by total occurrences, with
+    document frequency — the vocabulary-building / IDF-table step of a
+    training pipeline.
+
+    Scale shape: explode(tokens) is a narrow row amplification that
+    pipelines with the scan; groupBy(token) does map-side partial
+    aggregation, so the shuffle carries one row per (task, token), not
+    per occurrence; count_distinct(doc_id) rewrites to a two-phase
+    (token, doc_id) pre-aggregate. The final top-K is
+    TakeOrderedAndProject (per-partition heaps, K rows to the driver) —
+    no global sort. Tiebreak on token keeps the cut deterministic."""
+    docs = load(spark, sf_dir, "documents", spread=True, amplify=2000)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))).alias("token"),
+    )
+    g = tok.groupBy("token").agg(
+        F.count("*").alias("n_occur"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    return g.select("token", "n_docs", "n_occur").orderBy(
+        F.col("n_occur").desc(), "token"
+    ).limit(TOPK_TOKENS)

@@ -1,0 +1,75 @@
+"""Semantic invariants for the corpus-level training-data ops
+(decontaminate, dedup_apply, token_histogram). Oracle equivalence is
+covered by tools/parity.py; these tests pin the semantics that the
+oracle comparison alone can't express (exclusions, monotonicity,
+cross-op consistency)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_decontaminate_excludes_benchmark_and_flags_consistently(spark, sf_dir):
+    from flod_spark.catalog.dedup import DECON_BENCH_MOD, DECON_MIN_OVERLAP, decontaminate
+    from flod_spark.io import load
+
+    out = decontaminate(spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents").select("doc_id").collect()
+    train_ids = {r.doc_id for r in docs if r.doc_id % DECON_BENCH_MOD != 0}
+
+    assert {r.doc_id for r in out} == train_ids  # every train doc, no bench doc
+    for r in out:
+        assert r.n_shared >= 0
+        assert r.contaminated == (r.n_shared >= DECON_MIN_OVERLAP)
+
+
+def test_decontaminate_planted_benchmark_copy_is_flagged(spark):
+    """A train doc that IS a benchmark doc's text must be contaminated."""
+    import pandas as pd
+
+    from flod_spark.catalog.dedup import decontaminate
+
+    bench_text = "the quick brown fox jumps over the lazy dog " * 10
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [20, 41, 43],  # 20 -> benchmark (id % 20 == 0)
+            "text": [bench_text, bench_text, "completely unrelated content zzz"],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [len(bench_text), len(bench_text), 32],
+        }
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(os.path.join(d, "documents.parquet"))
+        rows = {r.doc_id: r for r in decontaminate(spark, d).collect()}
+    assert rows[41].contaminated
+    assert not rows[43].contaminated
+
+
+def test_dedup_apply_keeps_exactly_the_cluster_keepers(spark, sf_dir):
+    from flod_spark.catalog.dedup import dedup_apply, dedup_cluster
+    from flod_spark.io import load
+
+    kept = {r.doc_id for r in dedup_apply(spark, sf_dir).select("doc_id").collect()}
+    cc = dedup_cluster(spark, sf_dir).collect()
+    keepers = {r.doc_id for r in cc if not r.is_dup}
+    assert kept == keepers
+    assert 0 < len(kept) <= load(spark, sf_dir, "documents").count()
+
+
+def test_token_histogram_ordering_and_bounds(spark, sf_dir):
+    from flod_spark.catalog.text import TOPK_TOKENS, token_histogram
+
+    rows = token_histogram(spark, sf_dir).collect()
+    assert 0 < len(rows) <= TOPK_TOKENS
+    occ = [r.n_occur for r in rows]
+    assert occ == sorted(occ, reverse=True)
+    for r in rows:
+        assert 1 <= r.n_docs <= r.n_occur
+    # ties at equal n_occur break on token ascending (deterministic cut)
+    for a, b in zip(rows, rows[1:]):
+        if a.n_occur == b.n_occur:
+            assert a.token < b.token
