@@ -33,6 +33,7 @@ HEADLINE = [
     "text_stats",
     "take_limit",
     "tpch_q3",
+    "tpch_q5",
     "codec_gzip",
     "udf_stage",
     # scale guard: dedup_ngram's pair generation is bounded by the

@@ -563,6 +563,59 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q5",
+    oracle=(
+        "SELECT n_name, "
+        "  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue "
+        "FROM customer, orders, lineitem, supplier, nation, region "
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+        "  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+        "  AND r_name = 'ASIA' "
+        "  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"
+    ),
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier revenue by nation): the 6-way join
+    composite. Scale shape: the dim chain region->nation is broadcast
+    into BOTH customer and supplier (two map-side prunes); the only
+    co-shuffles are the fact joins orders⋈customer (custkey) and
+    lineitem⋈orders (orderkey); supplier is broadcast into the fact
+    stream, and the c_nationkey = s_nationkey local-supplier predicate
+    runs as a post-join filter on two already-present small columns.
+    Final agg has ~|nations| groups — partial-agg collapses it map-side.
+    Result ordered by revenue with an n_name tiebreak (deterministic)."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(n.select("n_nationkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), "n_name")),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
     "array_fns",
     oracle=(
         "WITH a AS (SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS arr "
