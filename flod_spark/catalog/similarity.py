@@ -320,3 +320,58 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= K)
         .select("query_id", "neighbor_id", F.col("cos").alias("cosine"), "rk")
     )
+
+
+_FXP = 1099511627776.0  # 2^40: fixed-point scale for exact cross-row sums
+
+
+@query(
+    "embed_centroids",
+    oracle=(
+        "WITH x AS (SELECT label, generate_subscripts(embedding, 1) AS pos, "
+        "    unnest(embedding::DOUBLE[]) AS v FROM embeddings) "
+        "SELECT label, pos, "
+        "  CAST(COUNT(*) AS BIGINT) AS n_vecs, "
+        f"  CAST(SUM(CAST(floor(v * {_FXP}) AS BIGINT)) AS DOUBLE) / {_FXP} / COUNT(*) AS centroid, "
+        f"  CAST(SUM(CAST(floor(v * v * {_FXP}) AS BIGINT)) AS DOUBLE) / {_FXP} / COUNT(*) "
+        f"    - (CAST(SUM(CAST(floor(v * {_FXP}) AS BIGINT)) AS DOUBLE) / {_FXP} / COUNT(*)) "
+        f"      * (CAST(SUM(CAST(floor(v * {_FXP}) AS BIGINT)) AS DOUBLE) / {_FXP} / COUNT(*)) AS dispersion "
+        "FROM x GROUP BY label, pos"
+    ),
+)
+def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + per-dimension dispersion — the k-means UPDATE
+    step (and the SemDeDup-style class-prototype computation), in long
+    (label, pos) form.
+
+    Exactness: a double->DECIMAL cast rounds, and Spark (HALF_UP) vs
+    DuckDB (HALF_EVEN) disagree on exact ties — which float32 expansions
+    DO hit (a finite binary fraction's decimal expansion ends in ...5).
+    Instead each element is fixed-pointed as floor(v * 2^40): the scale
+    by a power of two and the products are exact in double (24-bit
+    float32 mantissas), floor has no rounding mode, and the integer sums
+    are associative — bit-identical across partial-agg orders and
+    engines, at 2^-40 quantization (far below float32 resolution for
+    unit-scale embeddings). Keep group sizes below ~2^22 rows per
+    (label, pos) for BIGINT headroom — or widen the sum to DECIMAL.
+
+    Scale (100 TB): posexplode is a narrow dims-fold amplification that
+    pipelines with the scan; the single shuffle keys on (label, pos) with
+    map-side partial sums, so exchange rows are bounded by
+    tasks x labels x dims regardless of corpus size; output is
+    labels x dims rows. The iterative k-means loop is this query run per
+    round with labels := nearest-centroid assignment (sim_ivf's
+    max_by construction) — each round stays one bounded shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", F.posexplode(_as_double("embedding")).alias("pos0", "v")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "v")
+    s = F.sum(F.floor(F.col("v") * _FXP)).cast("double") / _FXP
+    ss = F.sum(F.floor(F.col("v") * F.col("v") * _FXP)).cast("double") / _FXP
+    n = F.count("*")
+    mean = s / n
+    return x.groupBy("label", "pos").agg(
+        n.alias("n_vecs"),
+        mean.alias("centroid"),
+        (ss / n - mean * mean).alias("dispersion"),
+    )

@@ -73,3 +73,28 @@ def test_token_histogram_ordering_and_bounds(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         if a.n_occur == b.n_occur:
             assert a.token < b.token
+
+
+def test_embed_centroids_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from flod_spark.catalog.similarity import embed_centroids
+    from flod_spark.io import load
+
+    out = embed_centroids(spark, sf_dir).collect()
+    emb = load(spark, sf_dir, "embeddings").select("label", "embedding").collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(r.embedding)
+
+    n_labels = len(by_label)
+    dim = len(emb[0].embedding)
+    assert len(out) == n_labels * dim
+
+    for r in out:
+        m = np.array(by_label[r.label], dtype=np.float64)
+        assert r.n_vecs == len(m)
+        v = m[:, r.pos - 1]
+        assert abs(r.centroid - v.mean()) < 1e-9  # 2^-40 quantization only
+        assert abs(r.dispersion - v.var()) < 1e-9
+        assert r.dispersion >= -1e-9
