@@ -38,12 +38,17 @@ def _norm_col() -> F.Column:
     return F.substring(F.regexp_replace(F.lower("text"), "[ \\t\\r\\n]+", " "), 1, 4000)
 
 
-# per-doc DISTINCT shingle set, both engines (used by dedup_ngram and
-# decontaminate; dedup_minhash's generated oracle repeats the SQL form)
-_SHINGLE_SQL = (
-    f"SELECT DISTINCT doc_id, substr(t, i, {SHINGLE}) AS s "
-    f"FROM norm, range(1, 4001) g(i) WHERE i <= greatest(length(t) - {SHINGLE - 1}, 1)"
-)
+# per-doc DISTINCT shingle set, both engines (used by dedup_ngram,
+# decontaminate, and prep_pipeline; dedup_minhash's generated oracle
+# repeats the SQL form)
+def _shingle_sql(src: str = "norm") -> str:
+    return (
+        f"SELECT DISTINCT doc_id, substr(t, i, {SHINGLE}) AS s "
+        f"FROM {src}, range(1, 4001) g(i) WHERE i <= greatest(length(t) - {SHINGLE - 1}, 1)"
+    )
+
+
+_SHINGLE_SQL = _shingle_sql()
 
 
 def _shingle_arr_col() -> F.Column:
@@ -368,20 +373,48 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # benchmark decontamination: eval set = every DECON_BENCH_MOD-th doc;
 # a train doc is contaminated when it shares >= DECON_MIN_OVERLAP
-# distinct shingles with the benchmark union
+# distinct token DECON_NGRAM-grams with the benchmark union. TOKEN
+# n-grams, not char shingles: an 8-char shingle collides on common
+# English ("the and ") and flags the entire corpus; a 5-token exact
+# phrase is the GPT-3 appendix-C / PaLM collision unit and only fires
+# on real text reuse (measured at sf0.01: shingles flag 475/475 docs,
+# 5-grams flag exactly the planted near-dups).
 DECON_BENCH_MOD = 20
-DECON_MIN_OVERLAP = 5
+DECON_MIN_OVERLAP = 1
+DECON_NGRAM = 5
+_TOK_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _ngram_sql(src: str) -> str:
+    """Per-doc DISTINCT token n-grams of a (doc_id, tk) CTE; first 4000
+    grams per doc (both engines) — honest bounded comparison."""
+    return (
+        f"SELECT DISTINCT doc_id, array_to_string(tk[i:i+{DECON_NGRAM - 1}], ' ') AS g "
+        f"FROM {src}, range(1, 4001) r(i) "
+        f"WHERE i <= least(len(tk) - {DECON_NGRAM - 1}, 4000)"
+    )
+
+
+def _ngram_arr_col() -> F.Column:
+    """Array of a doc's distinct token n-grams from column `tk`, built
+    map-side; mirrors _ngram_sql exactly (incl. the 4000-gram cap)."""
+    ncap = F.least(F.size("tk") - (DECON_NGRAM - 1), F.lit(4000))
+    grams = F.transform(
+        F.sequence(F.lit(1), ncap),
+        lambda i: F.array_join(F.slice("tk", i, DECON_NGRAM), " "),
+    )
+    return F.array_distinct(F.when(ncap >= 1, grams).otherwise(F.array()))
 
 
 @query(
     "decontaminate",
     oracle=(
-        f"WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents), "
-        f"sh AS ({_SHINGLE_SQL}), "
-        f"bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {DECON_BENCH_MOD} = 0), "
-        f"tr AS (SELECT * FROM sh WHERE doc_id % {DECON_BENCH_MOD} <> 0), "
+        f"WITH tok AS (SELECT doc_id, {_TOK_SQL} AS tk FROM documents), "
+        f"ng AS ({_ngram_sql('tok')}), "
+        f"bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % {DECON_BENCH_MOD} = 0), "
+        f"tr AS (SELECT * FROM ng WHERE doc_id % {DECON_BENCH_MOD} <> 0), "
         "ov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared "
-        "  FROM tr JOIN bench USING (s) GROUP BY doc_id) "
+        "  FROM tr JOIN bench USING (g) GROUP BY doc_id) "
         "SELECT d.doc_id, COALESCE(ov.n_shared, 0) AS n_shared, "
         f"  COALESCE(ov.n_shared, 0) >= {DECON_MIN_OVERLAP} AS contaminated "
         f"FROM (SELECT doc_id FROM documents WHERE doc_id % {DECON_BENCH_MOD} <> 0) d "
@@ -389,25 +422,28 @@ DECON_MIN_OVERLAP = 5
     ),
 )
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: flag training docs whose shingle sets
-    overlap the held-out benchmark set (here: every 20th doc_id stands in
-    for the eval benchmark). The training-pipeline step that keeps eval
-    data out of the training corpus (GPT-3 appendix C / PaLM style n-gram
-    collision check).
+    """Benchmark decontamination: flag training docs sharing an exact
+    token 5-gram with the held-out benchmark set (here: every 20th
+    doc_id stands in for the eval benchmark). The training-pipeline step
+    that keeps eval data out of the training corpus (GPT-3 appendix C /
+    PaLM style n-gram collision check).
 
     Scale shape: benchmarks are MBs while the corpus is TBs, so the
-    benchmark's distinct-shingle set is BROADCAST and the train side
-    never shuffles its shingles — the join is map-side, followed by one
-    partial-agg-friendly groupBy(doc_id) count. (doc_id, s) is distinct
+    benchmark's distinct-n-gram set is BROADCAST and the train side
+    never shuffles its grams — the join is map-side, followed by one
+    partial-agg-friendly groupBy(doc_id) count. (doc_id, g) is distinct
     by construction (array_distinct before explode), so COUNT(*) after
-    the join IS the distinct-overlap count."""
+    the join IS the distinct-overlap count. At real scale the broadcast
+    carries gram HASHES (or a bloom filter), not strings — same plan."""
     docs = load(spark, sf_dir, "documents", spread=True, amplify=2000)
-    norm = docs.select("doc_id", _norm_col().alias("t"))
-    sh = norm.select("doc_id", F.explode(_shingle_arr_col()).alias("s"))
-    bench = sh.filter(F.col("doc_id") % DECON_BENCH_MOD == 0).select("s").distinct()
-    train = sh.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    tok = docs.select(
+        "doc_id", F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0)).alias("tk")
+    )
+    ng = tok.select("doc_id", F.explode(_ngram_arr_col()).alias("g"))
+    bench = ng.filter(F.col("doc_id") % DECON_BENCH_MOD == 0).select("g").distinct()
+    train = ng.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
     ov = (
-        train.join(F.broadcast(bench), "s")
+        train.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
     )

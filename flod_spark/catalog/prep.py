@@ -1,17 +1,20 @@
 """End-to-end training-data prep composite (the flagship chain).
 
-One query composes the four stages every LLM corpus pipeline runs —
-C4-style quality filter -> exact dedup (canonical doc per fingerprint)
--> deterministic train/val/test split -> mixture audit — with a single
-composed DuckDB oracle, proving the stages COMPOSE exactly, not just
-pass in isolation. Stage expressions are shared with their standalone
-qkeys (doc_quality, dedup_exact, split_assign, token_count), so a drift
-in any one breaks both its own gate cell and this one.
+One query composes the five stages every LLM corpus pipeline runs —
+C4-style quality filter -> benchmark decontamination -> exact dedup
+(canonical doc per fingerprint) -> deterministic train/val/test split
+-> mixture audit — with a single composed DuckDB oracle, proving the
+stages COMPOSE exactly, not just pass in isolation. Stage expressions
+are shared with their standalone qkeys (doc_quality, decontaminate,
+dedup_exact, split_assign, token_count), so a drift in any one breaks
+both its own gate cell and this one.
 
 Scale (100 TB): filter and split are map-only expressions fused into
-the scan; dedup is one shuffle on the 16-byte fingerprint; the audit is
-a partial-agg count over ~15 groups. Nothing here collects, caches, or
-carries text past the stage that needs it.
+the scan; decontamination broadcasts the benchmark shingle set so the
+corpus side stays map-only plus one per-doc count agg; dedup is one
+shuffle on the 16-byte fingerprint; the audit is a partial-agg count
+over ~15 groups. Nothing here collects, caches, or carries text past
+the stage that needs it.
 """
 
 from __future__ import annotations
@@ -19,7 +22,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flod_spark.catalog.dedup import _NORM_SQL, _norm_col
+from flod_spark.catalog.dedup import (
+    DECON_BENCH_MOD,
+    DECON_MIN_OVERLAP,
+    _NORM_SQL,
+    _TOK_SQL,
+    _ngram_arr_col,
+    _ngram_sql,
+    _norm_col,
+)
 from flod_spark.catalog.sampling import TRAIN_FRAC, VAL_FRAC, _hash_prefix, _sql_hash_prefix, _thr
 from flod_spark.catalog.text import (
     BPE_RE,
@@ -48,22 +59,36 @@ from flod_spark.registry import query
         f"      / NULLIF(length(text), 0) < {QUALITY_MAX_PUNCT} "
         f"    AND CAST({STOP_COUNT_SQL} AS DOUBLE) "
         f"      / NULLIF(length(regexp_extract_all(lower(text), '{TOKEN_RE}')), 0) >= {QUALITY_MIN_STOP}), "
-        # stage 2: exact dedup -> canonical doc per fingerprint
-        f"f AS (SELECT *, md5({_NORM_SQL}) AS fp FROM q), "
+        # stage 2: benchmark decontamination (decontaminate's rule —
+        # bench docs leave the corpus; token-5-gram-overlapping train
+        # docs drop)
+        f"btok AS (SELECT doc_id, {_TOK_SQL} AS tk FROM documents "
+        f"  WHERE doc_id % {DECON_BENCH_MOD} = 0), "
+        f"bng AS (SELECT DISTINCT g FROM ({_ngram_sql('btok')})), "
+        f"ttok AS (SELECT doc_id, {_TOK_SQL} AS tk FROM q "
+        f"  WHERE doc_id % {DECON_BENCH_MOD} <> 0), "
+        f"tng AS ({_ngram_sql('ttok')}), "
+        "bad AS (SELECT doc_id FROM tng JOIN bng USING (g) "
+        f"  GROUP BY doc_id HAVING COUNT(*) >= {DECON_MIN_OVERLAP}), "
+        f"c AS (SELECT * FROM q WHERE doc_id % {DECON_BENCH_MOD} <> 0 "
+        "  AND doc_id NOT IN (SELECT doc_id FROM bad)), "
+        # stage 3: exact dedup -> canonical doc per fingerprint
+        f"f AS (SELECT *, md5({_NORM_SQL}) AS fp FROM c), "
         "d AS (SELECT * FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canon FROM f) "
         "  WHERE doc_id = canon), "
-        # stage 3: deterministic split (split_assign's hash rule)
+        # stage 4: deterministic split (split_assign's hash rule)
         f"s AS (SELECT *, CASE WHEN {_sql_hash_prefix('p|', 'doc_id')} < '{_thr(TRAIN_FRAC)}' THEN 'train' "
         f"  WHEN {_sql_hash_prefix('p|', 'doc_id')} < '{_thr(TRAIN_FRAC + VAL_FRAC)}' THEN 'val' "
         "  ELSE 'test' END AS split FROM d) "
-        # stage 4: mixture audit (counts + BPE-ish token total per cell)
+        # stage 5: mixture audit (counts + BPE-ish token total per cell)
         "SELECT split, lang, COUNT(*) AS n_docs, "
         f"  SUM(CAST(length(regexp_extract_all(lower(text), '{BPE_RE}')) AS BIGINT)) AS n_tokens "
         "FROM s GROUP BY split, lang"
     ),
 )
 def prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-filter -> dedup -> split -> audit, composed."""
+    """Quality-filter -> decontaminate -> dedup -> split -> audit,
+    composed."""
     docs = load(spark, sf_dir, "documents")
     n = F.length("text")
     n_tok = F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0)))
@@ -74,7 +99,25 @@ def prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (n_punct.cast("double") / F.nullif(n, F.lit(0)) < QUALITY_MAX_PUNCT)
         & (stop_count_col().cast("double") / F.nullif(n_tok, F.lit(0)) >= QUALITY_MIN_STOP)
     )
-    f = q.withColumn("fp", F.md5(_norm_col().cast("binary")))
+    tok_arr = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+    bench_ng = (
+        docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select(tok_arr.alias("tk"))
+        .select(F.explode(_ngram_arr_col()).alias("g"))
+        .distinct()
+    )
+    tr = q.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    bad = (
+        tr.select("doc_id", tok_arr.alias("tk"))
+        .select("doc_id", F.explode(_ngram_arr_col()).alias("g"))
+        .join(F.broadcast(bench_ng), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= DECON_MIN_OVERLAP)
+        .select("doc_id")
+    )
+    c = tr.join(bad, "doc_id", "left_anti")
+    f = c.withColumn("fp", F.md5(_norm_col().cast("binary")))
     d = (
         f.withColumn("canon", F.min("doc_id").over(Window.partitionBy("fp")))
         .filter(F.col("doc_id") == F.col("canon"))
