@@ -111,3 +111,46 @@ def test_sim_ivf_broadcasts_centroids(spark, sf_dir):
     plan = plan_of(sim_ivf(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    # the benchmark gram set must broadcast — the corpus side of the
+    # collision join never shuffles its n-grams
+    from flod_spark.catalog.dedup import decontaminate
+
+    plan = plan_of(decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the only SMJ allowed is the final doc_id left join at this SF;
+    # no n-gram column may feed a sort-merge join
+    for frag in plan.split("SortMergeJoin")[1:]:
+        assert "g#" not in frag[:80]
+
+
+def test_tpch_q5_broadcasts_dim_chain(spark, sf_dir):
+    # region->nation chain and supplier must broadcast; fact joins may
+    # co-shuffle (custkey/orderkey) but dims must never sort-merge
+    from flod_spark.catalog.relational import tpch_q5
+
+    plan = plan_of(tpch_q5(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_embed_centroids_single_exchange(spark, sf_dir):
+    # posexplode + partial-agg: exactly one shuffle, keyed (label, pos)
+    from flod_spark.catalog.similarity import embed_centroids
+
+    import re
+
+    plan = plan_of(embed_centroids(spark, sf_dir))
+    # formatted mode's detail section: exactly one "(N) Exchange" entry,
+    # keyed on (label, pos)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "hashpartitioning(label" in plan
+
+
+def test_token_histogram_topk_no_global_sort(spark, sf_dir):
+    # the top-K cut must be TakeOrderedAndProject (per-partition heaps),
+    # never a global Sort of the full token table
+    from flod_spark.catalog.text import token_histogram
+
+    assert "TakeOrderedAndProject" in plan_of(token_histogram(spark, sf_dir))
