@@ -81,6 +81,26 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_approx")  # deliberately NO oracle: HLL/KLL sketch internals
+# are engine-specific, so cross-engine value equality is impossible by
+# construction; accuracy is gated in tests/test_corpus_ops.py against
+# the exact answers instead (driver records the weaker rows-only check).
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB form of agg_distinct/agg_percentile:
+    approx_count_distinct (HyperLogLog++) and percentile_approx both keep
+    a CONSTANT-size mergeable state per group, so the shuffle carries one
+    sketch per (task, group) instead of the distinct pairs / full sorted
+    values their exact twins need — no Expand, no second shuffle, no
+    per-group buffering of the data."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_median_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 @query(
     "agg_rollup",
     oracle=(

@@ -98,3 +98,30 @@ def test_embed_centroids_matches_numpy(spark, sf_dir):
         assert abs(r.centroid - v.mean()) < 1e-9  # 2^-40 quantization only
         assert abs(r.dispersion - v.var()) < 1e-9
         assert r.dispersion >= -1e-9
+
+
+def test_agg_approx_error_bounds(spark, sf_dir):
+    """No oracle possible (engine-specific sketches) — gate accuracy
+    against the exact aggregates instead: HLL++ default rsd is 5%,
+    percentile_approx at accuracy 10000 is near-exact at this SF."""
+    from pyspark.sql import functions as F
+
+    from flod_spark.catalog.relational import agg_approx, agg_distinct
+    from flod_spark.io import load
+
+    approx = {r.l_returnflag: r for r in agg_approx(spark, sf_dir).collect()}
+    exact = {r.l_returnflag: r for r in agg_distinct(spark, sf_dir).collect()}
+    li = load(spark, sf_dir, "lineitem")
+    emed = {
+        r.l_returnflag: r.m
+        for r in li.groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice", F.lit(0.5)).alias("m"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k, a in approx.items():
+        assert abs(a.approx_parts - exact[k].n_parts) <= 0.15 * exact[k].n_parts
+        assert abs(a.approx_supps - exact[k].n_supps) <= 0.15 * exact[k].n_supps
+        assert a.n_rows == exact[k].n_rows
+        # accuracy=10000 over ~2k rows/group: within 1% of the exact median
+        assert abs(a.approx_median_price - emed[k]) <= 0.01 * emed[k]
