@@ -314,3 +314,73 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select("token", "n_docs", "n_occur").orderBy(
         F.col("n_occur").desc(), "token"
     ).limit(TOPK_TOKENS)
+
+
+# Gopher/MassiveText repetition rules: drop docs dominated by repeated
+# tokens/phrases (thresholds give a ~7% drop rate on the synthetic corpus)
+REP_MAX_DUP1 = 0.7
+REP_MAX_DUP2 = 0.08
+
+
+def _dup_sql(n: int) -> str:
+    """1 - distinct/total over token n-grams of CTE column tk (DuckDB)."""
+    if n == 1:
+        gram = "tk"
+        total = "len(tk)"
+    else:
+        concat = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+        gram = f"list_transform(range(1, len(tk) - {n - 2}), i -> {concat})"
+        total = f"len(tk) - {n - 1}"
+    return f"1.0 - CAST(len(list_distinct({gram})) AS DOUBLE) / NULLIF({total}, 0)"
+
+
+def _dup_col(n: int) -> F.Column:
+    """Spark twin of _dup_sql: same gram construction, same division."""
+    tk = F.col("tk")
+    if n == 1:
+        grams = tk
+        total = F.size("tk")
+    else:
+        cnt = F.size("tk") - (n - 1)
+        grams = F.when(
+            cnt >= 1,
+            F.transform(F.sequence(F.lit(1), cnt), lambda i: F.array_join(F.slice("tk", i, n), " ")),
+        ).otherwise(F.array())
+        total = cnt
+    return F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.nullif(
+        total, F.lit(0)
+    )
+
+
+@query(
+    "doc_repetition",
+    oracle=(
+        f"WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS tk "
+        "  FROM documents) "
+        "SELECT doc_id, "
+        f"  {_dup_sql(1)} AS dup1, {_dup_sql(2)} AS dup2, {_dup_sql(3)} AS dup3, "
+        f"  CASE WHEN {_dup_sql(1)} > {REP_MAX_DUP1} OR {_dup_sql(2)} > {REP_MAX_DUP2} "
+        "    THEN 'drop' ELSE 'keep' END AS verdict "
+        "FROM t"
+    ),
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher/MassiveText rules 4-8):
+    duplicate fraction of tokens, 2-grams, and 3-grams, with a keep/drop
+    verdict. Catches loop-generated and boilerplate-stuffed pages that
+    length/punctuation filters miss.
+
+    Scale: pure map-only higher-order array expressions fused into the
+    scan — per-doc work is linear in doc length, nothing shuffles."""
+    docs = load(spark, sf_dir, "documents", spread=True, amplify=2000)
+    t = docs.select(
+        "doc_id", F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0)).alias("tk")
+    )
+    d1, d2 = _dup_col(1), _dup_col(2)
+    return t.select(
+        "doc_id",
+        d1.alias("dup1"),
+        d2.alias("dup2"),
+        _dup_col(3).alias("dup3"),
+        F.when((d1 > REP_MAX_DUP1) | (d2 > REP_MAX_DUP2), "drop").otherwise("keep").alias("verdict"),
+    )
