@@ -136,3 +136,53 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("first_event_id"),
         F.min("ts").alias("first_ts"),
     )
+
+
+@query(
+    "resample_gapfill",
+    oracle=(
+        "WITH agg AS (SELECT user_id, date_trunc('day', ts) AS bucket, "
+        "    CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum "
+        "  FROM events GROUP BY user_id, bucket), "
+        "span AS (SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx FROM agg GROUP BY user_id), "
+        "grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket FROM span), "
+        "j AS (SELECT g.user_id, g.bucket, a.n_events, a.val_sum "
+        "  FROM grid g LEFT JOIN agg a USING (user_id, bucket)) "
+        "SELECT user_id, bucket, COALESCE(n_events, 0) AS n_events, "
+        "  last_value(val_sum IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket "
+        "    ROWS UNBOUNDED PRECEDING) AS val_ffill, "
+        "  n_events IS NULL AS is_gap "
+        "FROM j"
+    ),
+)
+def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: per-user daily buckets over each
+    user's own active span, with empty buckets materialized (n_events=0)
+    and the last observed daily sum carried forward — the downsample /
+    regularize step before any per-entity sequence modeling.
+
+    Scale: the bucket agg is one partial-agg shuffle; the per-user grid
+    is generated by sequence()+explode from a 2-column span table (rows
+    = span_days per user, never events); grid⋈agg co-partitions on
+    (user_id, bucket); the forward fill is a bounded per-user window.
+    First grid bucket always has events (span starts at the user's min),
+    so the fill never reads an empty frame."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("bucket")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("val_sum"),
+    )
+    span = agg.groupBy("user_id").agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+    grid = span.select(
+        "user_id", F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("bucket")
+    )
+    j = grid.join(agg, ["user_id", "bucket"], "left")
+    w = Window.partitionBy("user_id").orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "user_id",
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.last("val_sum", ignorenulls=True).over(w).alias("val_ffill"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )
