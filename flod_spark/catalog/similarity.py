@@ -223,6 +223,39 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
+def _cos_spark(a, b):
+    return _dot_spark(a, b) / (F.sqrt(_dot_spark(a, a)) * F.sqrt(_dot_spark(b, b)))
+
+
+def _cent_df(e: DataFrame) -> DataFrame:
+    """Deterministic hash-chosen centroids (the Spark twin of _CENT_SQL)."""
+    return (
+        e.orderBy(
+            F.substring(
+                F.md5(F.concat(F.lit("c|"), F.col("vec_id").cast("string")).cast("binary")), 1, 8
+            ),
+            "vec_id",
+        )
+        .limit(N_CELLS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+    )
+
+
+def _assign_cells(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, v) -> nearest cell. Argmax over centroids via
+    max_by(struct): highest cos, ties to the smallest cent_id (== the
+    oracle's ORDER BY cos DESC, cent_id rn=1). Partial aggregation
+    collapses the N_CELLS scored copies to one row per vector per task
+    BEFORE the exchange."""
+    cos_vc = _cos_spark(F.col("v"), F.col("cv"))
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "cent_id", cos_vc.alias("cos"))
+        .groupBy("vec_id", "v")
+        .agg(F.max_by("cent_id", F.struct(F.col("cos"), (-F.col("cent_id")).alias("neg"))).alias("cell"))
+    )
+
+
 @query(
     "sim_ivf",
     oracle=(
@@ -270,29 +303,8 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells at the scan (partition pruning), not per-row."""
     emb = load(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", _as_double("embedding").alias("v"))
-    cent = (
-        e.orderBy(
-            F.substring(
-                F.md5(F.concat(F.lit("c|"), F.col("vec_id").cast("string")).cast("binary")), 1, 8
-            ),
-            "vec_id",
-        )
-        .limit(N_CELLS)
-        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
-    )
-    cos_vc = _dot_spark(F.col("v"), F.col("cv")) / (
-        F.sqrt(_dot_spark(F.col("v"), F.col("v"))) * F.sqrt(_dot_spark(F.col("cv"), F.col("cv")))
-    )
-    # argmax over centroids via max_by(struct): highest cos, ties to the
-    # smallest cent_id (== the oracle's ORDER BY cos DESC, cent_id rn=1).
-    # Partial aggregation collapses the N_CELLS scored copies to one row
-    # per vector per task BEFORE the exchange.
-    a = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "cent_id", cos_vc.alias("cos"))
-        .groupBy("vec_id", "v")
-        .agg(F.max_by("cent_id", F.struct(F.col("cos"), (-F.col("cent_id")).alias("neg"))).alias("cell"))
-    )
+    cent = _cent_df(e)
+    a = _assign_cells(e, cent)
     q = (
         e.orderBy("vec_id")
         .limit(NQ)
@@ -374,4 +386,62 @@ def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_vecs"),
         mean.alias("centroid"),
         (ss / n - mean * mean).alias("dispersion"),
+    )
+
+
+SEMDEDUP_COS = 0.30
+
+
+@query(
+    "semdedup",
+    oracle=(
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        + _CENT_SQL
+        + ", "
+        "sc AS (SELECT e.vec_id, e.v, cent_id, "
+        f"    {_cos_sql('e.v', 'cv')} AS cos FROM e, cent), "
+        "a AS (SELECT vec_id, v, cent_id AS cell FROM (SELECT *, "
+        "    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM sc) "
+        "  WHERE rn = 1), "
+        f"pr AS (SELECT b.vec_id AS vid, {_cos_sql('b.v', 'c.v')} AS cos "
+        "  FROM a b JOIN a c ON b.cell = c.cell AND c.vec_id < b.vec_id), "
+        f"d AS (SELECT vid, MAX(CASE WHEN cos >= {SEMDEDUP_COS} THEN 1 ELSE 0 END) AS dup "
+        "  FROM pr GROUP BY vid) "
+        "SELECT a.vec_id, a.cell AS cell_id, COALESCE(d.dup, 0) = 1 AS is_dup "
+        "FROM a LEFT JOIN d ON d.vid = a.vec_id"
+    ),
+)
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup over embeddings with
+    COMPUTED clusters — k-means cells stand in for the paper's clustering
+    (same deterministic centroid choice as sim_ivf), then a vector is a
+    duplicate if any LOWER-id cell-mate is within cosine >= SEMDEDUP_COS
+    (the deterministic form of keep-one-per-epsilon-ball). Completes the
+    embedding-dedup story next to embed_dedup (given labels) and
+    dedup_cluster (text LSH).
+
+    Scale: centroids broadcast; assignment is map-side + one partial-agg
+    shuffle (one row per vector crosses); the pair join shuffles on cell
+    and pairs stay within cells (n²/cells, the SemDeDup cost model —
+    at real scale cells grow as sqrt(n) and hot cells split recursively).
+    The dup verdict is a partial-agg MAX per vector, id-ordered so the
+    result is engine-identical with no sequential greedy pass."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    a = _assign_cells(e, _cent_df(e))
+    b = a.alias("b")
+    c = a.alias("c")
+    pr = b.join(
+        c, (F.col("b.cell") == F.col("c.cell")) & (F.col("c.vec_id") < F.col("b.vec_id"))
+    ).select(
+        F.col("b.vec_id").alias("vid"),
+        _cos_spark(F.col("b.v"), F.col("c.v")).alias("cos"),
+    )
+    d = pr.groupBy("vid").agg(
+        F.max(F.when(F.col("cos") >= SEMDEDUP_COS, 1).otherwise(0)).alias("dup")
+    )
+    return a.join(d, a["vec_id"] == d["vid"], "left").select(
+        a["vec_id"],
+        a["cell"].alias("cell_id"),
+        (F.coalesce(d["dup"], F.lit(0)) == 1).alias("is_dup"),
     )
