@@ -41,7 +41,7 @@ from flod_spark.catalog.text import (
     QUALITY_MIN_TOKENS,
     STOP_COUNT_SQL,
     TOKEN_RE,
-    stop_count_col,
+    quality_keep_col,
 )
 from flod_spark.io import load
 from flod_spark.registry import query
@@ -90,15 +90,7 @@ def prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter -> decontaminate -> dedup -> split -> audit,
     composed."""
     docs = load(spark, sf_dir, "documents")
-    n = F.length("text")
-    n_tok = F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0)))
-    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_RE), F.lit(0)))
-    q = docs.filter(
-        (n >= QUALITY_MIN_CHARS)
-        & (n_tok >= QUALITY_MIN_TOKENS)
-        & (n_punct.cast("double") / F.nullif(n, F.lit(0)) < QUALITY_MAX_PUNCT)
-        & (stop_count_col().cast("double") / F.nullif(n_tok, F.lit(0)) >= QUALITY_MIN_STOP)
-    )
+    q = docs.filter(quality_keep_col())
     tok_arr = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
     bench_ng = (
         docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)

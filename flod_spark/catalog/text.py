@@ -44,6 +44,21 @@ def stop_count_col() -> F.Column:
     return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN))).cast("long")
 
 
+def quality_keep_col() -> F.Column:
+    """The C4-style keep predicate over column `text` — the single source
+    of truth shared by doc_quality's verdict, prep_pipeline's stage 1,
+    and Pipeline.quality_filter."""
+    n = F.length("text")
+    n_tok = F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0)))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_RE), F.lit(0)))
+    return (
+        (n >= QUALITY_MIN_CHARS)
+        & (n_tok >= QUALITY_MIN_TOKENS)
+        & (n_punct.cast("double") / F.nullif(n, F.lit(0)) < QUALITY_MAX_PUNCT)
+        & (stop_count_col().cast("double") / F.nullif(n_tok, F.lit(0)) >= QUALITY_MIN_STOP)
+    )
+
+
 @query(
     "text_stats",
     oracle=(
@@ -186,13 +201,7 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         punct_ratio.alias("punct_ratio"),
         (n_upper.cast("double") / F.nullif(n, F.lit(0))).alias("upper_ratio"),
         stop_ratio.alias("stop_ratio"),
-        F.when(
-            (n >= QUALITY_MIN_CHARS)
-            & (n_tok >= QUALITY_MIN_TOKENS)
-            & (punct_ratio < QUALITY_MAX_PUNCT)
-            & (stop_ratio >= QUALITY_MIN_STOP),
-            "keep",
-        ).otherwise("drop").alias("verdict"),
+        F.when(quality_keep_col(), "keep").otherwise("drop").alias("verdict"),
     )
 
 

@@ -269,6 +269,64 @@ class Pipeline:
             lo = hi
         return out
 
+    def quality_filter(self, text_col: str | None = None) -> "Pipeline":
+        """C4-style quality keep-rule (catalog doc_quality semantics, same
+        constants) as a chainable filter. Map-only; ordered streams are
+        re-ranked gap-free."""
+        from flod_spark.catalog.text import quality_keep_col
+
+        col = text_col or VALUE
+        if col == "text":
+            kept = self.df.filter(quality_keep_col())
+        else:
+            if "text" in self.df.columns:
+                raise ValueError("stream already has a 'text' column; pass text_col='text'")
+            kept = self.df.withColumn("text", F.col(col)).filter(quality_keep_col()).drop("text")
+        return self._reseq(kept) if self.ordered else self._derive(kept)
+
+    def repetition_filter(self, text_col: str | None = None) -> "Pipeline":
+        """Gopher-style repetition drop-rule (catalog doc_repetition
+        semantics, same thresholds) as a chainable filter. Map-only."""
+        from flod_spark.catalog.text import REP_MAX_DUP1, REP_MAX_DUP2, TOKEN_RE, _dup_col
+
+        col = text_col or VALUE
+        with_tk = self.df.withColumn(
+            "tk", F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), F.lit(0))
+        )
+        kept = with_tk.filter(
+            ~((_dup_col(1) > REP_MAX_DUP1) | (_dup_col(2) > REP_MAX_DUP2))
+        ).drop("tk")
+        return self._reseq(kept) if self.ordered else self._derive(kept)
+
+    def decontaminate(self, bench: "Pipeline", text_col: str | None = None, bench_col: str | None = None) -> "Pipeline":
+        """Drop rows sharing >= DECON_MIN_OVERLAP token n-grams with the
+        benchmark pipeline (catalog decontaminate semantics). The bench
+        gram set is collected to the driver and applied as a map-only
+        array_intersect — sound because benchmarks are MBs by definition;
+        the catalog query shows the broadcast-join form for when the gram
+        set is itself a table."""
+        from flod_spark.catalog.dedup import DECON_MIN_OVERLAP, _ngram_arr_col
+        from flod_spark.catalog.text import TOKEN_RE
+
+        def grams(df: DataFrame, col: str):
+            return df.withColumn(
+                "tk", F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), F.lit(0))
+            ).select(F.explode(_ngram_arr_col()).alias("g"))
+
+        bench_grams = [r.g for r in grams(bench.df, bench_col or VALUE).distinct().collect()]
+        col = text_col or VALUE
+        mine = self.df.withColumn(
+            "tk", F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), F.lit(0))
+        )
+        overlap = F.size(
+            F.array_intersect(
+                _ngram_arr_col(),
+                F.lit(bench_grams).cast("array<string>") if bench_grams else F.array().cast("array<string>"),
+            )
+        )
+        kept = mine.filter(overlap < DECON_MIN_OVERLAP).drop("tk")
+        return self._reseq(kept) if self.ordered else self._derive(kept)
+
     # ---- sinks (SURVEY §2.3) -------------------------------------------
     def to_array(self) -> list[Row]:
         """ArraySink package.d:69-112 — materialize to driver (ordered if seq)."""

@@ -125,3 +125,54 @@ def test_agg_approx_error_bounds(spark, sf_dir):
         assert a.n_rows == exact[k].n_rows
         # accuracy=10000 over ~2k rows/group: within 1% of the exact median
         assert abs(a.approx_median_price - emed[k]) <= 0.01 * emed[k]
+
+
+def test_pipeline_corpus_filters_chain(spark):
+    import flod_spark as fs
+    from flod_spark.catalog.text import QUALITY_MIN_CHARS
+
+    good = (
+        "the cat and the dog went to the market and it was a fine day for all of "
+        "them to walk in the sun with many other friendly animals nearby today"
+    )
+    bad_short = "too short"
+    # passes quality (has stopwords, long enough) but is pure repetition
+    bad_repeat = ("the spam and spam " * 15).strip()
+    p = fs.from_array(spark, [good, bad_short, bad_repeat], type_hint="string")
+
+    q = p.quality_filter().to_array()
+    assert [r.value for r in q] == [good, bad_repeat]  # length+stopword rule
+    assert len(good) >= QUALITY_MIN_CHARS
+
+    r = p.repetition_filter().to_array()
+    assert [r.value for r in r] == [good, bad_short]  # dup-gram rule
+
+    both = p.quality_filter().repetition_filter().to_array()
+    assert [x.value for x in both] == [good]
+
+
+def test_pipeline_decontaminate_matches_catalog_rule(spark):
+    import flod_spark as fs
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    leaked = "prefix words then alpha beta gamma delta epsilon and more"
+    clean = "completely different phrasing with no overlap at all here"
+    bench = fs.from_array(spark, [bench_text], type_hint="string")
+    p = fs.from_array(spark, [leaked, clean], type_hint="string")
+    out = p.decontaminate(bench).to_array()
+    assert [r.value for r in out] == [clean]
+
+    # empty benchmark: nothing drops
+    empty = fs.from_array(spark, ["a b"], type_hint="string")  # < 5 tokens -> no grams
+    assert len(p.decontaminate(empty).to_array()) == 2
+
+
+def test_pipeline_filters_preserve_order_and_reseq(spark):
+    import flod_spark as fs
+
+    texts = [f"doc {i} " + ("the cat sat on the mat and it was good " * 4) for i in range(6)]
+    texts[2] = "x"  # fails quality
+    p = fs.from_array(spark, texts, type_hint="string").ordered_by("value")
+    out = p.quality_filter()
+    rows = out.df.select("seq").collect()
+    assert sorted(r.seq for r in rows) == list(range(5))  # gap-free reseq
