@@ -445,3 +445,69 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a["cell"].alias("cell_id"),
         (F.coalesce(d["dup"], F.lit(0)) == 1).alias("is_dup"),
     )
+
+
+@query(
+    "kmeans_iter",
+    oracle=(
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        + _CENT_SQL
+        + ", "
+        "sc1 AS (SELECT e.vec_id, e.v, cent_id, "
+        f"    {_cos_sql('e.v', 'cv')} AS cos FROM e, cent), "
+        "a1 AS (SELECT vec_id, v, cent_id AS cell FROM (SELECT *, "
+        "    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM sc1) "
+        "  WHERE rn = 1), "
+        "x AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a1), "
+        f"m AS (SELECT cell, pos, CAST(SUM(CAST(floor(val * {_FXP}) AS BIGINT)) AS DOUBLE) "
+        f"    / {_FXP} / COUNT(*) AS c FROM x GROUP BY cell, pos), "
+        "cent2 AS (SELECT cell AS cent_id, list(c ORDER BY pos) AS cv FROM m GROUP BY cell), "
+        "sc2 AS (SELECT a1.vec_id, a1.cell AS cell1, cent_id, "
+        f"    {_cos_sql('a1.v', 'cv')} AS cos FROM a1, cent2), "
+        "a2 AS (SELECT vec_id, cell1, cent_id AS cell2 FROM (SELECT *, "
+        "    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM sc2) "
+        "  WHERE rn = 1) "
+        "SELECT vec_id, cell1 AS cell_round1, cell2 AS cell_round2, "
+        "  cell1 <> cell2 AS moved FROM a2"
+    ),
+)
+def kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration of k-means, end to end and EXACT in both
+    engines: hash-chosen init centroids -> cosine assignment (round 1) ->
+    centroid UPDATE via 2^40 fixed-point means (order-independent, see
+    embed_centroids) -> re-assignment against the updated centroids
+    (round 2). Output is each vector's cell before/after with a `moved`
+    flag — the convergence signal a driver loop would test.
+
+    This is the iterative-algorithm template: each round is (broadcast
+    centroids -> map-side score + partial-agg argmax -> one (cell, pos)
+    partial-agg shuffle for the update). At real scale the driver loop
+    persists the assignment between rounds (here Catalyst recomputes the
+    2-round DAG — fine at gate scale, noted for 100 TB) and stops when
+    moved/n drops below tolerance. Exactness across engines comes from
+    the fixed-point update: identical centroid doubles => identical
+    round-2 cosines => identical assignments, bit for bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    a1 = _assign_cells(e, _cent_df(e))
+    x = a1.select("cell", F.posexplode("v").alias("pos0", "val")).select(
+        "cell", (F.col("pos0") + 1).alias("pos"), "val"
+    )
+    m = x.groupBy("cell", "pos").agg(
+        (F.sum(F.floor(F.col("val") * _FXP)).cast("double") / _FXP / F.count("*")).alias("c")
+    )
+    cent2 = m.groupBy("cell").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "c"))).getField("c").alias("cv")
+    ).select(F.col("cell").alias("cent_id"), "cv")
+    a2 = _assign_cells(a1.select("vec_id", "v"), cent2)
+    r1 = a1.select("vec_id", F.col("cell").alias("cell_round1"))
+    r2 = a2.select("vec_id", F.col("cell").alias("cell_round2"))
+    return (
+        r1.join(r2, "vec_id")
+        .select(
+            "vec_id",
+            "cell_round1",
+            "cell_round2",
+            (F.col("cell_round1") != F.col("cell_round2")).alias("moved"),
+        )
+    )
