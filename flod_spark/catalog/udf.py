@@ -79,3 +79,71 @@ def udf_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         _charge_stage,
         schema="l_orderkey long, l_linenumber long, charge double, band string",
     )
+
+
+@query(
+    "udf_scalar",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, "
+        "  (l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS charge "
+        "FROM lineitem"
+    ),
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf flavor (element-wise, Arrow-vectorized): the
+    same charge expression as udf_stage but authored as a column
+    function — the stage shape for user math that composes with other
+    column expressions. Narrow; pipelines with the scan."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return (price * (1.0 - disc)) * (1.0 + tax)
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
+
+
+def _qty_share(b: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map user stage: each row's share of its group's total
+    quantity. The group total is computed EXACTLY by summing integer
+    cents (l_quantity has 2 decimals), so the result is independent of
+    pandas' summation order and matches the oracle's DECIMAL window sum."""
+    total = (b["l_quantity"] * 100.0).round().astype("int64").sum() / 100.0
+    return pd.DataFrame(
+        {
+            "l_orderkey": b["l_orderkey"],
+            "l_linenumber": b["l_linenumber"],
+            "l_returnflag": b["l_returnflag"],
+            "qty_share": b["l_quantity"] / total,
+        }
+    )
+
+
+@query(
+    "udf_grouped",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, l_returnflag, "
+        "  l_quantity / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) "
+        "    OVER (PARTITION BY l_returnflag) AS DOUBLE) AS qty_share "
+        "FROM lineitem"
+    ),
+)
+def udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas flavor (flod's partitioned peek/consume):
+    the user function sees one FULL group as a pandas DataFrame. Scale
+    contract: the group must fit an executor (here: per-returnflag at
+    gate scale; real pipelines key on bounded entities) — for unbounded
+    groups use mapInPandas or a window expression instead. One shuffle
+    on the group key."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    return li.groupBy("l_returnflag").applyInPandas(
+        _qty_share,
+        schema="l_orderkey long, l_linenumber long, l_returnflag string, qty_share double",
+    )

@@ -45,7 +45,15 @@ def ensure_shipped(spark: SparkSession) -> None:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     zpath = os.path.join(tempfile.gettempdir(), "flod_spark_pkg.zip")
-    if not os.path.exists(zpath):
+    # rebuild when any source is newer than the cached zip — a stale zip
+    # makes workers fail to unpickle by-reference functions added since
+    src_mtime = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _dirs, files in os.walk(pkg_dir)
+        for f in files
+        if f.endswith(".py")
+    )
+    if not os.path.exists(zpath) or os.path.getmtime(zpath) < src_mtime:
         tmp = zpath + ".tmp"
         with zipfile.ZipFile(tmp, "w") as z:
             for root, _dirs, files in os.walk(pkg_dir):
