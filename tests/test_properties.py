@@ -51,3 +51,41 @@ def test_with_seq_is_rank(spark, xs):
     got = {r.uid: r.seq for r in out}
     expect = {uid: rank for rank, (v, uid) in enumerate(sorted((v, u) for u, v in rows))}
     assert got == expect
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(st.text(alphabet=list("abc xy0"), max_size=60), min_size=1, max_size=4))
+def test_ngram_helper_matches_python_model(spark, texts):
+    """_ngram_arr_col == the plain-Python distinct token-5-gram model
+    (tokenize, window of 5, join with spaces, dedup preserving nothing)."""
+    import re
+
+    from flod_spark.catalog.dedup import DECON_NGRAM, _ngram_arr_col
+    from flod_spark.catalog.text import TOKEN_RE
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    out = {
+        r.id: sorted(r.g)
+        for r in df.select(
+            "id",
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0)).alias("tk"),
+        ).select("id", _ngram_arr_col().alias("g")).collect()
+    }
+    for i, t in enumerate(texts):
+        tk = re.findall("[a-z0-9]+", t.lower())
+        grams = {" ".join(tk[j : j + DECON_NGRAM]) for j in range(len(tk) - DECON_NGRAM + 1)}
+        assert sorted(grams) == out[i]
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=st.lists(st.floats(min_value=-2.0, max_value=2.0, width=32), min_size=1, max_size=50))
+def test_fixed_point_sum_is_order_free(vals):
+    """floor(v * 2^40) summed as ints is identical under any ordering and
+    equals the straight Python model — the embed_centroids exactness claim."""
+    import math
+
+    FXP = 1099511627776.0
+    ints = [math.floor(float(v) * FXP) for v in vals]
+    assert sum(ints) == sum(reversed(ints)) == sum(sorted(ints))
+    # quantization error bound: n ulps at 2^-40
+    assert abs(sum(ints) / FXP - math.fsum(float(v) for v in vals)) <= len(vals) / FXP
