@@ -770,3 +770,136 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("rolling_1h"),
     )
+
+
+@query(
+    "tpch_q10",
+    oracle=(
+        "SELECT c_custkey, c_name, "
+        "  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue, "
+        "  c_acctbal, n_name "
+        "FROM customer, orders, lineitem, nation "
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+        "  AND o_orderdate >= TIMESTAMP '1997-03-01' AND o_orderdate < TIMESTAMP '1997-06-01' "
+        "  AND l_returnflag = 'R' AND c_nationkey = n_nationkey "
+        "GROUP BY c_custkey, c_name, c_acctbal, n_name "
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"
+    ),
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): fact⋈fact co-shuffle +
+    broadcast dim + top-20. Scale: the quarter filter prunes orders at
+    the scan and the returnflag filter prunes lineitem; orders⋈lineitem
+    co-shuffles on orderkey; customer (fact-sized at scale) co-shuffles
+    on custkey; nation broadcasts. Top-20 is TakeOrderedAndProject
+    (per-partition heap, no global sort)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q14",
+    oracle=(
+        # promo_pct is computed in DOUBLE from the two exact decimal sums
+        # with a fixed op order (cast, *100.0, /) so both engines emit the
+        # same bits; never divide the decimals directly (scale/rounding
+        # rules differ between engines).
+        "WITH s AS (SELECT "
+        "    SUM(CASE WHEN p_type = 'PROMO' "
+        "      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) "
+        "      ELSE CAST(0 AS DECIMAL(28,6)) END) AS promo, "
+        "    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS total "
+        "  FROM lineitem, part "
+        "  WHERE l_partkey = p_partkey "
+        "    AND l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01') "
+        "SELECT CAST(promo AS DOUBLE) AS promo_revenue, "
+        "  CAST(total AS DOUBLE) AS total_revenue, "
+        "  CAST(promo AS DOUBLE) * 100.0 / CAST(total AS DOUBLE) AS promo_pct "
+        "FROM s"
+    ),
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): conditional aggregate ratio.
+    Scale: the month filter pushes to the lineitem scan; part broadcasts
+    (dimension) so the join is map-side; both sums collapse map-side to
+    one row per task — the exchange carries |tasks| rows."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    zero = F.lit(0).cast("decimal(28,6)")
+    s = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).alias("promo"),
+        F.sum(rev).alias("total"),
+    )
+    promo_d = F.col("promo").cast("double")
+    total_d = F.col("total").cast("double")
+    return s.select(
+        promo_d.alias("promo_revenue"),
+        total_d.alias("total_revenue"),
+        (promo_d * F.lit(100.0) / total_d).alias("promo_pct"),
+    )
+
+
+Q18_QTY_THRESHOLD = 250
+
+
+@query(
+    "tpch_q18",
+    oracle=(
+        "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
+        "  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty "
+        "FROM customer, orders, lineitem "
+        f"WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+        f"    GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {Q18_QTY_THRESHOLD}) "
+        "  AND c_custkey = o_custkey AND o_orderkey = l_orderkey "
+        "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice "
+        "ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100"
+    ),
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): aggregate-filtered SEMI
+    join. Scale: the HAVING subquery aggregates lineitem on orderkey
+    (partial agg map-side), and the surviving keeper set (~1% of orders
+    at threshold 250) joins back as LEFT SEMI on the same orderkey
+    partitioning — Catalyst reuses the exchange; customer broadcasts
+    against the tiny filtered order set. Top-100 via
+    TakeOrderedAndProject."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("q"))
+        .filter(F.col("q") > Q18_QTY_THRESHOLD)
+        .select("l_orderkey")
+    )
+    li_big = li.join(big.withColumnRenamed("l_orderkey", "bk"),
+                     F.col("l_orderkey") == F.col("bk"), "left_semi")
+    return (
+        li_big.join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(qty).cast("double").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )

@@ -90,6 +90,63 @@ def stream_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_session_live",
+    oracle=(
+        # strict '<' horizon on both sides: a session whose end lands
+        # EXACTLY on the final watermark would hinge on Spark's eviction
+        # strictness; end < watermark is emitted under either reading.
+        # (user_id, ts) is unique in events (module docstring), so ts alone
+        # is a total per-user order — no tiebreak column needed.
+        "WITH o AS (SELECT user_id, ts, value, "
+        "    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events), "
+        "m AS (SELECT *, CASE WHEN prev_ts IS NULL "
+        "    OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM o), "
+        "s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+        "    ROWS UNBOUNDED PRECEDING) AS sid FROM m), "
+        "g AS (SELECT user_id, MIN(ts) AS session_start, "
+        "    MAX(ts) + INTERVAL 30 MINUTE AS session_end, "
+        "    COUNT(*) AS n_events, "
+        "    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "  FROM s GROUP BY user_id, sid) "
+        "SELECT user_id, session_start, session_end, n_events, sum_value FROM g "
+        "WHERE session_end < (SELECT max(ts) - INTERVAL '2 hours' FROM events)"
+    ),
+)
+def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming session windows (30-min gap): readStream ->
+    withWatermark + session_window() -> append-mode memory sink. Spark
+    merges session state across micro-batches and emits a session once
+    the watermark passes its end (last event + gap); the horizon filter
+    keeps exactly the sessions the final watermark (max_ts - 2h) closed,
+    and the oracle sessionizes in SQL (gaps-and-islands) with the same
+    cutoff — exact, like stream_window_live. Scale: session state shards
+    by user_id across executors; the watermark bounds it to ~2h of open
+    sessions per key."""
+    ev = load(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_s_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4)
+    sess = (
+        stream.withWatermark("ts", _WATERMARK)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    got = _drain(sess, spark)
+    horizon = F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+    return got.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    ).filter(F.col("session_end") < horizon)
+
+
+@query(
     "stream_take_live",
     oracle=(
         "SELECT event_id, ts, user_id, event_type, value, props FROM ("
