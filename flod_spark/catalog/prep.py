@@ -82,7 +82,10 @@ from flod_spark.registry import query
         "  ELSE 'test' END AS split FROM d) "
         # stage 5: mixture audit (counts + BPE-ish token total per cell)
         "SELECT split, lang, COUNT(*) AS n_docs, "
-        f"  SUM(CAST(length(regexp_extract_all(lower(text), '{BPE_RE}')) AS BIGINT)) AS n_tokens "
+        # CAST the SUM itself: DuckDB SUM(BIGINT) yields HUGEINT, which
+        # renders as float in the driver's compare layer while Spark emits
+        # BIGINT — same artifact class as stream_session's session_id
+        f"  CAST(SUM(CAST(length(regexp_extract_all(lower(text), '{BPE_RE}')) AS BIGINT)) AS BIGINT) AS n_tokens "
         "FROM s GROUP BY split, lang"
     ),
 )

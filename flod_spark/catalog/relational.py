@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flod_spark.io import load
+from flod_spark.io import load, ts_micros
 from flod_spark.registry import query
 
 
@@ -761,7 +761,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(ts_micros("ts"))
         .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     return ev.select(

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flod_spark.io import load
+from flod_spark.io import load, ts_micros
 from flod_spark.registry import query
 
 
@@ -106,7 +106,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_s",
             F.when(
                 F.col("prev_ts").isNull()
-                | (F.unix_micros("ts") - F.unix_micros("prev_ts") > gap_us),
+                | (ts_micros("ts") - ts_micros("prev_ts") > gap_us),
                 1,
             ).otherwise(0),
         )

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from flod_spark.io import load
 from flod_spark.registry import query
 from flod_spark.streaming import replay_stream, streaming_take_per_key, tumbling_counts
+from flod_spark.streaming.windows import as_naive, with_event_time
 
 _WINDOW = "1 hour"
 _WATERMARK = "2 hours"
@@ -128,7 +129,8 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(replay_dir, ignore_errors=True)
     stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4)
     sess = (
-        stream.withWatermark("ts", _WATERMARK)
+        with_event_time(stream)
+        .withWatermark("ts", _WATERMARK)
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
@@ -139,8 +141,8 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon = F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
     return got.select(
         "user_id",
-        F.col("w.start").alias("session_start"),
-        F.col("w.end").alias("session_end"),
+        as_naive("w.start").alias("session_start"),
+        as_naive("w.end").alias("session_end"),
         "n_events",
         "sum_value",
     ).filter(F.col("session_end") < horizon)
@@ -192,6 +194,7 @@ def stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay_dir = tempfile.mkdtemp(prefix="flod_replay_j_")
     shutil.rmtree(replay_dir, ignore_errors=True)
     stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4)
+    stream = with_event_time(stream)
     signups = (
         stream.filter(F.col("event_type") == "signup")
         .select(

@@ -284,3 +284,66 @@ def scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length"),
         F.md5(F.hex(F.col("content")).cast("binary")).alias("content_md5"),
     )
+
+
+@query(
+    "by_line_sep",
+    oracle=(
+        # flod Splitter contract on a LITERAL multi-char separator with
+        # keep-terminator (range.d:359-515, behavior tests range.d:470-483):
+        # every element but an unterminated final one gets the separator
+        # re-appended; a terminated-end marker (trailing empty) is dropped.
+        "WITH p AS (SELECT doc_id, string_split(text, '. ') AS parts FROM documents), "
+        "u AS (SELECT doc_id, unnest(parts) AS line, "
+        "    generate_subscripts(parts, 1) AS pos, len(parts) AS n FROM p) "
+        "SELECT doc_id, CAST(pos AS BIGINT) AS line_no, "
+        "  CASE WHEN pos < n THEN line || '. ' ELSE line END AS line "
+        "FROM u WHERE pos < n OR line <> ''"
+    ),
+)
+def by_line_sep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 byLine/Splitter with a multi-char separator containing a regex
+    metachar ('. ') plus keep_terminator=True — the full Splitter contract
+    (range.d:359-515), routed through the Pipeline façade so the driver
+    gate exercises pipeline.py's \\Q…\\E literal-quoting of the separator.
+    Scale: narrow op, rows stay in the parent task (same as by_line)."""
+    from flod_spark.pipeline import Pipeline
+
+    docs = load(spark, sf_dir, "documents")
+    p = Pipeline(docs.select("doc_id", F.col("text").alias("value")))
+    out = p.by_line(". ", keep_terminator=True).df
+    return out.select(
+        "doc_id",
+        F.col("line_no").cast("long").alias("line_no"),
+        F.col("value").alias("line"),
+    )
+
+
+@query(
+    "tag_roundtrip",
+    oracle=(
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "'docs_v1' AS source_tag FROM documents GROUP BY lang"
+    ),
+)
+def tag_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag engine end-to-end (metadata.d:38-41 setter, :102-116 getter):
+    a static tag set at the source survives a filter, a projection, and
+    an aggregation boundary (Catalyst carries StructField metadata through
+    all three), is read back by the nearest-upstream-setter rule, and is
+    surfaced as a result column the oracle can check. The dynamic
+    observe() path is asserted across a real action in
+    tests/test_tags_engine.py (it needs a driver-side Observation handle,
+    which the gate's query/oracle shape cannot carry).
+    Scale: tags are schema metadata — zero row-data cost, no shuffle."""
+    from flod_spark.tags import get_tag, set_tag
+
+    docs = load(spark, sf_dir, "documents")
+    tagged = set_tag(docs, "source", "docs_v1")
+    t = tagged.filter(F.col("doc_id").isNotNull()).select("doc_id", "lang")
+    val = get_tag(t, "source")  # nearest upstream setter, post-transform
+    return (
+        t.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("source_tag", F.lit(val))
+    )

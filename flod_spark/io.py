@@ -59,23 +59,66 @@ def _respread(spark: SparkSession, df: DataFrame, path: str, amplify: float = 1.
     return df
 
 
+def ts_micros(col_name: str):
+    """Epoch microseconds of a timestamp column, safe for BOTH
+    ``timestamp`` and ``timestamp_ntz`` inputs and independent of
+    ``spark.sql.session.timeZone``.
+
+    ``unix_micros()`` rejects TIMESTAMP_NTZ outright (the driver's parquet
+    stores events.ts as isAdjustedToUTC=0/MICROS, which Spark reads as NTZ),
+    and casting NTZ->TIMESTAMP silently bakes in the session timezone.
+    ``timestampdiff`` against an NTZ epoch literal instead does pure
+    wall-clock arithmetic — the same rule DuckDB's epoch_us() applies to
+    the same naive column, so oracles agree bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"cast({col_name} as timestamp_ntz))"
+    )
+
+
 def load(
     spark: SparkSession, sf_dir: str, table: str, spread: bool = False, amplify: float = 1.0
 ) -> DataFrame:
     """Parquet scan. Catalyst pushes filters/projections into this scan —
     callers must NOT .cache() eagerly or pushdown is lost.
 
-    events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark rejects by
-    default: read it as raw nanos (legacy conf) and truncate to µs —
-    exactly what DuckDB does on the same file, so oracles agree."""
+    events.ts is normalized to ONE type — ``timestamp_ntz`` — whatever the
+    file's physical type delivers (the current testdata is
+    isAdjustedToUTC=0/MICROS, i.e. natively NTZ; legacy NANOS-as-INT64 and
+    UTC-adjusted MICROS files are converted). DuckDB reads the same column
+    as naive TIMESTAMP, so every downstream oracle compares naive-to-naive.
+    Downstream epoch arithmetic goes through :func:`ts_micros`."""
     path = f"{sf_dir}/{table}.parquet"
     if table == "events":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        t = dict(df.dtypes).get("ts")
+        if t == "bigint":
+            # legacy NANOS-as-INT64: truncate to µs and rebuild the naive
+            # value by wall-clock arithmetic (no session-tz dependence)
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        elif t == "timestamp":
+            # UTC-adjusted MICROS: take the UTC wall-clock reading —
+            # exactly the naive value DuckDB surfaces for the same file.
+            # unix_micros(LTZ) is instant->epoch (no tz involved);
+            # timestampadd on an NTZ literal is pure wall arithmetic —
+            # the whole round-trip is session-tz independent.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, unix_micros(ts), "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
         return _respread(spark, df, path, amplify) if spread else df
     df = spark.read.parquet(path)
     return _respread(spark, df, path, amplify) if spread else df

@@ -301,10 +301,13 @@ class Pipeline:
     def decontaminate(self, bench: "Pipeline", text_col: str | None = None, bench_col: str | None = None) -> "Pipeline":
         """Drop rows sharing >= DECON_MIN_OVERLAP token n-grams with the
         benchmark pipeline (catalog decontaminate semantics). The bench
-        gram set is collected to the driver and applied as a map-only
-        array_intersect — sound because benchmarks are MBs by definition;
-        the catalog query shows the broadcast-join form for when the gram
-        set is itself a table."""
+        gram set stays a DataFrame end-to-end: its distinct grams collapse
+        to ONE array row that a broadcast crossJoin hands to every task
+        (never through the driver), then a map-only array_intersect scores
+        each row — sound because benchmarks are MBs by definition. The
+        catalog query (catalog/dedup.py::decontaminate) shows the
+        exploded broadcast-JOIN form for when the gram set is too big for
+        one array; both shapes keep the corpus side shuffle-free."""
         from flod_spark.catalog.dedup import DECON_MIN_OVERLAP, _ngram_arr_col
         from flod_spark.catalog.text import TOKEN_RE
 
@@ -313,18 +316,22 @@ class Pipeline:
                 "tk", F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), F.lit(0))
             ).select(F.explode(_ngram_arr_col()).alias("g"))
 
-        bench_grams = [r.g for r in grams(bench.df, bench_col or VALUE).distinct().collect()]
+        bench_arr = (
+            grams(bench.df, bench_col or VALUE)
+            .distinct()
+            .agg(F.collect_list("g").alias("_bench_grams"))
+        )  # exactly one row; size bounded by the benchmark, not the corpus
         col = text_col or VALUE
         mine = self.df.withColumn(
             "tk", F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), F.lit(0))
-        )
+        ).crossJoin(F.broadcast(bench_arr))
         overlap = F.size(
             F.array_intersect(
                 _ngram_arr_col(),
-                F.lit(bench_grams).cast("array<string>") if bench_grams else F.array().cast("array<string>"),
+                F.coalesce(F.col("_bench_grams"), F.array().cast("array<string>")),
             )
         )
-        kept = mine.filter(overlap < DECON_MIN_OVERLAP).drop("tk")
+        kept = mine.filter(overlap < DECON_MIN_OVERLAP).drop("tk", "_bench_grams")
         return self._reseq(kept) if self.ordered else self._derive(kept)
 
     # ---- sinks (SURVEY §2.3) -------------------------------------------

@@ -67,41 +67,41 @@ def ensure_shipped(spark: SparkSession) -> None:
     spark._flod_spark_shipped = True
 
 # The driver's correctness gate checks only the FIRST 50 entries of
-# queries(). Registration order (module import order) once decided this
-# implicitly, pushing canonical qkeys (sim_topk, udf_stage, …) past the
-# cap. _GATE_ORDER makes the window explicit: every SURVEY §2 canonical
-# qkey + each family's flagship first; overflow (variant forms, live
-# streaming twins — all verified by tools/parity.py locally) after.
+# queries(). _GATE_ORDER makes the window explicit, and ROTATES each
+# round so every registered query earns at least one driver CORRECTNESS
+# row across rounds (round-2 verdict item 4). Round-3 window =
+#   (a) the 2 round-2 red cells (now fixed — must re-prove green),
+#   (b) all 33 queries that have never had a driver row,
+#   (c) the 13 round-1 cells rotated out in round 2,
+#   (d) the 2 new round-3 qkeys (tag_roundtrip, by_line_sep).
+# Everything rotated out here was driver-green in r1/r2 AND stays
+# verified by tools/parity.py locally each round.
 # Keys not listed here sort after listed ones, in registration order.
 _GATE_ORDER = (
-    # sources (S1-S5)
-    "scan_file", "scan_binary", "scan_array", "scan_range", "scan_delegate", "scan_queue",
-    # filters (F1-F17)
-    "take_limit", "by_line", "by_chunk", "by_chunk_arrays", "by_element", "adapter_noop",
-    # sinks (K1-K4)
-    "sink_file", "sink_discard", "sink_collect", "sink_copy",
-    # joins (equi flagship + as-of + the formerly-vacuous cells)
-    "join_equi", "join_asof", "join_anti", "join_range",
-    # aggregation / window / sort / set / scalar
-    "agg_group", "agg_distinct", "window_rank", "sort_topk",
-    "set_union", "set_except", "scalar_fns",
-    # streaming (batch shadows; live twins overflow past the cap)
-    "stream_window", "stream_sliding", "stream_session", "stream_dedup",
-    # UDF stage
-    "udf_stage",
-    # LLM-data ops
-    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
-    "sim_topk", "sim_lsh", "embed_dedup", "media_meta",
-    # text analysis (token_count/text_clean overflow: same map-only
-    # regex shape as their siblings here, still parity-verified locally)
-    # (fingerprint overflow: its md5-hex shape is already gated via
-    # dedup_exact and media_meta's content_id)
-    "text_stats", "lang_id", "doc_quality", "json_extract", "prep_pipeline",
-    # deterministic sampling flagships (the two distinct plan shapes:
-    # map-only hash filter / WindowGroupLimit stratified)
-    "sample_hash", "sample_stratified",
-    # TPC-H composites + codec
-    "tpch_q3", "tpch_q6", "codec_gzip",
+    # (a) round-2 red cells, fixed this round
+    "stream_session", "prep_pipeline",
+    # (b) never-gated: relational/TPC-H composites
+    "tpch_q5", "tpch_q10", "tpch_q14", "tpch_q18",
+    "agg_grouping_sets", "agg_approx", "window_range_frame",
+    "join_salted", "join_bucketed", "resample_gapfill",
+    # (b) never-gated: LLM-data ops
+    "dedup_cluster", "dedup_apply", "decontaminate", "semdedup",
+    "sim_ivf", "embed_centroids", "kmeans_iter",
+    "token_histogram", "doc_repetition",
+    "sample_mixture", "split_assign", "pack_sequences", "sample_shuffle",
+    # (b) never-gated: UDF variants
+    "udf_scalar", "udf_grouped",
+    # (b) never-gated: LIVE Structured Streaming (the north-star path)
+    "stream_window_live", "stream_session_live", "stream_take_live",
+    "stream_join_live", "stream_queue_live",
+    # (b) never-gated: sink formats
+    "sink_csv", "sink_json", "sink_partitioned",
+    # (c) round-1 cells rotated out in round 2
+    "agg_rollup", "agg_cube", "agg_pivot", "agg_percentile", "agg_collect",
+    "array_fns", "fingerprint", "join_outer", "join_semi", "set_intersect",
+    "text_clean", "token_count", "window_running",
+    # (d) new round-3 qkeys
+    "tag_roundtrip", "by_line_sep",
 )
 
 
@@ -141,6 +141,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_shipped(spark)
+            # Deterministic temporal semantics in ANY session (the driver
+            # builds its own): event time is naive end-to-end; the one
+            # NTZ->LTZ->NTZ round-trip (streaming watermarks) is only a
+            # bijection when the session timezone is fixed — pin UTC.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             return fn(spark, sf_dir)
 
         QUERIES[name] = wrapped

@@ -38,6 +38,10 @@ def get_spark(
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Deterministic temporal semantics everywhere: events.ts is naive
+        # (TIMESTAMP_NTZ) end-to-end, but any incidental NTZ<->LTZ cast or
+        # current_timestamp() must not depend on the host's timezone.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

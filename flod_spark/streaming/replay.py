@@ -37,7 +37,9 @@ def replay_stream(
     # and cross-batch ts ordering holds because boundaries are monotone.
     # Micros fit a double exactly (< 2^53) so the round-trip is lossless.
     mc = "_replay_us"
-    with_us = df.withColumn(mc, F.unix_micros(F.col(order_col)))
+    from flod_spark.io import ts_micros
+
+    with_us = df.withColumn(mc, ts_micros(order_col))
     fracs = [b / n_batches for b in range(1, n_batches)]
     bounds = [int(v) for v in with_us.stat.approxQuantile(mc, fracs, 0.001)] if fracs else []
     # approxQuantile returns [] on an empty (or all-NULL order key) input:

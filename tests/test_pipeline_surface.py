@@ -228,3 +228,24 @@ def test_set_tag_accepts_arbitrary_objects(spark):
     c = Cfg()
     p = fs.from_array(spark, [1, 2], type_hint="long").set_tag("cfg", c).take(1)
     assert p.get_tag("cfg") is c
+
+
+def test_chainable_decontaminate_broadcasts_no_collect(spark):
+    # a train doc that shares >=3 token 5-grams with a bench doc drops;
+    # unrelated docs survive. The bench gram set must reach executors as
+    # a broadcast (one-row crossJoin), never through a driver collect.
+    contaminated = "the quick brown fox jumps over the lazy dog again and again"
+    clean = "completely different words about spark partitions and shuffles here"
+    bench = fs.from_array(spark, [contaminated], type_hint="string")
+    train = fs.from_array(spark, [contaminated, clean], type_hint="string")
+    out = train.decontaminate(bench)
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    vals = [r.value for r in out.to_array()]
+    assert vals == [clean]
+
+
+def test_chainable_decontaminate_empty_bench_keeps_all(spark):
+    bench = fs.from_array(spark, [], type_hint="string")
+    train = fs.from_array(spark, ["keep me", "and me"], type_hint="string")
+    assert len(train.decontaminate(bench).to_array()) == 2

@@ -48,6 +48,20 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     s, o = canon(sdf), canon(odf)
     for c in s.columns:
         sv, ov = s[c], o[c]
+        # Dtype-CLASS mismatch: the driver's value hash renders int 891 and
+        # float 891.0 differently, so a null-free int-vs-float pair is a
+        # real failure (the DuckDB HUGEINT-rendering artifact class) even
+        # when every value is numerically identical. A float side that
+        # contains NaN is the ordinary null-upcast — the value comparison
+        # below adjudicates that case.
+        ik = ("i", "u")
+        if (sv.dtype.kind in ik and ov.dtype.kind == "f" and not ov.isna().any()) or (
+            ov.dtype.kind in ik and sv.dtype.kind == "f" and not sv.isna().any()
+        ):
+            errs.append(
+                f"col {c}: dtype-class mismatch spark={sv.dtype} oracle={ov.dtype} "
+                "(driver hash diverges even if values agree — add a CAST)"
+            )
         if sv.dtype.kind == "f" or ov.dtype.kind == "f":
             sa, oa = sv.astype(float).to_numpy(), ov.astype(float).to_numpy()
             both_nan = pd.isna(sa) & pd.isna(oa)
