@@ -489,16 +489,12 @@ def kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-2 cosines => identical assignments, bit for bit."""
     emb = load(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", _as_double("embedding").alias("v"))
-    a1 = _assign_cells(e, _cent_df(e))
-    x = a1.select("cell", F.posexplode("v").alias("pos0", "val")).select(
-        "cell", (F.col("pos0") + 1).alias("pos"), "val"
-    )
-    m = x.groupBy("cell", "pos").agg(
-        (F.sum(F.floor(F.col("val") * _FXP)).cast("double") / _FXP / F.count("*")).alias("c")
-    )
-    cent2 = m.groupBy("cell").agg(
-        F.array_sort(F.collect_list(F.struct("pos", "c"))).getField("c").alias("cv")
-    ).select(F.col("cell").alias("cent_id"), "cv")
+    # persist round 1 once: both the centroid update AND the final
+    # round-1/round-2 comparison read it, and without the checkpoint
+    # Catalyst recomputes the whole assignment DAG per consumer — the
+    # exact between-rounds persistence a production driver loop needs
+    a1 = _assign_cells(e, _cent_df(e)).localCheckpoint()
+    cent2 = update_centroids(a1)
     a2 = _assign_cells(a1.select("vec_id", "v"), cent2)
     r1 = a1.select("vec_id", F.col("cell").alias("cell_round1"))
     r2 = a2.select("vec_id", F.col("cell").alias("cell_round2"))
@@ -511,3 +507,59 @@ def kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cell_round1") != F.col("cell_round2")).alias("moved"),
         )
     )
+
+
+def update_centroids(a: DataFrame) -> DataFrame:
+    """Lloyd centroid update from an assignment (vec_id, v, cell) ->
+    (cent_id, cv). Per-dimension means through 2^40 fixed-point sums so
+    the result is order-independent and bit-identical cross-engine (the
+    embed_centroids rule). One (cell, pos) partial-agg shuffle; the
+    collect_list is |cells| rows of dim doubles — driver-free and tiny."""
+    x = a.select("cell", F.posexplode("v").alias("pos0", "val")).select(
+        "cell", (F.col("pos0") + 1).alias("pos"), "val"
+    )
+    m = x.groupBy("cell", "pos").agg(
+        (F.sum(F.floor(F.col("val") * _FXP)).cast("double") / _FXP / F.count("*")).alias("c")
+    )
+    return (
+        m.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).getField("c").alias("cv"))
+        .select(F.col("cell").alias("cent_id"), "cv")
+    )
+
+
+def kmeans_fit(
+    e: DataFrame,
+    n_rounds: int,
+    cent0: DataFrame | None = None,
+    persist: bool = True,
+) -> tuple[DataFrame, list[int]]:
+    """Multi-round Lloyd driver loop — the production form of the
+    kmeans_iter template. Each round: broadcast centroids -> map-side
+    cosine + partial-agg argmax -> fixed-point centroid update. The
+    assignment is localCheckpoint()ed per round (``persist=True``), so
+    round N+1 reads materialized round-N state instead of recomputing an
+    N-deep DAG — at 100 TB this is the difference between O(rounds) and
+    O(rounds²) scan work. Lineage truncation also caps the plan depth,
+    the same trick operators/graph.py uses for connected components.
+
+    Returns (final assignment (vec_id, v, cell), per-round moved counts —
+    the driver's convergence signal; stop when moved/n < tol).
+    ``persist=False`` keeps the pure-lineage form (the cross-engine-
+    oracle shape) for equivalence testing."""
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint() if persist else df
+
+    a = _ckpt(_assign_cells(e, cent0 if cent0 is not None else _cent_df(e)))
+    moved: list[int] = []
+    for _ in range(n_rounds):
+        nxt = _ckpt(_assign_cells(a.select("vec_id", "v"), update_centroids(a)))
+        moved.append(
+            nxt.alias("n")
+            .join(a.alias("p"), F.col("n.vec_id") == F.col("p.vec_id"))
+            .filter(F.col("n.cell") != F.col("p.cell"))
+            .count()
+        )
+        a = nxt
+    return a, moved

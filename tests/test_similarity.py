@@ -75,3 +75,27 @@ def test_lsh_bucket_recall(spark, sf_dir):
             multi += any(b[q] == b[n] for b in tables)
     assert single / total >= 2 / 64, f"single-table recall {single/total:.3f}"
     assert multi / total >= 0.2, f"8-table candidate recall {multi/total:.3f}"
+
+
+def test_kmeans_fit_two_rounds_persisted_matches_recompute(spark, sf_dir):
+    """The production driver loop (localCheckpoint state between rounds)
+    must produce bit-identical assignments to the pure-lineage recompute
+    form — persistence is a performance choice, never a semantic one."""
+    from flod_spark.io import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", similarity._as_double("embedding").alias("v"))
+    a_p, moved_p = similarity.kmeans_fit(e, n_rounds=2, persist=True)
+    a_r, moved_r = similarity.kmeans_fit(e, n_rounds=2, persist=False)
+    assert moved_p == moved_r
+    got_p = {r.vec_id: r.cell for r in a_p.select("vec_id", "cell").collect()}
+    got_r = {r.vec_id: r.cell for r in a_r.select("vec_id", "cell").collect()}
+    assert got_p == got_r
+    # and round 1 of the loop == the gated kmeans_iter query's round 2
+    one, moved1 = similarity.kmeans_fit(e, n_rounds=1, persist=True)
+    q = {r.vec_id: r.cell_round2 for r in similarity.kmeans_iter(spark, sf_dir).collect()}
+    got1 = {r.vec_id: r.cell for r in one.select("vec_id", "cell").collect()}
+    assert got1 == q
+    assert moved1[0] == sum(
+        1 for r in similarity.kmeans_iter(spark, sf_dir).collect() if r.moved
+    )
