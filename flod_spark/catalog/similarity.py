@@ -423,7 +423,8 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: centroids broadcast; assignment is map-side + one partial-agg
     shuffle (one row per vector crosses); the pair join shuffles on cell
     and pairs stay within cells (n²/cells, the SemDeDup cost model —
-    at real scale cells grow as sqrt(n) and hot cells split recursively).
+    at real scale cells grow as sqrt(n); split_hot_cells below caps any
+    hot cell before the pair join — tested at sf0.1).
     The dup verdict is a partial-agg MAX per vector, id-ordered so the
     result is engine-identical with no sequential greedy pass."""
     emb = load(spark, sf_dir, "embeddings")
@@ -507,6 +508,76 @@ def kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cell_round1") != F.col("cell_round2")).alias("moved"),
         )
     )
+
+
+def split_hot_cells(a: DataFrame, max_cell: int, max_rounds: int = 6) -> DataFrame:
+    """Recursive hot-cell split — the scale guard for every within-cell
+    pair generator (semdedup's n²/cell, sim_ivf's probe lists): refine
+    any cell with more than ``max_cell`` members until the bound holds.
+
+    Input/output: (vec_id, v, cell); cells at/below the bound keep their
+    id untouched, so cold-cell results are unchanged by construction.
+
+    Per round, ONE salted SRP hyperplane bit (cosine-locality-preserving
+    — near-duplicates land on the same side, so the pairs a split hides
+    are the far ones) refines only the hot cells; a final row_number
+    chop guarantees the bound even for degenerate cells a hyperplane
+    cannot separate (e.g. thousands of identical vectors). That chop is
+    a window over hot cells only — the one single-task pass, reserved
+    for cells the geometry itself cannot split.
+
+    Scale: each round is one partial-agg size count (|cells| rows), a
+    broadcast semi-join of the hot-cell ids, and a map-side plane dot;
+    localCheckpoint truncates lineage so plan depth stays O(1) per
+    round, the operators/graph.py discipline. Rounds needed ~
+    log2(n_max/max_cell) — 6 covers a 64× hottest-cell overload."""
+    a = a.withColumn("cell", F.col("cell").cast("string"))
+    for r in range(max_rounds):
+        hot = F.broadcast(
+            a.groupBy("cell").agg(F.count("*").alias("_n")).filter(F.col("_n") > max_cell).select("cell")
+        )
+        if hot.isEmpty():
+            return a
+        dot = F.aggregate(
+            F.zip_with(_plane_spark(0, salt=f"split{r}_"), F.col("v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, "1").otherwise("0")
+        a = (
+            a.join(hot.withColumn("_hot", F.lit(1)), "cell", "left")
+            .withColumn(
+                "cell",
+                F.when(
+                    F.col("_hot").isNotNull(), F.concat(F.col("cell"), F.lit("|"), bit)
+                ).otherwise(F.col("cell")),
+            )
+            .drop("_hot")
+            .localCheckpoint()
+        )
+    sizes = F.broadcast(
+        a.groupBy("cell").agg(F.count("*").alias("_n")).filter(F.col("_n") > max_cell).select("cell")
+    )
+    if sizes.isEmpty():
+        return a
+    # window ONLY the degenerate rows (cold rows bypass via map-side
+    # broadcast anti-join — no shuffle, no window cost for them)
+    cold = a.join(sizes, "cell", "left_anti")
+    w = Window.partitionBy("cell").orderBy("vec_id")
+    chopped = (
+        a.join(sizes, "cell", "left_semi")
+        .withColumn(
+            "cell",
+            F.concat(
+                F.col("cell"),
+                F.lit("#"),
+                F.floor((F.row_number().over(w) - 1) / F.lit(max_cell)).cast("string"),
+            ),
+        )
+    )
+    return cold.select("vec_id", "v", "cell").unionByName(
+        chopped.select("vec_id", "v", "cell")
+    ).localCheckpoint()
 
 
 def update_centroids(a: DataFrame) -> DataFrame:

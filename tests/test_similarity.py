@@ -99,3 +99,46 @@ def test_kmeans_fit_two_rounds_persisted_matches_recompute(spark, sf_dir):
     assert moved1[0] == sum(
         1 for r in similarity.kmeans_iter(spark, sf_dir).collect() if r.moved
     )
+
+
+def test_split_hot_cells_bound_holds_at_sf01(spark):
+    """The documented semdedup/sim_ivf scale caveat, now implemented:
+    after split_hot_cells no cell exceeds the bound at sf0.1, membership
+    is preserved, and cold cells keep their original ids."""
+    from flod_spark.io import load
+
+    emb = load(spark, "/root/testdata/sf0.1", "embeddings")
+    e = emb.select("vec_id", similarity._as_double("embedding").alias("v"))
+    a = similarity._assign_cells(e, similarity._cent_df(e))
+    bound = 32
+    before = a.groupBy("cell").count().toPandas()
+    split = similarity.split_hot_cells(a, max_cell=bound)
+    after = split.groupBy("cell").count().toPandas()
+    assert after["count"].max() <= bound
+    # no vector lost or duplicated
+    assert split.count() == a.count()
+    assert split.select("vec_id").distinct().count() == a.select("vec_id").distinct().count()
+    # cold cells untouched: same id (stringified), same size
+    cold = before[before["count"] <= bound]
+    after_by_cell = dict(zip(after["cell"], after["count"]))
+    for cell, n in zip(cold["cell"], cold["count"]):
+        assert after_by_cell.get(str(cell)) == n
+    # refined ids prefix back to their parent cell
+    hot = {str(c) for c in before[before["count"] > bound]["cell"]}
+    refined = [c for c in after["cell"] if "|" in c or "#" in c]
+    for c in refined:
+        assert c.split("|")[0].split("#")[0] in hot
+
+
+def test_split_hot_cells_degenerate_identical_vectors(spark):
+    """A cell of identical vectors defeats every hyperplane — the final
+    row_number chop must still guarantee the bound."""
+    n, dim = 200, 8
+    rows = [(i, [1.0] * dim) for i in range(n)]
+    a = spark.createDataFrame(rows, "vec_id long, v array<double>").withColumn(
+        "cell", F.lit(0)
+    )
+    split = similarity.split_hot_cells(a, max_cell=16)
+    sizes = split.groupBy("cell").count().toPandas()
+    assert sizes["count"].max() <= 16
+    assert int(sizes["count"].sum()) == n
