@@ -196,6 +196,180 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "simhash_pairs",
+    oracle=(
+        # 32-bit integer signature: same ±1 votes as dedup_simhash over
+        # all 32 md5 hex positions, packed big-endian (p=1 -> MSB)
+        f"WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents), "
+        "tok AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(t, '[a-z0-9]+')) AS tk FROM norm), "
+        "bits AS (SELECT doc_id, p, "
+        "    SUM(CASE WHEN strpos('89abcdef', substr(md5(tk), p, 1)) > 0 THEN 1 ELSE -1 END) AS v "
+        "  FROM tok, range(1, 33) r(p) GROUP BY doc_id, p), "
+        "sig AS (SELECT doc_id, CAST(SUM(CASE WHEN v >= 0 "
+        "    THEN (CAST(1 AS BIGINT) << (32 - p)) ELSE 0 END) AS BIGINT) AS s FROM bits GROUP BY doc_id) "
+        # oracle brute-forces all pairs (fine at oracle scale); Spark
+        # must reach EXACTLY these degrees via the band trick
+        "SELECT a.doc_id, CAST(COUNT(CASE WHEN a.doc_id <> b.doc_id "
+        "    AND bit_count(xor(a.s, b.s)) <= 3 THEN 1 END) AS BIGINT) AS n_near "
+        "FROM sig a, sig b GROUP BY a.doc_id"
+    ),
+)
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc SimHash near-duplicate DEGREE: how many other docs sit
+    within Hamming distance 3 of this doc's 32-bit signature — the
+    signal a dedup pipeline thresholds on (degree > 0 -> near-dup
+    cluster member). Output is one row per doc (linear), never the pair
+    list (quadratic on template-heavy corpora like this one).
+
+    Completeness is the pigeonhole band trick: 4 bands x 8 bits — a
+    pair within distance 3 differs in at most 3 bits, so at least one
+    band matches exactly. The band self-join therefore meets ALL
+    qualifying pairs (plus extras that bit_count(xor) filters), which
+    is why the brute-force oracle is exact, not approximate.
+    (operators/simhash.py generalizes the banding to 64-bit xxhash
+    signatures — no cross-engine oracle, so the gate uses md5-32.)
+
+    Scale: signatures are one partial-agg groupBy(doc); only
+    (band, bucket, doc_id, sig) rows shuffle — never text; the degree
+    is a partial-agg count. A hot bucket (mass-identical boilerplate)
+    takes the minhash-style rank cap at production scale; uncapped here
+    so pigeonhole completeness (and the exact oracle) holds."""
+    docs = load(spark, sf_dir, "documents", spread=True, amplify=2000)
+    norm = docs.select("doc_id", _norm_col().alias("t"))
+    tok = norm.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.regexp_extract_all(F.col("t"), F.lit("[a-z0-9]+"), F.lit(0)))
+        ).alias("tk"),
+    ).distinct()
+    pos = F.explode(F.sequence(F.lit(1), F.lit(32))).alias("p")
+    votes = (
+        tok.select("doc_id", "tk", pos)
+        .withColumn("hexd", F.md5(F.col("tk").cast("binary")).substr(F.col("p"), F.lit(1)))
+        .withColumn("vote", F.when(F.instr(F.lit("89abcdef"), F.col("hexd")) > 0, 1).otherwise(-1))
+        .groupBy("doc_id", "p")
+        .agg(F.sum("vote").alias("v"))
+    )
+    sig = votes.groupBy("doc_id").agg(
+        F.sum(
+            # SQL shiftleft takes an expression shift amount (the Python
+            # API wrapper only accepts a literal int)
+            F.when(F.col("v") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), 32 - p)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("s")
+    )
+    bands = sig.select(
+        "doc_id",
+        "s",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("s", b * 8).bitwiseAND(F.lit(255)).alias("bits"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("_e"),
+    ).select("doc_id", "s", F.col("_e.band").alias("band"), F.col("_e.bits").alias("bits"))
+    a, b = bands.alias("a"), bands.alias("b")
+    near = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("other"),
+            F.col("a.s").alias("sa"),
+            F.col("b.s").alias("sb"),
+        )
+        .distinct()  # a pair can share several bands — count once
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_near"))
+    )
+    return (
+        sig.select("doc_id")
+        .join(near, "doc_id", "left")
+        .select("doc_id", F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"))
+    )
+
+
+@query(
+    "dedup_containment",
+    oracle=(
+        # same normalized-shingle machinery (incl. the boilerplate cap)
+        # as dedup_ngram, scored by CONTAINMENT |A∩B| / min(|A|,|B|) —
+        # catches subset duplication (quotes, doc-in-doc) that symmetric
+        # Jaccard under-scores
+        f"WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents), "
+        f"sh0 AS ({_SHINGLE_SQL}), "
+        f"keep AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= {NGRAM_MAX_DF}), "
+        "sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)), "
+        "cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i "
+        "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY doc_a, doc_b), "
+        "j AS (SELECT doc_a, doc_b, CAST(i AS DOUBLE) / least(ca.n, cb.n) AS containment "
+        "  FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b) "
+        "SELECT doc_a, doc_b, containment FROM j WHERE containment >= 0.9"
+    ),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram CONTAINMENT near-dup pairs (>= 0.9): |A∩B| / min(|A|,|B|).
+    A short doc fully quoted inside a long one scores ~1.0 here but low
+    Jaccard (union is dominated by the long doc) — the subset-duplication
+    case a training-data pipeline must catch separately. Plan shape is
+    identical to dedup_ngram (same WindowGroupLimit-capped inverted
+    index, same combinatorial pair emission — see that docstring for the
+    100 TB argument); only the final score differs."""
+    docs = load(spark, sf_dir, "documents", spread=True, amplify=2000)
+    norm = docs.select("doc_id", _norm_col().alias("t"))
+    sh = norm.select("doc_id", F.explode(_shingle_arr_col()).alias("s"))
+    w = Window.partitionBy("s").orderBy("doc_id")
+    ranked = sh.select("s", "doc_id", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= NGRAM_MAX_DF + 1
+    )
+    g = (
+        ranked.groupBy("s")
+        .agg(F.max("rn").alias("mx"), F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.col("mx") <= NGRAM_MAX_DF)
+        .select("ds")
+    )
+    cnt = g.select(F.explode("ds").alias("doc_id")).groupBy("doc_id").agg(F.count("*").alias("n"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2), F.size("ds")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    inter = (
+        g.filter(F.size("ds") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    return (
+        inter.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("i").cast("double") / F.least(F.col("ca.n"), F.col("cb.n"))).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.9)
+    )
+
+
+@query(
     "dedup_ngram",
     oracle=(
         f"WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents), "

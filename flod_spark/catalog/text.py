@@ -393,3 +393,77 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dup_col(3).alias("dup3"),
         F.when((d1 > REP_MAX_DUP1) | (d2 > REP_MAX_DUP2), "drop").otherwise("keep").alias("verdict"),
     )
+
+
+# PII patterns — explicit ASCII classes only (identical Java-regex /
+# RE2 semantics, the module-header portability rule)
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IP_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+# deterministic planted PII (both engines build the same augmented text,
+# so redaction counts are provably non-vacuous at any sf)
+_PII_AUG_SQL = (
+    "text || ' contact user' || doc_id || '@mail-' || (doc_id % 7) || '.example.com "
+    "tel 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from "
+    "10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.' || ((doc_id * 13) % 256)"
+)
+
+
+@query(
+    "pii_scrub",
+    oracle=(
+        f"WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents) "
+        "SELECT doc_id, "
+        f"  regexp_replace(regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"    '{PII_PHONE_RE}', '<PHONE>', 'g'), '{PII_IP_RE}', '<IP>', 'g') AS scrubbed, "
+        f"  CAST(length(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT) AS n_email, "
+        f"  CAST(length(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT) AS n_phone, "
+        f"  CAST(length(regexp_extract_all(t, '{PII_IP_RE}')) AS BIGINT) AS n_ip "
+        "FROM aug"
+    ),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the pre-training scrub pass every web-corpus
+    pipeline runs (emails, phone numbers, IPv4 addresses -> typed
+    placeholders) plus per-doc redaction counts for the audit log.
+    Order matters: emails first (their local part could otherwise lose
+    digits to the IP pattern), then phones, then IPs.
+
+    The input is the document text with deterministically PLANTED PII
+    derived from doc_id (same construction in the oracle) so the
+    redaction path is exercised non-vacuously at every scale factor.
+    Scale: pure map-only JVM regexp stage — pipelines with the scan,
+    nothing shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com tel 555-867-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 13) % 256).cast("string"),
+    )
+    t = docs.select("doc_id", aug.alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    return t.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(PII_EMAIL_RE), F.lit(0))).cast("long").alias("n_email"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(PII_PHONE_RE), F.lit(0))).cast("long").alias("n_phone"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(PII_IP_RE), F.lit(0))).cast("long").alias("n_ip"),
+    )
