@@ -258,7 +258,10 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("long")
             )
         ).alias("s")
-    )
+    # three consumers (both join sides + the degree join-back) would each
+    # recompute the tokenize+vote DAG — materialize the 12-byte-per-doc
+    # signature table once instead (the kmeans_fit persistence rule)
+    ).localCheckpoint()
     bands = sig.select(
         "doc_id",
         "s",

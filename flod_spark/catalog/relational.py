@@ -903,3 +903,115 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "tpch_q1",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        "  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+        "  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+        "  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price, "
+        "  CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge, "
+        "  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty, "
+        "  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price, "
+        "  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc, "
+        "  COUNT(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary): the canonical wide-aggregate scan.
+    Eight aggregates over one filtered pass; averages are computed as
+    exact-decimal-sum / count (bit-identical cross-engine; AVG's native
+    double accumulation is not). Scale: single partial-agg shuffle of
+    |flags×statuses| rows per task; the shipdate filter and the 7-column
+    projection push into the parquet scan."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast("decimal(28,6)")
+    charge = (
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))) * (F.lit(1) + F.col("l_tax"))
+    ).cast("decimal(28,6)")
+    n = F.count("*")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / n).alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / n).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "merge_upsert",
+    oracle=(
+        # deterministic synthetic "update batch": every doc_id % 3 == 0
+        # arrives again as version 2 with transformed text; latest wins
+        "WITH base AS (SELECT doc_id, text, 1 AS version FROM documents), "
+        "updates AS (SELECT doc_id, upper(substr(text, 1, 100)) AS text, 2 AS version "
+        "  FROM documents WHERE doc_id % 3 = 0), "
+        "u AS (SELECT * FROM base UNION ALL SELECT * FROM updates), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn FROM u) "
+        "SELECT doc_id, text, version FROM r WHERE rn = 1"
+    ),
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion: MERGE an update batch into the base
+    table, latest version per key wins — the recrawl/refresh maintenance
+    op every living training corpus needs. union + per-key latest via
+    row_number DESC = 1, which Catalyst executes as WindowGroupLimit
+    (each task ships at most one candidate row per key per side before
+    the exchange — the dedup_ngram bounding trick applied to upsert).
+    Scale: one shuffle on the merge key; at table scale this is the
+    Delta/Iceberg MERGE fast path expressed on plain DataFrames."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text", F.lit(1).alias("version"))
+    updates = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.upper(F.substring("text", 1, 100)).alias("text"), F.lit(2).alias("version")
+    )
+    u = base.unionByName(updates)
+    w = Window.partitionBy("doc_id").orderBy(F.col("version").desc())
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "version")
+    )
+
+
+@query(
+    "quality_buckets",
+    oracle=(
+        # curriculum-bucketing: decile of docs by a deterministic quality
+        # proxy (token count), tie-broken by doc_id for a total order
+        "WITH s AS (SELECT doc_id, "
+        "    CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens "
+        "  FROM documents) "
+        "SELECT doc_id, n_tokens, "
+        "  CAST(ntile(10) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS bucket "
+        "FROM s"
+    ),
+)
+def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucketing by a quality proxy — the curriculum/mixture
+    knob (sample bucket 10 more than bucket 1). ntile over a TOTAL order
+    (score, doc_id) is engine-deterministic. Scale: a global ntile needs
+    a global sort — at 100 TB replace with approx-quantile boundaries +
+    a map-only bucket lookup (the sample_mixture pattern); exact form
+    kept here because the oracle must be exact."""
+    docs = load(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = Window.orderBy("n_tokens", "doc_id")
+    return s.select("doc_id", "n_tokens", F.ntile(10).over(w).cast("long").alias("bucket"))

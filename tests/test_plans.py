@@ -154,3 +154,35 @@ def test_token_histogram_topk_no_global_sort(spark, sf_dir):
     from flod_spark.catalog.text import token_histogram
 
     assert "TakeOrderedAndProject" in plan_of(token_histogram(spark, sf_dir))
+
+
+def test_tpch_q1_pushes_filter_and_prunes(spark, sf_dir):
+    from flod_spark.catalog.relational import tpch_q1
+
+    plan = plan_of(tpch_q1(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    read = plan.split("ReadSchema")[1][:500]
+    # 7 needed columns read, join keys not among them
+    assert "l_tax" in read and "l_orderkey" not in read
+    assert "HashAggregate" in plan
+
+
+def test_simhash_pairs_shuffles_signatures_not_text(spark, sf_dir):
+    """The band self-join must exchange only (band, bits, doc_id, sig) —
+    the document text stays behind the signature aggregation."""
+    from flod_spark.catalog.dedup import simhash_pairs
+
+    plan = plan_of(simhash_pairs(spark, sf_dir))
+    # hashpartitioning exchanges = the join/agg shuffles; the RoundRobin
+    # ones are io._respread's deliberate small-input spread of the scan
+    ex = [seg[:300] for seg in plan.split("Exchange")[1:] if "hashpartitioning" in seg[:300]]
+    assert ex, "expected at least one hash exchange (band join / degree agg)"
+    assert not any("text" in seg or " t#" in seg for seg in ex)
+
+
+def test_pii_scrub_is_map_only(spark, sf_dir):
+    from flod_spark.catalog.text import pii_scrub
+
+    plan = plan_of(pii_scrub(spark, sf_dir))
+    assert "Exchange" not in plan  # pure narrow regexp stage
