@@ -45,3 +45,71 @@ def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ascii_ratio"),
         F.substring(F.md5(as_bin), 1, 16).alias("content_id"),
     )
+
+
+@query(
+    "media_decode",
+    oracle=(
+        # closed-form twin of the pack->decode->frame-sample pipeline:
+        # every decoded field is derivable from the synthetic params, and
+        # the feature bytes are sha256(payload) — engine-identical
+        "WITH p AS (SELECT doc_id AS media_id, doc_id % 3 AS kc, "
+        "    16 + doc_id % 64 AS width, 16 + (doc_id * 3) % 64 AS height, "
+        "    1 + doc_id % 30 AS n_frames, "
+        "    repeat(chr(CAST(65 + doc_id % 26 AS INT)), CAST(doc_id % 100 AS INT)) AS payload "
+        "  FROM documents) "
+        "SELECT media_id, "
+        "  CASE kc WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, "
+        "  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height, "
+        "  CAST(n_frames AS BIGINT) AS n_frames, "
+        "  CAST(11 + length(payload) AS BIGINT) AS n_bytes, "
+        "  CAST((n_frames - 1) // 5 + 1 AS BIGINT) AS n_sampled, "
+        "  array_to_string(list_transform(range(1, 9), "
+        "    i -> CAST(CAST('0x' || substr(sha256(payload), 2*i - 1, 2) AS INT) AS VARCHAR)), ',') "
+        "    AS feat_bytes "
+        "FROM p"
+    ),
+)
+def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL multimodal pipeline under the gate: synthesize per-doc media
+    params -> PACK into FMED blobs (encode_media, mapInPandas) -> DECODE
+    back (decode_media, mapInPandas: header parse + sha256 feature
+    sketch) -> frame-sample plan (JVM arithmetic). The oracle knows the
+    closed form of every decoded field, so the whole Arrow round-trip —
+    pack, binary transfer, parse, feature extraction — is value-checked,
+    not just schema-checked (media_meta covers the SQL metadata layer).
+    Feature floats are byte/255 by construction; round(f*255) recovers
+    the exact sha256 bytes the oracle computes.
+
+    Scale: two Arrow-batched mapInPandas stages, map-only (no shuffle);
+    raw blobs die at the decode stage — only 8-double features and
+    scalar metadata flow on. Batch size is bounded by
+    arrow.maxRecordsPerBatch for MB-scale real media."""
+    from flod_spark.functions.media import decode_media, encode_media, frame_sample_plan
+
+    docs = load(spark, sf_dir, "documents")
+    params = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 3).cast("int").alias("kind_code"),
+        (F.lit(16) + F.col("doc_id") % 64).cast("int").alias("width"),
+        (F.lit(16) + (F.col("doc_id") * 3) % 64).cast("int").alias("height"),
+        (F.lit(1) + F.col("doc_id") % 30).cast("int").alias("n_frames"),
+        F.expr("CAST(repeat(char(65 + doc_id % 26), CAST(doc_id % 100 AS INT)) AS BINARY)").alias(
+            "payload"
+        ),
+    )
+    decoded = decode_media(encode_media(params))
+    sampled = frame_sample_plan(decoded, every_n=5)
+    feat_bytes = F.array_join(
+        F.transform(F.col("feature"), lambda f: F.round(f * 255).cast("int").cast("string")), ","
+    )
+    return sampled.select(
+        "media_id",
+        "kind",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("n_bytes").alias("n_bytes"),
+        F.size("sampled_frames").cast("long").alias("n_sampled"),
+        feat_bytes.alias("feat_bytes"),
+    )

@@ -132,3 +132,28 @@ def frame_sample_plan(df: DataFrame, every_n: int) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<bigint>")),
     )
+
+
+def encode_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """mapInPandas PACK stage — the writer side of the synthetic FMED
+    container (inverse of decode_media; a real build swaps the packer
+    for an image/audio encoder and the schema contract stays fixed).
+    Expects columns: kind_code int, width int, height int, n_frames int,
+    payload binary. Self-contained closure, same rationale as
+    decode_media."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _st
+
+        header = _st.Struct("<4sBHHH")
+        for pdf in batches:
+            blobs = [
+                header.pack(b"FMED", int(k), int(w), int(h), int(nf))
+                + (bytes(p) if p is not None else b"")
+                for k, w, h, nf, p in zip(
+                    pdf["kind_code"], pdf["width"], pdf["height"], pdf["n_frames"], pdf["payload"]
+                )
+            ]
+            yield pd.DataFrame({"media_id": pdf[id_col].values, "blob": blobs})
+
+    return df.mapInPandas(run, schema="media_id long, blob binary")
