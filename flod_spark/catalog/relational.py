@@ -1015,3 +1015,51 @@ def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("n_tokens", "doc_id")
     return s.select("doc_id", "n_tokens", F.ntile(10).over(w).cast("long").alias("bucket"))
+
+
+@query(
+    "key_skew_stats",
+    oracle=(
+        # the pre-join profiling every 100 TB pipeline runs before
+        # choosing salt factors / AQE thresholds: per-key frequency
+        # distribution of the join key, reduced to decision stats
+        "WITH c AS (SELECT l_suppkey AS key, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey) "
+        "SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows, "
+        "  MAX(n) AS max_key_rows, "
+        "  CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_key_rows, "
+        "  CAST(MAX(n) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE) / COUNT(*)) AS skew_ratio, "
+        "  CAST(COUNT(CASE WHEN n > 2 * (SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) FROM c) "
+        "    THEN 1 END) AS BIGINT) AS n_hot_keys "
+        "FROM c"
+    ),
+)
+def key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile: per-key counts reduced to the stats that
+    drive physical-strategy choices (salt factor ~ skew_ratio; AQE skew
+    threshold ~ max_key_rows; broadcast eligibility ~ n_keys). Scale:
+    one partial-agg shuffle of |keys| rows, then a single-row reduce —
+    the profile is O(keys), never O(rows). This is join_salted's
+    decision input expressed as a query."""
+    li = load(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_suppkey").alias("key")).agg(F.count("*").alias("n"))
+    stats = c.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+    )
+    mean = F.col("n_rows").cast("double") / F.col("n_keys")
+    # hot-key count needs the mean — a 1-row broadcast back over the
+    # per-key counts (second pass over |keys| rows, never over the data)
+    hot = (
+        c.crossJoin(F.broadcast(stats.select(mean.alias("_mean"))))
+        .filter(F.col("n") > F.lit(2) * F.col("_mean"))
+        .agg(F.count("*").alias("n_hot_keys"))
+    )
+    return stats.crossJoin(hot).select(
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        mean.alias("mean_key_rows"),
+        (F.col("max_key_rows").cast("double") / mean).alias("skew_ratio"),
+        "n_hot_keys",
+    )

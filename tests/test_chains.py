@@ -166,3 +166,27 @@ def test_take_stress_reference_scale(spark):
         assert got.c == k
         assert got.s == k * (k - 1) // 2
         assert got.m == (k - 1 if k else None)
+
+
+def test_gate_window_round3_membership():
+    """The driver checks only the FIRST 50 queries() entries. Pin the
+    round-3 rotation: the fixed red cells, the never-gated backlog, and
+    the two new qkeys must all sit inside the window (a silent reorder
+    would cost them their driver CORRECTNESS row)."""
+    import __spark_entry__ as e
+
+    window = list(e.queries())[:50]
+    must_gate = {
+        "stream_session", "prep_pipeline",                      # r2 red, fixed
+        "tag_roundtrip", "by_line_sep",                          # new r3
+        "window_range_frame", "kmeans_iter", "semdedup",
+        "dedup_cluster", "decontaminate", "sim_ivf",
+        "stream_window_live", "stream_session_live",
+        "stream_take_live", "stream_join_live", "stream_queue_live",
+        "tpch_q5", "tpch_q10", "tpch_q14", "tpch_q18",
+    }
+    missing = must_gate - set(window)
+    assert not missing, f"rotated out of the 50-entry gate window: {missing}"
+    # every registered query has an oracle except the sketch family
+    no_oracle = set(e.queries()) - set(e.oracle_sql())
+    assert no_oracle == {"agg_approx"}
