@@ -284,6 +284,25 @@ class Pipeline:
             kept = self.df.withColumn("text", F.col(col)).filter(quality_keep_col()).drop("text")
         return self._reseq(kept) if self.ordered else self._derive(kept)
 
+    def pii_scrub(self, text_col: str | None = None) -> "Pipeline":
+        """PII redaction (catalog pii_scrub semantics, same patterns):
+        emails, phone numbers, and IPv4 addresses -> typed placeholders,
+        in that order (emails first so their digits can't leak into the
+        IP pattern). Map-only JVM regexp; no shuffle."""
+        from flod_spark.catalog.text import PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE
+
+        col = text_col or VALUE
+        scrubbed = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col(col), PII_EMAIL_RE, "<EMAIL>"),
+                PII_PHONE_RE,
+                "<PHONE>",
+            ),
+            PII_IP_RE,
+            "<IP>",
+        )
+        return self._derive(self.df.withColumn(col, scrubbed))
+
     def repetition_filter(self, text_col: str | None = None) -> "Pipeline":
         """Gopher-style repetition drop-rule (catalog doc_repetition
         semantics, same thresholds) as a chainable filter. Map-only."""

@@ -249,3 +249,13 @@ def test_chainable_decontaminate_empty_bench_keeps_all(spark):
     bench = fs.from_array(spark, [], type_hint="string")
     train = fs.from_array(spark, ["keep me", "and me"], type_hint="string")
     assert len(train.decontaminate(bench).to_array()) == 2
+
+
+def test_chainable_pii_scrub(spark):
+    p = fs.from_array(
+        spark,
+        ["mail me at a.b@x-corp.io or call 555-123-4567 from 10.0.0.1", "clean text"],
+        type_hint="string",
+    )
+    vals = [r.value for r in p.pii_scrub().to_array()]
+    assert vals == ["mail me at <EMAIL> or call <PHONE> from <IP>", "clean text"]
