@@ -40,6 +40,10 @@ HEADLINE = [
     # NGRAM_MAX_DF cap — benching it at sf0.1 asserts the cap holds
     # (the uncapped form was quadratic in hot shingles: minutes, not s)
     "dedup_ngram",
+    # round-3 flagships: canonical wide aggregate + the two-stage Arrow
+    # (pack->decode) multimodal pipeline
+    "tpch_q1",
+    "media_decode",
 ]
 
 
