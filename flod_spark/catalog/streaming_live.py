@@ -245,3 +245,43 @@ def stream_queue_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value"), (F.col("value") % 10).alias("bucket")
     )
     return _drain(enriched, spark)
+
+
+@query(
+    "stream_sessionize_live",
+    oracle=(
+        # gaps-and-islands in epoch MICROSECONDS; a user's LAST session
+        # emits iff the final watermark passed its event-time timeout,
+        # in Spark's millisecond watermark arithmetic (see
+        # streaming/sessionize.py emission contract)
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), "
+        "o AS (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e), "
+        "m AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s FROM o), "
+        "s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us "
+        "    ROWS UNBOUNDED PRECEDING) AS sid FROM m), "
+        "g AS (SELECT user_id, sid, MIN(us) AS start_us, MAX(us) AS end_us, "
+        "    CAST(COUNT(*) AS BIGINT) AS n_events FROM s GROUP BY user_id, sid), "
+        "lastg AS (SELECT user_id, MAX(sid) AS last_sid FROM s GROUP BY user_id), "
+        "mx AS (SELECT MAX(epoch_us(ts)) AS mx_us FROM events) "
+        "SELECT g.user_id, g.start_us, g.end_us, g.n_events "
+        "FROM g JOIN lastg USING (user_id) "
+        "WHERE g.sid <> lastg.last_sid "
+        "   OR ((SELECT mx_us FROM mx) // 1000 - 7200000) > ((g.end_us + 1800000000) // 1000)"
+    ),
+)
+def stream_sessionize_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL custom stateful sessionizer: applyInPandasWithState with
+    EVENT-TIME TIMEOUTS (streaming/sessionize.py) — the hand-rolled twin
+    of stream_session_live's native session_window, exercising the state
+    API surface flod's stage-authoring model maps onto (traits.d:64-92):
+    multi-field state merged across micro-batches, data-driven emission,
+    and watermark-driven eviction. Sessions closed by data emit
+    watermark-independently; open sessions emit iff the final watermark
+    passed last+gap (exact ms arithmetic mirrored in the oracle)."""
+    from flod_spark.streaming.sessionize import streaming_sessionize
+
+    ev = load(spark, sf_dir, "events")
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_cs_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4)
+    return _drain(streaming_sessionize(stream), spark)

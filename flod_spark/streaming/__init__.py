@@ -24,9 +24,11 @@ from flod_spark.streaming.infinite import rate_source, take_infinite
 from flod_spark.streaming.queue import StreamingQueue
 from flod_spark.streaming.replay import replay_stream
 from flod_spark.streaming.windows import session_windows, sliding_counts, tumbling_counts
+from flod_spark.streaming.sessionize import streaming_sessionize
 from flod_spark.streaming.take import streaming_take_per_key
 
 __all__ = [
+    "streaming_sessionize",
     "StreamingQueue",
     "drop_duplicates_unbounded",
     "drop_duplicates_within",

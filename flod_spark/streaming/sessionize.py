@@ -1,0 +1,106 @@
+"""Custom stateful streaming SESSIONIZER — applyInPandasWithState with
+event-time timeouts (the second custom stateful operator next to
+streaming/take.py, and the hand-rolled twin of session_window()).
+
+Why build it when session_window exists: flod's stage-authoring model
+(user struct with peek/consume methods, traits.d:64-92) maps to Spark's
+arbitrary-stateful API, and a sessionizer exercises the parts take(n)
+does not — event-time TIMEOUTS (watermark-driven state eviction) and
+multi-field state merged across micro-batches.
+
+Emission contract (what makes an exact oracle possible):
+- a session CLOSED BY DATA (a later event of the same key beyond the
+  gap) emits deterministically, independent of watermarks;
+- a session still open at end-of-stream emits iff the final watermark
+  passed its timeout: wm_ms > (last_us + gap_us) // 1000, with
+  wm_ms = (max_event_us // 1000) - delay_ms — exactly Spark's
+  millisecond watermark arithmetic (EventTimeWatermarkExec truncates
+  event times to ms before the max/delay), replicated in the oracle;
+  Spark's no-data micro-batch (on by default) guarantees the final
+  timeout batch runs.
+
+Scale: state is 3 longs per OPEN session per key, sharded by key hash;
+the watermark bounds it to keys active in the last gap+delay window.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from flod_spark.io import ts_micros
+from flod_spark.streaming.windows import with_event_time
+
+GAP_US = 30 * 60 * 1_000_000
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap_us: int = GAP_US,
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+    time_col: str = "ts",
+) -> DataFrame:
+    """(key, session_start_us, session_end_us, n_events) per closed
+    session. Input is a streaming DF; rows of one key must arrive in
+    event-time order ACROSS micro-batches (replay_stream guarantees it;
+    within a batch we sort)."""
+    src = (
+        with_event_time(events, time_col)
+        .withWatermark(time_col, watermark)
+        .select(key_col, time_col, ts_micros(time_col).alias("_us"))
+    )
+
+    def sess_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"key": [key[0]], "start_us": [start], "end_us": [last], "n_events": [n]}
+            )
+            return
+        start, last, n = state.get if state.exists else (None, None, 0)
+        out_start, out_end, out_n = [], [], []
+        for pdf in pdfs:
+            for us in pdf.sort_values("_us")["_us"]:
+                us = int(us)
+                if start is None:
+                    start, last, n = us, us, 1
+                elif us - last > gap_us:
+                    out_start.append(start)
+                    out_end.append(last)
+                    out_n.append(n)
+                    start, last, n = us, us, 1
+                else:
+                    last, n = us, n + 1
+        if start is None:  # defensively: invoked with no rows and no timeout
+            return
+        state.update((start, last, n))
+        # event-time timeout: fires when the watermark passes the gap
+        # after the last event (ms — Spark's watermark granularity)
+        state.setTimeoutTimestamp((last + gap_us) // 1000)
+        if out_start:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(out_start),
+                    "start_us": out_start,
+                    "end_us": out_end,
+                    "n_events": out_n,
+                }
+            )
+
+    return src.groupBy(key_col).applyInPandasWithState(
+        sess_fn,
+        outputStructType="key long, start_us long, end_us long, n_events long",
+        stateStructType="start_us long, last_us long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    ).select(
+        F.col("key").alias(key_col), "start_us", "end_us", "n_events"
+    )
