@@ -347,3 +347,29 @@ def tag_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .withColumn("source_tag", F.lit(val))
     )
+
+
+@query(
+    "scan_pysource",
+    oracle=(
+        "SELECT CAST(i AS BIGINT) AS seq, CAST(i * 7 + 1 AS BIGINT) AS value, "
+        "CAST((i * 7 + 1) % 10 AS BIGINT) AS bucket FROM range(0, 5000) t(i)"
+    ),
+)
+def scan_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 DelegateSource (range.d:169-189) as a FIRST-CLASS pluggable
+    source via the Spark 4 Python DataSource API (sources/pygen.py):
+    registered format, driver-side split planning (partitions()), each
+    executor generating its slice locally — the production contract for
+    wrapping any external generator/service as a scan, with zero driver
+    materialization (scan_delegate shows the createDataFrame shim form).
+    Closed-form arithmetic stream keeps it oracle-exact."""
+    from flod_spark.sources import register_flodgen
+
+    register_flodgen(spark)
+    return (
+        spark.read.format("flodgen")
+        .option("n", 5000)
+        .option("parts", 8)
+        .load()
+    )

@@ -1,0 +1,61 @@
+"""First-class pluggable Python data source (Spark 4 DataSource API) —
+flod's generator-entry sources (DelegateSource range.d:169-189,
+RangeSource range.d:58-87) re-expressed as a REAL registered source
+rather than a createDataFrame shim: `spark.read.format("flodgen")`.
+
+Why this shape at 100 TB: `partitions()` is the split-planning hook —
+the driver plans N independent ranges and every executor generates its
+slice locally (no driver materialization, no exchange, no single
+generator bottleneck). That is exactly the contract a production
+custom source (a proprietary scan API, a service endpoint) implements;
+the arithmetic stream here keeps it oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class FlodGenDataSource(DataSource):
+    """format("flodgen"): deterministic arithmetic stream a*i + b with a
+    decimal bucket, options n/parts/mult/offset."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "flodgen"
+
+    def schema(self) -> str:
+        return "seq bigint, value bigint, bucket bigint"
+
+    def reader(self, schema) -> "FlodGenReader":
+        return FlodGenReader(self.options)
+
+
+class FlodGenReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.parts = int(options.get("parts", 8))
+        self.mult = int(options.get("mult", 7))
+        self.offset = int(options.get("offset", 1))
+
+    def partitions(self):
+        # contiguous ranges; each executor generates its slice locally
+        step = -(-self.n // self.parts) if self.n else 1
+        return [
+            InputPartition((lo, min(lo + step, self.n)))
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition):
+        lo, hi = partition.value
+        for i in range(lo, hi):
+            v = i * self.mult + self.offset
+            yield (i, v, v % 10)
+
+
+def register_flodgen(spark) -> None:
+    """Idempotent per-session registration."""
+    if getattr(spark, "_flodgen_registered", False):
+        return
+    spark.dataSource.register(FlodGenDataSource)
+    spark._flodgen_registered = True
