@@ -285,3 +285,30 @@ def stream_sessionize_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(replay_dir, ignore_errors=True)
     stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4)
     return _drain(streaming_sessionize(stream), spark)
+
+
+@query(
+    "scan_pystream_live",
+    oracle=(
+        "SELECT CAST(i AS BIGINT) AS seq, CAST(i * 7 + 1 AS BIGINT) AS value, "
+        "CAST((i * 7 + 1) % 10 AS BIGINT) AS bucket FROM range(0, 600) t(i)"
+    ),
+)
+def scan_pystream_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flodgen Python DataSource (sources/pygen.py) read as a LIVE
+    micro-batch STREAM: offset-tracked SimpleDataSourceStreamReader, 100
+    rows per trigger, runs dry at 600 — the custom-source twin of
+    stream_queue_live (flod pipe-as-output-range, range.d:211-237), but
+    through the registered Spark 4 source API with exact failure-replay
+    semantics (readBetweenOffsets). Drained append-mode into a memory
+    sink; the closed-form oracle regenerates the stream."""
+    from flod_spark.sources import register_flodgen
+
+    register_flodgen(spark)
+    stream = (
+        spark.readStream.format("flodgen")
+        .option("n", 600)
+        .option("batch", 100)
+        .load()
+    )
+    return _drain(stream, spark)

@@ -13,12 +13,19 @@ the arithmetic stream here keeps it oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class FlodGenDataSource(DataSource):
     """format("flodgen"): deterministic arithmetic stream a*i + b with a
-    decimal bucket, options n/parts/mult/offset."""
+    decimal bucket, options n/parts/mult/offset. Readable BOTH ways —
+    batch (spark.read) and micro-batch streaming (spark.readStream),
+    flod's pipe-as-input-range duality (range.d:58-87 vs 211-237)."""
 
     @classmethod
     def name(cls) -> str:
@@ -29,6 +36,9 @@ class FlodGenDataSource(DataSource):
 
     def reader(self, schema) -> "FlodGenReader":
         return FlodGenReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "FlodGenStreamReader":
+        return FlodGenStreamReader(self.options)
 
 
 class FlodGenReader(DataSourceReader):
@@ -51,6 +61,39 @@ class FlodGenReader(DataSourceReader):
         for i in range(lo, hi):
             v = i * self.mult + self.offset
             yield (i, v, v % 10)
+
+
+class FlodGenStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch reader: offset = {"pos": next_seq}; each trigger
+    serves at most `batch` rows, the stream runs dry at `n` (read then
+    returns no rows with an unchanged offset, so processAllAvailable
+    terminates deterministically). readBetweenOffsets makes replay after
+    failure exact — offsets fully determine content, the Kafka contract
+    in miniature."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 600))
+        self.batch = int(options.get("batch", 100))
+        self.mult = int(options.get("mult", 7))
+        self.offset = int(options.get("offset", 1))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def _rows(self, lo: int, hi: int):
+        return [(i, i * self.mult + self.offset, (i * self.mult + self.offset) % 10) for i in range(lo, hi)]
+
+    def read(self, start):
+        # contract: (ITERATOR of rows, next offset) — a list raises
+        # TypeError in the prefetch cache (datasource_internal.py)
+        pos = int(start["pos"])
+        end = min(pos + self.batch, self.n)
+        if pos >= self.n:
+            return (iter(()), {"pos": pos})
+        return (iter(self._rows(pos, end)), {"pos": end})
+
+    def readBetweenOffsets(self, start, end):
+        return iter(self._rows(int(start["pos"]), int(end["pos"])))
 
 
 def register_flodgen(spark) -> None:
