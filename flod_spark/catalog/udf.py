@@ -147,3 +147,54 @@ def udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _qty_share,
         schema="l_orderkey long, l_linenumber long, l_returnflag string, qty_share double",
     )
+
+
+@query(
+    "udf_table",
+    oracle=(
+        # fixed-width (100-char) segmentation with ordinal + offset —
+        # the same walk the UDTF performs, via a correlated series
+        "SELECT doc_id, CAST(i AS BIGINT) AS seg_no, "
+        "  CAST((i - 1) * 100 AS BIGINT) AS char_offset, "
+        "  CAST(length(substr(text, (i - 1) * 100 + 1, 100)) AS BIGINT) AS n_chars, "
+        "  substr(text, (i - 1) * 100 + 1, 100) AS segment "
+        "FROM (SELECT doc_id, text, "
+        "    unnest(generate_series(1, CAST(ceil(length(text) / 100.0) AS BIGINT))) AS i "
+        "  FROM documents)"
+    ),
+)
+def udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (user-defined TABLE function, Spark 3.5+/4.x) — the
+    one->many stage-authoring surface the scalar/grouped/mapInPandas trio
+    cannot express as a lateral join: each document expands to one row
+    per fixed 100-char segment with ordinal + char offset (the chunking
+    pass before a token-window model). flod analog: a byChunk-like stage
+    authored as a user struct (traits.d:64-92, range.d:549-624) — here a
+    plain Python class with a generator eval(). The walk is pure string
+    arithmetic, so DuckDB oracles the whole Python round-trip exactly.
+
+    Scale: UDTFs run row-at-a-time in Python — the SLOW path, justified
+    only for genuinely one-to-many custom logic; for the hot path prefer
+    the JVM posexplode form (by_chunk_arrays shows it). Narrow op, no
+    shuffle; output rows stay in the parent task."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "doc_id bigint, seg_no bigint, char_offset bigint, n_chars bigint, segment string"
+        )
+    )
+    class SegmentSplit:
+        def eval(self, doc_id, text):
+            t = str(text) if text is not None else ""
+            for n, k in enumerate(range(0, len(t), 100)):
+                seg = t[k : k + 100]
+                yield (doc_id, n + 1, k, len(seg), seg)
+
+    docs = load(spark, sf_dir, "documents")
+    # lateral-join form: UDTF applied per input row
+    spark.udtf.register("flod_segment_split", SegmentSplit)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT s.* FROM _udtf_docs, LATERAL flod_segment_split(doc_id, text) s"
+    )
