@@ -133,3 +133,24 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {to}")
         spark.sql(f"DROP TABLE IF EXISTS {tl}")
     return out
+
+
+@query("sink_pysink", oracle="SELECT * FROM supplier")
+def sink_pysink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 write() through a PLUGGABLE Python sink (Spark 4
+    DataSourceWriter, sources/pygen.py::FlodDumpDataSource): each task
+    streams its partition into a JSON-lines part file; two-phase
+    commit() finalizes driver-side. Read back with the original schema
+    — a byte-faithful round-trip proves the custom write path. This is
+    the sink-side twin of scan_pysource (source-side custom API)."""
+    from flod_spark.sources import register_flodgen
+
+    register_flodgen(spark)
+    sup = load(spark, sf_dir, "supplier")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/dump"
+        sup.write.format("floddump").option("path", path).mode("append").save()
+        back = (
+            spark.read.schema(sup.schema).json(f"{path}/*.jsonl").localCheckpoint(eager=True)
+        )
+    return back

@@ -1,3 +1,7 @@
-from flod_spark.sources.pygen import FlodGenDataSource, register_flodgen
+from flod_spark.sources.pygen import (
+    FlodDumpDataSource,
+    FlodGenDataSource,
+    register_flodgen,
+)
 
-__all__ = ["FlodGenDataSource", "register_flodgen"]
+__all__ = ["FlodDumpDataSource", "FlodGenDataSource", "register_flodgen"]

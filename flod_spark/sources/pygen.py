@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -101,4 +102,50 @@ def register_flodgen(spark) -> None:
     if getattr(spark, "_flodgen_registered", False):
         return
     spark.dataSource.register(FlodGenDataSource)
+    spark.dataSource.register(FlodDumpDataSource)
     spark._flodgen_registered = True
+
+
+class FlodDumpDataSource(DataSource):
+    """format("floddump"): pluggable Python SINK (DataSourceWriter) —
+    flod's sink-side extension point (K1 write()/FileWriter,
+    file.d:36-67) as a registered Spark 4 writer. Each task streams its
+    partition through write() into one JSON-lines part file; commit()
+    runs driver-side after all tasks succeed (the two-phase contract a
+    production writer uses for atomicity)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "floddump"
+
+    def writer(self, schema, overwrite: bool) -> "FlodDumpWriter":
+        return FlodDumpWriter(self.options)
+
+
+class FlodDumpWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        from pyspark.sql.datasource import WriterCommitMessage
+
+        _os.makedirs(self.path, exist_ok=True)
+        n = 0
+        fname = _os.path.join(self.path, f"part-{_uuid.uuid4().hex}.jsonl")
+        with open(fname, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        if n == 0:
+            _os.remove(fname)  # no empty part files
+        return WriterCommitMessage()
+
+    def commit(self, messages):
+        return None
+
+    def abort(self, messages):
+        return None
