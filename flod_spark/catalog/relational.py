@@ -1063,3 +1063,162 @@ def key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("max_key_rows").cast("double") / mean).alias("skew_ratio"),
         "n_hot_keys",
     )
+
+
+@query(
+    "tpch_q7",
+    oracle=(
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year, "
+        "  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue "
+        "FROM supplier, lineitem, orders, customer, nation n1, nation n2 "
+        "WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey "
+        "  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey "
+        "  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+        "    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+        "  AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31' "
+        "GROUP BY supp_nation, cust_nation, l_year"
+    ),
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bidirectional nation-pair trade by
+    year. Scale: the two nation filters broadcast and PRUNE both fact
+    sides before the lineitem⋈orders shuffle (only rows of two nations
+    survive); the final agg is a tiny partial-agg exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+                | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+            )
+            & F.col("l_shipdate").between(
+                F.lit("1995-01-01").cast("timestamp"), F.lit("1996-12-31").cast("timestamp")
+            )
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@query(
+    "tpch_q8",
+    oracle=(
+        "WITH all_n AS (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, "
+        "    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) AS volume, "
+        "    n2.n_name AS nation "
+        "  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region "
+        "  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey "
+        "    AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey "
+        "    AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA' "
+        "    AND s_nationkey = n2.n_nationkey AND p_type = 'ECONOMY' "
+        "    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31') "
+        "SELECT o_year, "
+        "  CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(28,6)) END) "
+        "    AS DOUBLE) / CAST(SUM(volume) AS DOUBLE) AS mkt_share "
+        "FROM all_n GROUP BY o_year"
+    ),
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one nation's share of ECONOMY-
+    part revenue sold into AMERICA, by year. Scale: part/region/nation/
+    customer/supplier all broadcast (dimension chain); lineitem⋈orders
+    is the only big shuffle; share = ratio of two exact decimal sums
+    (deterministic under any partial-agg order)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    p = load(spark, sf_dir, "part")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_regionkey").alias("rk1"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("nation"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    j = (
+        li.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            o.filter(
+                F.col("o_orderdate").between(
+                    F.lit("1995-01-01").cast("timestamp"), F.lit("1996-12-31").cast("timestamp")
+                )
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("nk1"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "AMERICA")), F.col("rk1") == r.r_regionkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("nk2"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(28,6)")
+    return j.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(zero)).cast(
+                "double"
+            )
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "tpch_q17",
+    oracle=(
+        # quantities are whole numbers in doubles, so AVG is an exact
+        # integer-sum / count in both engines — the 0.2*avg threshold is
+        # bit-identical and the comparison deterministic
+        "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly "
+        "FROM lineitem, part "
+        "WHERE p_partkey = l_partkey AND p_brand = 'Brand#12' AND p_size <= 15 "
+        "  AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 "
+        "    WHERE l2.l_partkey = p_partkey)"
+    ),
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue of below-1/5-of-
+    average-quantity orders for one brand's small parts. The correlated
+    scalar subquery is DECORRELATED by hand into the scale shape: one
+    partial-agg per-part average over lineitem (exact — integer-valued
+    quantities), broadcast-joined back; Catalyst plans the same for the
+    subquery form, written explicitly here so the plan is pinned."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    parts = F.broadcast(
+        p.filter((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 15)).select("p_partkey")
+    )
+    avgs = (
+        li.join(parts, li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("thr"))
+    )
+    return (
+        li.join(F.broadcast(avgs.withColumnRenamed("l_partkey", "pk")), li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("thr"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
