@@ -1222,3 +1222,46 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "null_semantics",
+    oracle=(
+        # planted NULLs (testdata has none) exercise three-valued logic:
+        # COUNT skips NULLs, `=` is never true against NULL, and the
+        # null-safe comparator (Spark <=>, SQL IS NOT DISTINCT FROM)
+        # treats NULL as a value
+        "WITH t AS (SELECT o_orderkey, "
+        "    CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END AS s1, "
+        "    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS s2 "
+        "  FROM orders) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "  CAST(COUNT(s1) AS BIGINT) AS n_s1, "
+        "  CAST(COUNT(CASE WHEN s1 = s2 THEN 1 END) AS BIGINT) AS n_eq, "
+        "  CAST(COUNT(CASE WHEN s1 IS NOT DISTINCT FROM s2 THEN 1 END) AS BIGINT) AS n_eq_nullsafe, "
+        "  CAST(COUNT(CASE WHEN coalesce(s1, '?') = coalesce(s2, '?') THEN 1 END) AS BIGINT) "
+        "    AS n_eq_coalesce "
+        "FROM t"
+    ),
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics gallery: COUNT(col) vs COUNT(*), plain `=` under
+    three-valued logic, Spark's null-safe `<=>` (ANSI IS NOT DISTINCT
+    FROM), and the coalesce idiom — the correctness corners every
+    engine switch trips over (flod's typed streams have no NULL; the
+    relational surface must get it right). Map-only + one 1-row agg."""
+    o = load(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, None).otherwise(F.col("o_orderstatus")).alias("s1"),
+        F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(F.col("o_orderstatus")).alias("s2"),
+    )
+    return t.agg(
+        F.count("*").alias("n_rows"),
+        F.count("s1").alias("n_s1"),
+        F.count(F.when(F.col("s1") == F.col("s2"), 1)).alias("n_eq"),
+        F.count(F.when(F.col("s1").eqNullSafe(F.col("s2")), 1)).alias("n_eq_nullsafe"),
+        F.count(
+            F.when(F.coalesce("s1", F.lit("?")) == F.coalesce("s2", F.lit("?")), 1)
+        ).alias("n_eq_coalesce"),
+    )
