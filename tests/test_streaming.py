@@ -119,3 +119,45 @@ def test_take_over_infinite_rate_stream(spark):
     rows = take_infinite(rate_source(spark, rows_per_second=200), 7, spark)
     assert len(rows) == 7
     assert sorted(r.value for r in rows) == list(range(7))
+
+
+def test_streaming_checkpoint_recovery_exactly_once(spark, events, tmp_path):
+    """The fault-tolerance contract: a query stopped and RESTARTED from
+    its checkpoint processes only unseen input (no duplicates, no loss).
+    Phase 1 drains two replay files; new files arrive while the query is
+    down; phase 2 restarts from the same checkpoint and must emit
+    exactly the remainder."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src_dir, ckpt, out = str(tmp_path / "src"), str(tmp_path / "ckpt"), str(tmp_path / "out")
+    ev = events.select("event_id", "user_id", "ts").orderBy("ts", "event_id")
+    half = ev.count() // 2
+    first, second = ev.limit(half), ev.subtract(ev.limit(half))
+    first.coalesce(1).write.mode("append").parquet(src_dir)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    n_phase1 = spark.read.parquet(out).count()
+    assert n_phase1 == half
+    second.coalesce(1).write.mode("append").parquet(src_dir)
+    run_once()
+    got = spark.read.parquet(out).toPandas().sort_values("event_id").reset_index(drop=True)
+    want = ev.toPandas().sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(want)  # no duplicates, no loss
+    pd.testing.assert_frame_equal(
+        got[["event_id", "user_id"]], want[["event_id", "user_id"]]
+    )
