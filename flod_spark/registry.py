@@ -129,6 +129,7 @@ _CATALOG_MODULES = (
     "flod_spark.catalog.sampling",
     "flod_spark.catalog.packing",
     "flod_spark.catalog.prep",
+    "flod_spark.catalog.analytics",
 )
 
 
