@@ -1265,3 +1265,79 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.coalesce("s1", F.lit("?")) == F.coalesce("s2", F.lit("?")), 1)
         ).alias("n_eq_coalesce"),
     )
+
+
+@query(
+    "window_dist",
+    oracle=(
+        # distribution window functions over a TOTAL order (price, then
+        # unique line key) — rank-family completeness next to window_rank
+        "SELECT l_orderkey, l_linenumber, "
+        "  percent_rank() OVER w AS pct_rank, "
+        "  cume_dist() OVER w AS cume, "
+        "  CAST(ntile(4) OVER w AS BIGINT) AS quartile "
+        "FROM lineitem "
+        "WINDOW w AS (ORDER BY l_extendedprice, l_orderkey, l_linenumber)"
+    ),
+)
+def window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist / ntile)
+    over a total order — the rank-family completion of window_rank.
+    Both are rank-arithmetic over identical orders, so doubles match
+    bitwise. Scale: an unpartitioned window is a single-partition sort —
+    kept because the oracle needs global ranks; the 100 TB form
+    partitions by a bucket key first (quality_buckets shows the
+    approx-quantile alternative)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "value_zscore",
+    oracle=(
+        # per-user z-scores with moments from EXACT decimal sums: mean
+        # and variance become identical doubles in both engines, and the
+        # per-row (x-mean)/sd arithmetic is IEEE-identical after that
+        "WITH m AS (SELECT user_id, COUNT(*) AS n, "
+        "    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1, "
+        "    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2 "
+        "  FROM events GROUP BY user_id) "
+        "SELECT e.event_id, e.user_id, e.value, "
+        "  (e.value - m.s1 / m.n) / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n)) AS z, "
+        "  abs((e.value - m.s1 / m.n) / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n))) > 2 "
+        "    AS is_outlier "
+        "FROM events e JOIN m ON e.user_id = m.user_id WHERE m.n > 1"
+    ),
+)
+def value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity z-score outlier flags — the numeric data-quality pass
+    (drop or down-weight anomalous readings before training). Moments
+    come from exact decimal sums (order-independent), so mean/sd are
+    bit-identical cross-engine and the per-row z arithmetic follows.
+    Scale: one partial-agg shuffle for the moments; the join back is
+    co-partitioned on user_id; everything else is map-side."""
+    ev = load(spark, sf_dir, "events")
+    vd = F.col("value").cast("decimal(18,6)")
+    m = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(vd).cast("double").alias("s1"),
+        F.sum(vd * vd).cast("double").alias("s2"),
+    )
+    j = ev.join(m.filter(F.col("n") > 1), "user_id")
+    mean = F.col("s1") / F.col("n")
+    sd = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    z = (F.col("value") - mean) / sd
+    return j.select(
+        "event_id",
+        "user_id",
+        "value",
+        z.alias("z"),
+        (F.abs(z) > 2).alias("is_outlier"),
+    )
