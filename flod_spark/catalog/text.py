@@ -467,3 +467,47 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("t"), F.lit(PII_PHONE_RE), F.lit(0))).cast("long").alias("n_phone"),
         F.size(F.regexp_extract_all(F.col("t"), F.lit(PII_IP_RE), F.lit(0))).cast("long").alias("n_ip"),
     )
+
+
+@query(
+    "bpe_pairs",
+    oracle=(
+        # the BPE-training inner loop: corpus-wide adjacent token-pair
+        # frequencies, top-50 (unique tiebreak on the pair text)
+        f"WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS tk "
+        "  FROM documents), "
+        "pairs AS (SELECT unnest(list_zip(tk[1:len(tk)-1], tk[2:len(tk)])) AS pr "
+        "  FROM tok WHERE len(tk) >= 2) "
+        "SELECT pr[1] AS left_tok, pr[2] AS right_tok, "
+        "  CAST(COUNT(*) AS BIGINT) AS n_pair "
+        "FROM pairs GROUP BY left_tok, right_tok "
+        "ORDER BY n_pair DESC, left_tok, right_tok LIMIT 50"
+    ),
+)
+def bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent token-pair frequencies, top-50 — one iteration of the
+    BPE/WordPiece merge-selection loop (the most-frequent pair is the
+    next merge rule). Pairing is MAP-SIDE array arithmetic
+    (arrays_zip of the token list against its own shift — no self-join,
+    no positional explode-and-rejoin); only (pair, partial count) rows
+    cross the shuffle, and the top-50 is TakeOrderedAndProject (no
+    global sort). At 100 TB this is exactly the scalable shape of a
+    tokenizer-training pair census."""
+    docs = load(spark, sf_dir, "documents", spread=True, amplify=100)
+    tk = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))
+    t = docs.select(tk.alias("tk")).filter(F.size("tk") >= 2)
+    pairs = t.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("tk", 1, F.size("tk") - 1).alias("l"),
+                F.slice(F.col("tk"), 2, F.size("tk") - 1).alias("r"),
+            )
+        ).alias("pr")
+    )
+    return (
+        pairs.select(F.col("pr.l").alias("left_tok"), F.col("pr.r").alias("right_tok"))
+        .groupBy("left_tok", "right_tok")
+        .agg(F.count("*").alias("n_pair"))
+        .orderBy(F.col("n_pair").desc(), "left_tok", "right_tok")
+        .limit(50)
+    )
