@@ -7,7 +7,7 @@ one exchange.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flod_spark.io import load
@@ -104,4 +104,64 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.datediff(F.col("w"), F.col("cohort_w")) / 7).cast("long").alias("week_offset"),
         )
         .agg(F.count("*").alias("n_active"))
+    )
+
+
+@query(
+    "orders_rfm",
+    oracle=(
+        # RFM scoring: recency (days since last order at corpus max
+        # date), frequency, monetary — each quartiled over a total order
+        "WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders), "
+        "base AS (SELECT o_custkey AS custkey, "
+        "    CAST(date_diff('day', MAX(o_orderdate), (SELECT mxd FROM mx)) AS BIGINT) AS recency_days, "
+        "    CAST(COUNT(*) AS BIGINT) AS frequency, "
+        "    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary "
+        "  FROM orders GROUP BY o_custkey) "
+        "SELECT custkey, recency_days, frequency, monetary, "
+        "  CAST(ntile(4) OVER (ORDER BY recency_days, custkey) AS BIGINT) AS r_score, "
+        "  CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey) AS BIGINT) AS f_score, "
+        "  CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey) AS BIGINT) AS m_score "
+        "FROM base"
+    ),
+)
+def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) customer scoring — the classic
+    value-segmentation pass. One partial-agg shuffle builds the per-
+    customer base; each score is a quartile over a total (metric,
+    custkey) order. Scale note: the three unpartitioned ntiles are
+    single-partition sorts over |customers| rows (already aggregated —
+    fine); at extreme cardinality swap in approx-quantile boundaries
+    (quality_buckets shows the pattern)."""
+    o = load(spark, sf_dir, "orders")
+    mxd = o.agg(F.max("o_orderdate").alias("mxd"))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mxd))
+        .select(
+            "custkey",
+            F.datediff("mxd", "last_order").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(Window.orderBy("recency_days", "custkey")).cast("long").alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "custkey"))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), "custkey"))
+        .cast("long")
+        .alias("m_score"),
     )

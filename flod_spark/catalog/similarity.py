@@ -634,3 +634,39 @@ def kmeans_fit(
         )
         a = nxt
     return a, moved
+
+
+@query(
+    "embed_norms",
+    oracle=(
+        # sequential-fold L2 norm (identical op order both engines =>
+        # bitwise doubles); unit check at 1e-6; dim from the array itself
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) "
+        "SELECT vec_id, CAST(len(v) AS BIGINT) AS dim, "
+        "  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS l2, "
+        "  abs(sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) - 1.0) < 1e-6 "
+        "    AS is_unit "
+        "FROM e"
+    ),
+)
+def embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector hygiene pass: per-embedding L2 norm + unit-norm flag — the
+    sanity gate before any cosine ANN (un-normalized vectors silently
+    corrupt dot-product 'cosine'). Sequential fold on doubles matches
+    DuckDB's list_reduce bitwise (registry determinism rule). Map-only;
+    runs inside the scan stage at any scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = _as_double("embedding")
+    sq = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    # DuckDB list_reduce has no init: fold starts at v[1]^2. With x*x
+    # terms the (0.0 + first) difference is exact in IEEE, so both folds
+    # agree bitwise anyway.
+    l2 = F.sqrt(sq)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        l2.alias("l2"),
+        (F.abs(l2 - F.lit(1.0)) < 1e-6).alias("is_unit"),
+    )
