@@ -11,7 +11,7 @@ are identical in both).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flod_spark.io import load
@@ -510,4 +510,133 @@ def bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pair"))
         .orderBy(F.col("n_pair").desc(), "left_tok", "right_tok")
         .limit(50)
+    )
+
+
+# URL canonicalization (both engines; conservative regex subset):
+# protocol+host lowercased, default port dropped, tracking params
+# (utm_*, fbclid, gclid) stripped, trailing '?'/'&'/'/' and fragments cut
+_URL_FRAG_RE = "#[^ ]*"
+_URL_TRACK_RE = "(utm_[a-z]+|fbclid|gclid)=[^&# ]*"
+
+
+@query(
+    "dedup_url",
+    oracle=(
+        # deterministic planted URL per doc (same construction both
+        # engines): vary case, tracking params, ports, trailing slash —
+        # canonicalization must collapse doc groups sharing doc_id % 100
+        "WITH u AS (SELECT doc_id, "
+        "    CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'http://' END || "
+        "    CASE WHEN doc_id % 2 = 0 THEN 'WWW.Site-' ELSE 'www.site-' END || "
+        "    (doc_id % 100) || '.example.com' || "
+        "    CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END || "
+        "    '/page/' || (doc_id % 100) || "
+        "    CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END || "
+        "    CASE WHEN doc_id % 6 = 0 THEN '?utm_source=x&id=7' ELSE '?id=7' END || "
+        "    CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url "
+        "  FROM documents), "
+        "c AS (SELECT doc_id, url, "
+        "    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "      lower(url), "
+        f"      '{_URL_FRAG_RE}', '', 'g'), "
+        f"      '{_URL_TRACK_RE}', '', 'g'), "
+        "      ':80/', '/', 'g'), "
+        "      '[?&]+$', '', 'g'), "
+        "      '/+$', '', 'g') AS canon "
+        "  FROM u) "
+        "SELECT doc_id, url, canon, MIN(doc_id) OVER (PARTITION BY canon) AS canonical_doc, "
+        "  doc_id <> MIN(doc_id) OVER (PARTITION BY canon) AS is_dup "
+        "FROM c"
+    ),
+)
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup — the crawl-level dedup pass that runs BEFORE
+    any content hashing (case-insensitive scheme/host, default port,
+    tracking params, trailing slash, fragments). URLs are planted
+    deterministically (same construction in the oracle) so groups are
+    non-vacuous at every sf: 100 canonical pages with case/port/
+    tracking/slash variants collapse onto them. Map-only regexp chain +
+    one window on the canon key."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 3 == 0, "HTTP://").otherwise("http://"),
+        F.when(d % 2 == 0, "WWW.Site-").otherwise("www.site-"),
+        (d % 100).cast("string"),
+        F.lit(".example.com"),
+        F.when(d % 4 == 0, ":80").otherwise(""),
+        F.lit("/page/"),
+        (d % 100).cast("string"),
+        F.when(d % 5 == 0, "/").otherwise(""),
+        F.when(d % 6 == 0, "?utm_source=x&id=7").otherwise("?id=7"),
+        F.when(d % 7 == 0, "#frag").otherwise(""),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(F.col("url")), _URL_FRAG_RE, ""),
+                    _URL_TRACK_RE,
+                    "",
+                ),
+                ":80/",
+                "/",
+            ),
+            "[?&]+$",
+            "",
+        ),
+        "/+$",
+        "",
+    )
+    c = docs.select("doc_id", url.alias("url")).withColumn("canon", canon)
+    w = Window.partitionBy("canon")
+    return c.select(
+        "doc_id",
+        "url",
+        "canon",
+        F.min("doc_id").over(w).alias("canonical_doc"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+    )
+
+
+@query(
+    "text_windows",
+    oracle=(
+        # LM training-example windowing: 32-token windows, stride 16,
+        # last partial window kept iff it starts fresh material
+        f"WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS tk "
+        "  FROM documents), "
+        "w AS (SELECT doc_id, tk, unnest(generate_series(0, "
+        "    CAST(greatest(ceil((len(tk) - 32) / 16.0), 0) AS BIGINT))) AS win_no FROM tok "
+        "  WHERE len(tk) >= 1) "
+        "SELECT doc_id, CAST(win_no AS BIGINT) AS win_no, "
+        "  CAST(win_no * 16 AS BIGINT) AS tok_offset, "
+        "  CAST(len(tk[win_no * 16 + 1 : win_no * 16 + 32]) AS BIGINT) AS n_tokens, "
+        "  tk[win_no * 16 + 1] AS first_tok, "
+        "  tk[least(win_no * 16 + 32, len(tk))] AS last_tok "
+        "FROM w"
+    ),
+)
+def text_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token windows (length 32, stride 16) — how a corpus
+    becomes LM training examples with overlap. Window count per doc is
+    closed-form (ceil((n-32)/16)+1), generated MAP-SIDE by sequence()+
+    explode and sliced from the token array — no shuffle, no per-token
+    rows; only window summaries leave the stage (pack_sequences is the
+    contiguous-chop twin)."""
+    docs = load(spark, sf_dir, "documents", spread=True, amplify=50)
+    tk = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))
+    t = docs.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 1)
+    n_wins = F.greatest(F.ceil((F.size("tk") - 32) / 16.0), F.lit(0)).cast("long")
+    w = t.select("doc_id", "tk", F.explode(F.sequence(F.lit(0), n_wins)).alias("win_no"))
+    off = F.col("win_no") * 16
+    sliced = F.slice(F.col("tk"), off + 1, 32)
+    return w.select(
+        "doc_id",
+        F.col("win_no").cast("long").alias("win_no"),
+        off.cast("long").alias("tok_offset"),
+        F.size(sliced).cast("long").alias("n_tokens"),
+        F.element_at("tk", (off + 1).cast("int")).alias("first_tok"),
+        F.element_at("tk", F.least(off + 32, F.size("tk")).cast("int")).alias("last_tok"),
     )
