@@ -1341,3 +1341,58 @@ def value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > 2).alias("is_outlier"),
     )
+
+
+@query(
+    "join_asof_tol",
+    oracle=(
+        # as-of with a 30-minute TOLERANCE: a preceding click older than
+        # the bound does not count (market-data semantics: a stale quote
+        # must not price a trade). LEFT form keeps unmatched purchases.
+        "WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), "
+        "clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), "
+        "cand AS (SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts, "
+        "  c.event_id AS click_id, c.ts AS click_ts, "
+        "  row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn "
+        "  FROM purchases p JOIN clicks c ON c.user_id = p.user_id AND c.ts <= p.ts), "
+        "m AS (SELECT purchase_id, user_id, purchase_ts, click_id, click_ts FROM cand WHERE rn = 1) "
+        "SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts, "
+        "  CASE WHEN epoch_us(p.ts) - epoch_us(m.click_ts) <= 1800000000 "
+        "    THEN m.click_id END AS click_id, "
+        "  CASE WHEN epoch_us(p.ts) - epoch_us(m.click_ts) <= 1800000000 "
+        "    THEN m.click_ts END AS click_ts, "
+        "  COALESCE(epoch_us(p.ts) - epoch_us(m.click_ts) <= 1800000000, FALSE) AS within_tol "
+        "FROM purchases p LEFT JOIN m ON p.event_id = m.purchase_id"
+    ),
+)
+def join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with TOLERANCE (left form): latest preceding click per
+    purchase, but only if within 30 minutes — beyond it the match is
+    nulled, the purchase kept. Same single-shuffle union+window operator
+    as join_asof (operators/asof.py, how='left'); the tolerance is a
+    map-side post-rule, so the bound adds zero shuffle cost."""
+    from flod_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = asof_join(
+        left=purchases,
+        right=clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        left_cols={"event_id": "purchase_id", "ts": "purchase_ts"},
+        right_cols={"event_id": "click_id", "ts": "click_ts"},
+        tiebreak="event_id",
+        how="left",
+    )
+    gap_ok = (ts_micros("purchase_ts") - ts_micros("click_ts")) <= 1_800_000_000
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.when(gap_ok, F.col("click_id")).alias("click_id"),
+        F.when(gap_ok, F.col("click_ts")).alias("click_ts"),
+        F.coalesce(gap_ok, F.lit(False)).alias("within_tol"),
+    )
