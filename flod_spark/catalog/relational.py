@@ -1396,3 +1396,48 @@ def join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(gap_ok, F.col("click_ts")).alias("click_ts"),
         F.coalesce(gap_ok, F.lit(False)).alias("within_tol"),
     )
+
+
+@query(
+    "datetime_fns",
+    oracle=(
+        # portable datetime gallery: components, ISO weekday (DuckDB
+        # isodow == Spark (dayofweek+5)%7+1), quarter/week truncation,
+        # day arithmetic — the everyday surface a migration hits first
+        "SELECT event_id, "
+        "  CAST(EXTRACT(year FROM ts) AS BIGINT) AS y, "
+        "  CAST(EXTRACT(month FROM ts) AS BIGINT) AS m, "
+        "  CAST(EXTRACT(day FROM ts) AS BIGINT) AS d, "
+        "  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h, "
+        "  CAST(isodow(ts) AS BIGINT) AS iso_dow, "
+        "  CAST(EXTRACT(doy FROM ts) AS BIGINT) AS doy, "
+        "  date_trunc('quarter', ts) AS quarter_start, "
+        "  date_trunc('week', ts) AS week_start, "
+        "  ts + INTERVAL 90 DAY AS plus_90d, "
+        "  CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS days_since_2024 "
+        "FROM events"
+    ),
+)
+def datetime_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime-function gallery over naive event time: component
+    extraction, ISO weekday (Spark's Sunday=1 dayofweek remapped to
+    ISO Monday=1 — the classic cross-engine off-by-one), quarter/week
+    truncation, interval arithmetic, day differences. All map-only JVM
+    expressions; every convention difference is normalized explicitly
+    rather than left to engine defaults."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        (((F.dayofweek("ts") + 5) % 7) + 1).cast("long").alias("iso_dow"),
+        F.dayofyear("ts").cast("long").alias("doy"),
+        F.date_trunc("quarter", F.col("ts")).alias("quarter_start"),
+        F.date_trunc("week", F.col("ts")).alias("week_start"),
+        (F.col("ts") + F.expr("INTERVAL 90 DAYS")).alias("plus_90d"),
+        F.datediff(F.col("ts"), F.lit("2024-01-01").cast("timestamp_ntz"))
+        .cast("long")
+        .alias("days_since_2024"),
+    )
