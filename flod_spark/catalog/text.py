@@ -515,9 +515,14 @@ def bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # URL canonicalization (both engines; conservative regex subset):
 # protocol+host lowercased, default port dropped, tracking params
-# (utm_*, fbclid, gclid) stripped, trailing '?'/'&'/'/' and fragments cut
+# (utm_*, fbclid, gclid) stripped, trailing '?'/'&'/'/' and fragments cut.
+# The tracking regex consumes the param's OWN trailing '&' so removing the
+# first of '?utm_source=x&id=7' yields '?id=7', not '?&id=7'; a slash run
+# immediately before the query string collapses via '/+[?]' -> '?' (RE2
+# has no lookahead, so the lookahead-free form is the cross-engine one).
 _URL_FRAG_RE = "#[^ ]*"
-_URL_TRACK_RE = "(utm_[a-z]+|fbclid|gclid)=[^&# ]*"
+_URL_TRACK_RE = "(utm_[a-z]+|fbclid|gclid)=[^&# ]*&?"
+_URL_PREQ_SLASH_RE = "/+[?]"
 
 
 @query(
@@ -537,11 +542,12 @@ _URL_TRACK_RE = "(utm_[a-z]+|fbclid|gclid)=[^&# ]*"
         "    CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url "
         "  FROM documents), "
         "c AS (SELECT doc_id, url, "
-        "    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
         "      lower(url), "
         f"      '{_URL_FRAG_RE}', '', 'g'), "
         f"      '{_URL_TRACK_RE}', '', 'g'), "
         "      ':80/', '/', 'g'), "
+        f"      '{_URL_PREQ_SLASH_RE}', '?', 'g'), "
         "      '[?&]+$', '', 'g'), "
         "      '/+$', '', 'g') AS canon "
         "  FROM u) "
@@ -576,12 +582,16 @@ def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(
             F.regexp_replace(
                 F.regexp_replace(
-                    F.regexp_replace(F.lower(F.col("url")), _URL_FRAG_RE, ""),
-                    _URL_TRACK_RE,
-                    "",
+                    F.regexp_replace(
+                        F.regexp_replace(F.lower(F.col("url")), _URL_FRAG_RE, ""),
+                        _URL_TRACK_RE,
+                        "",
+                    ),
+                    ":80/",
+                    "/",
                 ),
-                ":80/",
-                "/",
+                _URL_PREQ_SLASH_RE,
+                "?",
             ),
             "[?&]+$",
             "",

@@ -23,3 +23,16 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def sf01_dir() -> str:
+    """The sf0.1 testdata dir for scale-bound tests: honor the same
+    SPARK_GRAFT_SF_DIR convention bench.py uses, else the sf0.1 sibling
+    of SF_DIR; skip (not error) on machines without that data."""
+    import os
+
+    d = os.environ.get("SPARK_GRAFT_SF_DIR") or str(Path(SF_DIR).parent / "sf0.1")
+    if not Path(d).is_dir():
+        pytest.skip(f"sf0.1 testdata not present at {d}")
+    return d

@@ -176,3 +176,25 @@ def test_pipeline_filters_preserve_order_and_reseq(spark):
     out = p.quality_filter()
     rows = out.df.select("seq").collect()
     assert sorted(r.seq for r in rows) == list(range(5))  # gap-free reseq
+
+
+def test_dedup_url_variants_collapse_to_canonical_groups(spark, sf_dir):
+    """The planted case/port/tracking/trailing-slash/fragment variants
+    must ALL collapse: exactly one canon per doc_id%100 group (so 100
+    distinct canons), with no dangling '?'/'&'/'/' artifacts left by the
+    tracking-param strip (the '?&id=7' regression)."""
+    from flod_spark.catalog import text
+
+    out = text.dedup_url(spark, sf_dir).cache()
+    per_group = (
+        out.groupBy((F.col("doc_id") % 100).alias("g"))
+        .agg(F.countDistinct("canon").alias("n_canon"))
+        .collect()
+    )
+    assert all(r.n_canon == 1 for r in per_group)
+    assert out.select("canon").distinct().count() == 100
+    bad = out.filter(
+        F.col("canon").rlike("[?&]$") | F.col("canon").contains("?&") | F.col("canon").rlike("/[?]")
+    )
+    assert bad.count() == 0
+    out.unpersist()

@@ -101,13 +101,13 @@ def test_kmeans_fit_two_rounds_persisted_matches_recompute(spark, sf_dir):
     )
 
 
-def test_split_hot_cells_bound_holds_at_sf01(spark):
+def test_split_hot_cells_bound_holds_at_sf01(spark, sf01_dir):
     """The documented semdedup/sim_ivf scale caveat, now implemented:
     after split_hot_cells no cell exceeds the bound at sf0.1, membership
     is preserved, and cold cells keep their original ids."""
     from flod_spark.io import load
 
-    emb = load(spark, "/root/testdata/sf0.1", "embeddings")
+    emb = load(spark, sf01_dir, "embeddings")
     e = emb.select("vec_id", similarity._as_double("embedding").alias("v"))
     a = similarity._assign_cells(e, similarity._cent_df(e))
     bound = 32
