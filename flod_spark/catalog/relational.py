@@ -986,6 +986,45 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dist_over_total_order(df: DataFrame, order_cols: list[str], n_buckets: int) -> DataFrame:
+    """Distribution-function arithmetic over a TOTAL order, without the
+    single-partition global window (the one 100 TB killer pattern): a
+    gap-free global rank from seq.with_seq's bucketed machinery (one
+    hash exchange, P-row offset table) + a broadcast 1-row total count.
+    Because the order is total (unique tiebreak), rank == row_number ==
+    seq+1, so the SQL-standard definitions collapse to arithmetic:
+      percent_rank = seq/(n-1)      cume_dist = (seq+1)/n
+      ntile(k): first n%k buckets get ceil(n/k) rows, the rest floor —
+        bucket = seq div (base+1) while seq < r*(base+1), else
+        r + (seq-cut) div base   (base = n div k, r = n%k, cut = r*(base+1))
+    The double divisions are the same IEEE ops the engines' built-in
+    percent_rank/cume_dist perform, so results match bitwise."""
+    from flod_spark.seq import SEQ, with_seq
+
+    s = with_seq(df, *order_cols)
+    total = df.agg(F.count("*").alias("_n"))
+    j = s.crossJoin(F.broadcast(total))
+    seq, n = F.col(SEQ), F.col("_n")
+    k = F.lit(n_buckets)
+    base = F.floor(n / k).cast("long")
+    r = (n % k).cast("long")
+    cut = r * (base + 1)
+    ntile = (
+        F.when(seq < cut, F.floor(seq / (base + 1)))
+        .otherwise(r + F.floor((seq - cut) / base))
+        .cast("long")
+        + 1
+    )
+    pct = F.when(n > 1, seq.cast("double") / (n - 1).cast("double")).otherwise(F.lit(0.0))
+    cume = (seq + 1).cast("double") / n.cast("double")
+    return j.select(
+        "*",
+        pct.alias("_pct_rank"),
+        cume.alias("_cume_dist"),
+        ntile.alias("_ntile"),
+    ).drop("_n")
+
+
 @query(
     "quality_buckets",
     oracle=(
@@ -1002,10 +1041,12 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile bucketing by a quality proxy — the curriculum/mixture
     knob (sample bucket 10 more than bucket 1). ntile over a TOTAL order
-    (score, doc_id) is engine-deterministic. Scale: a global ntile needs
-    a global sort — at 100 TB replace with approx-quantile boundaries +
-    a map-only bucket lookup (the sample_mixture pattern); exact form
-    kept here because the oracle must be exact."""
+    (score, doc_id) is engine-deterministic, and because the order is
+    total it reduces to rank arithmetic: _dist_over_total_order computes
+    the exact global rank via the with_seq bucket machinery (boundary
+    sample -> one hash exchange -> P-row offsets) instead of the
+    single-partition global-sort window, so the EXACT ntile is computed
+    scale-out — no WindowExec without partitioning anywhere in the plan."""
     docs = load(spark, sf_dir, "documents")
     s = docs.select(
         "doc_id",
@@ -1013,8 +1054,8 @@ def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     )
-    w = Window.orderBy("n_tokens", "doc_id")
-    return s.select("doc_id", "n_tokens", F.ntile(10).over(w).cast("long").alias("bucket"))
+    d = _dist_over_total_order(s, ["n_tokens", "doc_id"], 10)
+    return d.select("doc_id", "n_tokens", F.col("_ntile").alias("bucket"))
 
 
 @query(
@@ -1283,19 +1324,22 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (percent_rank / cume_dist / ntile)
     over a total order — the rank-family completion of window_rank.
-    Both are rank-arithmetic over identical orders, so doubles match
-    bitwise. Scale: an unpartitioned window is a single-partition sort —
-    kept because the oracle needs global ranks; the 100 TB form
-    partitions by a bucket key first (quality_buckets shows the
-    approx-quantile alternative)."""
-    li = load(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    return li.select(
+    The order includes the (l_orderkey, l_linenumber) PK, so rank ==
+    row_number and all three reduce to arithmetic over the gap-free
+    global seq from _dist_over_total_order — the bucketed with_seq plan
+    (one hash exchange) replaces the single-partition global-sort
+    window while producing bitwise-identical doubles (same IEEE
+    divisions the built-in window functions perform)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    d = _dist_over_total_order(li, ["l_extendedprice", "l_orderkey", "l_linenumber"], 4)
+    return d.select(
         "l_orderkey",
         "l_linenumber",
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.col("_pct_rank").alias("pct_rank"),
+        F.col("_cume_dist").alias("cume"),
+        F.col("_ntile").alias("quartile"),
     )
 
 
@@ -1313,7 +1357,8 @@ def window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  (e.value - m.s1 / m.n) / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n)) AS z, "
         "  abs((e.value - m.s1 / m.n) / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n))) > 2 "
         "    AS is_outlier "
-        "FROM events e JOIN m ON e.user_id = m.user_id WHERE m.n > 1"
+        "FROM events e JOIN m ON e.user_id = m.user_id "
+        "WHERE m.n > 1 AND m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n) > 0"
     ),
 )
 def value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1321,6 +1366,10 @@ def value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (drop or down-weight anomalous readings before training). Moments
     come from exact decimal sums (order-independent), so mean/sd are
     bit-identical cross-engine and the per-row z arithmetic follows.
+    Degenerate groups (all values identical -> sd = 0) are excluded
+    IDENTICALLY on both sides: Spark's non-ANSI x/0.0 yields NULL while
+    DuckDB yields inf/nan, so a sd=0 row could never hash-match — the
+    variance>0 predicate removes the divergence at the source.
     Scale: one partial-agg shuffle for the moments; the join back is
     co-partitioned on user_id; everything else is map-side."""
     ev = load(spark, sf_dir, "events")
@@ -1330,7 +1379,8 @@ def value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(vd).cast("double").alias("s1"),
         F.sum(vd * vd).cast("double").alias("s2"),
     )
-    j = ev.join(m.filter(F.col("n") > 1), "user_id")
+    var = F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+    j = ev.join(m.filter((F.col("n") > 1) & (var > 0)), "user_id")
     mean = F.col("s1") / F.col("n")
     sd = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
     z = (F.col("value") - mean) / sd

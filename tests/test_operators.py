@@ -177,3 +177,34 @@ def test_simhash_64bit_near_dups_collide(spark):
     b1 = {(r.band, r.band_bits) for r in bands.filter("doc_id = 1").collect()}
     b2 = {(r.band, r.band_bits) for r in bands.filter("doc_id = 2").collect()}
     assert b1 & b2
+
+
+def test_dist_over_total_order_matches_builtin_windows(spark):
+    """The rank-arithmetic form (bucketed with_seq + broadcast count)
+    must reproduce Spark's own percent_rank/cume_dist/ntile over the
+    same total order, bitwise — at several n values that exercise the
+    ntile remainder logic (n%k = 0 and != 0, n < k)."""
+    from pyspark.sql import Window
+
+    from flod_spark.catalog.relational import _dist_over_total_order
+
+    for n, k in ((40, 4), (41, 4), (3, 10), (1, 4)):
+        df = spark.range(n).select(
+            (F.col("id") * 37 % 100).alias("v"), F.col("id").alias("uid")
+        )
+        got = {
+            (r.v, r.uid): (r._pct_rank, r._cume_dist, r._ntile)
+            for r in _dist_over_total_order(df, ["v", "uid"], k).collect()
+        }
+        w = Window.orderBy("v", "uid")
+        want = {
+            (r.v, r.uid): (r.p, r.c, r.t)
+            for r in df.select(
+                "v",
+                "uid",
+                F.percent_rank().over(w).alias("p"),
+                F.cume_dist().over(w).alias("c"),
+                F.ntile(k).over(w).cast("long").alias("t"),
+            ).collect()
+        }
+        assert got == want, (n, k)
