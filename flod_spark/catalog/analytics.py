@@ -128,11 +128,16 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency/frequency/monetary) customer scoring — the classic
     value-segmentation pass. One partial-agg shuffle builds the per-
-    customer base; each score is a quartile over a total (metric,
-    custkey) order. Scale note: the three unpartitioned ntiles are
-    single-partition sorts over |customers| rows (already aggregated —
-    fine); at extreme cardinality swap in approx-quantile boundaries
-    (quality_buckets shows the pattern)."""
+    customer base; each score is an EXACT quartile over a total (metric,
+    custkey) order, computed by _dist_over_total_order's bucketed-rank
+    machinery (never an unpartitioned ntile window — three of those were
+    three single-partition sorts). DESC orders become ASC on the negated
+    metric (no NULLs in the base, so the total orders are identical).
+    The base is localCheckpoint-ed: each rank pass reads it three times
+    (boundary sample, ranked exchange, total count), so materializing
+    |customers| rows once beats re-running the orders aggregation ~10x."""
+    from flod_spark.catalog.relational import _dist_over_total_order
+
     o = load(spark, sf_dir, "orders")
     mxd = o.agg(F.max("o_orderdate").alias("mxd"))
     base = (
@@ -149,19 +154,14 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
+        .localCheckpoint()
     )
-    return base.select(
-        "custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(4).over(Window.orderBy("recency_days", "custkey")).cast("long").alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("frequency").desc(), "custkey"))
-        .cast("long")
-        .alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("monetary").desc(), "custkey"))
-        .cast("long")
-        .alias("m_score"),
-    )
+
+    def quartile(order_cols, alias):
+        d = _dist_over_total_order(base, order_cols, 4)
+        return d.select("custkey", F.col("_ntile").alias(alias))
+
+    r = quartile(["recency_days", "custkey"], "r_score")
+    f = quartile([(-F.col("frequency")).alias("neg_f"), F.col("custkey")], "f_score")
+    m = quartile([(-F.col("monetary")).alias("neg_m"), F.col("custkey")], "m_score")
+    return base.join(r, "custkey").join(f, "custkey").join(m, "custkey")

@@ -9,7 +9,7 @@ back to DOUBLE; every rank has a unique-key tiebreak. See registry.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flod_spark.io import load, ts_micros
@@ -986,7 +986,9 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dist_over_total_order(df: DataFrame, order_cols: list[str], n_buckets: int) -> DataFrame:
+def _dist_over_total_order(
+    df: DataFrame, order_cols: list[str | Column], n_buckets: int
+) -> DataFrame:
     """Distribution-function arithmetic over a TOTAL order, without the
     single-partition global window (the one 100 TB killer pattern): a
     gap-free global rank from seq.with_seq's bucketed machinery (one

@@ -186,3 +186,64 @@ def test_pii_scrub_is_map_only(spark, sf_dir):
 
     plan = plan_of(pii_scrub(spark, sf_dir))
     assert "Exchange" not in plan  # pure narrow regexp stage
+
+
+# ---------------------------------------------------------------------------
+# Whole-registry plan-shape gate (round-3 verdict item 3)
+
+# (shuffle exchanges, sort-merge joins) pinned per bench-headline query at
+# sf0.001 — a new exchange or a broadcast that degrades to SMJ is a plan
+# regression this test catches before the bench does.
+HEADLINE_PINS = {
+    "agg_group": (1, 0),
+    "tpch_q6": (0, 0),
+    "join_equi": (1, 0),
+    "join_asof": (1, 0),
+    "window_rank": (1, 0),
+    "sort_topk": (0, 0),
+    "by_chunk": (4, 0),
+    "stream_session": (1, 0),
+    "stream_window": (1, 0),
+    "dedup_exact": (1, 0),
+    "dedup_minhash": (3, 0),
+    "sim_topk": (1, 0),
+    "text_stats": (0, 0),
+    "take_limit": (0, 0),
+    "tpch_q3": (1, 0),
+    "tpch_q5": (4, 1),
+    "codec_gzip": (0, 0),
+    "udf_stage": (0, 0),
+    "dedup_ngram": (6, 0),
+    "tpch_q1": (1, 0),
+    "media_decode": (0, 0),
+}
+
+
+def test_headline_exchange_counts_pinned(spark, sf_dir):
+    """Every bench-headline query keeps its pinned (exchange, SMJ)
+    counts — shuffle-count creep is the quiet way a 1.7x win erodes."""
+    import __spark_entry__ as entry
+    from tools.plan_report import fingerprint
+
+    qs = entry.queries()
+    got = {}
+    for name, (ex, smj) in HEADLINE_PINS.items():
+        p = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        f = fingerprint(p)
+        got[name] = (f["ex"], f["smj"])
+    assert got == HEADLINE_PINS
+
+
+def test_no_unpartitioned_windows_in_any_registered_query(spark, sf_dir):
+    """ZERO order-only (single-partition) Window nodes across the whole
+    registry — the one plan shape that cannot survive 100x data. Runs
+    every batch query's physical plan through the same detector
+    PLANS.md reports (tools/plan_report.py::unpartitioned_windows)."""
+    from tools.plan_report import iter_plans, unpartitioned_windows
+
+    offenders = {}
+    for name, plan in iter_plans(spark, sf_dir):
+        hits = unpartitioned_windows(plan)
+        if hits:
+            offenders[name] = hits[0]
+    assert not offenders, offenders
