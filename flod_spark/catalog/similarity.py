@@ -580,6 +580,100 @@ def split_hot_cells(a: DataFrame, max_cell: int, max_rounds: int = 6) -> DataFra
     ).localCheckpoint()
 
 
+SEMDEDUP_BOUND = 24  # max cell size fed to the pair join (non-vacuous at gate SFs)
+SEMDEDUP_SPLIT_ROUNDS = 4  # hyperplane rounds before the guaranteed chop
+
+
+def _split_dot_sql(r: int) -> str:
+    """DuckDB twin of split_hot_cells round r's salted SRP plane dot
+    (_plane_spark(0, salt=f'split{r}_'): md5 inputs 'split{r}_0_<d>')."""
+    plane = _PLANE_SQL.format(p=f"'split{r}_0'", d="d")
+    comps = f"list_transform(range(1, {DIM + 1}), d -> {plane} * v[d])"
+    return f"list_reduce({comps}, (s, x) -> s + x)"
+
+
+def _semdedup_bounded_oracle() -> str:
+    """Unrolled-SQL replica of _assign_cells -> split_hot_cells(B, R) ->
+    within-cell pair dedup. Each round: per-cell sizes, then hot cells
+    (n > B) append one plane-sign bit; after R rounds, still-hot cells
+    get the guaranteed row_number chop ('#k' suffix). Cold cells keep
+    their ids untouched at every step — identical to the Spark side."""
+    b, rounds = SEMDEDUP_BOUND, SEMDEDUP_SPLIT_ROUNDS
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        _CENT_SQL,
+        (
+            "sc AS (SELECT e.vec_id, e.v, cent_id, "
+            f"{_cos_sql('e.v', 'cv')} AS cos FROM e, cent)"
+        ),
+        (
+            "a0 AS (SELECT vec_id, v, CAST(cent_id AS VARCHAR) AS cell FROM (SELECT *, "
+            "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM sc) "
+            "WHERE rn = 1)"
+        ),
+    ]
+    for r in range(rounds):
+        ctes.append(f"s{r} AS (SELECT cell, COUNT(*) AS n FROM a{r} GROUP BY cell)")
+        ctes.append(
+            f"a{r + 1} AS (SELECT vec_id, v, CASE WHEN n > {b} THEN cell || '|' || "
+            f"(CASE WHEN {_split_dot_sql(r)} >= 0 THEN '1' ELSE '0' END) "
+            f"ELSE cell END AS cell FROM a{r} JOIN s{r} USING (cell))"
+        )
+    ctes.append(f"sf AS (SELECT cell, COUNT(*) AS n FROM a{rounds} GROUP BY cell)")
+    ctes.append(
+        f"af AS (SELECT vec_id, v, CASE WHEN n > {b} THEN cell || '#' || "
+        f"CAST(CAST(floor((rn - 1.0) / {b}) AS BIGINT) AS VARCHAR) ELSE cell END AS cell "
+        f"FROM (SELECT a{rounds}.*, n, "
+        f"row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn "
+        f"FROM a{rounds} JOIN sf USING (cell)))"
+    )
+    ctes.append(
+        f"pr AS (SELECT p.vec_id AS vid, {_cos_sql('p.v', 'q.v')} AS cos "
+        "FROM af p JOIN af q ON p.cell = q.cell AND q.vec_id < p.vec_id)"
+    )
+    ctes.append(
+        f"d AS (SELECT vid, MAX(CASE WHEN cos >= {SEMDEDUP_COS} THEN 1 ELSE 0 END) AS dup "
+        "FROM pr GROUP BY vid)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT af.vec_id, af.cell AS cell_id, COALESCE(d.dup, 0) = 1 AS is_dup "
+        "FROM af LEFT JOIN d ON d.vid = af.vec_id"
+    )
+
+
+@query("semdedup_bounded", oracle=_semdedup_bounded_oracle())
+def semdedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the hot-cell bound IN the gated path — the scale
+    form of `semdedup`: cells are refined by split_hot_cells (salted SRP
+    bits + guaranteed chop) until no cell exceeds SEMDEDUP_BOUND, THEN
+    the within-cell pair join runs — so pair cost is <= n*B/2 regardless
+    of how the IVF cells grow (~sqrt(n)), closing semdedup's one
+    documented 100 TB caveat. The oracle unrolls the refinement rounds
+    as CTEs; every dot/sign/chop decision is bit-identical cross-engine
+    (fold-based dots, md5 planes, id-ordered chop)."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    a = _assign_cells(e, _cent_df(e))
+    a = split_hot_cells(a, max_cell=SEMDEDUP_BOUND, max_rounds=SEMDEDUP_SPLIT_ROUNDS)
+    p = a.alias("p")
+    q = a.alias("q")
+    pr = p.join(
+        q, (F.col("p.cell") == F.col("q.cell")) & (F.col("q.vec_id") < F.col("p.vec_id"))
+    ).select(
+        F.col("p.vec_id").alias("vid"),
+        _cos_spark(F.col("p.v"), F.col("q.v")).alias("cos"),
+    )
+    d = pr.groupBy("vid").agg(
+        F.max(F.when(F.col("cos") >= SEMDEDUP_COS, 1).otherwise(0)).alias("dup")
+    )
+    return a.join(d, a["vec_id"] == d["vid"], "left").select(
+        a["vec_id"],
+        a["cell"].alias("cell_id"),
+        (F.coalesce(d["dup"], F.lit(0)) == 1).alias("is_dup"),
+    )
+
+
 def update_centroids(a: DataFrame) -> DataFrame:
     """Lloyd centroid update from an assignment (vec_id, v, cell) ->
     (cent_id, cv). Per-dimension means through 2^40 fixed-point sums so

@@ -142,3 +142,19 @@ def test_split_hot_cells_degenerate_identical_vectors(spark):
     sizes = split.groupBy("cell").count().toPandas()
     assert sizes["count"].max() <= 16
     assert int(sizes["count"].sum()) == n
+
+
+def test_semdedup_bounded_gated_path_holds_bound_at_sf01(spark, sf01_dir):
+    """The GATED bounded variant (not just the helper): at sf0.1 the
+    refinement is non-vacuous (2000 vecs / 16 cells >> bound), every
+    refined cell respects SEMDEDUP_BOUND before the pair join, and the
+    membership is exactly the corpus."""
+    out = similarity.semdedup_bounded(spark, sf01_dir).cache()
+    sizes = out.groupBy("cell_id").count().toPandas()
+    assert sizes["count"].max() <= similarity.SEMDEDUP_BOUND
+    assert int(sizes["count"].sum()) == 2000
+    # refinement actually fired: some cells carry a split/chop suffix
+    assert any(("|" in c) or ("#" in c) for c in sizes["cell_id"])
+    # and it still finds duplicates (planted near-dups exist at sf0.1)
+    assert out.filter("is_dup").count() > 0
+    out.unpersist()
