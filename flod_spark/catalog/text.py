@@ -650,3 +650,73 @@ def text_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("tk", (off + 1).cast("int")).alias("first_tok"),
         F.element_at("tk", F.least(off + 32, F.size("tk")).cast("int")).alias("last_tok"),
     )
+
+
+@query(
+    "ngram_lm",
+    oracle=(
+        # bigram-LM quality score, EXACT cross-engine: probabilities are
+        # quantized to floor(log2 ·) computed as binary-string lengths —
+        # pure integer arithmetic, no float log anywhere
+        f"WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS tk "
+        "  FROM documents), "
+        "bi AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 "
+        "  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM tok)), "
+        "c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bi GROUP BY w1, w2), "
+        "c1 AS (SELECT w1, COUNT(*) AS n1 FROM bi GROUP BY w1), "
+        "q AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+        "    CAST(SUM(length(bin(n2)) - length(bin(n1))) AS BIGINT) AS q_log2 "
+        "  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY doc_id) "
+        "SELECT doc_id, n_bigrams, q_log2, "
+        "  CAST(q_log2 AS DOUBLE) / n_bigrams AS bits_per_bigram "
+        "FROM q"
+    ),
+)
+def ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality scoring (the KenLM-perplexity
+    corpus-filter pattern): train MLE bigram counts on the corpus
+    itself, score each doc by its total log-probability. The score that
+    makes this ORACLE-EXACT is the quantization floor(log2 p) =
+    floor(log2 c2) - floor(log2 c1) computed as length(bin(count)) - 1
+    — binary-string length, identical integer arithmetic in both
+    engines, where a float ln() would diverge in the last bits. q_log2
+    is the per-doc sum of those quantized bigram log-probs (<= 0,
+    higher = more predictable text); bits_per_bigram normalizes by
+    length (one exact-int IEEE division, so doubles match bitwise).
+
+    Scale: one map-side explode to bigrams; c2/c1 are two partial-agg
+    shuffles bounded by |vocab^2|/|vocab|; scoring joins co-partition
+    on the gram keys (a hot head-word like 'the' skews c1's join — AQE
+    skew-split or salting applies, and the count tables themselves are
+    usually small enough to broadcast outright)."""
+    docs = load(spark, sf_dir, "documents")
+    tk = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))
+    t = docs.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 2)
+    bi = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - 2),
+                lambda i: F.struct(
+                    F.get("tk", i).alias("w1"), F.get("tk", i + 1).alias("w2")
+                ),
+            )
+        ).alias("pr"),
+    ).select("doc_id", "pr.w1", "pr.w2")
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("n1"))
+    q = (
+        bi.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.length(F.bin("n2")) - F.length(F.bin("n1"))).cast("long").alias("q_log2"),
+        )
+    )
+    return q.select(
+        "doc_id",
+        "n_bigrams",
+        "q_log2",
+        (F.col("q_log2").cast("double") / F.col("n_bigrams")).alias("bits_per_bigram"),
+    )

@@ -198,3 +198,28 @@ def test_dedup_url_variants_collapse_to_canonical_groups(spark, sf_dir):
     )
     assert bad.count() == 0
     out.unpersist()
+
+
+def test_ngram_lm_score_invariants(spark, sf_dir):
+    """Quantized bigram log-probs: every score is <= 0 (MLE p <= 1, and
+    floor-log2 quantization preserves that), a doc's n_bigrams is its
+    token count minus one, and the normalized score is the exact ratio
+    of the two integer columns."""
+    from flod_spark.catalog import text
+
+    out = text.ngram_lm(spark, sf_dir).cache()
+    assert out.filter(F.col("q_log2") > 0).count() == 0
+    assert out.filter(F.col("bits_per_bigram") > 0).count() == 0
+    # n_bigrams == n_tokens - 1 (docs with >= 2 tokens)
+    toks = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(text.TOKEN_RE), F.lit(0))).alias("nt"),
+    )
+    j = out.join(toks, "doc_id")
+    assert j.filter(F.col("n_bigrams") != F.col("nt") - 1).count() == 0
+    bad = j.filter(
+        F.col("bits_per_bigram")
+        != F.col("q_log2").cast("double") / F.col("n_bigrams").cast("double")
+    )
+    assert bad.count() == 0
+    out.unpersist()
