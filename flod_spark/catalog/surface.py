@@ -319,6 +319,87 @@ def by_line_sep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Element-width byLine (range.d:367-371): flod picks the split unit from
+# the stream's element type — char (1B) / wchar (2B, UTF-16) / dchar (4B,
+# UTF-32); its tests split Polish verse in all three widths
+# (range.d:529-547) and a \r\n wstring (range.d:513-515). Planted blobs,
+# sf-independent like scan_binary: flod's own Polish verse plus Korean,
+# in BOTH widths, plus a trap doc containing U+010A ('Ċ') whose LOW BYTE
+# is 0x0A — a byte-level splitter would cut it; the element-width
+# splitter must not.
+_WIDE_TEXTS = (
+    (
+        "pl",
+        "Prześliczna dzieweczka na spacer raz szła\n"
+        "Gdy noc ją złapała wietrzysta i zła\n"
+        "Być może przestraszył by ziąb i mrok ją\n"
+        "Lecz miałą wszak mufkę prześliczną swą\n",
+    ),
+    ("ko", "안녕하세요 세계\n줄 두 번째\n"),
+    ("trap", "przedĊpo\nostatnia"),
+)
+_WIDE_BLOBS = tuple(
+    (f"{name}{width}", width, txt.encode(f"utf-{8 * width}-le"))
+    for name, txt in _WIDE_TEXTS
+    for width in (2, 4)
+)
+
+
+def _wide_oracle() -> str:
+    vals = ", ".join(
+        f"('{bid}', {w}, '{blob.hex()}')" for bid, w, blob in _WIDE_BLOBS
+    )
+    return (
+        f"WITH raw AS (SELECT * FROM (VALUES {vals}) t(blob_id, width, hx)), "
+        # UTF-32LE -> UTF-16LE on the hex: each BMP unit is 'xxxx0000';
+        # drop the zero high half (8-char alignment holds because every
+        # planted unit matches)
+        "h AS (SELECT blob_id, width, CASE WHEN width = 4 "
+        "    THEN regexp_replace(hx, '([0-9a-f]{4})0000', '\\1', 'g') ELSE hx END AS hx16 "
+        "  FROM raw), "
+        # exact 2-byte-unit decoder: code point = b1*256 + b0 (LE)
+        "s AS (SELECT blob_id, width, array_to_string(list_transform("
+        "    range(0, length(hx16) // 4), "
+        "    i -> chr(CAST('0x' || substr(hx16, 4*i + 3, 2) || substr(hx16, 4*i + 1, 2) "
+        "             AS INTEGER))), '') AS dec FROM h), "
+        "p AS (SELECT blob_id, width, string_split(dec, chr(10)) AS parts FROM s), "
+        "u AS (SELECT blob_id, width, unnest(parts) AS line, "
+        "    generate_subscripts(parts, 1) AS pos, len(parts) AS n FROM p) "
+        "SELECT blob_id, CAST(width AS BIGINT) AS width, CAST(pos AS BIGINT) AS line_no, line "
+        "FROM u WHERE pos < n OR line <> ''"
+    )
+
+
+@query("by_line_wide", oracle=_wide_oracle())
+def by_line_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 byLine for WIDE element types (range.d:367-371): the separator
+    is one ELEMENT (2-byte wchar / 4-byte dchar unit), never a byte, so
+    U+010A survives and multibyte text round-trips — flod's wstring/
+    dstring tests (range.d:511-547) re-expressed over binary blobs.
+    Spark path: UTF-32LE folds to UTF-16LE by dropping each unit's zero
+    high half in hex (BMP-only planted data), then the built-in
+    decode(…,'UTF-16LE') + split — all JVM expressions, map-only, no
+    shuffle; the oracle decodes 2-byte units arithmetically in SQL.
+    Like scan_binary, sf-independent (raw bytes have no scale factor)."""
+    df = spark.createDataFrame(
+        list(_WIDE_BLOBS), "blob_id string, width int, blob binary"
+    )
+    hx16 = F.when(
+        F.col("width") == 4,
+        F.regexp_replace(F.hex("blob"), "([0-9A-F]{4})0000", "$1"),
+    ).otherwise(F.hex("blob"))
+    parts = F.split(F.decode(F.unhex(hx16), "UTF-16LE"), "\n", -1)
+    u = df.select(
+        "blob_id",
+        F.col("width").cast("long").alias("width"),
+        F.posexplode(parts).alias("pos0", "line"),
+        F.size(parts).alias("n"),
+    )
+    return u.filter((F.col("pos0") + 1 < F.col("n")) | (F.col("line") != "")).select(
+        "blob_id", "width", (F.col("pos0") + 1).cast("long").alias("line_no"), "line"
+    )
+
+
 @query(
     "tag_roundtrip",
     oracle=(

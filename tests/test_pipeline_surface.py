@@ -259,3 +259,27 @@ def test_chainable_pii_scrub(spark):
     )
     vals = [r.value for r in p.pii_scrub().to_array()]
     assert vals == ["mail me at <EMAIL> or call <PHONE> from <IP>", "clean text"]
+
+
+def test_by_line_wide_element_width_contract(spark, sf_dir):
+    """The flod wide-encoding byLine contract (range.d:367-371): the
+    split unit is an element, not a byte — U+010A (low byte 0x0A) must
+    survive unsplit; UTF-16 and UTF-32 blobs of the same text must
+    produce identical lines; multibyte text round-trips exactly."""
+    from flod_spark.catalog.surface import _WIDE_TEXTS, by_line_wide
+
+    rows = by_line_wide(spark, sf_dir).collect()
+    by_blob: dict[str, list[str]] = {}
+    for r in sorted(rows, key=lambda r: (r.blob_id, r.line_no)):
+        by_blob.setdefault(r.blob_id, []).append(r.line)
+    # widths agree, and lines are the exact flod byLine split (terminated
+    # final line yields no trailing empty element)
+    for name, txt in _WIDE_TEXTS:
+        parts = txt.split("\n")
+        if parts[-1] == "":
+            parts = parts[:-1]
+        assert by_blob[f"{name}2"] == parts
+        assert by_blob[f"{name}4"] == parts
+    # the 0x0A-byte trap char survived inside a line
+    assert by_blob["trap2"] == ["przedĊpo", "ostatnia"]
+    assert by_blob["trap4"] == ["przedĊpo", "ostatnia"]
