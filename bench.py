@@ -44,6 +44,15 @@ HEADLINE = [
     # (pack->decode) multimodal pipeline
     "tpch_q1",
     "media_decode",
+    # round-4 additions (verdict item 7): the heavy round-3 operators
+    # whose perf was previously invisible to the bench, plus the two new
+    # round-4 flagships (bounded semantic dedup, bigram-LM scoring)
+    "dedup_containment",
+    "simhash_pairs",
+    "kmeans_iter",
+    "stream_sessionize_live",
+    "semdedup_bounded",
+    "ngram_lm",
 ]
 
 

@@ -170,29 +170,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     => +1); sign of the vote sum is the signature bit. Identical signatures
     group near-identical token sets. 16-bit here for oracle compactness;
     operators/simhash.py parameterizes width (64-bit for production)."""
-    # token explode x 16 hash positions amplifies compute far past the
-    # input bytes: spread the single-split local file (no-op at scale)
+    # token explode amplifies compute past the input bytes: spread the
+    # single-split local file (no-op at scale)
     docs = load(spark, sf_dir, "documents", spread=True, amplify=2000)
-    norm = docs.select("doc_id", _norm_col().alias("t"))
-    tok = norm.select(
-        "doc_id", F.explode(F.array_distinct(F.regexp_extract_all(F.col("t"), F.lit("[a-z0-9]+"), F.lit(0)))).alias("tk")
-    ).distinct()
-    pos = F.explode(F.sequence(F.lit(1), F.lit(16))).alias("p")
-    bits = (
-        tok.select("doc_id", "tk", pos)
-        .withColumn("hexd", F.substring(F.md5(F.col("tk").cast("binary")), 1, 16).substr(F.col("p"), F.lit(1)))
-        .withColumn("vote", F.when(F.instr(F.lit("89abcdef"), F.col("hexd")) > 0, 1).otherwise(-1))
-        .groupBy("doc_id", "p")
-        .agg(F.sum("vote").alias("v"))
+    v = _simhash_votes(docs, width=16)
+    simhash = F.concat(
+        *[F.when(F.col(f"v{p}") >= 0, "1").otherwise("0") for p in range(1, 17)]
     )
-    sig = bits.groupBy("doc_id").agg(
-        F.array_join(
-            F.array_sort(F.collect_list(F.struct("p", F.when(F.col("v") >= 0, "1").otherwise("0").alias("b")))).getField("b"),
-            "",
-        ).alias("simhash")
-    )
+    sig = v.select("doc_id", simhash.alias("simhash"))
     w = Window.partitionBy("simhash")
     return sig.select("doc_id", "simhash", F.min("doc_id").over(w).alias("canonical_id"))
+
+
+def _simhash_votes(docs: DataFrame, width: int) -> DataFrame:
+    """Per-doc SimHash vote matrix as ``width`` COLUMNS (v1..vN), not
+    exploded rows: one md5 per distinct token (not per token x position
+    — the naive form hashed every token ``width`` times), then a SINGLE
+    groupBy(doc_id) whose N SUM(±1) aggregates combine map-side. The
+    shuffle carries |docs| rows of N ints; the old per-position explode
+    shuffled |tokens| x N rows and was the bench's slowest stage."""
+    norm = docs.select("doc_id", _norm_col().alias("t"))
+    tok = norm.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.regexp_extract_all(F.col("t"), F.lit("[a-z0-9]+"), F.lit(0)))
+        ).alias("tk"),
+    ).distinct()
+    tokh = tok.select("doc_id", F.md5(F.col("tk").cast("binary")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.instr(F.lit("89abcdef"), F.substring("h", p, 1)) > 0, 1).otherwise(-1)
+        ).alias(f"v{p}")
+        for p in range(1, width + 1)
+    ]
+    return tokh.groupBy("doc_id").agg(*votes)
 
 
 @query(
@@ -235,36 +246,30 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     takes the minhash-style rank cap at production scale; uncapped here
     so pigeonhole completeness (and the exact oracle) holds."""
     docs = load(spark, sf_dir, "documents", spread=True, amplify=2000)
-    norm = docs.select("doc_id", _norm_col().alias("t"))
-    tok = norm.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(F.regexp_extract_all(F.col("t"), F.lit("[a-z0-9]+"), F.lit(0)))
-        ).alias("tk"),
-    ).distinct()
-    pos = F.explode(F.sequence(F.lit(1), F.lit(32))).alias("p")
-    votes = (
-        tok.select("doc_id", "tk", pos)
-        .withColumn("hexd", F.md5(F.col("tk").cast("binary")).substr(F.col("p"), F.lit(1)))
-        .withColumn("vote", F.when(F.instr(F.lit("89abcdef"), F.col("hexd")) > 0, 1).otherwise(-1))
-        .groupBy("doc_id", "p")
-        .agg(F.sum("vote").alias("v"))
-    )
-    sig = votes.groupBy("doc_id").agg(
-        F.sum(
-            # SQL shiftleft takes an expression shift amount (the Python
-            # API wrapper only accepts a literal int)
-            F.when(F.col("v") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), 32 - p)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("s")
-    # three consumers (both join sides + the degree join-back) would each
-    # recompute the tokenize+vote DAG — materialize the 12-byte-per-doc
-    # signature table once instead (the kmeans_fit persistence rule)
-    ).localCheckpoint()
-    bands = sig.select(
-        "doc_id",
+    v = _simhash_votes(docs, width=32)
+    s_expr = None
+    for p in range(1, 33):
+        term = F.when(F.col(f"v{p}") >= 0, F.lit(1 << (32 - p)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        s_expr = term if s_expr is None else s_expr + term
+    # several consumers would each recompute the tokenize+vote DAG —
+    # materialize the 12-byte-per-doc signature table once instead (the
+    # kmeans_fit persistence rule)
+    sig = v.select("doc_id", s_expr.alias("s")).localCheckpoint()
+    # Degree arithmetic on DISTINCT signatures, weighted by multiplicity
+    # — the template-heavy-corpus guard: banding DOCS makes an m-doc
+    # identical-signature cluster emit m^2 candidate pairs (a 4k-doc
+    # cluster = 17M pairs at sf0.1); banding distinct SIGNATURES emits
+    # each (sa, sb) once and multiplies counts instead:
+    #   degree(d) = (cnt[s_d] - 1)  +  sum cnt[s'] over s' != s_d with
+    #               Hamming(s_d, s') <= 3
+    # Pigeonhole completeness is unchanged (a qualifying sig pair still
+    # shares one of the 4 x 8-bit bands).
+    sgrp = sig.groupBy("s").agg(F.count("*").alias("cnt"))
+    bands = sgrp.select(
         "s",
+        "cnt",
         F.explode(
             F.array(
                 *[
@@ -276,31 +281,26 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("_e"),
-    ).select("doc_id", "s", F.col("_e.band").alias("band"), F.col("_e.bits").alias("bits"))
+    ).select("s", "cnt", F.col("_e.band").alias("band"), F.col("_e.bits").alias("bits"))
     a, b = bands.alias("a"), bands.alias("b")
-    near = (
+    cross = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bits") == F.col("b.bits"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+            & (F.col("a.s") != F.col("b.s")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.col("b.doc_id").alias("other"),
-            F.col("a.s").alias("sa"),
-            F.col("b.s").alias("sb"),
-        )
-        .distinct()  # a pair can share several bands — count once
+        .select(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"), F.col("b.cnt").alias("cnt_b"))
+        .distinct()  # a sig pair can share several bands — count once
         .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_near"))
+        .groupBy("sa")
+        .agg(F.sum("cnt_b").alias("n_cross"))
     )
-    return (
-        sig.select("doc_id")
-        .join(near, "doc_id", "left")
-        .select("doc_id", F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"))
+    deg = sgrp.join(cross, sgrp["s"] == cross["sa"], "left").select(
+        sgrp["s"],
+        (F.col("cnt") - 1 + F.coalesce("n_cross", F.lit(0))).cast("long").alias("n_near"),
     )
+    return sig.join(deg, "s").select("doc_id", "n_near")
 
 
 @query(
