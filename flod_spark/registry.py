@@ -69,39 +69,39 @@ def ensure_shipped(spark: SparkSession) -> None:
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). _GATE_ORDER makes the window explicit, and ROTATES each
 # round so every registered query earns at least one driver CORRECTNESS
-# row across rounds (round-2 verdict item 4). Round-3 window =
-#   (a) the 2 round-2 red cells (now fixed — must re-prove green),
-#   (b) all 33 queries that have never had a driver row,
-#   (c) the 13 round-1 cells rotated out in round 2,
-#   (d) the 2 new round-3 qkeys (tag_roundtrip, by_line_sep).
-# Everything rotated out here was driver-green in r1/r2 AND stays
-# verified by tools/parity.py locally each round.
-# Keys not listed here sort after listed ones, in registration order.
+# row across rounds (round-2 verdict item 4). Round-4 window =
+#   (a) all 28 round-3 registrations that have never had a driver row
+#       (they passed r3's local parity only — the r3 gate window was
+#       already full when they landed),
+#   (b) the 3 new round-4 qkeys (semdedup_bounded, ngram_lm,
+#       by_line_wide),
+#   (c) 19 round-robin re-proofs of the OLDEST driver rows (last proven
+#       in round 2; registration order).
+# After round 4 every registered query has >= 1 driver CORRECTNESS row
+# across CORRECTNESS_r01-r04. Everything rotated out was driver-green in
+# an earlier round AND stays verified by tools/parity.py locally each
+# round. Keys not listed here sort after listed ones, in registration
+# order.
 _GATE_ORDER = (
-    # (a) round-2 red cells, fixed this round
-    "stream_session", "prep_pipeline",
-    # (b) never-gated: relational/TPC-H composites
-    "tpch_q5", "tpch_q10", "tpch_q14", "tpch_q18",
-    "agg_grouping_sets", "agg_approx", "window_range_frame",
-    "join_salted", "join_bucketed", "resample_gapfill",
-    # (b) never-gated: LLM-data ops
-    "dedup_cluster", "dedup_apply", "decontaminate", "semdedup",
-    "sim_ivf", "embed_centroids", "kmeans_iter",
-    "token_histogram", "doc_repetition",
-    "sample_mixture", "split_assign", "pack_sequences", "sample_shuffle",
-    # (b) never-gated: UDF variants
-    "udf_scalar", "udf_grouped",
-    # (b) never-gated: LIVE Structured Streaming (the north-star path)
-    "stream_window_live", "stream_session_live", "stream_take_live",
-    "stream_join_live", "stream_queue_live",
-    # (b) never-gated: sink formats
-    "sink_csv", "sink_json", "sink_partitioned",
-    # (c) round-1 cells rotated out in round 2
-    "agg_rollup", "agg_cube", "agg_pivot", "agg_percentile", "agg_collect",
-    "array_fns", "fingerprint", "join_outer", "join_semi", "set_intersect",
-    "text_clean", "token_count", "window_running",
-    # (d) new round-3 qkeys
-    "tag_roundtrip", "by_line_sep",
+    # (a) never-gated round-3 registrations: sources/sinks/UDF surfaces
+    "scan_pysource", "scan_pystream_live", "sink_pysink", "udf_table",
+    "stream_sessionize_live",
+    # (a) never-gated: TPC-H + relational additions
+    "tpch_q1", "tpch_q7", "tpch_q8", "tpch_q17",
+    "merge_upsert", "quality_buckets", "key_skew_stats", "null_semantics",
+    "window_dist", "value_zscore", "join_asof_tol", "datetime_fns",
+    # (a) never-gated: text/dedup/embedding additions
+    "pii_scrub", "bpe_pairs", "dedup_url", "text_windows",
+    "simhash_pairs", "dedup_containment", "embed_norms", "media_decode",
+    # (a) never-gated: event analytics
+    "funnel_steps", "cohort_retention", "orders_rfm",
+    # (b) new round-4 qkeys
+    "semdedup_bounded", "ngram_lm", "by_line_wide",
+    # (c) oldest re-proofs (driver rows from r1/r2; registration order)
+    "scan_file", "scan_array", "scan_range", "scan_delegate", "scan_queue",
+    "take_limit", "by_line", "by_chunk", "by_element", "adapter_noop",
+    "sink_collect", "sink_discard", "sink_file", "sink_copy", "scan_binary",
+    "agg_group", "agg_distinct", "join_equi", "join_anti",
 )
 
 

@@ -168,25 +168,31 @@ def test_take_stress_reference_scale(spark):
         assert got.m == (k - 1 if k else None)
 
 
-def test_gate_window_round3_membership():
+def test_gate_window_round4_membership():
     """The driver checks only the FIRST 50 queries() entries. Pin the
-    round-3 rotation: the fixed red cells, the never-gated backlog, and
-    the two new qkeys must all sit inside the window (a silent reorder
-    would cost them their driver CORRECTNESS row)."""
+    round-4 rotation: every round-3 registration that never earned a
+    driver CORRECTNESS row, plus the new round-4 qkeys, must sit inside
+    the window (a silent reorder would cost them their driver row and
+    break the every-query-gets-gated-once invariant)."""
     import __spark_entry__ as e
 
     window = list(e.queries())[:50]
     must_gate = {
-        "stream_session", "prep_pipeline",                      # r2 red, fixed
-        "tag_roundtrip", "by_line_sep",                          # new r3
-        "window_range_frame", "kmeans_iter", "semdedup",
-        "dedup_cluster", "decontaminate", "sim_ivf",
-        "stream_window_live", "stream_session_live",
-        "stream_take_live", "stream_join_live", "stream_queue_live",
-        "tpch_q5", "tpch_q10", "tpch_q14", "tpch_q18",
+        # round-3 registrations with no driver row through r3
+        "scan_pysource", "scan_pystream_live", "sink_pysink", "udf_table",
+        "stream_sessionize_live",
+        "tpch_q1", "tpch_q7", "tpch_q8", "tpch_q17",
+        "merge_upsert", "quality_buckets", "key_skew_stats", "null_semantics",
+        "window_dist", "value_zscore", "join_asof_tol", "datetime_fns",
+        "pii_scrub", "bpe_pairs", "dedup_url", "text_windows",
+        "simhash_pairs", "dedup_containment", "embed_norms", "media_decode",
+        "funnel_steps", "cohort_retention", "orders_rfm",
+        # new in round 4
+        "semdedup_bounded", "ngram_lm", "by_line_wide",
     }
     missing = must_gate - set(window)
     assert not missing, f"rotated out of the 50-entry gate window: {missing}"
+    assert len(window) == 50
     # every registered query has an oracle except the sketch family
     no_oracle = set(e.queries()) - set(e.oracle_sql())
     assert no_oracle == {"agg_approx"}
