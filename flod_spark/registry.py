@@ -73,9 +73,9 @@ def ensure_shipped(spark: SparkSession) -> None:
 #   (a) all 28 round-3 registrations that have never had a driver row
 #       (they passed r3's local parity only — the r3 gate window was
 #       already full when they landed),
-#   (b) the 3 new round-4 qkeys (semdedup_bounded, ngram_lm,
-#       by_line_wide),
-#   (c) 19 round-robin re-proofs of the OLDEST driver rows (last proven
+#   (b) the 9 new round-4 qkeys (semdedup_bounded, ngram_lm,
+#       by_line_wide, tpch_q4/q13/q15/q19/q21/q22),
+#   (c) 13 round-robin re-proofs of the OLDEST driver rows (last proven
 #       in round 2; registration order).
 # After round 4 every registered query has >= 1 driver CORRECTNESS row
 # across CORRECTNESS_r01-r04. Everything rotated out was driver-green in
@@ -97,11 +97,11 @@ _GATE_ORDER = (
     "funnel_steps", "cohort_retention", "orders_rfm",
     # (b) new round-4 qkeys
     "semdedup_bounded", "ngram_lm", "by_line_wide",
+    "tpch_q4", "tpch_q13", "tpch_q15", "tpch_q19", "tpch_q21", "tpch_q22",
     # (c) oldest re-proofs (driver rows from r1/r2; registration order)
     "scan_file", "scan_array", "scan_range", "scan_delegate", "scan_queue",
     "take_limit", "by_line", "by_chunk", "by_element", "adapter_noop",
-    "sink_collect", "sink_discard", "sink_file", "sink_copy", "scan_binary",
-    "agg_group", "agg_distinct", "join_equi", "join_anti",
+    "sink_collect", "sink_discard", "sink_file",
 )
 
 
