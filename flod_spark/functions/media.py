@@ -157,3 +157,96 @@ def encode_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
             yield pd.DataFrame({"media_id": pdf[id_col].values, "blob": blobs})
 
     return df.mapInPandas(run, schema="media_id long, blob binary")
+
+
+def decode_media_real(df: DataFrame, id_col: str = "media_id", blob_col: str = "blob") -> DataFrame:
+    """REAL-codec decode stage (the production adapter the fake stands in
+    for): same mapInPandas shape and DECODED_SCHEMA contract as
+    decode_media, with per-blob container sniffing:
+
+    - RIFF/WAVE  -> stdlib ``wave`` (always available — this leg is real
+      and tested in this container): width=sample rate, height=bits per
+      sample x channels, n_frames=frame count, feature=sha256 sketch of
+      the raw sample bytes.
+    - PNG/JPEG   -> Pillow, IMPORT-GUARDED: absent (as in this
+      container) the blob reports kind='unknown' rather than failing the
+      stage — the honest degraded mode; with Pillow installed it returns
+      real pixel dimensions and a pixel-bytes sketch.
+    - FMED       -> the synthetic fallback (same parse as decode_media),
+      so pipelines mixing fixture and real blobs decode uniformly.
+
+    The gated `media_decode` query stays on the synthetic path (its
+    oracle reproduces FMED in SQL); this stage is the swap-in adapter."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+        import io as _io
+        import struct as _st
+        import wave as _wave
+
+        try:  # import-guarded image codec: optional by design
+            from PIL import Image as _Image  # type: ignore
+        except ImportError:
+            _Image = None
+
+        header = _st.Struct("<4sBHHH")
+        kinds = {0: "image", 1: "audio", 2: "video"}
+        unknown = {"kind": "unknown", "width": 0, "height": 0, "n_frames": 0, "feature": None}
+
+        def sketch(raw: bytes) -> list[float]:
+            return [b / 255.0 for b in _hl.sha256(raw).digest()[:8]]
+
+        def dec(blob) -> dict:
+            if blob is None or len(blob) < 12:
+                return unknown
+            b = bytes(blob)
+            if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                try:
+                    with _wave.open(_io.BytesIO(b)) as w:
+                        frames = w.readframes(w.getnframes())
+                        return {
+                            "kind": "audio",
+                            "width": w.getframerate(),
+                            "height": 8 * w.getsampwidth() * w.getnchannels(),
+                            "n_frames": w.getnframes(),
+                            "feature": sketch(frames),
+                        }
+                except _wave.Error:
+                    return unknown
+            if b[:8] == b"\x89PNG\r\n\x1a\n" or b[:3] == b"\xff\xd8\xff":
+                if _Image is None:
+                    return unknown  # no image codec in this build
+                with _Image.open(_io.BytesIO(b)) as im:
+                    return {
+                        "kind": "image",
+                        "width": im.width,
+                        "height": im.height,
+                        "n_frames": getattr(im, "n_frames", 1),
+                        "feature": sketch(im.tobytes()),
+                    }
+            if b[:4] == MAGIC:
+                _, kind, w, h, nf = header.unpack(b[: header.size])
+                return {
+                    "kind": kinds.get(kind, "unknown"),
+                    "width": w,
+                    "height": h,
+                    "n_frames": nf,
+                    "feature": sketch(b[header.size :]),
+                }
+            return unknown
+
+        for pdf in batches:
+            decoded = [dec(b) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].values,
+                    "kind": [d["kind"] for d in decoded],
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "n_frames": [d["n_frames"] for d in decoded],
+                    "n_bytes": [len(b) if b is not None else 0 for b in pdf[blob_col]],
+                    "feature": [d["feature"] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(run, schema=DECODED_SCHEMA)
