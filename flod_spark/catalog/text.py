@@ -720,3 +720,57 @@ def ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_log2",
         (F.col("q_log2").cast("double") / F.col("n_bigrams")).alias("bits_per_bigram"),
     )
+
+
+@query(
+    "tfidf_terms",
+    oracle=(
+        # top-3 characteristic terms per doc, EXACT cross-engine: the
+        # tf-idf ordering tf1/df1 > tf2/df2 is evaluated as the integer
+        # cross-multiplication tf1*df2 > tf2*df1 — no float division or
+        # log anywhere, so ranks are bit-free and engine-identical
+        f"WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tk "
+        "  FROM documents), "
+        "tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, tk), "
+        "df AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tk), "
+        # sort key = (tf * 100000) integer-div df — a quantized rational,
+        # exact in both engines — with (tf, df, term) tiebreaks for a
+        # total order
+        "r AS (SELECT doc_id, tk, tf, df, row_number() OVER (PARTITION BY doc_id "
+        "    ORDER BY (tf * 100000) // df DESC, tf DESC, df ASC, tk) AS rk FROM tf JOIN df USING (tk)) "
+        "SELECT doc_id, tk AS term, tf, df, CAST(rk AS BIGINT) AS rk "
+        "FROM r WHERE rk <= 3"
+    ),
+)
+def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf ordering — the
+    keyword-extraction pass (search indexing, topic tagging, dedup
+    explanation). Exactness without floats: terms are ranked by the
+    quantized rational (tf * 100000) div df (integer division, exact in
+    both engines) with (tf, df, term) tiebreaks — a total order, so
+    row_number is deterministic. Scale: tf is one (doc, term)
+    partial-agg shuffle; df one term shuffle; the per-doc top-3 prunes
+    through WindowGroupLimit before the final exchange."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))).alias("tk"),
+    )
+    tf = tok.groupBy("doc_id", "tk").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("tk").agg(F.count("*").alias("df"))
+    j = tf.join(df_, "tk")
+    score = F.expr("(tf * 100000) div df")  # exact integer division (no float)
+    w = Window.partitionBy("doc_id").orderBy(
+        score.desc(), F.col("tf").desc(), F.col("df").asc(), F.col("tk")
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            F.col("tk").alias("term"),
+            "tf",
+            "df",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
