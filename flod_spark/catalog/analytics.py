@@ -165,3 +165,105 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = quartile([(-F.col("frequency")).alias("neg_f"), F.col("custkey")], "f_score")
     m = quartile([(-F.col("monetary")).alias("neg_m"), F.col("custkey")], "m_score")
     return base.join(r, "custkey").join(f, "custkey").join(m, "custkey")
+
+
+_PR_FXP = 1099511627776.0  # 2^40 — exact cross-row sums (the embed_centroids rule)
+_PR_D = 0.85  # damping
+
+
+def _pr_round_sql(prev: str, out: str) -> str:
+    """One unrolled PageRank round in SQL: per-edge contribution
+    floor(r/deg * 2^40) summed as BIGINT (order-independent), then
+    r' = (1-d)/n + d * sum/2^40. All per-row double ops are identical
+    IEEE in both engines; only exact integers cross the aggregation."""
+    return (
+        f"c_{out} AS (SELECT e.dst AS node, "
+        f"    SUM(CAST(floor({prev}.r / deg.d * {_PR_FXP}) AS BIGINT)) AS s "
+        f"  FROM edges e JOIN deg ON deg.node = e.src JOIN {prev} ON {prev}.node = e.src "
+        "  GROUP BY e.dst), "
+        f"{out} AS (SELECT nodes.node, "
+        f"    CAST({1 - _PR_D} AS DOUBLE) / (SELECT n FROM nn) "
+        f"    + CAST({_PR_D} AS DOUBLE) * (CAST(COALESCE(c_{out}.s, 0) AS DOUBLE) / {_PR_FXP}) AS r "
+        f"  FROM nodes LEFT JOIN c_{out} ON c_{out}.node = nodes.node)"
+    )
+
+
+@query(
+    "pagerank_iter",
+    oracle=(
+        "WITH e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src, "
+        "    's' || CAST(l_suppkey AS VARCHAR) AS dst "
+        "  FROM orders JOIN lineitem ON l_orderkey = o_orderkey), "
+        "edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0), "
+        "deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src), "
+        "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+        "nn AS (SELECT COUNT(*) AS n FROM nodes), "
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes), "
+        + _pr_round_sql("r0", "r1")
+        + ", "
+        + _pr_round_sql("r1", "r2")
+        + " SELECT n1.node, n1.r AS rank_round1, n2.r AS rank_round2 "
+        "FROM r1 n1 JOIN r2 n2 ON n1.node = n2.node"
+    ),
+)
+def pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled PageRank rounds over the customer-supplier bipartite
+    graph (who-buys-from-whom, both directions) — the second iterative-
+    algorithm template next to kmeans_iter, exact cross-engine: per-edge
+    contributions r/deg are identical IEEE doubles, quantized to 2^40
+    fixed-point BIGINTs before the SUM so the aggregation is order-
+    independent, then r' = (1-d)/n + d*sum/2^40 is again pure identical
+    double arithmetic.
+
+    Scale: edges = one distinct projection of the join (|C x S| pairs
+    that traded, both directions); each round is ONE shuffle — the
+    contribution aggregate on dst — with deg/rank co-partitioned on the
+    node key and the 1-row node count broadcast. A production loop
+    localCheckpoints between rounds (kmeans_fit's rule); two rounds stay
+    as pure lineage at gate scale."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count("*").alias("n"))
+
+    def pr_round(prev: DataFrame) -> DataFrame:
+        contrib = (
+            edges.join(deg, edges["src"] == deg["node"])
+            .join(prev.withColumnRenamed("node", "_pn"), F.col("src") == F.col("_pn"))
+            .select(
+                "dst",
+                F.floor(F.col("r") / F.col("d") * F.lit(_PR_FXP)).cast("long").alias("c"),
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("s"))
+        )
+        return (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    F.lit(1 - _PR_D) / F.col("n")
+                    + F.lit(_PR_D) * (F.coalesce("s", F.lit(0)).cast("double") / F.lit(_PR_FXP))
+                ).alias("r"),
+            )
+        )
+
+    r0 = nodes.crossJoin(F.broadcast(nn)).select("node", (F.lit(1.0) / F.col("n")).alias("r"))
+    r1 = pr_round(r0)
+    r2 = pr_round(r1)
+    return (
+        r1.withColumnRenamed("r", "rank_round1")
+        .join(r2.withColumnRenamed("r", "rank_round2"), "node")
+        .select("node", "rank_round1", "rank_round2")
+    )
