@@ -228,6 +228,11 @@ def test_headline_exchange_counts_pinned(spark, sf_dir):
     qs = entry.queries()
     got = {}
     for name, (ex, smj) in HEADLINE_PINS.items():
+        # cold-plan fingerprints: a materialized cache entry left by an
+        # earlier test (lsh_candidate_pairs persists its signature table
+        # by design) substitutes InMemoryRelation stats into identical
+        # subtrees and flips broadcast decisions — clear per query
+        spark.catalog.clearCache()
         p = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         f = fingerprint(p)
         got[name] = (f["ex"], f["smj"])
