@@ -223,3 +223,26 @@ def test_ngram_lm_score_invariants(spark, sf_dir):
     )
     assert bad.count() == 0
     out.unpersist()
+
+
+def test_tfidf_terms_rank_contract(spark, sf_dir):
+    """Exactly ranks 1..k per doc with distinct terms, and the rank-1
+    term's quantized tf-idf score is >= every other ranked term's."""
+    from flod_spark.catalog import text
+
+    out = text.tfidf_terms(spark, sf_dir).cache()
+    per_doc = (
+        out.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("rk")).alias("rks"),
+            F.countDistinct("term").alias("nt"),
+            F.max(F.when(F.col("rk") == 1, (F.col("tf") * 100000) / F.col("df"))).alias("s1"),
+            F.min((F.col("tf") * 100000) / F.col("df")).alias("smin"),
+        )
+        .collect()
+    )
+    for r in per_doc:
+        assert r.rks == list(range(1, len(r.rks) + 1))
+        assert r.nt == len(r.rks)
+        assert r.s1 >= r.smin - 1e-9
+    out.unpersist()

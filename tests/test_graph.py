@@ -96,3 +96,21 @@ def test_dedup_cluster_invariants(spark, sf_dir):
     for cid, members in by_cluster.items():
         for m in members:
             assert dup_flags[m] == (m != cid)
+
+
+def test_pagerank_iter_mass_conservation_and_positivity(spark, sf_dir):
+    """PageRank invariants: every rank positive, total mass ~= 1 after
+    each round (exactly 1 minus the fixed-point floor loss, which is
+    bounded by |edges|/2^40), and round 2 differs from round 1 (the
+    iteration is not a fixed point on this graph)."""
+    from flod_spark.catalog.analytics import pagerank_iter
+    from pyspark.sql import functions as F
+
+    out = pagerank_iter(spark, sf_dir).cache()
+    n = out.count()
+    assert n > 0
+    assert out.filter((F.col("rank_round1") <= 0) | (F.col("rank_round2") <= 0)).count() == 0
+    s1, s2 = out.agg(F.sum("rank_round1"), F.sum("rank_round2")).first()
+    assert abs(s1 - 1.0) < 1e-6 and abs(s2 - 1.0) < 1e-6
+    assert out.filter(F.col("rank_round1") != F.col("rank_round2")).count() > 0
+    out.unpersist()
