@@ -186,3 +186,80 @@ def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("val_sum", ignorenulls=True).over(w).alias("val_ffill"),
         F.col("n_events").isNull().alias("is_gap"),
     )
+
+
+@query(
+    "resample_interp",
+    oracle=(
+        # linear interpolation between observed daily sums: every gap
+        # bucket has both neighbors (the grid spans min..max observed),
+        # and the interpolation arithmetic is written with the SAME op
+        # order both sides so doubles match bitwise
+        "WITH agg AS (SELECT user_id, date_trunc('day', ts) AS bucket, "
+        "    CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum "
+        "  FROM events GROUP BY user_id, bucket), "
+        "span AS (SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx FROM agg GROUP BY user_id), "
+        "grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket FROM span), "
+        "j AS (SELECT g.user_id, g.bucket, a.n_events, a.val_sum "
+        "  FROM grid g LEFT JOIN agg a USING (user_id, bucket)), "
+        "nb AS (SELECT user_id, bucket, n_events, val_sum, "
+        "  last_value(val_sum IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket "
+        "    ROWS UNBOUNDED PRECEDING) AS pv, "
+        "  last_value(CASE WHEN val_sum IS NOT NULL THEN bucket END IGNORE NULLS) "
+        "    OVER (PARTITION BY user_id ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS pb, "
+        "  first_value(val_sum IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket "
+        "    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv, "
+        "  first_value(CASE WHEN val_sum IS NOT NULL THEN bucket END IGNORE NULLS) "
+        "    OVER (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb_ "
+        "  FROM j) "
+        "SELECT user_id, bucket, COALESCE(n_events, 0) AS n_events, "
+        "  CASE WHEN val_sum IS NOT NULL THEN val_sum "
+        "    ELSE pv + (nv - pv) * (CAST(date_diff('day', pb, bucket) AS DOUBLE) "
+        "                           / CAST(date_diff('day', pb, nb_) AS DOUBLE)) END AS val_interp, "
+        "  val_sum IS NULL AS is_gap "
+        "FROM nb"
+    ),
+)
+def resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with LINEAR interpolation — gapfill's twin
+    for signals where carry-forward biases downstream models (sensor
+    values, prices): each missing daily bucket gets
+    prev + (next-prev) * elapsed/gap_span. Every gap has both
+    neighbors by construction (the grid spans each user's own
+    min..max observed day). Exactness: neighbor sums are decimal-exact
+    doubles; day offsets are exact ints; the interpolation expression
+    is written in the identical op order both engines, so IEEE gives
+    identical results.
+
+    Scale: same shape as resample_gapfill — one partial-agg shuffle,
+    sequence()-generated grid (rows = span days, never events), one
+    co-partitioned join, and four per-user (partitioned, never global)
+    windows that Catalyst evaluates in a single WindowExec pass."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("bucket")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("val_sum"),
+    )
+    span = agg.groupBy("user_id").agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+    grid = span.select(
+        "user_id", F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("bucket")
+    )
+    j = grid.join(agg, ["user_id", "bucket"], "left")
+    wp = Window.partitionBy("user_id").orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy("user_id").orderBy("bucket").rowsBetween(0, Window.unboundedFollowing)
+    obs_bucket = F.when(F.col("val_sum").isNotNull(), F.col("bucket"))
+    pv = F.last("val_sum", ignorenulls=True).over(wp)
+    pb = F.last(obs_bucket, ignorenulls=True).over(wp)
+    nv = F.first("val_sum", ignorenulls=True).over(wn)
+    nbk = F.first(obs_bucket, ignorenulls=True).over(wn)
+    interp = pv + (nv - pv) * (
+        F.datediff(F.col("bucket"), pb).cast("double") / F.datediff(nbk, pb).cast("double")
+    )
+    return j.select(
+        "user_id",
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.when(F.col("val_sum").isNotNull(), F.col("val_sum")).otherwise(interp).alias("val_interp"),
+        F.col("val_sum").isNull().alias("is_gap"),
+    )

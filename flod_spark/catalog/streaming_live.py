@@ -42,7 +42,7 @@ _WATERMARK = "2 hours"
 _TAKE_N = 3
 
 
-def _drain(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+def _drain(stream_df: DataFrame, spark: SparkSession, output_mode: str = "append") -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink and
     return the materialized result (unique names: re-entrant per call)."""
     name = "live_" + uuid.uuid4().hex[:12]
@@ -50,7 +50,7 @@ def _drain(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .option("checkpointLocation", ckpt)
         .start()
     )
@@ -312,3 +312,40 @@ def scan_pystream_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return _drain(stream, spark)
+
+
+@query(
+    "stream_agg_complete_live",
+    oracle=(
+        "SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "  MIN(ts) AS first_ts, MAX(ts) AS last_ts, "
+        "  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY user_id, event_type"
+    ),
+)
+def stream_agg_complete_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming keyed aggregation in COMPLETE output mode — the
+    one sink mode the live family didn't cover (window/session/take/
+    join/queue/sessionize are all append). No watermark, unbounded
+    per-key state accumulated across every micro-batch; each trigger
+    rewrites the full result table, and the final table after the
+    stream runs dry equals the batch aggregate EXACTLY (decimal-exact
+    sums), which is what makes a bit-exact oracle possible with no
+    horizon cutoff at all — the determinism story complete mode buys
+    in exchange for state that never evicts.
+
+    Scale: complete mode re-emits |keys| rows per trigger — the right
+    tool for bounded key domains (dashboards over entity rollups), the
+    wrong one for unbounded keys; state shards by key hash across
+    executors exactly like the append-mode aggregations."""
+    ev = load(spark, sf_dir, "events")
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_c_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=5)
+    agg = stream.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    return _drain(agg, spark, output_mode="complete")
