@@ -349,3 +349,43 @@ def stream_agg_complete_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
     return _drain(agg, spark, output_mode="complete")
+
+
+@query(
+    "stream_sliding_live",
+    oracle=(
+        # Each event lands in 1h/15min = 4 overlapping windows (batch
+        # twin stream_sliding); append mode then emits exactly the
+        # windows the FINAL watermark closed: win_end <= max_ts - 2h,
+        # i.e. win_start <= max_ts - 3h — same horizon rule as
+        # stream_window_live, applied per overlapping window instance.
+        "WITH w AS (SELECT value, unnest(generate_series("
+        "    time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '45 minutes', "
+        "    time_bucket(INTERVAL '15 minutes', ts), INTERVAL '15 minutes')) AS win_start "
+        "  FROM events) "
+        "SELECT win_start, win_start + INTERVAL '1 hour' AS win_end, COUNT(*) AS n_events "
+        "FROM w GROUP BY win_start "
+        "HAVING win_start <= (SELECT max(ts) - INTERVAL '3 hours' FROM events)"
+    ),
+)
+def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming SLIDING windows (1h length, 15min slide): each
+    event expands to 4 window instances before the keyed state, and
+    append mode emits a window instance once the watermark passes its
+    end — the overlapping-window completion of stream_window_live's
+    tumbling contract (same horizon cutoff, applied per instance).
+    Scale: the 4x expansion collapses map-side via partial aggregation
+    (the exchange carries |windows| aggregates, never 4x events);
+    sliding-window state is window-keyed and watermark-bounded exactly
+    like tumbling."""
+    from flod_spark.streaming.windows import sliding_counts
+
+    ev = load(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_sl_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=5)
+    got = _drain(sliding_counts(stream, window="1 hour", slide="15 minutes",
+                                watermark=_WATERMARK), spark)
+    horizon = F.lit(max_ts) - F.expr("INTERVAL 3 HOURS")
+    return got.filter(F.col("win_start") <= horizon)

@@ -99,9 +99,10 @@ _GATE_ORDER = (
     "semdedup_bounded", "ngram_lm", "by_line_wide",
     "tpch_q4", "tpch_q13", "tpch_q15", "tpch_q19", "tpch_q21", "tpch_q22",
     "tfidf_terms", "pagerank_iter", "resample_interp", "stream_agg_complete_live",
+    "stream_sliding_live",
     # (c) oldest re-proofs (driver rows from r1/r2; registration order)
     "scan_file", "scan_array", "scan_range", "scan_delegate", "scan_queue",
-    "take_limit", "by_line", "by_chunk", "by_element",
+    "take_limit", "by_line", "by_chunk",
 )
 
 

@@ -191,6 +191,7 @@ def test_gate_window_round4_membership():
         "semdedup_bounded", "ngram_lm", "by_line_wide",
         "tpch_q4", "tpch_q13", "tpch_q15", "tpch_q19", "tpch_q21", "tpch_q22",
         "tfidf_terms", "pagerank_iter", "resample_interp", "stream_agg_complete_live",
+        "stream_sliding_live",
     }
     missing = must_gate - set(window)
     assert not missing, f"rotated out of the 50-entry gate window: {missing}"
