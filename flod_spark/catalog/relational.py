@@ -1782,3 +1782,296 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+@query(
+    "tpch_q2",
+    oracle=(
+        # partsupp adapted: the (part, supplier) catalog is derived from
+        # lineitem history, supply cost := MIN unit price ever charged
+        "WITH ps AS (SELECT l_partkey, l_suppkey, "
+        "    MIN(l_extendedprice / l_quantity) AS supplycost "
+        "  FROM lineitem GROUP BY 1, 2), "
+        "eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name "
+        "  FROM supplier, nation, region "
+        "  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+        "    AND r_name = 'EUROPE'), "
+        "cand AS (SELECT p_partkey, p_name, supplycost, s_name, s_acctbal, n_name "
+        "  FROM part, ps, eu "
+        "  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey "
+        "    AND p_size = 15 AND p_type = 'STANDARD'), "
+        "mn AS (SELECT p_partkey AS pk, MIN(supplycost) AS mc FROM cand GROUP BY 1) "
+        "SELECT s_acctbal, s_name, n_name, p_partkey, p_name "
+        "FROM cand, mn WHERE p_partkey = pk AND supplycost = mc "
+        "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"
+    ),
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier): correlated-MIN subquery as a
+    per-part argmin. partsupp is derived (lineitem's (part, supplier)
+    pairs; supplycost = MIN unit price), then the region-restricted
+    minimum is joined back by float equality — safe because both sides
+    are the SAME double (per-row IEEE division, then exact MIN), the
+    q15 pattern. Scale: one (part,supp) partial-agg shuffle builds the
+    catalog; region suppliers and the filtered part slice broadcast;
+    the argmin re-join co-partitions on p_partkey."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    eu = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_name")
+    cand = (
+        ps.join(F.broadcast(eu), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select("p_partkey", "p_name", "supplycost", "s_name", "s_acctbal", "n_name")
+    )
+    mn = cand.groupBy(F.col("p_partkey").alias("pk")).agg(F.min("supplycost").alias("mc"))
+    return (
+        cand.join(mn, (F.col("p_partkey") == F.col("pk")) & (F.col("supplycost") == F.col("mc")))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q9",
+    oracle=(
+        # ps_supplycost adapted: cost of goods := 0.5 * p_retailprice
+        "SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, "
+        "  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+        "      - 0.5 * p_retailprice * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_profit "
+        "FROM lineitem, part, supplier, orders, nation "
+        "WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey "
+        "  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey "
+        "  AND p_name LIKE '%bolt%' "
+        "GROUP BY 1, 2 ORDER BY nation, o_year DESC"
+    ),
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit per supplier nation
+    per order year over a part-name slice. Per-row profit is a fixed
+    IEEE expression (identical operator order in both engines), summed
+    through DECIMAL. Scale: part slice / supplier / nation all
+    broadcast, so lineitem shuffles exactly once (the orderkey join);
+    the (nation, year) aggregate is map-side partial over ~25x7 keys."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(28,6)")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "tpch_q11",
+    oracle=(
+        # partsupp value adapted: a part's inventory value in a nation is
+        # what that nation's suppliers billed for it; the HAVING-threshold
+        # compare is kept in exact DECIMAL (value * 10000 > total)
+        "WITH pv AS (SELECT l_partkey, "
+        "    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS vdec "
+        "  FROM lineitem, supplier, nation "
+        "  WHERE s_suppkey = l_suppkey AND s_nationkey = n_nationkey "
+        "    AND n_name = 'NATION_3' GROUP BY 1), "
+        "tot AS (SELECT SUM(vdec) AS total FROM pv) "
+        "SELECT l_partkey AS p_partkey, CAST(vdec AS DOUBLE) AS value "
+        "FROM pv, tot WHERE vdec * 10000 > total "
+        "ORDER BY value DESC, p_partkey"
+    ),
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part value within one
+    nation, kept only where it exceeds a fraction of the national
+    total (scalar subquery). The threshold compare stays in DECIMAL
+    (value * 10000 > total) — exact in both engines, no float
+    fraction. Scale: nation's suppliers broadcast; one partkey
+    partial-agg shuffle; the total is a 1-row broadcast back."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3").select("n_nationkey")
+    sn = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")).select("s_suppkey")
+    pv = (
+        li.join(F.broadcast(sn), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("vdec"))
+    )
+    tot = pv.agg(F.sum("vdec").alias("total"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("vdec") * 10000 > F.col("total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("vdec").cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+@query(
+    "tpch_q12",
+    oracle=(
+        # l_shipmode adapted to l_returnflag; commit/receipt dates adapted
+        # to "shipped > 30 days after order date" (the q21 lateness rule)
+        "SELECT l_returnflag, "
+        "  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+        "    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+        "FROM orders, lineitem "
+        "WHERE o_orderkey = l_orderkey "
+        "  AND l_shipdate > o_orderdate + INTERVAL 30 DAY "
+        "  AND l_shipdate >= TIMESTAMP '1997-01-01' "
+        "  AND l_shipdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-priority split): conditional counts of
+    high/low-priority orders among late-shipped lines, grouped by a
+    categorical leg. Scale: the shipdate year-window is pushed to the
+    lineitem scan; one orderkey shuffle join; the 3-group aggregate is
+    map-side partial."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "tpch_q16",
+    oracle=(
+        # partsupp adapted: a part's suppliers are those who ever shipped
+        # it; the 'complaints' exclusion becomes negative account balance
+        "SELECT p_brand, p_type, p_size, "
+        "  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+        "FROM lineitem, part "
+        "WHERE p_partkey = l_partkey "
+        "  AND p_brand <> 'Brand#2' AND p_type <> 'PROMO' "
+        "  AND p_size IN (1, 5, 9, 15, 23, 31, 42, 50) "
+        "  AND l_suppkey NOT IN "
+        "    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+        "GROUP BY 1, 2, 3 "
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+    ),
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+    census per (brand, type, size) bucket with a NOT-IN supplier
+    exclusion. The NOT IN becomes a broadcast LEFT ANTI join (safe:
+    s_suppkey is non-null, so three-valued-logic NOT IN == anti join).
+    Scale: part slice and excluded-supplier list broadcast, so the only
+    exchange is the distinct-count's partial aggregation on the
+    (brand, type, size, suppkey) key."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 15, 23, 31, 42, 50)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        li.join(F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch_q20",
+    oracle=(
+        # ps_availqty adapted: a supplier has 'excess stock' of a part if
+        # its 1997 shipped quantity exceeds 1.5x the average per-supplier
+        # share of that part — compared in exact DECIMAL x BIGINT terms
+        "WITH qs AS (SELECT l_suppkey, l_partkey, "
+        "    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty "
+        "  FROM lineitem, part WHERE p_partkey = l_partkey "
+        "    AND p_name LIKE 'small%' "
+        "    AND l_shipdate >= TIMESTAMP '1997-01-01' "
+        "    AND l_shipdate < TIMESTAMP '1998-01-01' "
+        "  GROUP BY 1, 2), "
+        "pt AS (SELECT l_partkey AS pk, SUM(qty) AS part_qty, "
+        "    CAST(COUNT(*) AS BIGINT) AS n_supp FROM qs GROUP BY 1) "
+        "SELECT DISTINCT s_name FROM qs, pt, supplier, nation "
+        "WHERE l_partkey = pk AND qty * n_supp * 2 > 3 * part_qty "
+        "  AND s_suppkey = l_suppkey AND s_nationkey = n_nationkey "
+        "  AND n_name = 'NATION_5' "
+        "ORDER BY s_name"
+    ),
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-stock suppliers): the nested
+    availqty-vs-half-of-shipments subquery becomes a per-(supplier,
+    part) share test — qty * n_supp * 2 > 3 * part_qty, i.e. the
+    supplier shipped more than 1.5x the average share. Compares stay in
+    DECIMAL x BIGINT (exact both engines). Scale: one (supp, part)
+    partial-agg shuffle; the per-part totals re-join co-partitions on
+    partkey; nation's suppliers broadcast at the end."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    qs = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+    )
+    pt = qs.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").alias("part_qty"), F.count("*").alias("n_supp")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5").select("n_nationkey")
+    sn = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        qs.join(pt, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("qty") * F.col("n_supp") * 2 > 3 * F.col("part_qty"))
+        .join(F.broadcast(sn), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_name")
+        .distinct()
+        .orderBy("s_name")
+    )

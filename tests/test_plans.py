@@ -188,6 +188,26 @@ def test_pii_scrub_is_map_only(spark, sf_dir):
     assert "Exchange" not in plan  # pure narrow regexp stage
 
 
+def test_tpch_q9_dims_broadcast_single_fact_shuffle(spark, sf_dir):
+    # part slice / supplier / nation must broadcast; only the orderkey
+    # fact join may shuffle (and even that can broadcast at tiny SF)
+    from flod_spark.catalog.relational import tpch_q9
+
+    plan = plan_of(tpch_q9(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_tpch_q16_not_in_becomes_broadcast_anti(spark, sf_dir):
+    # the NOT-IN supplier exclusion must compile to a broadcast anti
+    # join — never a shuffle of lineitem against 100 suppliers
+    from flod_spark.catalog.relational import tpch_q16
+
+    plan = plan_of(tpch_q16(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
 # ---------------------------------------------------------------------------
 # Whole-registry plan-shape gate (round-3 verdict item 3)
 
