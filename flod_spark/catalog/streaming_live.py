@@ -389,3 +389,42 @@ def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 watermark=_WATERMARK), spark)
     horizon = F.lit(max_ts) - F.expr("INTERVAL 3 HOURS")
     return got.filter(F.col("win_start") <= horizon)
+
+
+@query(
+    "stream_dedup_live",
+    oracle=(
+        "SELECT user_id, event_type, MIN(event_id) AS first_event_id, "
+        "  MIN(ts) AS first_ts "
+        "FROM events GROUP BY user_id, event_type"
+    ),
+)
+def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming deduplication: dropDuplicates on a stream keeps the
+    FIRST ARRIVAL per key in per-key state (streaming/dedup.py), emitted
+    append-mode the trigger it lands. Replay's determinism contract makes
+    'first arrival' exact: files are ts-ordered, each trigger's file scans
+    as one partition, and shuffle preserves per-(map, reduce) row order —
+    so the first row a key's state partition sees IS its min-ts row (the
+    same arrival-order guarantee stream_take_live is built on). The batch
+    twin's min-aggregation oracle (stream_dedup) therefore applies
+    verbatim. Scale: state is one entry per distinct key, sharded by key
+    hash — the unbounded regime; dropDuplicatesWithinWatermark
+    (streaming/dedup.py::drop_duplicates_within) is the bounded-state
+    production form when the duplicate horizon is known."""
+    from flod_spark.streaming.dedup import drop_duplicates_unbounded
+
+    ev = load(spark, sf_dir, "events")
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_d_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4)
+    dd = drop_duplicates_unbounded(
+        stream.select("user_id", "event_type", "event_id", "ts"),
+        "user_id", "event_type",
+    )
+    return _drain(dd, spark).select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("first_event_id"),
+        F.col("ts").alias("first_ts"),
+    )
