@@ -122,3 +122,53 @@ def sample_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.md5(F.concat(F.lit("sh|"), F.col("doc_id").cast("string")).cast("binary"))
     keyed = docs.withColumn("_skey", key)
     return with_seq(keyed, "_skey", "doc_id").select("doc_id", F.col(SEQ).alias("pos"))
+
+
+_BUCKET_EDGES = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def _bucket_case_sql(n: str) -> str:
+    case = "CASE "
+    for e in _BUCKET_EDGES:
+        case += f"WHEN {n} <= {e} THEN {e} "
+    return case + f"ELSE {2 * _BUCKET_EDGES[-1]} END"
+
+
+@query(
+    "length_buckets",
+    oracle=(
+        "WITH t AS (SELECT lang, "
+        f"    CAST(length(regexp_extract_all(lower(text), '{BPE_RE}')) AS BIGINT) AS n_tok "
+        "  FROM documents) "
+        f"SELECT lang, CAST({_bucket_case_sql('n_tok')} AS BIGINT) AS bucket, "
+        "  CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "  CAST(SUM(n_tok) AS BIGINT) AS total_tokens, "
+        f"  CAST(SUM({_bucket_case_sql('n_tok')} - n_tok) AS BIGINT) AS padding_waste "
+        "FROM t GROUP BY 1, 2"
+    ),
+)
+def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length bucketing for batch assembly: each doc lands in the
+    smallest power-of-two token bucket that holds it, and the report
+    prices the padding a pad-to-bucket batcher would burn per (lang,
+    bucket) — the stat that decides pack-vs-pad for a training run (the
+    alternative layout to pack_sequences' concat-and-chop). The bucket
+    ladder is a pure integer CASE (no float log2), so both engines agree
+    exactly. Scale: map-side tokenize + partial agg; the exchange
+    carries |langs x buckets| rows."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_RE), F.lit(0))).cast("long")
+    expr = None
+    for e in _BUCKET_EDGES:
+        expr = F.when(F.col("n_tok") <= e, e) if expr is None else expr.when(F.col("n_tok") <= e, e)
+    bucket = expr.otherwise(2 * _BUCKET_EDGES[-1]).cast("long")
+    return (
+        docs.select("lang", n_tok.alias("n_tok"))
+        .withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum(F.col("bucket") - F.col("n_tok")).alias("padding_waste"),
+        )
+    )

@@ -764,3 +764,45 @@ def embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2.alias("l2"),
         (F.abs(l2 - F.lit(1.0)) < 1e-6).alias("is_unit"),
     )
+
+
+@query(
+    "embed_quantize",
+    oracle=(
+        # per-vector symmetric int8: scale = max |x| (exact float->double
+        # widening both engines); q_i = floor(x_i / scale * 127) — floor,
+        # not round, so there is no half-way tie to disagree on
+        "WITH s AS (SELECT vec_id, embedding, "
+        "    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS mx "
+        "  FROM embeddings) "
+        "SELECT vec_id, mx AS scale, "
+        "  array_to_string(list_transform(embedding, "
+        "    x -> CAST(CAST(floor(CAST(x AS DOUBLE) / mx * 127) AS INTEGER) AS VARCHAR)"
+        "  ), ',') AS qvec "
+        "FROM s WHERE mx > 0"
+    ),
+)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the embedding-store
+    compression step (4x smaller ANN indexes, SIMD int8 dot products
+    downstream). scale = max |x_i| per vector; q_i = floor(x_i / scale
+    * 127), floor rather than round-half so the lattice assignment is
+    tie-free and bit-identical cross-engine (the same reasoning as the
+    registry's decimal-sum rule). Zero vectors are excluded identically
+    on both sides (Spark's double /0 yields NULL, DuckDB yields inf —
+    the value_zscore guard pattern). qvec ships as a joined string
+    (array cells can't sort in the compare layer — array_fns
+    convention). Scale: pure map-only narrow op, no exchange at all;
+    at 100 TB this pipelines with the scan."""
+    e = load(spark, sf_dir, "embeddings")
+    mx = F.array_max(F.transform("embedding", F.abs)).cast("double")
+    df = e.withColumn("mx", mx).filter(F.col("mx") > 0)
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") / F.col("mx") * 127).cast("int").cast("string"),
+    )
+    return df.select(
+        "vec_id",
+        F.col("mx").alias("scale"),
+        F.array_join(q, ",").alias("qvec"),
+    )

@@ -188,6 +188,13 @@ def test_pii_scrub_is_map_only(spark, sf_dir):
     assert "Exchange" not in plan  # pure narrow regexp stage
 
 
+def test_embed_quantize_is_map_only(spark, sf_dir):
+    from flod_spark.catalog.similarity import embed_quantize
+
+    plan = plan_of(embed_quantize(spark, sf_dir))
+    assert "Exchange" not in plan  # narrow transform, pipelines with the scan
+
+
 def test_tpch_q9_dims_broadcast_single_fact_shuffle(spark, sf_dir):
     # part slice / supplier / nation must broadcast; only the orderkey
     # fact join may shuffle (and even that can broadcast at tiny SF)
