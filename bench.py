@@ -53,6 +53,11 @@ HEADLINE = [
     "stream_sessionize_live",
     "semdedup_bounded",
     "ngram_lm",
+    # late round-4: the TPC-H completion's heaviest shapes — q9's
+    # 5-table join (broadcast dims + one fact shuffle) and q2's derived
+    # partsupp argmin (two partial-agg shuffles over lineitem)
+    "tpch_q9",
+    "tpch_q2",
 ]
 
 

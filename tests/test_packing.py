@@ -68,3 +68,20 @@ def test_shuffle_plan_is_window_free_of_global_sort(spark, sf_dir):
     for seg in specs:
         first_arg = seg.split(",")[0]
         assert "ASC" not in first_arg and "DESC" not in first_arg
+
+
+def test_length_buckets_invariants(spark, sf_dir):
+    """Doc counts are conserved across buckets; each bucket holds its
+    docs (capacity = n_docs * bucket = total_tokens + padding_waste,
+    exactly); buckets are powers of two from the ladder."""
+    from flod_spark.catalog.packing import _BUCKET_EDGES, length_buckets
+    from flod_spark.io import load
+
+    rows = length_buckets(spark, sf_dir).collect()
+    n_docs_total = sum(r["n_docs"] for r in rows)
+    assert n_docs_total == load(spark, sf_dir, "documents").count()
+    valid = set(_BUCKET_EDGES) | {2 * _BUCKET_EDGES[-1]}
+    for r in rows:
+        assert r["bucket"] in valid
+        assert r["n_docs"] * r["bucket"] == r["total_tokens"] + r["padding_waste"]
+        assert r["padding_waste"] >= 0

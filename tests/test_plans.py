@@ -243,6 +243,8 @@ HEADLINE_PINS = {
     "dedup_ngram": (6, 0),
     "tpch_q1": (1, 0),
     "media_decode": (0, 0),
+    "tpch_q9": (2, 0),
+    "tpch_q2": (5, 1),
 }
 
 

@@ -158,3 +158,24 @@ def test_semdedup_bounded_gated_path_holds_bound_at_sf01(spark, sf01_dir):
     # and it still finds duplicates (planted near-dups exist at sf0.1)
     assert out.filter("is_dup").count() > 0
     out.unpersist()
+
+
+def test_embed_quantize_reconstruction_bound(spark, sf_dir):
+    """Dequantized values land within one lattice step of the original:
+    |x - q * scale/127| <= scale/127 (floor lattice), and q stays in
+    the int8 range [-127, 127]."""
+    from flod_spark.catalog.similarity import embed_quantize
+    from flod_spark.io import load
+
+    got = embed_quantize(spark, sf_dir).collect()
+    src = {
+        r["vec_id"]: r["embedding"]
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    assert len(got) > 0
+    for r in got[:200]:
+        q = [int(v) for v in r["qvec"].split(",")]
+        step = r["scale"] / 127.0
+        assert all(-127 <= v <= 127 for v in q)
+        for x, qi in zip(src[r["vec_id"]], q):
+            assert abs(float(x) - qi * step) <= step * (1 + 1e-9)
