@@ -634,3 +634,34 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
         (F.coalesce("n_shared", F.lit(0)) >= DECON_MIN_OVERLAP).alias("contaminated"),
     )
+
+
+@query(
+    "dup_rate_report",
+    oracle=(
+        f"WITH h AS (SELECT doc_id, source, md5({_NORM_SQL}) AS fp FROM documents) "
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique, "
+        "  CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dup, "
+        "  CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*) AS dup_rate "
+        "FROM h GROUP BY source"
+    ),
+)
+def dup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication-rate rollup — the corpus-health dashboard
+    row a crawl operator reads before deciding which source needs
+    dedup attention (dedup_exact tells you WHICH docs; this prices HOW
+    MUCH, per source). dup_rate divides on already-aggregated BIGINTs
+    (one IEEE division per source — deterministic cross-engine). Scale:
+    one (source, fp) pre-aggregate exchange for the distinct count,
+    then a |sources|-row final aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    h = docs.select("source", F.md5(_norm_col().cast("binary")).alias("fp"))
+    n = F.count("*")
+    u = F.count_distinct("fp")
+    return h.groupBy("source").agg(
+        n.alias("n_docs"),
+        u.alias("n_unique"),
+        (n - u).alias("n_dup"),
+        ((n - u).cast("double") / n).alias("dup_rate"),
+    )

@@ -774,3 +774,56 @@ def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+@query(
+    "ngram_topk",
+    oracle=(
+        # corpus-wide word TRIGRAM census, top-50 — token_histogram's
+        # n-gram generalization (shingle-level vocabulary statistics)
+        f"WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS tk "
+        "  FROM documents), "
+        "grams AS (SELECT doc_id, unnest(list_zip("
+        "    tk[1:len(tk)-2], tk[2:len(tk)-1], tk[3:len(tk)])) AS g "
+        "  FROM tok WHERE len(tk) >= 3), "
+        "c AS (SELECT g[1] || ' ' || g[2] || ' ' || g[3] AS gram, "
+        "    CAST(COUNT(*) AS BIGINT) AS n_occur, "
+        "    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
+        "  FROM grams GROUP BY 1) "
+        "SELECT gram, n_docs, n_occur FROM c "
+        "ORDER BY n_occur DESC, gram LIMIT 50"
+    ),
+)
+def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 word trigrams with document frequency — the phrase-level
+    census (boilerplate detection, template mining, decontamination
+    gram inspection) between token_histogram's unigrams and bpe_pairs'
+    adjacent pairs. Trigram generation is MAP-SIDE array arithmetic
+    (arrays_zip of three shifted slices — no self-join, no positional
+    re-join); the shuffle carries (gram, partial count) rows and the
+    count_distinct rewrites to a (gram, doc_id) pre-aggregate; the cut
+    is TakeOrderedAndProject with a unique gram tiebreak."""
+    docs = load(spark, sf_dir, "documents", spread=True, amplify=100)
+    tk = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))
+    t = docs.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 3)
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("tk", 1, F.size("tk") - 2).alias("a"),
+                F.slice(F.col("tk"), 2, F.size("tk") - 2).alias("b"),
+                F.slice(F.col("tk"), 3, F.size("tk") - 2).alias("c"),
+            )
+        ).alias("g"),
+    )
+    return (
+        grams.select("doc_id", F.concat_ws(" ", "g.a", "g.b", "g.c").alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.count("*").alias("n_occur"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .select("gram", "n_docs", "n_occur")
+        .orderBy(F.col("n_occur").desc(), "gram")
+        .limit(50)
+    )
