@@ -210,3 +210,43 @@ def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
     # later duplicate may drop too while eviction lags (7) but re-emits
     # once the sweep runs (9) — bounded state, bounded guarantee.
     assert got == {1, 2, 4, 5, 6, 8, 9, 10, 12}
+
+
+def test_replay_partition_contract(spark, tmp_path):
+    """replay_stream's written files conserve rows exactly, keep
+    cross-batch ts ordering (every ts in file i <= every ts in file
+    i+1), and put NULL order keys in the first batch — under duplicate
+    quantile boundaries (few distinct ts values, many batches) and
+    empty buckets."""
+    import datetime as dt
+    import glob
+    import os
+
+    from flod_spark.streaming.replay import replay_stream
+
+    t0 = dt.datetime(2021, 6, 1)
+    # 40 rows over only 3 distinct timestamps + 2 NULLs, 8 batches ->
+    # duplicate boundaries and provably-empty buckets
+    rows = [(i, t0 + dt.timedelta(hours=i % 3)) for i in range(40)]
+    rows += [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = str(tmp_path / "replay_pc")
+    replay_stream(spark, df, "ts", out, n_batches=8)
+
+    files = sorted(
+        glob.glob(os.path.join(out, "*.parquet")), key=os.path.getmtime
+    )
+    assert 1 < len(files) <= 8
+    seen, prev_max = [], None
+    for i, f in enumerate(files):
+        part = spark.read.parquet(f).collect()
+        assert part, "empty file written"
+        ts_vals = [r.ts for r in part if r.ts is not None]
+        if any(r.ts is None for r in part):
+            assert i == 0, "NULL order keys must land in the first batch"
+        if prev_max is not None and ts_vals:
+            assert min(ts_vals) >= prev_max
+        if ts_vals:
+            prev_max = max(ts_vals)
+        seen += [r.event_id for r in part]
+    assert sorted(seen) == sorted(r[0] for r in rows)
