@@ -428,3 +428,91 @@ def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("first_event_id"),
         F.col("ts").alias("first_ts"),
     )
+
+
+@query(
+    "stream_foreach_upsert_live",
+    oracle=(
+        "SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "  MIN(ts) AS first_ts, MAX(ts) AS last_ts, "
+        "  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY user_id, event_type"
+    ),
+)
+def stream_foreach_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL foreachBatch sink — the production pattern the other live
+    queries don't cover: each micro-batch runs a USER batch-DataFrame
+    function that MERGEs the batch's partial aggregates into a
+    versioned parquet state table (read current -> full-outer merge ->
+    write next version -> move the pointer). Mergeability is exact:
+    counts add, min/max combine, sums stay DECIMAL until the final
+    read, so the end state equals the one-shot batch aggregate
+    bit-for-bit (same oracle as stream_agg_complete_live, via the sink
+    API instead of the state store). A monotone batch_id guard makes
+    the writer idempotent under trigger retries — the foreachBatch
+    exactly-once discipline (a durable deployment persists that
+    watermark next to the data; versioned dirs + pointer swap give
+    atomic readers the same way). Scale: state is |keys| rows
+    regardless of stream length; each merge is one broadcast-or-shuffle
+    join of batch-partials against the state table."""
+    ev = load(spark, sf_dir, "events")
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_fb_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=5)
+    root = tempfile.mkdtemp(prefix="flod_fb_state_")
+    state = {"path": None, "last_batch": -1}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state["last_batch"]:
+            return  # replayed trigger: already merged (idempotence guard)
+        inc = batch_df.groupBy("user_id", "event_type").agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
+        )
+        if state["path"] is not None:
+            old = batch_df.sparkSession.read.parquet(state["path"])
+            merged = (
+                old.select(
+                    "user_id", "event_type",
+                    F.col("n_events").alias("n0"), F.col("first_ts").alias("f0"),
+                    F.col("last_ts").alias("l0"), F.col("sum_dec").alias("s0"),
+                )
+                .join(inc, ["user_id", "event_type"], "full_outer")
+                .select(
+                    "user_id", "event_type",
+                    (F.coalesce("n0", F.lit(0)) + F.coalesce("n_events", F.lit(0))).alias("n_events"),
+                    F.least("f0", "first_ts").alias("first_ts"),
+                    F.greatest("l0", "last_ts").alias("last_ts"),
+                    (
+                        F.coalesce(F.col("s0"), F.lit(0).cast("decimal(18,6)"))
+                        + F.coalesce(F.col("sum_dec"), F.lit(0).cast("decimal(18,6)"))
+                    ).alias("sum_dec"),
+                )
+            )
+        else:
+            merged = inc
+        nxt = f"{root}/v{batch_id}"
+        merged.write.mode("overwrite").parquet(nxt)
+        state["path"] = nxt
+        state["last_batch"] = batch_id
+
+    name = "fb_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix=f"flod_ckpt_{name}_")
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    final = spark.read.parquet(state["path"])
+    return final.select(
+        "user_id", "event_type", "n_events", "first_ts", "last_ts",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    )
