@@ -250,3 +250,35 @@ def test_replay_partition_contract(spark, tmp_path):
             prev_max = max(ts_vals)
         seen += [r.event_id for r in part]
     assert sorted(seen) == sorted(r[0] for r in rows)
+
+
+def test_windowed_agg_under_rocksdb_state_store(spark, events, tmp_path):
+    """The production state backend: swapping the HDFS-backed default
+    store for RocksDBStateStoreProvider (the 100 TB choice — state
+    spills off-heap to local disk instead of living on the JVM heap)
+    changes results not at all. Same replay, same windows, both
+    providers, frame-equal output."""
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    results = {}
+    for tag, prov in (("default", None), ("rocksdb", provider)):
+        if prov is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prov)
+        stream = replay_stream(
+            spark, events, "ts", str(tmp_path / f"replay_{tag}"), n_batches=3
+        )
+        got = _run_to_memory(tumbling_counts(stream), f"rocks_{tag}", spark)
+        results[tag] = (
+            got.toPandas()
+            .sort_values(["win_start", "event_type"])
+            .reset_index(drop=True)
+        )
+    spark.conf.unset(key)
+    assert len(results["rocksdb"]) > 0
+    pd.testing.assert_frame_equal(
+        results["rocksdb"], results["default"], check_like=True
+    )
