@@ -154,3 +154,70 @@ def sink_pysink(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.read.schema(sup.schema).json(f"{path}/*.jsonl").localCheckpoint(eager=True)
         )
     return back
+
+
+@query("sink_compact", oracle="SELECT * FROM events")
+def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance pass every long-run
+    ingestion needs (streaming sinks and fine-grained partitions leave
+    thousands of KB-sized files; scan cost then goes to task-launch
+    overhead, not bytes). Simulate the problem (64-way fragmented
+    write), compact with a coalesce to the byte-budget file count, and
+    prove content identity on read-back. coalesce, not repartition: a
+    compaction must not pay a shuffle — it narrows existing partitions
+    into fewer write tasks. At 100 TB the same job runs per partition
+    directory with target = bytes / 1 GB."""
+    ev = load(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory() as d:
+        frag = f"{d}/fragmented"
+        ev.repartition(64).write.mode("overwrite").parquet(frag)
+        small = spark.read.parquet(frag)
+        compacted = f"{d}/compacted"
+        small.coalesce(4).write.mode("overwrite").parquet(compacted)
+        import glob as _glob
+
+        n_files = len(_glob.glob(f"{compacted}/part-*"))
+        assert n_files <= 4, n_files
+        back = (
+            spark.read.parquet(compacted)
+            .select(*ev.columns)
+            .localCheckpoint(eager=True)  # materialize before tmpdir vanishes
+        )
+    return back
+
+
+@query(
+    "scan_evolved",
+    oracle=(
+        # batch 1 wrote (o_orderkey, o_totalprice) for even keys; batch 2
+        # added o_orderstatus for odd keys; the merged read NULL-pads the
+        # pre-evolution rows
+        "SELECT o_orderkey, o_totalprice, "
+        "  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus "
+        "FROM orders"
+    ),
+)
+def scan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: a table whose later files carry a new
+    column (the normal life of a year-long ingestion directory) reads
+    as ONE DataFrame with mergeSchema — old files NULL-pad the new
+    column, no rewrite of historical data. At 100 TB this is why you
+    never backfill a column into a petabyte of parquet; the read-side
+    union is free. (Production pins the evolved schema explicitly once
+    known; mergeSchema's footer-union pass is the discovery step.)"""
+    o = load(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/evolving"
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("append").parquet(path)
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        ).write.mode("append").parquet(path)
+        back = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(path)
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+            .localCheckpoint(eager=True)
+        )
+    return back
