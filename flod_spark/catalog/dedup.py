@@ -665,3 +665,57 @@ def dup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n - u).alias("n_dup"),
         ((n - u).cast("double") / n).alias("dup_rate"),
     )
+
+
+@query(
+    "snapshot_diff",
+    oracle=(
+        # two simulated corpus snapshots from one table: docs ending in 0
+        # exist only in OLD, ending in 1 only in NEW, ending in 2 changed
+        # text between snapshots; everything else is identical
+        "WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents "
+        "    WHERE doc_id % 10 <> 1), "
+        "new AS (SELECT doc_id, md5(CASE WHEN doc_id % 10 = 2 "
+        "      THEN text || ' [rev2]' ELSE text END) AS fp "
+        "    FROM documents WHERE doc_id % 10 <> 0) "
+        "SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id, "
+        "  CASE WHEN old.doc_id IS NULL THEN 'added' "
+        "       WHEN new.doc_id IS NULL THEN 'removed' "
+        "       WHEN old.fp <> new.fp THEN 'changed' "
+        "       ELSE 'same' END AS status "
+        "FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id"
+    ),
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the audit between two crawl/ingest
+    versions: which docs were added, removed, or changed (by content
+    fingerprint), which survived untouched. The planted split derives
+    both snapshots from one table so the answer is closed-form. Scale:
+    fingerprints reduce each side to (doc_id, 16 bytes) before the one
+    co-partitioned full-outer join — text never crosses the shuffle;
+    at 100 TB this is the cheap nightly integrity pass."""
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 1).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    new = docs.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("n_id"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 10 == 2, F.concat(F.col("text"), F.lit(" [rev2]"))
+            )
+            .otherwise(F.col("text"))
+            .cast("binary")
+        ).alias("n_fp"),
+    )
+    j = old.join(new, old["doc_id"] == new["n_id"], "full_outer")
+    status = (
+        F.when(old["doc_id"].isNull(), "added")
+        .when(new["n_id"].isNull(), "removed")
+        .when(old["fp"] != new["n_fp"], "changed")
+        .otherwise("same")
+    )
+    return j.select(
+        F.coalesce(old["doc_id"], new["n_id"]).alias("doc_id"),
+        status.alias("status"),
+    )

@@ -18,6 +18,8 @@ catalog/streaming_live.py only needs that plus within-batch sorting.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -91,6 +93,9 @@ def replay_stream(
             part.drop(mc).coalesce(1).write.mode("append").parquet(out_dir)
     finally:
         with_us.unpersist()
+    # an all-empty input writes no file; the stream source still needs the
+    # directory to exist (first run of an empty day must idle, not throw)
+    os.makedirs(out_dir, exist_ok=True)
     return (
         spark.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", 1)

@@ -261,9 +261,12 @@ def test_windowed_agg_under_rocksdb_state_store(spark, events, tmp_path):
     provider = (
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     )
+    import shutil
+
     key = "spark.sql.streaming.stateStore.providerClass"
     results = {}
     for tag, prov in (("default", None), ("rocksdb", provider)):
+        shutil.rmtree(f"/tmp/flod_ckpt_rocks_{tag}", ignore_errors=True)
         if prov is None:
             spark.conf.unset(key)
         else:
