@@ -719,3 +719,65 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(old["doc_id"], new["n_id"]).alias("doc_id"),
         status.alias("status"),
     )
+
+
+DEDUP_VERIFY_JACCARD = 0.8
+
+
+def _verify_oracle() -> str:
+    ctes, pair_select = _minhash_ctes()
+    return (
+        f"WITH {ctes}, pr AS ({pair_select}), "
+        "cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id), "
+        "ix AS (SELECT pr.doc_a, pr.doc_b, CAST(COUNT(*) AS BIGINT) AS i "
+        "  FROM pr JOIN sh sa ON sa.doc_id = pr.doc_a "
+        "  JOIN sh sb ON sb.doc_id = pr.doc_b AND sb.s = sa.s "
+        "  GROUP BY 1, 2) "
+        "SELECT pr.doc_a, pr.doc_b, ca.n AS n_a, cb.n AS n_b, "
+        "  COALESCE(ix.i, 0) AS n_common, "
+        "  CAST(COALESCE(ix.i, 0) AS DOUBLE) / (ca.n + cb.n - COALESCE(ix.i, 0)) AS jaccard, "
+        f"  CAST(COALESCE(ix.i, 0) AS DOUBLE) / (ca.n + cb.n - COALESCE(ix.i, 0)) "
+        f"    >= {DEDUP_VERIFY_JACCARD} AS is_dup "
+        "FROM pr "
+        "JOIN cnt ca ON ca.doc_id = pr.doc_a "
+        "JOIN cnt cb ON cb.doc_id = pr.doc_b "
+        "LEFT JOIN ix ON ix.doc_a = pr.doc_a AND ix.doc_b = pr.doc_b"
+    )
+
+
+@query("dedup_verify", oracle=_verify_oracle())
+def dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-phase production near-dup pipeline's VERIFY stage: LSH
+    gives high-recall candidates (dedup_minhash), exact shingle Jaccard
+    on just those pairs restores precision — candidates x exact check,
+    never corpus x corpus. Each side's distinct-shingle SET is built
+    map-side as an array (no per-shingle shuffle rows); only candidate
+    docs ship their sets into the pair join, so the exact-verification
+    cost is O(|candidates|), independent of corpus size. Jaccard is one
+    IEEE division of exact integer counts — bit-identical cross-engine.
+    Scale: at 100 TB the candidate set is tiny relative to the corpus
+    (that is the point of LSH); the arrays are bounded by the 4 KB text
+    cap, so a candidate row is <= ~32 KB crossing the join."""
+    from flod_spark.operators.minhash import minhash_candidates
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_candidates(docs)
+    sets_df = docs.select("doc_id", _norm_col().alias("t")).select(
+        "doc_id", _shingle_arr_col().alias("sh")
+    )
+    a = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    j = pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    na = F.size("sh_a").cast("long")
+    nb = F.size("sh_b").cast("long")
+    jac = inter.cast("double") / (na + nb - inter)
+    return j.select(
+        "doc_a",
+        "doc_b",
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        inter.alias("n_common"),
+        jac.alias("jaccard"),
+        (jac >= DEDUP_VERIFY_JACCARD).alias("is_dup"),
+    )
