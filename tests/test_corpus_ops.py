@@ -246,3 +246,29 @@ def test_tfidf_terms_rank_contract(spark, sf_dir):
         assert r.nt == len(r.rks)
         assert r.s1 >= r.smin - 1e-9
     out.unpersist()
+
+
+def test_dedup_verify_jaccard_invariants(spark, sf_dir):
+    """Verification-stage sanity: jaccard in [0,1]; intersection bounded
+    by both set sizes; every LSH candidate pair appears exactly once."""
+    from flod_spark.catalog.dedup import dedup_verify
+
+    rows = dedup_verify(spark, sf_dir).collect()
+    assert rows, "LSH produced no candidate pairs at this SF"
+    seen = set()
+    for r in rows:
+        key = (r["doc_a"], r["doc_b"])
+        assert key not in seen and r["doc_a"] < r["doc_b"]
+        seen.add(key)
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["n_common"] <= min(r["n_a"], r["n_b"])
+        assert r["is_dup"] == (r["jaccard"] >= 0.8)
+
+
+def test_snapshot_diff_statuses_partition_by_plant(spark, sf_dir):
+    """The planted split fully determines each doc's status."""
+    from flod_spark.catalog.dedup import snapshot_diff
+
+    for r in snapshot_diff(spark, sf_dir).collect():
+        want = {0: "removed", 1: "added", 2: "changed"}.get(r["doc_id"] % 10, "same")
+        assert r["status"] == want, (r["doc_id"], r["status"])
