@@ -285,3 +285,25 @@ def test_windowed_agg_under_rocksdb_state_store(spark, events, tmp_path):
     pd.testing.assert_frame_equal(
         results["rocksdb"], results["default"], check_like=True
     )
+
+
+def test_available_now_trigger_drains_and_stops(spark, events, tmp_path):
+    """Trigger.AvailableNow — the production backfill trigger: process
+    everything present in rate-limited micro-batches, then stop on its
+    own (no processAllAvailable babysitting). Output equals the batch
+    aggregate of everything present."""
+    stream = replay_stream(spark, events, "ts", str(tmp_path / "replay_an"), n_batches=3)
+    agg = stream.groupBy("event_type").count()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("avail_now")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_an"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)  # self-terminates once the backlog drains
+    assert not q.isActive
+    got = {r["event_type"]: r["count"] for r in spark.table("avail_now").collect()}
+    want = {r["event_type"]: r["count"] for r in events.groupBy("event_type").count().collect()}
+    assert got == want
