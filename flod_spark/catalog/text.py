@@ -827,3 +827,112 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occur").desc(), "gram")
         .limit(50)
     )
+
+
+# Karp-Rabin / winnowing constants (MOSS): k-gram polynomial hashes over
+# char codes, window-min selection. P prime (2^31-1), B=257 > any code we
+# hash; BK = B^K mod P precomputed for the rolling subtraction.
+_KR_P = 2147483647
+_KR_B = 257
+_KR_K = 16  # gram length (chars)
+_KR_W = 8   # winnowing window (grams)
+_KR_BK = 282034563  # pow(257, 16, 2147483647)
+_KR_CAP = 2000  # chars hashed per doc (bounded map-side work)
+
+
+@query(
+    "fingerprint_winnow",
+    oracle=(
+        # every k-gram hash evaluated DIRECTLY by Horner mod P — provably
+        # equal to the Spark side's O(n) rolling recurrence
+        "WITH nrm AS (SELECT doc_id, "
+        f"    substr(regexp_replace(lower(text), '[ \\t\\r\\n]+', ' ', 'g'), 1, {_KR_CAP}) AS t "
+        "  FROM documents), "
+        f"d AS (SELECT doc_id, t, length(t) AS n FROM nrm WHERE length(t) >= {_KR_K + _KR_W - 1}), "
+        f"hs AS (SELECT doc_id, list_transform(range(1, n - {_KR_K} + 2), i -> "
+        f"    list_reduce(list_transform(range(i, i + {_KR_K}), j -> CAST(ascii(substr(t, j, 1)) AS BIGINT)), "
+        f"      (a, c) -> (a * {_KR_B} + c) % {_KR_P})) AS h FROM d), "
+        f"ws AS (SELECT doc_id, h, list_transform(range(1, len(h) - {_KR_W} + 2), "
+        f"    j -> list_min(h[j:j+{_KR_W - 1}])) AS w FROM hs), "
+        "sel AS (SELECT doc_id, len(h) AS n_grams, list_sort(list_distinct(w)) AS s FROM ws) "
+        "SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(len(s) AS BIGINT) AS n_selected, "
+        "  md5(array_to_string(list_transform(s, x -> CAST(x AS VARCHAR)), ',')) AS fp_sketch "
+        "FROM sel"
+    ),
+)
+def fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING-HASH document fingerprint (Karp-Rabin + winnowing, the
+    MOSS scheme): k-gram polynomial hashes over the normalized text,
+    window-minimum selection, sketch = md5 of the selected hash set —
+    the partial-overlap-robust fingerprint (a shared passage selects the
+    same hashes in both docs regardless of position), vs `fingerprint`'s
+    whole-doc md5 which any one-byte edit breaks.
+
+    The Spark side computes the hashes with the genuine O(n) ROLLING
+    recurrence h_i = (h_{i-1}*B - c_out*B^k + c_in) mod P inside ONE
+    sequential F.aggregate pass per document (aggregate's fold is
+    exactly the serial loop rolling hashes want); the oracle evaluates
+    every gram independently by Horner — same residues, two different
+    algorithms, so the gate also proves the rolling algebra. All mod-P
+    arithmetic is BIGINT-exact cross-engine.
+
+    Scale: map-only (zero exchanges) — per-doc work is bounded by the
+    char cap; winnowing guarantees at least one selected hash per W
+    grams, so sketch size is n/W-bounded (the density guarantee)."""
+    docs = load(spark, sf_dir, "documents")
+    return winnow_sketch(docs)
+
+
+def winnow_sketch(docs: DataFrame, keep_hashes: bool = False) -> DataFrame:
+    """(doc_id, text) -> (doc_id, n_grams, n_selected, fp_sketch); the
+    reusable core of fingerprint_winnow (property-tested directly).
+    keep_hashes=True adds the selected-hash array itself (tests compare
+    set overlap; the gated query ships only the md5 sketch)."""
+    t = F.substring(F.regexp_replace(F.lower("text"), WS_RE, " "), 1, _KR_CAP)
+    d = docs.select("doc_id", t.alias("t")).filter(
+        F.length("t") >= _KR_K + _KR_W - 1
+    )
+    n = F.length("t")
+    codes = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.ascii(F.col("t").substr(i, F.lit(1))).cast("long")
+    )
+    d = d.select("doc_id", codes.alias("codes"))
+    h0 = F.aggregate(
+        F.slice("codes", 1, _KR_K),
+        F.lit(0).cast("long"),
+        lambda a, c: (a * _KR_B + c) % _KR_P,
+    )
+    d = d.withColumn("h0", h0)
+
+    def roll(acc, i):
+        c_out = F.element_at(F.col("codes"), i - _KR_K)
+        c_in = F.element_at(F.col("codes"), i)
+        raw = acc.getField("h") * _KR_B - c_out * _KR_BK + c_in
+        nh = ((raw % _KR_P) + _KR_P) % _KR_P
+        return F.struct(
+            nh.alias("h"), F.concat(acc.getField("arr"), F.array(nh)).alias("arr")
+        )
+
+    hs = F.aggregate(
+        F.sequence(F.lit(_KR_K + 1), F.size("codes")),
+        F.struct(F.col("h0").alias("h"), F.array(F.col("h0")).alias("arr")),
+        roll,
+        lambda acc: acc.getField("arr"),
+    )
+    d = d.select("doc_id", hs.alias("hs"))
+    ws = F.transform(
+        F.sequence(F.lit(1), F.size("hs") - (_KR_W - 1)),
+        lambda j: F.array_min(F.slice(F.col("hs"), j, _KR_W)),
+    )
+    sel = F.array_sort(F.array_distinct(ws))
+    cols = [
+        F.col("doc_id"),
+        F.size("hs").cast("long").alias("n_grams"),
+        F.size(sel).cast("long").alias("n_selected"),
+        F.md5(
+            F.concat_ws(",", F.transform(sel, lambda x: x.cast("string"))).cast("binary")
+        ).alias("fp_sketch"),
+    ]
+    if keep_hashes:
+        cols.append(sel.alias("sel_hashes"))
+    return d.select(*cols)

