@@ -2075,3 +2075,55 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("s_name")
     )
+
+
+@query(
+    "nested_fns",
+    oracle=(
+        # the oracle checks the map ROUND-TRIP's content: per-user
+        # per-type counts survive map_from_entries -> element_at ->
+        # map_entries-explode intact, alongside map-level lookups
+        "WITH per AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n "
+        "  FROM events GROUP BY 1, 2), "
+        "u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_types, "
+        "    CAST(SUM(CASE WHEN event_type = 'click' THEN n ELSE 0 END) AS BIGINT) AS n_click "
+        "  FROM per GROUP BY 1) "
+        "SELECT per.user_id, per.event_type, per.n, u.n_types, u.n_click "
+        "FROM per JOIN u ON u.user_id = per.user_id"
+    ),
+)
+def nested_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type gallery (map/struct round-trip): per-user counts
+    packed into a MAP column (map_from_entries over collected structs),
+    queried in place (map size, element_at lookup with a missing-key
+    default), then unpacked back to rows (explode(map_entries)) — the
+    entity-attribute pattern for sparse per-key features. The oracle
+    verifies the round-trip loses nothing. Scale: one (user, type)
+    partial-agg shuffle + one user shuffle; map width is bounded by
+    |event types| (bounded-key maps only — never pack an unbounded
+    domain into one row)."""
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    enriched = m.select(
+        "user_id",
+        "m",
+        F.size("m").cast("long").alias("n_types"),
+        F.coalesce(F.element_at("m", "click"), F.lit(0)).cast("long").alias("n_click"),
+    )
+    return enriched.select(
+        "user_id",
+        F.explode(F.map_entries("m")).alias("e"),
+        "n_types",
+        "n_click",
+    ).select(
+        "user_id",
+        F.col("e.key").alias("event_type"),
+        F.col("e.value").alias("n"),
+        "n_types",
+        "n_click",
+    )
