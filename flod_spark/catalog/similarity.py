@@ -531,12 +531,18 @@ def split_hot_cells(a: DataFrame, max_cell: int, max_rounds: int = 6) -> DataFra
     localCheckpoint truncates lineage so plan depth stays O(1) per
     round, the operators/graph.py discipline. Rounds needed ~
     log2(n_max/max_cell) — 6 covers a 64× hottest-cell overload."""
-    a = a.withColumn("cell", F.col("cell").cast("string"))
+    # materialize the INPUT once: round 1's count probe and round 1's
+    # checkpoint would otherwise each re-derive the caller's whole
+    # assignment lineage (measured: the dominant split cost)
+    a = a.withColumn("cell", F.col("cell").cast("string")).localCheckpoint()
     for r in range(max_rounds):
-        hot = F.broadcast(
-            a.groupBy("cell").agg(F.count("*").alias("_n")).filter(F.col("_n") > max_cell).select("cell")
-        )
+        # persist the tiny per-cell count table: without it the same
+        # aggregation runs twice per round (the isEmpty probe AND the
+        # broadcast-join re-derivation) — measured ~2x round cost
+        cnt = a.groupBy("cell").agg(F.count("*").alias("_n")).persist()
+        hot = F.broadcast(cnt.filter(F.col("_n") > max_cell).select("cell"))
         if hot.isEmpty():
+            cnt.unpersist()
             return a
         dot = F.aggregate(
             F.zip_with(_plane_spark(0, salt=f"split{r}_"), F.col("v"), lambda x, y: x * y),
@@ -555,10 +561,11 @@ def split_hot_cells(a: DataFrame, max_cell: int, max_rounds: int = 6) -> DataFra
             .drop("_hot")
             .localCheckpoint()
         )
-    sizes = F.broadcast(
-        a.groupBy("cell").agg(F.count("*").alias("_n")).filter(F.col("_n") > max_cell).select("cell")
-    )
+        cnt.unpersist()
+    fcnt = a.groupBy("cell").agg(F.count("*").alias("_n")).persist()
+    sizes = F.broadcast(fcnt.filter(F.col("_n") > max_cell).select("cell"))
     if sizes.isEmpty():
+        fcnt.unpersist()
         return a
     # window ONLY the degenerate rows (cold rows bypass via map-side
     # broadcast anti-join — no shuffle, no window cost for them)
@@ -575,9 +582,11 @@ def split_hot_cells(a: DataFrame, max_cell: int, max_rounds: int = 6) -> DataFra
             ),
         )
     )
-    return cold.select("vec_id", "v", "cell").unionByName(
+    out = cold.select("vec_id", "v", "cell").unionByName(
         chopped.select("vec_id", "v", "cell")
     ).localCheckpoint()
+    fcnt.unpersist()
+    return out
 
 
 SEMDEDUP_BOUND = 24  # max cell size fed to the pair join (non-vacuous at gate SFs)
