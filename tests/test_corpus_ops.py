@@ -308,3 +308,54 @@ def test_winnow_fingerprint_is_position_robust(spark):
     # density guarantee: at least one selection per window of 8 grams
     for r in got.values():
         assert r["n_selected"] >= r["n_grams"] // 8 // 2  # loose lower bound
+
+
+def test_rolling_recurrence_equals_direct_horner(spark):
+    """The Karp-Rabin identity: the O(n) rolling recurrence (kept in
+    rolling_gram_hashes) and the per-position Horner fold the hot path
+    uses produce identical mod-P residues — on text long enough to
+    exercise many subtract-and-renormalize steps."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flod_spark.catalog.text import _KR_B, _KR_K, _KR_P, rolling_gram_hashes
+
+    rng = random.Random(11)
+    txt = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz .,!") for _ in range(500))
+    df = spark.createDataFrame([(1, txt)], "doc_id long, t string")
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length("t")),
+        lambda i: F.ascii(F.col("t").substr(i, F.lit(1))).cast("long"),
+    )
+    d = df.select(codes.alias("codes"))
+    direct = F.transform(
+        F.sequence(F.lit(1), F.size("codes") - (_KR_K - 1)),
+        lambda i: F.aggregate(
+            F.slice(F.col("codes"), i, _KR_K),
+            F.lit(0).cast("long"),
+            lambda a, c: (a * _KR_B + c) % _KR_P,
+        ),
+    )
+    row = d.select(
+        direct.alias("direct"), rolling_gram_hashes(F.col("codes")).alias("rolled")
+    ).collect()[0]
+    assert len(row["direct"]) == 500 - _KR_K + 1
+    assert row["direct"] == row["rolled"]
+
+
+def test_winnow_arrow_kernel_matches_jvm_expression_form(spark, sf_dir):
+    """The gated Arrow/numpy kernel and the pure-Catalyst expression
+    form (winnow_sketch) must agree row-for-row — sketch hex included —
+    on real documents."""
+    from flod_spark.catalog.text import fingerprint_winnow, winnow_sketch
+    from flod_spark.io import load
+
+    fast = {r["doc_id"]: r for r in fingerprint_winnow(spark, sf_dir).collect()}
+    ref = {r["doc_id"]: r for r in winnow_sketch(load(spark, sf_dir, "documents")).collect()}
+    assert set(fast) == set(ref) and fast
+    for k, r in ref.items():
+        f = fast[k]
+        assert (f["n_grams"], f["n_selected"], f["fp_sketch"]) == (
+            r["n_grams"], r["n_selected"], r["fp_sketch"]
+        ), k
