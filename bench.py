@@ -58,6 +58,11 @@ HEADLINE = [
     # partsupp argmin (two partial-agg shuffles over lineitem)
     "tpch_q9",
     "tpch_q2",
+    # the heavy late-round-4 corpus ops: LSH-candidates exact verify and
+    # the vectorized winnowing fingerprint (regression visibility for
+    # the Arrow kernel)
+    "dedup_verify",
+    "fingerprint_winnow",
 ]
 
 

@@ -245,6 +245,8 @@ HEADLINE_PINS = {
     "media_decode": (0, 0),
     "tpch_q9": (2, 0),
     "tpch_q2": (5, 1),
+    "dedup_verify": (3, 0),
+    "fingerprint_winnow": (0, 0),
 }
 
 
