@@ -516,3 +516,66 @@ def stream_foreach_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "n_events", "first_ts", "last_ts",
         F.col("sum_dec").cast("double").alias("sum_value"),
     )
+
+
+def _prep_live_oracle() -> str:
+    """Composed from the SAME shared constants as prep_pipeline stage 1
+    and dedup_exact's fingerprint, so a threshold/regex change moves
+    this gate cell together with theirs (never hardcode the numbers)."""
+    from flod_spark.catalog.dedup import _NORM_SQL
+    from flod_spark.catalog.text import (
+        PUNCT_RE,
+        QUALITY_MAX_PUNCT,
+        QUALITY_MIN_CHARS,
+        QUALITY_MIN_STOP,
+        QUALITY_MIN_TOKENS,
+        STOP_COUNT_SQL,
+        TOKEN_RE,
+    )
+
+    return (
+        # the batch answer to "stream in documents, keep quality docs,
+        # first arrival per content fingerprint wins": arrival order is
+        # doc_id order by construction, so first = MIN(doc_id)
+        "WITH q AS (SELECT doc_id, lang, text FROM documents "
+        f"  WHERE length(text) >= {QUALITY_MIN_CHARS} "
+        f"    AND length(regexp_extract_all(lower(text), '{TOKEN_RE}')) >= {QUALITY_MIN_TOKENS} "
+        f"    AND CAST(length(regexp_extract_all(text, '{PUNCT_RE}')) AS DOUBLE) "
+        f"      / NULLIF(length(text), 0) < {QUALITY_MAX_PUNCT} "
+        f"    AND CAST({STOP_COUNT_SQL} AS DOUBLE) "
+        f"      / NULLIF(length(regexp_extract_all(lower(text), '{TOKEN_RE}')), 0) >= {QUALITY_MIN_STOP}), "
+        f"f AS (SELECT doc_id, lang, md5({_NORM_SQL}) AS fp FROM q) "
+        "SELECT doc_id, lang, fp FROM f "
+        "WHERE doc_id = (SELECT MIN(doc_id) FROM f f2 WHERE f2.fp = f.fp)"
+    )
+
+
+@query("stream_prep_live", oracle=_prep_live_oracle())
+def stream_prep_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-prep chain ON THE LIVE STREAMING PATH — incremental
+    ingestion as a crawler would run it: documents arrive as
+    micro-batches (replayed in doc_id order via a synthetic ingest
+    timestamp), each batch is quality-filtered map-side (the same
+    C4-style predicate as prep_pipeline stage 1), fingerprinted, and
+    deduplicated against EVERYTHING SEEN SO FAR by per-key streaming
+    state (dropDuplicates on the content fingerprint — first arrival
+    wins, exactly stream_dedup_live's determinism argument). The batch
+    oracle is the min-doc_id-per-fingerprint rule. Scale: the filter
+    and fingerprint are stateless map work on each micro-batch; dedup
+    state is one 16-byte key per distinct surviving document —
+    the incremental form of the nightly batch dedup job."""
+    from flod_spark.catalog.dedup import _norm_col
+    from flod_spark.catalog.text import quality_keep_col
+    from flod_spark.streaming.dedup import drop_duplicates_unbounded
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "ingest_ts", F.timestamp_micros(F.col("doc_id") * 1_000_000)
+    )
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_pp_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, docs, "ingest_ts", replay_dir, n_batches=4)
+    kept = stream.filter(quality_keep_col()).select(
+        "doc_id", "lang", F.md5(_norm_col().cast("binary")).alias("fp")
+    )
+    deduped = drop_duplicates_unbounded(kept, "fp")
+    return _drain(deduped, spark).select("doc_id", "lang", "fp")
