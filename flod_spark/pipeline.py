@@ -303,6 +303,19 @@ class Pipeline:
         )
         return self._derive(self.df.withColumn(col, scrubbed))
 
+    def winnow(self, id_col: str = "doc_id", text_col: str = "text") -> "Pipeline":
+        """Append the Karp-Rabin winnowing sketch columns (n_grams,
+        n_selected, fp_sketch — catalog fingerprint_winnow semantics):
+        the partial-overlap-robust fingerprint for near-dup triage. One
+        co-partitioned join on the id; docs too short to fingerprint
+        keep NULL sketch columns."""
+        from flod_spark.catalog.text import winnow_sketch
+
+        sk = winnow_sketch(
+            self.df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        ).withColumnRenamed("doc_id", id_col)
+        return self._derive(self.df.join(sk, id_col, "left"))
+
     def repetition_filter(self, text_col: str | None = None) -> "Pipeline":
         """Gopher-style repetition drop-rule (catalog doc_repetition
         semantics, same thresholds) as a chainable filter. Map-only."""

@@ -283,3 +283,16 @@ def test_by_line_wide_element_width_contract(spark, sf_dir):
     # the 0x0A-byte trap char survived inside a line
     assert by_blob["trap2"] == ["przedĊpo", "ostatnia"]
     assert by_blob["trap4"] == ["przedĊpo", "ostatnia"]
+
+
+def test_winnow_facade_appends_sketch(spark, sf_dir):
+    import flod_spark as fs
+    from flod_spark.io import load
+
+    docs = load(spark, sf_dir, "documents").limit(50)
+    p = fs.Pipeline(docs).winnow()
+    rows = p.df.select("doc_id", "n_grams", "fp_sketch").collect()
+    assert len(rows) == 50
+    with_sketch = [r for r in rows if r["fp_sketch"] is not None]
+    assert with_sketch, "no doc long enough to fingerprint?"
+    assert all(len(r["fp_sketch"]) == 32 for r in with_sketch)
