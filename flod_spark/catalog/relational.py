@@ -2127,3 +2127,29 @@ def nested_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_types",
         "n_click",
     )
+
+
+_SQL_DIRECT = (
+    # dialect-neutral ANSI: runs VERBATIM in both Spark SQL and DuckDB
+    "SELECT l_returnflag, l_linestatus, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_lines, "
+    "  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+    "  MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship "
+    "FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+    "  AND l_shipdate < TIMESTAMP '1998-01-01' "
+    "GROUP BY l_returnflag, l_linestatus"
+)
+
+
+@query("sql_direct", oracle=_SQL_DIRECT)
+def sql_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-first entry path: tables registered as temp views, the
+    query text handed to spark.sql() — and the SAME string IS the
+    DuckDB oracle (one dialect-neutral ANSI statement, zero
+    translation), the strongest possible cross-engine statement of
+    intent. Catalyst plans it identically to the DataFrame form
+    (filter pushdown, partial agg); the view layer is how SQL-only
+    users consume every table this engine reads."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SQL_DIRECT)
