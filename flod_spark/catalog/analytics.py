@@ -273,3 +273,69 @@ def pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r2.withColumnRenamed("r", "rank_round2"), "node")
         .select("node", "rank_round1", "rank_round2")
     )
+
+
+def _curation_oracle() -> str:
+    from flod_spark.catalog.text import (
+        PUNCT_RE,
+        QUALITY_MAX_PUNCT,
+        QUALITY_MIN_CHARS,
+        QUALITY_MIN_STOP,
+        QUALITY_MIN_TOKENS,
+        STOP_COUNT_SQL,
+        TOKEN_RE,
+    )
+
+    keep = (
+        f"length(text) >= {QUALITY_MIN_CHARS} "
+        f"AND length(regexp_extract_all(lower(text), '{TOKEN_RE}')) >= {QUALITY_MIN_TOKENS} "
+        f"AND CAST(length(regexp_extract_all(text, '{PUNCT_RE}')) AS DOUBLE) "
+        f"  / NULLIF(length(text), 0) < {QUALITY_MAX_PUNCT} "
+        f"AND CAST({STOP_COUNT_SQL} AS DOUBLE) "
+        f"  / NULLIF(length(regexp_extract_all(lower(text), '{TOKEN_RE}')), 0) >= {QUALITY_MIN_STOP}"
+    )
+    return (
+        "WITH d AS (SELECT doc_id, lang, "
+        f"    CAST(length(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tok, "
+        f"    CASE WHEN {keep} THEN 1 ELSE 0 END AS keep FROM documents) "
+        "SELECT d.lang, e.label, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "  CAST(SUM(d.keep) AS BIGINT) AS n_keep, "
+        "  CAST(SUM(d.keep) AS DOUBLE) / COUNT(*) AS keep_rate, "
+        "  CAST(SUM(d.n_tok) AS BIGINT) AS total_tokens "
+        "FROM d JOIN embeddings e ON e.vec_id = d.doc_id "
+        "GROUP BY d.lang, e.label"
+    )
+
+
+@query("curation_join", oracle=_curation_oracle())
+def curation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal curation matrix — the table a training-data curator
+    reads before setting mixture weights: text-quality keep-rate and
+    token mass per (lang, semantic cluster) cell, joining the documents
+    table to its embedding clusters on the shared id. The quality
+    predicate is the shared C4-style keep rule (same constants as
+    doc_quality / prep_pipeline). Scale: one co-partitioned id join
+    (both sides pre-projected to a few columns) + a partial-agg over
+    |langs x labels| cells; at 100 TB the embedding side is the narrow
+    one and broadcast-bucketing by id range applies."""
+    from flod_spark.catalog.text import TOKEN_RE, quality_keep_col
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_tok"),
+        F.when(quality_keep_col(), 1).otherwise(0).alias("keep"),
+    )
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        d.join(e, d["doc_id"] == e["vec_id"])
+        .groupBy("lang", "label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("keep").alias("n_keep"),
+            (F.sum("keep").cast("double") / F.count("*")).alias("keep_rate"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )
