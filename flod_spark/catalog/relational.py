@@ -2153,3 +2153,44 @@ def sql_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
     users consume every table this engine reads."""
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_SQL_DIRECT)
+
+
+@query(
+    "agg_mode",
+    oracle=(
+        # deterministic mode: most frequent order priority per market
+        # segment, ties broken by the value itself (never engine order)
+        "WITH c AS (SELECT c_mktsegment, o_orderpriority, "
+        "    CAST(COUNT(*) AS BIGINT) AS n "
+        "  FROM customer JOIN orders ON o_custkey = c_custkey "
+        "  GROUP BY 1, 2) "
+        "SELECT c_mktsegment, o_orderpriority AS mode_priority, n AS n_orders "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY c_mktsegment "
+        "    ORDER BY n DESC, o_orderpriority) AS rn FROM c) WHERE rn = 1"
+    ),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE aggregate: the most frequent value per group
+    with an explicit value tiebreak — Spark's built-in mode() breaks
+    ties by encounter order (nondeterministic under partial
+    aggregation), so the portable form is count + WindowGroupLimit
+    (rn = 1 compiles to per-partition top-1 heaps, no full sort).
+    Scale: one (segment, priority) partial-agg shuffle, then a
+    |segments x priorities|-row window."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cnt = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("n"), "o_orderpriority")
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("n_orders"),
+        )
+    )
