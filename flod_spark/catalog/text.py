@@ -1011,3 +1011,53 @@ def winnow_sketch(docs: DataFrame, keep_hashes: bool = False) -> DataFrame:
     if keep_hashes:
         cols.append(sel.alias("sel_hashes"))
     return d.select(*cols)
+
+
+@query(
+    "char_entropy",
+    oracle=(
+        # quantized plug-in entropy, EXACT cross-engine: floor(log2 x)
+        # = length(bin(x)) - 1 (the ngram_lm integer-log trick), so
+        # q = total*floor_log2(total) - sum(c*floor_log2(c)) is pure
+        # BIGINT arithmetic; only the final per-doc division is float
+        "WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9 ]')) AS c "
+        "  FROM documents), "
+        "cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n FROM ch GROUP BY 1, 2), "
+        "d AS (SELECT doc_id, SUM(n) AS total, "
+        "    SUM(n * (length(bin(n)) - 1)) AS s FROM cc GROUP BY 1) "
+        "SELECT doc_id, CAST(total AS BIGINT) AS n_chars_counted, "
+        "  CAST(total * (length(bin(total)) - 1) - s AS BIGINT) AS q_entropy, "
+        "  CAST(total * (length(bin(total)) - 1) - s AS DOUBLE) / total AS bits_per_char "
+        "FROM d"
+    ),
+)
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy per document — the gibberish /
+    low-diversity signal (mashed-keyboard spam scores near zero bits;
+    natural text sits well above). The plug-in entropy is QUANTIZED to
+    integer floor-log2 terms (binary-string lengths, the ngram_lm
+    trick) so the whole score is exact BIGINT arithmetic cross-engine —
+    q = total*floor_log2(total) - sum(c * floor_log2(c)) — where a
+    float ln() would drift in the last bits. Scale: one (doc, char)
+    partial-agg shuffle (alphabet-bounded: <= 37 rows per doc cross the
+    exchange), one per-doc aggregate."""
+    docs = load(spark, sf_dir, "documents", spread=True, amplify=2000)
+    ch = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9 ]"), F.lit(0))
+        ).alias("c"),
+    )
+    cc = ch.groupBy("doc_id", "c").agg(F.count("*").alias("n"))
+    lg = lambda col: F.length(F.bin(col)) - 1  # noqa: E731 — floor(log2 x)
+    d = cc.groupBy("doc_id").agg(
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * lg(F.col("n"))).alias("s"),
+    )
+    q = F.col("total") * lg(F.col("total")) - F.col("s")
+    return d.select(
+        "doc_id",
+        F.col("total").cast("long").alias("n_chars_counted"),
+        q.cast("long").alias("q_entropy"),
+        (q.cast("double") / F.col("total")).alias("bits_per_char"),
+    )
