@@ -2194,3 +2194,43 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_orders"),
         )
     )
+
+
+@query(
+    "window_offset",
+    oracle=(
+        # offset window functions over the per-user (ts, event_id) total
+        # order; last_value takes the explicit full-partition frame
+        # (default frames stop at CURRENT ROW in both engines)
+        "SELECT event_id, user_id, "
+        "  lag(value) OVER w AS prev_value, "
+        "  lag(value, 2) OVER w AS prev2_value, "
+        "  lead(event_type) OVER w AS next_type, "
+        "  first_value(ts) OVER w AS first_ts, "
+        "  last_value(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ts "
+        "FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    ),
+)
+def window_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset window functions (lag/lead/first_value/last_value) over
+    the per-user event timeline — the session-feature builders
+    (time-since-last, next-action, entry/exit points). The (ts,
+    event_id) order is total (event_id unique), so every offset is
+    deterministic; last_value takes the explicit full-partition frame
+    because both engines' DEFAULT frame ends at CURRENT ROW (the
+    classic silent-wrong-answer). Scale: one user_id exchange serves
+    every function (same window spec)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lag("value", 2).over(w).alias("prev2_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("ts").over(w).alias("first_ts"),
+        F.last("ts").over(wfull).alias("last_ts"),
+    )
