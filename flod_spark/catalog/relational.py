@@ -2234,3 +2234,53 @@ def window_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("ts").over(w).alias("first_ts"),
         F.last("ts").over(wfull).alias("last_ts"),
     )
+
+
+@query(
+    "agg_corr",
+    oracle=(
+        # Pearson r from EXACT decimal moments (built-in corr() uses
+        # float accumulation — order-dependent); the only floats are the
+        # final few scalar ops on already-aggregated values
+        "WITH m AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+        "    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx, "
+        "    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy, "
+        "    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx, "
+        "    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy, "
+        "    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy "
+        "  FROM lineitem GROUP BY l_returnflag) "
+        "SELECT l_returnflag, n, "
+        "  (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price, "
+        "  (n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n) AS covar_pop "
+        "FROM m"
+    ),
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance per group from EXACT decimal moment
+    sums — the determinism contract applied to second moments: Spark's
+    built-in corr()/covar_pop() accumulate in floats (partial-agg-order
+    dependent in the last bits), so the portable form aggregates the
+    five moments in DECIMAL and finishes with a handful of scalar IEEE
+    ops on the per-group values, identical in both engines. Scale: one
+    partial-agg shuffle, |groups| rows out."""
+    li = load(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q.cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(p.cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum((q * q).cast("decimal(28,4)")).cast("double").alias("sxx"),
+        F.sum((p * p).cast("decimal(28,4)")).cast("double").alias("syy"),
+        F.sum((q * p).cast("decimal(28,4)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("corr_qty_price"),
+        ((n * sxy - sx * sy) / (n.cast("double") * n)).alias("covar_pop"),
+    )
