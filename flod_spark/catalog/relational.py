@@ -2284,3 +2284,50 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("corr_qty_price"),
         ((n * sxy - sx * sy) / (n.cast("double") * n)).alias("covar_pop"),
     )
+
+
+_HIST_BINS = 20
+
+
+@query(
+    "histogram_bins",
+    oracle=(
+        # fixed-width histogram over the [min, max] span: bin =
+        # floor((x - mn) * B / (mx - mn)), the max row clamped into the
+        # last bin — identical IEEE scalar ops both engines
+        "WITH s AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders), "
+        "b AS (SELECT LEAST(CAST(floor((o_totalprice - mn) * "
+        f"      {_HIST_BINS} / (mx - mn)) AS BIGINT), {_HIST_BINS - 1}) AS bin, "
+        "    o_totalprice, mn, mx FROM orders, s) "
+        "SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"  MIN(mn) + bin * (MIN(mx) - MIN(mn)) / {_HIST_BINS} AS bin_lo, "
+        f"  MIN(mn) + (bin + 1) * (MIN(mx) - MIN(mn)) / {_HIST_BINS} AS bin_hi "
+        "FROM b GROUP BY bin"
+    ),
+)
+def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals — the distribution profile
+    behind every dashboard and the bin layout quality_buckets' docstring
+    points to. Bin assignment is a handful of IEEE scalar ops against
+    the broadcast (min, max) pair — written in the identical order in
+    both engines — with the max row clamped into the last bin. Scale:
+    one 1-row min/max aggregate broadcast back over a map-only bin
+    expression, then a |bins|-row partial-agg count; empty bins simply
+    don't appear (join a bin spine to materialize them)."""
+    o = load(spark, sf_dir, "orders").select("o_totalprice")
+    s = o.agg(F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx"))
+    x, mn, mx = F.col("o_totalprice"), F.col("mn"), F.col("mx")
+    bin_ = F.least(
+        F.floor((x - mn) * _HIST_BINS / (mx - mn)).cast("long"),
+        F.lit(_HIST_BINS - 1),
+    )
+    return (
+        o.crossJoin(F.broadcast(s))
+        .select(bin_.alias("bin"), "mn", "mx")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            (F.min("mn") + F.col("bin") * (F.min("mx") - F.min("mn")) / _HIST_BINS).alias("bin_lo"),
+            (F.min("mn") + (F.col("bin") + 1) * (F.min("mx") - F.min("mn")) / _HIST_BINS).alias("bin_hi"),
+        )
+    )
