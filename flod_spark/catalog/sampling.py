@@ -167,3 +167,35 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= STRAT_K)
         .select("doc_id", "lang")
     )
+
+
+SAMPLE_EXACT_K = 100
+
+
+@query(
+    "sample_exact_k",
+    oracle=(
+        # exactly-k uniform sample: rank docs by a salted hash, take the
+        # first k — deterministic, reproducible, and independent of row
+        # count knowledge (unlike a rate)
+        f"SELECT doc_id, lang, source, "
+        f"  {_sql_hash_prefix('k|', 'doc_id')} AS rk "
+        f"FROM documents ORDER BY rk, doc_id LIMIT {SAMPLE_EXACT_K}"
+    ),
+)
+def sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-k uniform sample (eval-set construction): order by a
+    salted md5 of the id, take the first k. Unlike the rate-based
+    sample_hash, the output size is exact without knowing the corpus
+    size, and re-running on a grown corpus keeps ~the same members
+    (hash order is stable — only docs hashing below the k-th rank
+    rotate in/out). Scale: ORDER BY + LIMIT compiles to
+    TakeOrderedAndProject — per-partition k-heaps, k rows to the
+    driver, never a global sort; the doc_id tiebreak makes the cut
+    deterministic even under hash collisions."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "lang", "source", _hash_prefix("k|", F.col("doc_id")).alias("rk"))
+        .orderBy("rk", "doc_id")
+        .limit(SAMPLE_EXACT_K)
+    )

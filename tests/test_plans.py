@@ -188,6 +188,13 @@ def test_pii_scrub_is_map_only(spark, sf_dir):
     assert "Exchange" not in plan  # pure narrow regexp stage
 
 
+def test_sample_exact_k_uses_topk_not_global_sort(spark, sf_dir):
+    from flod_spark.catalog.sampling import sample_exact_k
+
+    plan = plan_of(sample_exact_k(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_embed_quantize_is_map_only(spark, sf_dir):
     from flod_spark.catalog.similarity import embed_quantize
 
