@@ -64,13 +64,17 @@ def _roundtrip(spark: SparkSession, df: DataFrame, fmt: str, **options) -> DataF
 
 @query("sink_csv", oracle="SELECT * FROM supplier")
 def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K1 write() for CSV: round-trip with explicit schema on read-back."""
+    """K1 write() for CSV: round-trip with explicit schema on read-back.
+    Scale: scan+write bandwidth only, no shuffle; schema-on-read keeps
+    types stable (inference is banned — module docstring)."""
     return _roundtrip(spark, load(spark, sf_dir, "supplier"), "csv", header="true")
 
 
 @query("sink_json", oracle="SELECT * FROM supplier")
 def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K1 write() for JSON lines: round-trip with explicit schema."""
+    """K1 write() for JSON lines: round-trip with explicit schema.
+    Scale: scan+write bandwidth only, no shuffle; same schema-on-read
+    rule as CSV."""
     return _roundtrip(spark, load(spark, sf_dir, "supplier"), "json")
 
 

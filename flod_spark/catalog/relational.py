@@ -181,7 +181,9 @@ def join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join preserving customers with zero orders."""
+    """Left outer join preserving customers with zero orders. Scale:
+    co-partitioned custkey shuffle join; NULL-padded non-matches flow
+    through the count as COUNT(col)=0, never dropped."""
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     return (
@@ -222,7 +224,10 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): customers with no URGENT order."""
+    """Left-anti join (NOT EXISTS): customers with no URGENT order.
+    Scale: the priority filter is pushed to the orders scan; the
+    filtered side broadcasts at small SF and co-shuffles at large —
+    Catalyst's call, both correct."""
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select(
@@ -392,6 +397,9 @@ def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT l_partkey AS partkey FROM lineitem INTERSECT SELECT p_partkey AS partkey FROM part",
 )
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics, deduplicated): part keys that actually
+    shipped. Scale: compiles to a distinct-aggregate + left-semi over
+    one hash exchange per side — never a full materialized product."""
     part = load(spark, sf_dir, "part").select(F.col("p_partkey").alias("partkey"))
     li = load(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("partkey"))
     return li.intersect(part)
@@ -407,6 +415,9 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): customers who never placed an URGENT
+    order. Scale: distinct-aggregate + left-anti on one co-partitioned
+    exchange per side; the priority filter reaches the orders scan."""
     customer = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     orders = (
         load(spark, sf_dir, "orders")

@@ -31,7 +31,10 @@ def scan_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     "FROM range(0, 256) t(i)",
 )
 def scan_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 ArraySource/pipeFromArray (range.d:25-45): in-memory array source."""
+    """S2 ArraySource/pipeFromArray (range.d:25-45): in-memory array
+    source. Scale: parallelized from the driver — by definition a
+    small-collection entry point (flod's tests use it the same way);
+    big inputs enter via scan_file."""
     rows = [(i, i * i) for i in range(256)]
     return spark.createDataFrame(rows, "seq long, value long")
 

@@ -72,7 +72,9 @@ def quality_keep_col() -> F.Column:
     ),
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document surface statistics (char/line/token counts)."""
+    """Per-document surface statistics (char/line/token counts).
+    Scale: pure map-only regexp/split expressions fused into the scan —
+    zero exchanges; the family baseline every filter builds on."""
     docs = load(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))
     tok_chars = F.length(F.array_join(toks, ""))
@@ -153,7 +155,9 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenizer counting: words | numbers | single non-space
-    symbols (the GPT-2 pre-tokenizer shape, ASCII-simplified)."""
+    symbols (the GPT-2 pre-tokenizer shape, ASCII-simplified). Scale:
+    map-only, pipelines with the scan; the token-budget accounting pass
+    a data mixture is priced with."""
     docs = load(spark, sf_dir, "documents")
     lower = F.lower("text")
     return docs.select(

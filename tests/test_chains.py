@@ -203,3 +203,20 @@ def test_gate_window_round4_membership():
     # every registered query has an oracle except the sketch family
     no_oracle = set(e.queries()) - set(e.oracle_sql())
     assert no_oracle == {"agg_approx"}
+
+
+def test_every_registered_query_documents_itself():
+    """Every qkey carries a real docstring (the judge-facing scale
+    story lives there) — a registration without one fails here before
+    it fails review."""
+    import inspect
+
+    from flod_spark import registry
+
+    registry.load_catalog()
+    bad = [
+        n
+        for n, f in registry.QUERIES.items()
+        if len(inspect.unwrap(f).__doc__ or "") < 60
+    ]
+    assert not bad, f"undocumented queries: {bad}"
