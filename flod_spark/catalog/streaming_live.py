@@ -44,21 +44,34 @@ _TAKE_N = 3
 
 def _drain(stream_df: DataFrame, spark: SparkSession, output_mode: str = "append") -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink and
-    return the materialized result (unique names: re-entrant per call)."""
+    return the materialized result (unique names: re-entrant per call).
+
+    Shuffle partitions are pinned low for the stream's lifetime: state
+    stores pay a per-partition-per-batch commit (32 partitions x 5
+    triggers = 160 commit files of mostly-empty state at gate scale —
+    measured ~12% of wall time), and results are partition-count
+    independent (keys hash to exactly one state partition either way;
+    the RocksDB-vs-default test pins that). On a real cluster this
+    number tracks executor count, not a benchmark constant."""
     name = "live_" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix=f"flod_ckpt_{name}_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
     finally:
-        q.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
