@@ -513,17 +513,22 @@ def stream_foreach_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = "fb_" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix=f"flod_ckpt_{name}_")
-    q = (
-        stream.writeStream.foreachBatch(upsert)
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # _drain's rationale
     try:
-        q.processAllAvailable()
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
     finally:
-        q.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     final = spark.read.parquet(state["path"])
     return final.select(
         "user_id", "event_type", "n_events", "first_ts", "last_ts",
