@@ -2342,3 +2342,38 @@ def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("mn") + (F.col("bin") + 1) * (F.min("mx") - F.min("mn")) / _HIST_BINS).alias("bin_hi"),
         )
     )
+
+
+@query(
+    "unpivot_melt",
+    oracle=(
+        # wide -> long: per-returnflag quantity/price/discount sums
+        # melted into (metric, value) rows — DuckDB's UNPIVOT twin
+        "WITH w AS (SELECT l_returnflag, "
+        "    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+        "    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, "
+        "    CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc "
+        "  FROM lineitem GROUP BY l_returnflag) "
+        "SELECT l_returnflag, metric, value FROM w "
+        "UNPIVOT (value FOR metric IN (sum_qty, sum_price, sum_disc))"
+    ),
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — the inverse of agg_pivot: a wide per-group
+    metric table reshaped to (group, metric, value) long form (what
+    chart layers and metric stores ingest). Uses the native unpivot
+    operator (Expand under the hood — one narrow row-amplification, no
+    shuffle beyond the feeding aggregate). Scale: the melt itself is
+    map-only; width x rows is the only cost."""
+    li = load(spark, sf_dir, "lineitem")
+    w = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double").alias("sum_disc"),
+    )
+    return w.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
