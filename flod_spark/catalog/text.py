@@ -1065,3 +1065,37 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.cast("long").alias("q_entropy"),
         (q.cast("double") / F.col("total")).alias("bits_per_char"),
     )
+
+
+@query(
+    "json_parse_once",
+    oracle=(
+        # typed parse-once: the struct field feeds BOTH outputs from one
+        # parse, vs json_extract's per-expression re-parse
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k, "
+        "  CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket, "
+        "  CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL AS parsed_ok "
+        "FROM events"
+    ),
+)
+def json_parse_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-time JSON discipline json_extract's docstring
+    prescribes, as its own operator: from_json parses props ONCE into a
+    typed struct column, and every downstream expression reads struct
+    fields (zero re-parses — get_json_object re-runs Jackson per
+    expression per row). Corrupt records become NULL structs
+    (PERMISSIVE mode), surfaced here as parsed_ok. Scale: map-only; at
+    100 TB the parse happens once at ingest and the struct column is
+    columnar parquet thereafter."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = load(spark, sf_dir, "events")
+    schema = StructType([StructField("k", LongType())])
+    p = ev.select("event_id", F.from_json("props", schema).alias("p"))
+    k = F.col("p.k")
+    return p.select(
+        "event_id",
+        k.alias("k"),
+        (k % 10).alias("k_bucket"),
+        k.isNotNull().alias("parsed_ok"),
+    )
