@@ -1099,3 +1099,46 @@ def json_parse_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k % 10).alias("k_bucket"),
         k.isNotNull().alias("parsed_ok"),
     )
+
+
+@query(
+    "sentence_split",
+    oracle=(
+        # the synthetic corpus carries no punctuation, so sentence
+        # boundaries are PLANTED deterministically (every ' a ' token
+        # becomes '. ' — the dedup_url planted-data convention), then
+        # segmentation runs on terminal punctuation; segment indexes are
+        # assigned BEFORE dropping empties, so both engines agree
+        "WITH t AS (SELECT doc_id, regexp_replace(text, ' a ', '. ', 'g') AS text FROM documents), "
+        "s AS (SELECT doc_id, string_split_regex(text, '[.!?]') AS ss FROM t), "
+        "x AS (SELECT doc_id, CAST(unnest(range(len(ss))) AS BIGINT) AS sent_idx, "
+        "    trim(unnest(ss)) AS sentence FROM s) "
+        "SELECT doc_id, sent_idx, sentence, "
+        "  CAST(length(sentence) AS BIGINT) AS n_chars "
+        "FROM x WHERE length(sentence) > 0"
+    ),
+)
+def sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation: docs split on terminal punctuation into
+    one row per non-empty trimmed sentence with its original position —
+    the unit for sentence-level dedup/filtering and sliding-window
+    example building (text_windows' sibling at sentence granularity).
+    The synthetic corpus has no punctuation, so boundaries are planted
+    first (' a ' -> '. ', deterministic in both engines — the
+    dedup_url planted-data convention); segment indexes are assigned
+    before empty segments drop, so the numbering is stable under
+    punctuation runs. Scale: map-only
+    posexplode row amplification that pipelines with the scan; no
+    exchange."""
+    docs = load(spark, sf_dir, "documents")
+    planted = F.regexp_replace("text", " a ", ". ")
+    parts = F.split(planted, "[.!?]", -1)
+    ex = docs.select("doc_id", F.posexplode(parts).alias("sent_idx", "raw"))
+    s = ex.select(
+        "doc_id",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.trim(F.col("raw")).alias("sentence"),
+    )
+    return s.filter(F.length("sentence") > 0).withColumn(
+        "n_chars", F.length("sentence").cast("long")
+    )
