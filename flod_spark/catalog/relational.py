@@ -2377,3 +2377,49 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "dq_audit",
+    oracle=(
+        # the dbt-test / Deequ audit row: null keys, key uniqueness,
+        # referential integrity — one violations report per run
+        "SELECT "
+        "  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_orderkey IS NULL) "
+        "    AS n_null_line_keys, "
+        "  (SELECT CAST(COUNT(*) AS BIGINT) FROM "
+        "    (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)) "
+        "    AS n_dup_orderkeys, "
+        "  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem "
+        "    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) "
+        "    AS n_orphan_lines, "
+        "  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders "
+        "    WHERE o_totalprice <= 0) AS n_nonpositive_totals"
+    ),
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit (the dbt-test / Deequ pattern): NOT-NULL,
+    key-uniqueness, referential-integrity, and range constraints
+    evaluated as one violations report — the gate a 100 TB ingestion
+    runs before publishing a partition. Scale: each check is one
+    scan-fused aggregate; the referential check is a co-partitioned
+    anti join (never NOT IN's nested loop); four 1-row frames cross
+    into the report row."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    null_keys = li.filter(F.col("l_orderkey").isNull()).agg(
+        F.count("*").alias("n_null_line_keys")
+    )
+    dup_keys = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count("*").alias("n_dup_orderkeys"))
+    )
+    orphans = li.join(
+        o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_anti"
+    ).agg(F.count("*").alias("n_orphan_lines"))
+    bad_totals = o.filter(F.col("o_totalprice") <= 0).agg(
+        F.count("*").alias("n_nonpositive_totals")
+    )
+    return null_keys.crossJoin(dup_keys).crossJoin(orphans).crossJoin(bad_totals)

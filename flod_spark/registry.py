@@ -109,9 +109,9 @@ _GATE_ORDER = (
     # snapshot_diff / dedup_verify / fingerprint_winnow / nested_fns /
     # stream_prep_live / sql_direct / curation_join / agg_mode /
     # char_entropy / window_offset / agg_corr / histogram_bins /
-    # sample_exact_k / unpivot_melt / json_parse_once / sentence_split
-    # (also new) missed the 50-cap: they are the round-5 gate backlog
-    # (local parity green).
+    # sample_exact_k / unpivot_melt / json_parse_once / sentence_split /
+    # dq_audit (also new) missed the 50-cap: they are the round-5 gate
+    # backlog (local parity green).
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
     "stream_dedup_live", "embed_quantize",
 )
