@@ -2306,9 +2306,14 @@ _HIST_BINS = 20
         # fixed-width histogram over the [min, max] span: bin =
         # floor((x - mn) * B / (mx - mn)), the max row clamped into the
         # last bin — identical IEEE scalar ops both engines
+        # mx = mn (all values equal, incl. the 1-row table) would be
+        # 0/0 = NaN, where the engines' BIGINT casts diverge (Spark
+        # floors NaN to NULL, DuckDB errors) — both sides agree the
+        # degenerate span is one bin 0 instead
         "WITH s AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders), "
-        "b AS (SELECT LEAST(CAST(floor((o_totalprice - mn) * "
-        f"      {_HIST_BINS} / (mx - mn)) AS BIGINT), {_HIST_BINS - 1}) AS bin, "
+        "b AS (SELECT CASE WHEN mx = mn THEN 0 ELSE "
+        "      LEAST(CAST(floor((o_totalprice - mn) * "
+        f"      {_HIST_BINS} / (mx - mn)) AS BIGINT), {_HIST_BINS - 1}) END AS bin, "
         "    o_totalprice, mn, mx FROM orders, s) "
         "SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, "
         f"  MIN(mn) + bin * (MIN(mx) - MIN(mn)) / {_HIST_BINS} AS bin_lo, "
@@ -2328,9 +2333,14 @@ def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_totalprice")
     s = o.agg(F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx"))
     x, mn, mx = F.col("o_totalprice"), F.col("mn"), F.col("mx")
-    bin_ = F.least(
-        F.floor((x - mn) * _HIST_BINS / (mx - mn)).cast("long"),
-        F.lit(_HIST_BINS - 1),
+    # mx = mn guard mirrors the oracle: the all-equal (or 1-row) input
+    # is bin 0 by definition, never 0/0 = NaN (whose BIGINT cast the
+    # engines disagree on) — same discipline as embed_quantize's mx > 0
+    bin_ = F.when(mx == mn, F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.floor((x - mn) * _HIST_BINS / (mx - mn)).cast("long"),
+            F.lit(_HIST_BINS - 1),
+        )
     )
     return (
         o.crossJoin(F.broadcast(s))
@@ -2390,8 +2400,14 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  (SELECT CAST(COUNT(*) AS BIGINT) FROM "
         "    (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)) "
         "    AS n_dup_orderkeys, "
-        "  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem "
-        "    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) "
+        # NOT EXISTS, not NOT IN: a NULL l_orderkey must COUNT as an
+        # orphan (it references no order) — matching the Spark side's
+        # left-anti join, where NULL never equi-matches. NOT IN's
+        # three-valued logic would silently exclude exactly the dirty
+        # rows a DQ audit exists to catch.
+        "  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l "
+        "    WHERE NOT EXISTS (SELECT 1 FROM orders o "
+        "                      WHERE o.o_orderkey = l.l_orderkey)) "
         "    AS n_orphan_lines, "
         "  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders "
         "    WHERE o_totalprice <= 0) AS n_nonpositive_totals"

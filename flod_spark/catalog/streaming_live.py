@@ -96,7 +96,7 @@ def stream_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
     replay_dir = tempfile.mkdtemp(prefix="flod_replay_w_")
     shutil.rmtree(replay_dir, ignore_errors=True)
-    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=5)
+    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=5, tiebreak=("event_id",))
     got = _drain(tumbling_counts(stream, window=_WINDOW, watermark=_WATERMARK), spark)
     # windows closed by the final watermark: win_end <= max_ts - 2h
     horizon = F.lit(max_ts) - F.expr("INTERVAL 3 HOURS")
@@ -140,7 +140,7 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
     replay_dir = tempfile.mkdtemp(prefix="flod_replay_s_")
     shutil.rmtree(replay_dir, ignore_errors=True)
-    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4)
+    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4, tiebreak=("event_id",))
     sess = (
         with_event_time(stream)
         .withWatermark("ts", _WATERMARK)
@@ -179,7 +179,7 @@ def stream_take_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     replay_dir = tempfile.mkdtemp(prefix="flod_replay_t_")
     shutil.rmtree(replay_dir, ignore_errors=True)
-    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4)
+    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4, tiebreak=("event_id",))
     got = _drain(streaming_take_per_key(stream, _TAKE_N), spark)
     return got.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
@@ -206,7 +206,7 @@ def stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     replay_dir = tempfile.mkdtemp(prefix="flod_replay_j_")
     shutil.rmtree(replay_dir, ignore_errors=True)
-    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4)
+    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4, tiebreak=("event_id",))
     stream = with_event_time(stream)
     signups = (
         stream.filter(F.col("event_type") == "signup")
@@ -296,7 +296,7 @@ def stream_sessionize_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     replay_dir = tempfile.mkdtemp(prefix="flod_replay_cs_")
     shutil.rmtree(replay_dir, ignore_errors=True)
-    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4)
+    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4, tiebreak=("event_id",))
     return _drain(streaming_sessionize(stream), spark)
 
 
@@ -354,7 +354,7 @@ def stream_agg_complete_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     replay_dir = tempfile.mkdtemp(prefix="flod_replay_c_")
     shutil.rmtree(replay_dir, ignore_errors=True)
-    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=5)
+    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=5, tiebreak=("event_id",))
     agg = stream.groupBy("user_id", "event_type").agg(
         F.count("*").alias("n_events"),
         F.min("ts").alias("first_ts"),
@@ -397,7 +397,7 @@ def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
     replay_dir = tempfile.mkdtemp(prefix="flod_replay_sl_")
     shutil.rmtree(replay_dir, ignore_errors=True)
-    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=5)
+    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=5, tiebreak=("event_id",))
     got = _drain(sliding_counts(stream, window="1 hour", slide="15 minutes",
                                 watermark=_WATERMARK), spark)
     horizon = F.lit(max_ts) - F.expr("INTERVAL 3 HOURS")
@@ -416,10 +416,12 @@ def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming deduplication: dropDuplicates on a stream keeps the
     FIRST ARRIVAL per key in per-key state (streaming/dedup.py), emitted
     append-mode the trigger it lands. Replay's determinism contract makes
-    'first arrival' exact: files are ts-ordered, each trigger's file scans
-    as one partition, and shuffle preserves per-(map, reduce) row order —
-    so the first row a key's state partition sees IS its min-ts row (the
-    same arrival-order guarantee stream_take_live is built on). The batch
+    'first arrival' exact: each batch file is explicitly sorted on
+    (ts, event_id) at write time (replay.py tiebreak — enforced, not
+    inferred from source layout), each trigger's file scans as one
+    partition, and shuffle preserves per-(map, reduce) row order — so the
+    first row a key's state partition sees IS its min-(ts, event_id) row
+    (the same arrival-order guarantee stream_take_live is built on). The batch
     twin's min-aggregation oracle (stream_dedup) therefore applies
     verbatim. Scale: state is one entry per distinct key, sharded by key
     hash — the unbounded regime; dropDuplicatesWithinWatermark
@@ -430,7 +432,7 @@ def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     replay_dir = tempfile.mkdtemp(prefix="flod_replay_d_")
     shutil.rmtree(replay_dir, ignore_errors=True)
-    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4)
+    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4, tiebreak=("event_id",))
     dd = drop_duplicates_unbounded(
         stream.select("user_id", "event_type", "event_id", "ts"),
         "user_id", "event_type",
@@ -471,19 +473,22 @@ def stream_foreach_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     replay_dir = tempfile.mkdtemp(prefix="flod_replay_fb_")
     shutil.rmtree(replay_dir, ignore_errors=True)
-    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=5)
+    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=5, tiebreak=("event_id",))
     root = tempfile.mkdtemp(prefix="flod_fb_state_")
     state = {"path": None, "last_batch": -1}
 
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= state["last_batch"]:
-            return  # replayed trigger: already merged (idempotence guard)
-        inc = batch_df.groupBy("user_id", "event_type").agg(
+    def _partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
             F.count("*").alias("n_events"),
             F.min("ts").alias("first_ts"),
             F.max("ts").alias("last_ts"),
             F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
         )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state["last_batch"]:
+            return  # replayed trigger: already merged (idempotence guard)
+        inc = _partials(batch_df)
         if state["path"] is not None:
             old = batch_df.sparkSession.read.parquet(state["path"])
             merged = (
@@ -529,7 +534,13 @@ def stream_foreach_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(ckpt, ignore_errors=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    final = spark.read.parquet(state["path"])
+    # empty-first-run guard: a zero-batch stream (empty events input
+    # writes no replay files, so foreachBatch never fires) leaves no
+    # state version — the merged-schema empty aggregate IS the answer
+    if state["path"] is None:
+        final = _partials(ev.limit(0))
+    else:
+        final = spark.read.parquet(state["path"])
     return final.select(
         "user_id", "event_type", "n_events", "first_ts", "last_ts",
         F.col("sum_dec").cast("double").alias("sum_value"),
@@ -591,7 +602,7 @@ def stream_prep_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     replay_dir = tempfile.mkdtemp(prefix="flod_replay_pp_")
     shutil.rmtree(replay_dir, ignore_errors=True)
-    stream = replay_stream(spark, docs, "ingest_ts", replay_dir, n_batches=4)
+    stream = replay_stream(spark, docs, "ingest_ts", replay_dir, n_batches=4, tiebreak=("doc_id",))
     kept = stream.filter(quality_keep_col()).select(
         "doc_id", "lang", F.md5(_norm_col().cast("binary")).alias("fp")
     )

@@ -1071,11 +1071,16 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_parse_once",
     oracle=(
         # typed parse-once: the struct field feeds BOTH outputs from one
-        # parse, vs json_extract's per-expression re-parse
-        "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k, "
-        "  CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket, "
-        "  CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL AS parsed_ok "
-        "FROM events"
+        # parse, vs json_extract's per-expression re-parse. json_valid +
+        # TRY_CAST mirror from_json's PERMISSIVE contract: malformed
+        # JSON or a non-numeric k yields NULL / parsed_ok=false on both
+        # engines instead of erroring the oracle run.
+        "WITH p AS (SELECT event_id, "
+        "    CASE WHEN json_valid(props) "
+        "         THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k "
+        "  FROM events) "
+        "SELECT event_id, k, k % 10 AS k_bucket, k IS NOT NULL AS parsed_ok "
+        "FROM p"
     ),
 )
 def json_parse_once(spark: SparkSession, sf_dir: str) -> DataFrame:

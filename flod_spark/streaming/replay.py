@@ -12,8 +12,9 @@ No global sort, no window function, nothing driver-side that grows with
 row count (the only collected values are the n_batches-1 boundaries).
 Rows tie-ing with a boundary go to the later batch, so cross-batch
 event-time ordering (every row in batch b <= every row in batch b+1)
-still holds — the downstream determinism contract in
-catalog/streaming_live.py only needs that plus within-batch sorting.
+still holds; within-batch ordering is enforced by an explicit sort on
+(order_col, *tiebreak) before each single-file write — together these
+are the full determinism contract catalog/streaming_live.py relies on.
 """
 
 from __future__ import annotations
@@ -30,9 +31,19 @@ def replay_stream(
     order_col: str,
     out_dir: str,
     n_batches: int = 10,
+    tiebreak: tuple[str, ...] = (),
 ) -> DataFrame:
     """Write df as n_batches time-range parquet files under out_dir and
-    return a streaming DataFrame reading them one file per trigger."""
+    return a streaming DataFrame reading them one file per trigger.
+
+    Within-batch arrival order is ENFORCED, not assumed: each batch is
+    sorted on (order_col, *tiebreak) before its single-file write, so
+    downstream first-arrival semantics (dropDuplicates keeping the
+    min-order row) hold by construction for any physical source layout —
+    reordered parquet, multi-row-group files split across scan
+    partitions, regenerated data. Pass a unique ``tiebreak`` column to
+    make arrival order total (ties on order_col otherwise keep source
+    scan order within the sort, which is stable but layout-dependent)."""
     # Deterministic quantile boundaries. relativeError bounds the summary
     # memory (0 would buffer every value); boundary inexactness only
     # shifts batch BALANCE — every row still lands in exactly one batch
@@ -89,8 +100,13 @@ def replay_stream(
                 if hi is not None:
                     part = part.filter(F.col(mc) < hi)
             # written sequentially -> file mod-times ascend in ts order,
-            # which is the order the file stream source replays them in
-            part.drop(mc).coalesce(1).write.mode("append").parquet(out_dir)
+            # which is the order the file stream source replays them in.
+            # The sort AFTER coalesce(1) totally orders the one output
+            # file — the within-batch half of the determinism contract
+            # (cross-batch ordering comes from the range boundaries).
+            part.coalesce(1).sortWithinPartitions(
+                mc, *tiebreak
+            ).drop(mc).write.mode("append").parquet(out_dir)
     finally:
         with_us.unpersist()
     # an all-empty input writes no file; the stream source still needs the
