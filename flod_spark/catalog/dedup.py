@@ -206,57 +206,107 @@ def _simhash_votes(docs: DataFrame, width: int) -> DataFrame:
     return tokh.groupBy("doc_id").agg(*votes)
 
 
+# Per-(band, bucket) distinct-signature cap for simhash_pairs. 1000 is
+# unreachable at gate scale (sf0.01 has 500 docs -> <= 500 distinct
+# signatures TOTAL), so the DuckDB brute-force oracle stays exact —
+# while at 100x corpus scale it bounds the worst band bucket's
+# self-join to 1000^2 rows regardless of how adversarially the 16-bit
+# band values collide (the semdedup_bounded discipline: the bound
+# ships IN the gated plan, not in a docstring). Kept at Spark's
+# windowGroupLimitThreshold default so the rank filter still compiles
+# to WindowGroupLimit (pre-exchange pruning); raise both together.
+SIMHASH_BUCKET_CAP = 1000
+
+
 @query(
     "simhash_pairs",
     oracle=(
-        # 32-bit integer signature: same ±1 votes as dedup_simhash over
-        # all 32 md5 hex positions, packed big-endian (p=1 -> MSB)
+        # 64-bit signature as two 32-bit halves: the ±1 votes of
+        # dedup_simhash over all 32 hex positions of md5(tk) (hi half)
+        # and md5('x' || tk) (lo half — an independent salted hash
+        # family, the operators/minhash.py trick), each packed
+        # big-endian (p=1 -> MSB). Two nonneg BIGINT halves avoid the
+        # 1<<63 sign-bit overflow a single 64-bit pack would hit.
         f"WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents), "
         "tok AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(t, '[a-z0-9]+')) AS tk FROM norm), "
         "bits AS (SELECT doc_id, p, "
-        "    SUM(CASE WHEN strpos('89abcdef', substr(md5(tk), p, 1)) > 0 THEN 1 ELSE -1 END) AS v "
+        "    SUM(CASE WHEN strpos('89abcdef', substr(md5(tk), p, 1)) > 0 THEN 1 ELSE -1 END) AS va, "
+        "    SUM(CASE WHEN strpos('89abcdef', substr(md5('x' || tk), p, 1)) > 0 THEN 1 ELSE -1 END) AS vb "
         "  FROM tok, range(1, 33) r(p) GROUP BY doc_id, p), "
-        "sig AS (SELECT doc_id, CAST(SUM(CASE WHEN v >= 0 "
-        "    THEN (CAST(1 AS BIGINT) << (32 - p)) ELSE 0 END) AS BIGINT) AS s FROM bits GROUP BY doc_id) "
+        "sig AS (SELECT doc_id, "
+        "    CAST(SUM(CASE WHEN va >= 0 THEN (CAST(1 AS BIGINT) << (32 - p)) ELSE 0 END) AS BIGINT) AS hi, "
+        "    CAST(SUM(CASE WHEN vb >= 0 THEN (CAST(1 AS BIGINT) << (32 - p)) ELSE 0 END) AS BIGINT) AS lo "
+        "  FROM bits GROUP BY doc_id) "
         # oracle brute-forces all pairs (fine at oracle scale); Spark
         # must reach EXACTLY these degrees via the band trick
         "SELECT a.doc_id, CAST(COUNT(CASE WHEN a.doc_id <> b.doc_id "
-        "    AND bit_count(xor(a.s, b.s)) <= 3 THEN 1 END) AS BIGINT) AS n_near "
+        "    AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3 "
+        "    THEN 1 END) AS BIGINT) AS n_near "
         "FROM sig a, sig b GROUP BY a.doc_id"
     ),
 )
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc SimHash near-duplicate DEGREE: how many other docs sit
-    within Hamming distance 3 of this doc's 32-bit signature — the
+    within Hamming distance 3 of this doc's 64-bit signature — the
     signal a dedup pipeline thresholds on (degree > 0 -> near-dup
     cluster member). Output is one row per doc (linear), never the pair
     list (quadratic on template-heavy corpora like this one).
 
-    Completeness is the pigeonhole band trick: 4 bands x 8 bits — a
+    Completeness is the pigeonhole band trick: 4 bands x 16 bits — a
     pair within distance 3 differs in at most 3 bits, so at least one
     band matches exactly. The band self-join therefore meets ALL
-    qualifying pairs (plus extras that bit_count(xor) filters), which
-    is why the brute-force oracle is exact, not approximate.
-    (operators/simhash.py generalizes the banding to 64-bit xxhash
-    signatures — no cross-engine oracle, so the gate uses md5-32.)
+    qualifying pairs (plus extras the Hamming filter drops), which is
+    why the brute-force oracle is exact, not approximate. The 64-bit
+    width is what makes the band join scale-safe: 65,536 buckets per
+    band (vs 256 at 32-bit), so distinct signatures spread 256x thinner
+    before the quadratic within-bucket step — and a rank cap
+    (SIMHASH_BUCKET_CAP, unreachable at gate scale) hard-bounds the
+    worst bucket regardless. The signature is two independently-salted
+    md5-32 halves so the DuckDB oracle mirrors it digit-for-digit
+    (operators/simhash.py generalizes to xxhash when no oracle is
+    needed).
 
     Scale: signatures are one partial-agg groupBy(doc); only
-    (band, bucket, doc_id, sig) rows shuffle — never text; the degree
-    is a partial-agg count. A hot bucket (mass-identical boilerplate)
-    takes the minhash-style rank cap at production scale; uncapped here
-    so pigeonhole completeness (and the exact oracle) holds."""
+    (band, bucket, sig-pair, count) rows shuffle — never text, never
+    per-doc pair rows; the degree is a partial-agg count over distinct
+    signatures weighted by multiplicity. The cap's row_number rewrites
+    to WindowGroupLimit, pruning hot buckets BEFORE the join."""
     docs = load(spark, sf_dir, "documents", spread=True, amplify=2000)
-    v = _simhash_votes(docs, width=32)
-    s_expr = None
-    for p in range(1, 33):
-        term = F.when(F.col(f"v{p}") >= 0, F.lit(1 << (32 - p)).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        s_expr = term if s_expr is None else s_expr + term
+    norm = docs.select("doc_id", _norm_col().alias("t"))
+    tok = norm.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.regexp_extract_all(F.col("t"), F.lit("[a-z0-9]+"), F.lit(0)))
+        ).alias("tk"),
+    ).distinct()
+    # both halves from ONE tokenize pass: 2 md5s per distinct token,
+    # 64 SUM(±1) aggregates combining map-side in a single groupBy
+    tokh = tok.select(
+        "doc_id",
+        F.md5(F.col("tk").cast("binary")).alias("h1"),
+        F.md5(F.concat(F.lit("x"), F.col("tk")).cast("binary")).alias("h2"),
+    )
+    vote = lambda h, p: F.sum(  # noqa: E731
+        F.when(F.instr(F.lit("89abcdef"), F.substring(h, p, 1)) > 0, 1).otherwise(-1)
+    )
+    v = tokh.groupBy("doc_id").agg(
+        *[vote("h1", p).alias(f"a{p}") for p in range(1, 33)],
+        *[vote("h2", p).alias(f"b{p}") for p in range(1, 33)],
+    )
+
+    def pack(prefix: str):
+        s = None
+        for p in range(1, 33):
+            term = F.when(
+                F.col(f"{prefix}{p}") >= 0, F.lit(1 << (32 - p)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            s = term if s is None else s + term
+        return s
+
     # several consumers would each recompute the tokenize+vote DAG —
-    # materialize the 12-byte-per-doc signature table once instead (the
+    # materialize the 16-byte-per-doc signature table once instead (the
     # kmeans_fit persistence rule)
-    sig = v.select("doc_id", s_expr.alias("s")).localCheckpoint()
+    sig = v.select("doc_id", pack("a").alias("hi"), pack("b").alias("lo")).localCheckpoint()
     # Degree arithmetic on DISTINCT signatures, weighted by multiplicity
     # — the template-heavy-corpus guard: banding DOCS makes an m-doc
     # identical-signature cluster emit m^2 candidate pairs (a 4k-doc
@@ -265,42 +315,67 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   degree(d) = (cnt[s_d] - 1)  +  sum cnt[s'] over s' != s_d with
     #               Hamming(s_d, s') <= 3
     # Pigeonhole completeness is unchanged (a qualifying sig pair still
-    # shares one of the 4 x 8-bit bands).
-    sgrp = sig.groupBy("s").agg(F.count("*").alias("cnt"))
+    # shares one of the 4 x 16-bit bands).
+    sgrp = sig.groupBy("hi", "lo").agg(F.count("*").alias("cnt"))
     bands = sgrp.select(
-        "s",
+        "hi",
+        "lo",
         "cnt",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned("s", b * 8).bitwiseAND(F.lit(255)).alias("bits"),
+                        F.shiftrightunsigned(half, sh).bitwiseAND(F.lit(65535)).alias("bits"),
                     )
-                    for b in range(4)
+                    for b, (half, sh) in enumerate(
+                        [("hi", 16), ("hi", 0), ("lo", 16), ("lo", 0)]
+                    )
                 ]
             )
         ).alias("_e"),
-    ).select("s", "cnt", F.col("_e.band").alias("band"), F.col("_e.bits").alias("bits"))
+    ).select("hi", "lo", "cnt", F.col("_e.band").alias("band"), F.col("_e.bits").alias("bits"))
+    # hot-bucket hard bound: at most SIMHASH_BUCKET_CAP distinct
+    # signatures participate per (band, bucket) — row_number over the
+    # bucket rewrites to WindowGroupLimit (rank pruned before the
+    # exchange), exactly dedup_ngram's posting-list discipline. The
+    # total order (hi, lo) makes the survivors deterministic.
+    wcap = Window.partitionBy("band", "bits").orderBy("hi", "lo")
+    bands = bands.withColumn("rn", F.row_number().over(wcap)).filter(
+        F.col("rn") <= SIMHASH_BUCKET_CAP
+    ).drop("rn")
     a, b = bands.alias("a"), bands.alias("b")
     cross = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bits") == F.col("b.bits"))
-            & (F.col("a.s") != F.col("b.s")),
+            & ((F.col("a.hi") != F.col("b.hi")) | (F.col("a.lo") != F.col("b.lo"))),
         )
-        .select(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"), F.col("b.cnt").alias("cnt_b"))
+        .select(
+            F.col("a.hi").alias("ha"), F.col("a.lo").alias("la"),
+            F.col("b.hi").alias("hb"), F.col("b.lo").alias("lb"),
+            F.col("b.cnt").alias("cnt_b"),
+        )
         .distinct()  # a sig pair can share several bands — count once
-        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
-        .groupBy("sa")
+        .filter(
+            (
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+            )
+            <= 3
+        )
+        .groupBy("ha", "la")
         .agg(F.sum("cnt_b").alias("n_cross"))
     )
-    deg = sgrp.join(cross, sgrp["s"] == cross["sa"], "left").select(
-        sgrp["s"],
+    deg = sgrp.join(
+        cross, (sgrp["hi"] == cross["ha"]) & (sgrp["lo"] == cross["la"]), "left"
+    ).select(
+        sgrp["hi"],
+        sgrp["lo"],
         (F.col("cnt") - 1 + F.coalesce("n_cross", F.lit(0))).cast("long").alias("n_near"),
     )
-    return sig.join(deg, "s").select("doc_id", "n_near")
+    return sig.join(deg, ["hi", "lo"]).select("doc_id", "n_near")
 
 
 @query(
