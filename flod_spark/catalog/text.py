@@ -1017,6 +1017,176 @@ def winnow_sketch(docs: DataFrame, keep_hashes: bool = False) -> DataFrame:
     return d.select(*cols)
 
 
+def winnow_anchor_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> one row per distinct winnow ANCHOR:
+    (doc_id, n_chars, n_anchors, p, h) where p is the 1-based char
+    position of the anchoring k-gram and h its Karp-Rabin hash — the
+    positional extension of fingerprint_winnow's sketch (same
+    normalization, cap, constants, and leftmost-min-in-window rule in
+    both engines). Anchor extraction runs in the Arrow/numpy kernel for
+    the same reason fingerprint_winnow's does: O(n*W) interpreted
+    lambda evaluations per doc is the Catalyst-interpreter bottleneck,
+    not the plan. Scale: map-only; anchor density is >= 1 per W grams,
+    so output is n/W-bounded rows per doc."""
+    import pandas as pd
+
+    t = F.substring(F.regexp_replace(F.lower("text"), WS_RE, " "), 1, _KR_CAP)
+    d = docs.select("doc_id", t.alias("t")).filter(
+        F.length("t") >= _KR_K + _KR_W - 1
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_id, out_n, out_na, out_p, out_h = [], [], [], [], []
+            for doc_id, txt in zip(pdf["doc_id"], pdf["t"]):
+                b = txt.encode("utf-8")
+                if len(b) == len(txt):  # pure-ASCII fast path
+                    codes = np.frombuffer(b, np.uint8).astype(np.int64)
+                else:  # code points, matching Spark/DuckDB ascii()
+                    codes = np.fromiter(map(ord, txt), np.int64, len(txt))
+                npos = len(codes) - (_KR_K - 1)
+                acc = codes[:npos].copy()
+                for j in range(1, _KR_K):
+                    acc = (acc * _KR_B + codes[j : j + npos]) % _KR_P
+                win = np.lib.stride_tricks.sliding_window_view(acc, _KR_W)
+                # leftmost min per window (np.argmin ties -> first), as
+                # 1-based absolute gram positions; distinct + sorted
+                pos = np.unique(np.arange(win.shape[0]) + win.argmin(axis=1) + 1)
+                for p in pos:
+                    out_id.append(doc_id)
+                    out_n.append(len(codes))
+                    out_na.append(len(pos))
+                    out_p.append(int(p))
+                    out_h.append(int(acc[p - 1]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_id, dtype="int64"),
+                    "n_chars": pd.Series(out_n, dtype="int64"),
+                    "n_anchors": pd.Series(out_na, dtype="int64"),
+                    "p": pd.Series(out_p, dtype="int64"),
+                    "h": pd.Series(out_h, dtype="int64"),
+                }
+            )
+
+    return d.mapInPandas(
+        kernel, "doc_id long, n_chars long, n_anchors long, p long, h long"
+    )
+
+
+def substring_dup_report(docs: DataFrame) -> DataFrame:
+    """Core of dedup_substring, reusable on any (doc_id, text) frame
+    (the planted-passage tests feed it directly). See the gated query's
+    docstring for semantics and the 100 TB argument."""
+    anchors = winnow_anchor_rows(docs)
+    base = anchors.groupBy("doc_id").agg(
+        F.first("n_chars").alias("n_chars"), F.first("n_anchors").alias("n_anchors")
+    )
+    # anchor-hash document frequency: (h, doc) distinct -> count. This
+    # is a pure aggregate — no posting-list materialization, so a
+    # boilerplate hash shared by millions of docs costs one partial-agg
+    # count, never a pair join (the reason this operator has no
+    # quadratic corner to cap).
+    df_h = (
+        anchors.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    shared = anchors.join(df_h, "h").groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("p")).alias("ps")
+    )
+    # interval-union length of [p, p+K-1] spans over the sorted anchor
+    # positions: consecutive gaps clipped at K, plus K for the last
+    # anchor — exact covered-chars, pure per-doc array math
+    sz = F.size("ps")
+    diffs = F.zip_with(
+        F.slice("ps", 1, sz - 1),
+        F.slice(F.col("ps"), 2, sz - 1),
+        lambda a, b: F.least(F.lit(_KR_K).cast("long"), b - a),
+    )
+    dup_chars = (
+        F.aggregate(diffs, F.lit(0).cast("long"), lambda a, x: a + x) + _KR_K
+    )
+    cov = shared.select(
+        "doc_id", sz.cast("long").alias("n_shared_anchors"), dup_chars.alias("dup_chars")
+    )
+    j = base.join(cov, "doc_id", "left")
+    dc = F.coalesce("dup_chars", F.lit(0)).cast("long")
+    return j.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_anchors").cast("long").alias("n_anchors"),
+        F.coalesce("n_shared_anchors", F.lit(0)).cast("long").alias("n_shared_anchors"),
+        dc.alias("dup_chars"),
+        (dc.cast("double") / F.col("n_chars")).alias("dup_frac"),
+    )
+
+
+@query(
+    "dedup_substring",
+    oracle=(
+        # the same Horner gram hashes and leftmost-window-min anchors as
+        # fingerprint_winnow's oracle, extended with positions; shared =
+        # anchor hash in >= 2 docs; covered chars = interval union of
+        # [p, p+K-1] over the sorted shared positions
+        "WITH nrm AS (SELECT doc_id, "
+        f"    substr(regexp_replace(lower(text), '[ \\t\\r\\n]+', ' ', 'g'), 1, {_KR_CAP}) AS t "
+        "  FROM documents), "
+        f"d AS (SELECT doc_id, t, length(t) AS n FROM nrm WHERE length(t) >= {_KR_K + _KR_W - 1}), "
+        f"hs AS (SELECT doc_id, n, list_transform(range(1, n - {_KR_K} + 2), i -> "
+        f"    list_reduce(list_transform(range(i, i + {_KR_K}), j -> CAST(ascii(substr(t, j, 1)) AS BIGINT)), "
+        f"      (a, c) -> (a * {_KR_B} + c) % {_KR_P})) AS h FROM d), "
+        "anch AS (SELECT doc_id, n, h, list_sort(list_distinct("
+        f"    list_transform(range(1, len(h) - {_KR_W} + 2), "
+        f"      j -> j + list_position(h[j:j+{_KR_W - 1}], list_min(h[j:j+{_KR_W - 1}])) - 1))) AS ap "
+        "  FROM hs), "
+        "arows AS (SELECT doc_id, n, len(ap) AS n_anchors, p, h[p] AS hv "
+        "  FROM (SELECT doc_id, n, h, ap, unnest(ap) AS p FROM anch)), "
+        "dfh AS (SELECT hv FROM (SELECT hv, COUNT(DISTINCT doc_id) AS nd "
+        "  FROM arows GROUP BY hv) WHERE nd >= 2), "
+        "shared AS (SELECT doc_id, list_sort(list(p)) AS ps "
+        "  FROM arows JOIN dfh USING (hv) GROUP BY doc_id), "
+        "cov AS (SELECT doc_id, len(ps) AS n_shared, "
+        f"    COALESCE(list_sum(list_transform(range(1, len(ps)), "
+        f"      i -> least({_KR_K}, ps[i+1] - ps[i]))), 0) + {_KR_K} AS dup_chars "
+        "  FROM shared), "
+        "base AS (SELECT DISTINCT doc_id, n, n_anchors FROM arows) "
+        "SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_chars, "
+        "  CAST(b.n_anchors AS BIGINT) AS n_anchors, "
+        "  CAST(COALESCE(c.n_shared, 0) AS BIGINT) AS n_shared_anchors, "
+        "  CAST(COALESCE(c.dup_chars, 0) AS BIGINT) AS dup_chars, "
+        "  CAST(COALESCE(c.dup_chars, 0) AS DOUBLE) / b.n AS dup_frac "
+        "FROM base b LEFT JOIN cov c USING (doc_id)"
+    ),
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level exact dedup report (Lee et al., 'Deduplicating
+    Training Data Makes Language Models Better'): duplicated PASSAGES
+    inside otherwise-unique documents dominate web corpora, and
+    doc-level dedup_exact/dedup_minhash cannot see them. Winnowing
+    anchors give positional substring evidence: each selected k-gram
+    hash marks a char span [p, p+K-1]; an anchor hash appearing in >= 2
+    documents is a shared passage witness (winnowing guarantees any
+    shared run of W+K-1 chars selects at least one common anchor in
+    both docs). Per doc this reports anchor counts and dup_chars /
+    dup_frac — the exact interval-union length of shared-anchor spans —
+    the score a pipeline thresholds to drop or trim boilerplate-heavy
+    documents.
+
+    Scale: anchor extraction is the map-only n/W-dense winnow kernel
+    (fingerprint_winnow's Arrow hot path, emitting positions); the
+    corpus-wide step is ONE (h, doc) distinct + count aggregate and one
+    equi-join of anchors against the shared-hash set — no posting-list
+    explosion, no pair emission, nothing quadratic to cap. Coverage is
+    per-doc sorted-array math (gaps clipped at K), map-side after the
+    join."""
+    return substring_dup_report(load(spark, sf_dir, "documents"))
+
+
 @query(
     "char_entropy",
     oracle=(

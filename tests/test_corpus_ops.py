@@ -359,3 +359,48 @@ def test_winnow_arrow_kernel_matches_jvm_expression_form(spark, sf_dir):
         assert (f["n_grams"], f["n_selected"], f["fp_sketch"]) == (
             r["n_grams"], r["n_selected"], r["fp_sketch"]
         ), k
+
+
+def test_substring_dup_planted_passage_coverage(spark):
+    """dedup_substring's core on planted data: two docs sharing a long
+    passage both report dup coverage close to the passage length, a
+    fully-unique doc reports zero, and an exact full copy reports
+    near-total coverage. Pin the exactness direction too: dup_chars
+    never exceeds n_chars."""
+    import random
+
+    from flod_spark.catalog.text import _KR_K, _KR_W, substring_dup_report
+
+    rng = random.Random(11)
+    alpha = "abcdefghij "
+    passage = "".join(rng.choice(alpha) for _ in range(500))
+    pre = "".join(rng.choice(alpha) for _ in range(300))
+    post = "".join(rng.choice(alpha) for _ in range(300))
+    other = "".join(rng.choice(alpha) for _ in range(600))
+    full = pre + passage  # docs 1 & 4 are byte-identical
+    docs = spark.createDataFrame(
+        [
+            (1, full),              # passage at the end
+            (2, passage + post),    # same passage at the start
+            (3, other),             # fully unique
+            (4, full),              # exact copy of doc 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in substring_dup_report(docs).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    for r in got.values():
+        assert 0 <= r["dup_chars"] <= r["n_chars"]
+        assert abs(r["dup_frac"] - r["dup_chars"] / r["n_chars"]) < 1e-12
+    # the unique doc: no shared anchors at all
+    assert got[3]["n_shared_anchors"] == 0 and got[3]["dup_chars"] == 0
+    # exact copies cover (nearly) everything — every anchor is shared
+    assert got[4]["dup_chars"] == got[1]["dup_chars"]
+    assert got[1]["dup_frac"] > 0.8
+    # the partially-shared pair: coverage is in the passage's ballpark
+    # (anchors near the splice boundary legitimately differ), and well
+    # below the full doc
+    lo = len(passage) * 0.5
+    hi = len(passage) + (_KR_K + _KR_W) * 2
+    assert lo <= got[2]["dup_chars"] <= hi
+    assert got[2]["dup_frac"] < 0.95
