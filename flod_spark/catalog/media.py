@@ -48,6 +48,101 @@ def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_decode_png",
+    oracle=(
+        # closed-form twin of the PNG pack -> inflate -> unfilter ->
+        # feature path: pixel (x, y) channel values are pure doc_id
+        # arithmetic kept in [32, 96) so chr() is one UTF-8 byte and
+        # DuckDB's sha256 over the assembled string hashes EXACTLY the
+        # raw pixel bytes the Spark side decodes — the sha256 check
+        # therefore proves every pixel byte of every image, not a
+        # sample
+        "WITH p AS (SELECT doc_id AS media_id, "
+        "    1 + doc_id % 16 AS w, 1 + (doc_id * 7) % 16 AS h FROM documents), "
+        "px AS (SELECT media_id, w, h, array_to_string(list_transform(range(0, h), y -> "
+        "    array_to_string(list_transform(range(0, w), x -> "
+        "      chr(CAST(32 + (media_id + 3*x + 5*y) % 64 AS INT)) || "
+        "      chr(CAST(32 + (2*media_id + x + 7*y) % 64 AS INT)) || "
+        "      chr(CAST(32 + (media_id + x + y) % 64 AS INT))), '')), '') AS raw "
+        "  FROM p) "
+        "SELECT media_id, 'image' AS kind, "
+        "  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, "
+        "  CAST(1 AS BIGINT) AS n_frames, "
+        "  CAST(w * h * 3 AS BIGINT) AS n_raw_bytes, "
+        "  array_to_string(list_transform(range(1, 9), "
+        "    i -> CAST(CAST('0x' || substr(sha256(raw), 2*i - 1, 2) AS INT) AS VARCHAR)), ',') "
+        "    AS feat_bytes "
+        "FROM px"
+    ),
+)
+def media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the gate — no Pillow required: per-doc
+    deterministic RGB pixels -> spec-conformant PNG bytes (stdlib
+    png_encode, zlib-compressed scanlines with CYCLING filter types
+    0-4) -> decode_media_real, whose PNG leg runs the pure-stdlib
+    inflate + per-scanline unfilter (functions/media.py::png_decode;
+    Pillow is used instead when installed and agrees byte-for-byte).
+    The oracle recomputes the pixel closed form and its sha256, so a
+    single wrong byte in any scanline of any image — a filter
+    mis-applied, a stride off by one — breaks the gate. This closes
+    the 'real image codec' gap honestly: the decode is real, only the
+    image CONTENT is synthetic (the container ships no image files).
+
+    Scale: two Arrow-batched map-only stages, same shape as
+    media_decode; blobs die at the decode stage."""
+    from flod_spark.io import load as _load  # noqa: F401 (uniform import style)
+
+    docs = load(spark, sf_dir, "documents")
+    params = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(1) + F.col("doc_id") % 16).cast("int").alias("w"),
+        (F.lit(1) + (F.col("doc_id") * 7) % 16).cast("int").alias("h"),
+    )
+
+    def pack(batches):
+        import pandas as pd
+
+        from flod_spark.functions.media import png_encode
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
+                mid, w, h = int(mid), int(w), int(h)
+                px = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        px.append(32 + (mid + 3 * x + 5 * y) % 64)
+                        px.append(32 + (2 * mid + x + 7 * y) % 64)
+                        px.append(32 + (mid + x + y) % 64)
+                blobs.append(
+                    png_encode(
+                        w, h, bytes(px), color_type=2,
+                        filters=[(mid + y) % 5 for y in range(h)],
+                    )
+                )
+                ids.append(mid)
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "blob": blobs})
+
+    packed = params.mapInPandas(pack, schema="media_id long, blob binary")
+    from flod_spark.functions.media import decode_media_real
+
+    decoded = decode_media_real(packed)
+    feat_bytes = F.array_join(
+        F.transform(F.col("feature"), lambda f: F.round(f * 255).cast("int").cast("string")), ","
+    )
+    return decoded.select(
+        "media_id",
+        "kind",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        (F.col("width") * F.col("height") * 3).cast("long").alias("n_raw_bytes"),
+        feat_bytes.alias("feat_bytes"),
+    )
+
+
+@query(
     "media_decode",
     oracle=(
         # closed-form twin of the pack->decode->frame-sample pipeline:

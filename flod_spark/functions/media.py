@@ -159,6 +159,157 @@ def encode_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     return df.mapInPandas(run, schema="media_id long, blob binary")
 
 
+# ---- pure-stdlib PNG codec (zlib inflate + scanline unfilter) ----------
+# Closes the "real image codec" gap without Pillow: 8-bit gray / RGB /
+# RGBA, all five PNG filter types. ~Both directions are exercised by
+# tests/test_media.py roundtrips and the media_decode_png gate.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> samples per pixel
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib as _zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", _zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(
+    width: int,
+    height: int,
+    pixels: bytes,
+    color_type: int = 2,
+    filters: list[int] | None = None,
+) -> bytes:
+    """Encode raw 8-bit pixels as a spec-conformant PNG using only the
+    stdlib. ``filters`` optionally forces a filter type per scanline
+    (default all-0) — the fixture generator uses a cycling pattern so
+    decode must genuinely unfilter, not just inflate."""
+    import zlib as _zlib
+
+    bpp = _PNG_CHANNELS[color_type]
+    stride = width * bpp
+    if len(pixels) != stride * height:
+        raise ValueError(f"expected {stride * height} pixel bytes, got {len(pixels)}")
+    prev = bytearray(stride)
+    out = bytearray()
+    for y in range(height):
+        line = bytearray(pixels[y * stride : (y + 1) * stride])
+        ft = filters[y % len(filters)] if filters else 0
+        raw = bytes(line)
+        if ft == 0:
+            filt = raw
+        elif ft == 1:  # Sub
+            filt = bytes(
+                (line[i] - (line[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:  # Up
+            filt = bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ft == 3:  # Average
+            filt = bytes(
+                (line[i] - (((line[i - bpp] if i >= bpp else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 4:  # Paeth
+            filt = bytes(
+                (line[i] - _paeth(line[i - bpp] if i >= bpp else 0, prev[i],
+                                  prev[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(stride)
+            )
+        else:
+            raise ValueError(f"bad filter {ft}")
+        out.append(ft)
+        out += filt
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_decode(blob: bytes) -> dict:
+    """Decode an 8-bit gray/RGB/RGBA PNG with the stdlib only: chunk
+    walk, concatenated-IDAT zlib inflate, per-scanline unfilter (all
+    five filter types). Returns {width, height, color_type, pixels};
+    raises ValueError on anything that is not such a PNG (interlace,
+    palette, 16-bit — the honest unsupported set)."""
+    import zlib as _zlib
+
+    b = bytes(blob)
+    if b[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, width = len(_PNG_SIG), None
+    idat = bytearray()
+    height = color_type = None
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + tag + body + crc
+        if tag == b"IHDR":
+            width, height, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color_type not in _PNG_CHANNELS or interlace:
+                raise ValueError("unsupported PNG variant")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("truncated PNG")
+    raw = _zlib.decompress(bytes(idat))
+    bpp = _PNG_CHANNELS[color_type]
+    stride = width * bpp
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("bad scanline payload")
+    prev = bytearray(stride)
+    pixels = bytearray()
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft == 1:
+            for i in range(stride):
+                line[i] = (line[i] + (line[i - bpp] if i >= bpp else 0)) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                line[i] = (
+                    line[i] + (((line[i - bpp] if i >= bpp else 0) + prev[i]) >> 1)
+                ) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                line[i] = (
+                    line[i]
+                    + _paeth(line[i - bpp] if i >= bpp else 0, prev[i],
+                             prev[i - bpp] if i >= bpp else 0)
+                ) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad filter byte {ft}")
+        pixels += line
+        prev = line
+    return {"width": width, "height": height, "color_type": color_type, "pixels": bytes(pixels)}
+
+
 def decode_media_real(df: DataFrame, id_col: str = "media_id", blob_col: str = "blob") -> DataFrame:
     """REAL-codec decode stage (the production adapter the fake stands in
     for): same mapInPandas shape and DECODED_SCHEMA contract as
@@ -168,10 +319,14 @@ def decode_media_real(df: DataFrame, id_col: str = "media_id", blob_col: str = "
       and tested in this container): width=sample rate, height=bits per
       sample x channels, n_frames=frame count, feature=sha256 sketch of
       the raw sample bytes.
-    - PNG/JPEG   -> Pillow, IMPORT-GUARDED: absent (as in this
-      container) the blob reports kind='unknown' rather than failing the
-      stage — the honest degraded mode; with Pillow installed it returns
-      real pixel dimensions and a pixel-bytes sketch.
+    - PNG        -> Pillow when installed, else the pure-stdlib
+      :func:`png_decode` (zlib inflate + unfilter) — REAL pixels either
+      way; the two agree byte-for-byte on the supported 8-bit
+      gray/RGB/RGBA set (tests/test_media.py).
+    - JPEG       -> Pillow, IMPORT-GUARDED: absent (as in this
+      container) the blob reports kind='unknown' rather than failing
+      the stage — the honest degraded mode (a DCT decoder is out of
+      scope for stdlib).
     - FMED       -> the synthetic fallback (same parse as decode_media),
       so pipelines mixing fixture and real blobs decode uniformly.
 
@@ -213,9 +368,34 @@ def decode_media_real(df: DataFrame, id_col: str = "media_id", blob_col: str = "
                         }
                 except _wave.Error:
                     return unknown
-            if b[:8] == b"\x89PNG\r\n\x1a\n" or b[:3] == b"\xff\xd8\xff":
+            if b[:8] == b"\x89PNG\r\n\x1a\n":
+                if _Image is not None:
+                    with _Image.open(_io.BytesIO(b)) as im:
+                        return {
+                            "kind": "image",
+                            "width": im.width,
+                            "height": im.height,
+                            "n_frames": getattr(im, "n_frames", 1),
+                            "feature": sketch(im.tobytes()),
+                        }
+                # stdlib fallback: real inflate + unfilter (agrees with
+                # Pillow byte-for-byte on 8-bit gray/RGB/RGBA)
+                from flod_spark.functions.media import png_decode as _png_decode
+
+                try:
+                    d = _png_decode(b)
+                except ValueError:
+                    return unknown  # interlace/palette/16-bit variant
+                return {
+                    "kind": "image",
+                    "width": d["width"],
+                    "height": d["height"],
+                    "n_frames": 1,
+                    "feature": sketch(d["pixels"]),
+                }
+            if b[:3] == b"\xff\xd8\xff":
                 if _Image is None:
-                    return unknown  # no image codec in this build
+                    return unknown  # no JPEG codec in this build
                 with _Image.open(_io.BytesIO(b)) as im:
                     return {
                         "kind": "image",

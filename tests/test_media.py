@@ -79,3 +79,54 @@ def test_decode_media_real_wav_and_fallbacks(spark):
         assert out[3].kind == "unknown"  # no image codec -> honest degraded mode
     assert out[4].kind == "unknown"
     assert out[4].n_bytes == 13
+
+
+@pytest.mark.parametrize("color_type", [0, 2, 6])
+@pytest.mark.parametrize("filters", [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_roundtrip_all_filters(color_type, filters):
+    """png_decode(png_encode(x)) == x for 8-bit gray/RGB/RGBA across all
+    five PNG filter types, odd widths included — the unfilter logic is
+    exercised for real, not just the zlib inflate."""
+    from flod_spark.functions.media import png_decode, png_encode
+
+    bpp = {0: 1, 2: 3, 6: 4}[color_type]
+    w, h = 17, 9
+    px = bytes((i * 37 + 11) % 256 for i in range(w * h * bpp))
+    blob = png_encode(w, h, px, color_type=color_type, filters=filters)
+    d = png_decode(blob)
+    assert (d["width"], d["height"], d["color_type"]) == (w, h, color_type)
+    assert d["pixels"] == px
+
+
+def test_png_decode_rejects_unsupported():
+    from flod_spark.functions.media import png_decode
+
+    with pytest.raises(ValueError):
+        png_decode(b"not a png at all")
+    # truncated: signature only
+    with pytest.raises(ValueError):
+        png_decode(b"\x89PNG\r\n\x1a\n")
+
+
+def test_decode_media_real_png_stdlib_path(spark):
+    """Planted PNGs through the decode_media_real stage: real dims and a
+    feature equal to sha256(raw pixels) — via the stdlib inflate +
+    unfilter leg when Pillow is absent (this container), via Pillow
+    when present; both must produce these exact values."""
+    import hashlib
+
+    from flod_spark.functions.media import decode_media_real, png_encode
+
+    rows = []
+    expected = {}
+    for mid, (w, h) in enumerate([(1, 1), (5, 3), (16, 9)]):
+        px = bytes((mid * 7 + i) % 256 for i in range(w * h * 3))
+        rows.append((mid, png_encode(w, h, px, color_type=2, filters=[0, 1, 2, 3, 4])))
+        expected[mid] = (w, h, [b / 255.0 for b in hashlib.sha256(px).digest()[:8]])
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    got = {r["media_id"]: r for r in decode_media_real(df).collect()}
+    assert set(got) == set(expected)
+    for mid, (w, h, feat) in expected.items():
+        r = got[mid]
+        assert (r["kind"], r["width"], r["height"], r["n_frames"]) == ("image", w, h, 1)
+        assert r["feature"] == pytest.approx(feat)
