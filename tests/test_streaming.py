@@ -369,3 +369,41 @@ def test_stateful_checkpoint_recovery_windowed_agg(spark, events, tmp_path):
         for k, n in emitted.items():
             assert truth[k] == n, k  # every emission is the exact batch answer
     assert set(single) <= set(interrupted)  # restart never loses a window
+
+
+def test_sessionize_tws_guard_raises_clearly(spark, events, tmp_path):
+    """Without the processor runtime (google.protobuf), the
+    transformWithStateInPandas sessionizer refuses loudly and points at
+    the working surface — never a deep worker crash."""
+    from flod_spark.streaming.sessionize import streaming_sessionize_tws, tws_available
+
+    if tws_available():
+        pytest.skip("processor runtime present — covered by the parity test")
+    stream = replay_stream(spark, events, "ts", str(tmp_path / "replay_twsg"), n_batches=3)
+    with pytest.raises(ImportError, match="applyInPandasWithState"):
+        streaming_sessionize_tws(stream)
+
+
+def test_sessionize_tws_matches_applyinpandas(spark, events, tmp_path):
+    """The transformWithStateInPandas port and the applyInPandasWithState
+    sessionizer produce IDENTICAL closed sessions on the same replayed
+    stream (field-for-field twin processors). Skipped until the sandbox
+    gains google.protobuf; the assertion is ready the day it does."""
+    from flod_spark.streaming.sessionize import (
+        streaming_sessionize,
+        streaming_sessionize_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("transformWithStateInPandas worker needs google.protobuf")
+    s1 = replay_stream(spark, events, "ts", str(tmp_path / "replay_tw1"), n_batches=4,
+                       tiebreak=("event_id",))
+    s2 = replay_stream(spark, events, "ts", str(tmp_path / "replay_tw2"), n_batches=4,
+                       tiebreak=("event_id",))
+    a = _run_to_memory(streaming_sessionize(s1), "tws_a", spark).toPandas()
+    b = _run_to_memory(streaming_sessionize_tws(s2), "tws_b", spark).toPandas()
+    key = ["user_id", "start_us"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_like=True)
