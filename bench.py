@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -63,6 +64,11 @@ HEADLINE = [
     # the Arrow kernel)
     "dedup_verify",
     "fingerprint_winnow",
+    # round-5 flagships: substring-level dedup (winnow anchors ->
+    # shared-span coverage) and the real PNG decode path (pack ->
+    # inflate -> unfilter -> feature, two Arrow stages)
+    "dedup_substring",
+    "media_decode_png",
 ]
 
 
@@ -94,24 +100,28 @@ def main() -> None:
 
     # Shared-host noise swings single timings ±30-140% run to run
     # (measured); report min-of-N per query — the reproducible compute
-    # cost with interference removed, standard best-of-N methodology.
-    # One broken query must not cost the round its only perf artifact
-    # (round 2 lost BENCH_r02 to a single AnalysisException): every query
-    # is individually guarded, failures are recorded per-query, and the
-    # JSON line ALWAYS prints.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # cost with interference removed, standard best-of-N methodology —
+    # plus the per-query MEDIAN so regression claims are defensible
+    # against noise (round-4 verdict item 7: a "+13%" single-run delta
+    # is unreadable at N=2). One broken query must not cost the round
+    # its only perf artifact (round 2 lost BENCH_r02 to a single
+    # AnalysisException): every query is individually guarded, failures
+    # are recorded per-query, and the JSON line ALWAYS prints.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        best = float("inf")
+        times: list[float] = []
         try:
             fn = qs[name]
             for _ in range(runs):
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
+                times.append(time.perf_counter() - t0)
+            timings[name] = round(min(times), 3)
+            medians[name] = round(statistics.median(times), 3)
         except Exception as ex:  # noqa: BLE001 — record and keep benching
             errors[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
 
@@ -122,7 +132,8 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": timings,           # per-query min-of-N (the headline)
+        "queries_median": medians,    # per-query median-of-N (noise floor)
         "sf": sf,
         "runs_per_query": runs,
     }
