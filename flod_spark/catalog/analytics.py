@@ -135,7 +135,10 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric (no NULLs in the base, so the total orders are identical).
     The base is localCheckpoint-ed: each rank pass reads it three times
     (boundary sample, ranked exchange, total count), so materializing
-    |customers| rows once beats re-running the orders aggregation ~10x."""
+    |customers| rows once beats re-running the orders aggregation ~10x.
+
+    Scale: one partial-agg shuffle plus three bucketed-rank passes over
+    a localCheckpoint-ed base; no unpartitioned windows."""
     from flod_spark.catalog.relational import _dist_over_total_order
 
     o = load(spark, sf_dir, "orders")

@@ -43,7 +43,10 @@ def codec_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> stripRight each line -> join('\\n'). The deflate/inflate pair is a
     real zlib round-trip through Arrow-batched pandas UDFs; the line
     transformation runs JVM-side (split/transform/array_join). The oracle
-    checks the final text, which transitively verifies the codec."""
+    checks the final text, which transitively verifies the codec.
+
+    Scale: Arrow-batched codec stages are narrow; the line transform is
+    JVM map-only."""
     docs = load(spark, sf_dir, "documents")
     packed = docs.select("doc_id", deflate(F.col("text")).alias("z"))
     unpacked = packed.select("doc_id", inflate(F.col("z")).alias("t"))
@@ -84,7 +87,10 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     one status touches only that directory (PartitionFilters in the plan,
     asserted in tests/test_plans.py). At 100 TB partition pruning is the
     difference between scanning a shard and scanning the lake; partition
-    columns must be low-cardinality (status: 3 values), never ids."""
+    columns must be low-cardinality (status: 3 values), never ids.
+
+    Scale: partition pruning reads one directory of the lake
+    (PartitionFilters pinned in tests/test_plans.py)."""
     o = load(spark, sf_dir, "orders")
     with tempfile.TemporaryDirectory() as d:
         path = f"{d}/orders_part"
@@ -113,7 +119,10 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join needs NO exchange (both inputs pre-hashed on the key; the
     plan joins scan-to-scan). THE technique for repeated 100 TB
     fact-to-fact joins: pay the shuffle once at write time, never again.
-    The groupBy on the same key also reuses the bucketing."""
+    The groupBy on the same key also reuses the bucketing.
+
+    Scale: the bucketed write pre-pays the shuffle once; every later
+    join/agg on the key is exchange-free."""
     import uuid as _uuid
 
     o = load(spark, sf_dir, "orders").select("o_orderkey")
@@ -146,7 +155,10 @@ def sink_pysink(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams its partition into a JSON-lines part file; two-phase
     commit() finalizes driver-side. Read back with the original schema
     — a byte-faithful round-trip proves the custom write path. This is
-    the sink-side twin of scan_pysource (source-side custom API)."""
+    the sink-side twin of scan_pysource (source-side custom API).
+
+    Scale: each task streams its own partition; the two-phase commit is
+    the only driver-side step."""
     from flod_spark.sources import register_flodgen
 
     register_flodgen(spark)
@@ -170,7 +182,10 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     prove content identity on read-back. coalesce, not repartition: a
     compaction must not pay a shuffle — it narrows existing partitions
     into fewer write tasks. At 100 TB the same job runs per partition
-    directory with target = bytes / 1 GB."""
+    directory with target = bytes / 1 GB.
+
+    Scale: coalesce narrows partitions without a shuffle; at 100 TB the
+    job runs per partition directory."""
     ev = load(spark, sf_dir, "events")
     with tempfile.TemporaryDirectory() as d:
         frag = f"{d}/fragmented"
@@ -208,7 +223,10 @@ def scan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     column, no rewrite of historical data. At 100 TB this is why you
     never backfill a column into a petabyte of parquet; the read-side
     union is free. (Production pins the evolved schema explicitly once
-    known; mergeSchema's footer-union pass is the discovery step.)"""
+    known; mergeSchema's footer-union pass is the discovery step.)
+
+    Scale: read-side schema union only — no historical rewrite; the cost
+    is one footer pass."""
     o = load(spark, sf_dir, "orders")
     with tempfile.TemporaryDirectory() as d:
         path = f"{d}/evolving"

@@ -75,7 +75,10 @@ def _shingle_arr_col() -> F.Column:
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5 of normalized text; canonical = min doc_id per
     fingerprint. Output is the full doc->canonical mapping (what a 100 TB
-    dedup job writes back)."""
+    dedup job writes back).
+
+    Scale: map-side hashing plus one exchange on the 16-byte
+    fingerprint."""
     docs = load(spark, sf_dir, "documents")
     h = docs.select("doc_id", F.md5(_norm_col().cast("binary")).alias("fp"))
     w = Window.partitionBy("fp")
@@ -143,7 +146,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-seed row explosion ever crosses a shuffle.
 
     Implementation shared with flod_spark.operators.minhash; the oracle is
-    GENERATED from the same hash-family constants (see _minhash_oracle)."""
+    GENERATED from the same hash-family constants (see _minhash_oracle).
+
+    Scale: two signature-only shuffles (plan shape above); text never
+    crosses an exchange."""
     from flod_spark.operators.minhash import minhash_candidates
 
     # shingling does ~|text| times the input bytes of work: spread the
@@ -169,7 +175,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash: per-token md5, 16 hex-digit positions vote ±1 (digit >= '8'
     => +1); sign of the vote sum is the signature bit. Identical signatures
     group near-identical token sets. 16-bit here for oracle compactness;
-    operators/simhash.py parameterizes width (64-bit for production)."""
+    operators/simhash.py parameterizes width (64-bit for production).
+
+    Scale: one partial-agg groupBy(doc) builds signatures; the canonical
+    window keys on the compact signature."""
     # token explode amplifies compute past the input bytes: spread the
     # single-split local file (no-op at scale)
     docs = load(spark, sf_dir, "documents", spread=True, amplify=2000)
@@ -404,7 +413,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     case a training-data pipeline must catch separately. Plan shape is
     identical to dedup_ngram (same WindowGroupLimit-capped inverted
     index, same combinatorial pair emission — see that docstring for the
-    100 TB argument); only the final score differs."""
+    100 TB argument); only the final score differs.
+
+    Scale: dedup_ngram's WindowGroupLimit-capped inverted-index plan
+    (see that docstring)."""
     docs = load(spark, sf_dir, "documents", spread=True, amplify=2000)
     norm = docs.select("doc_id", _norm_col().alias("t"))
     sh = norm.select("doc_id", F.explode(_shingle_arr_col()).alias("s"))
@@ -473,7 +485,10 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale guarantee — a shingle in k docs contributes k² join rows, and
     without it common English shingles join most of the corpus to itself
     (observed: heap OOM at sf0.1 on a 1 GB driver; bounded and fast with
-    the cap)."""
+    the cap).
+
+    Scale: the NGRAM_MAX_DF cap bounds every posting list BEFORE the
+    join — the plan's quadratic-corner guarantee."""
     # shingling amplifies compute ~|text| times the input bytes: spread
     # the single-split local file across cores (no-op at scale, io.py)
     docs = load(spark, sf_dir, "documents", spread=True, amplify=2000)
@@ -576,7 +591,10 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairs: the same MinHash-LSH construction as dedup_minhash (shared
     constants, shared oracle CTEs). Components: alternating large-star /
     small-star (operators/graph.py) — O(log n) shuffle rounds, edge-list
-    state only, no component ever materializes inside one task."""
+    state only, no component ever materializes inside one task.
+
+    Scale: bounded LSH join plus O(log n) large-star/small-star rounds
+    over edge lists only."""
     from flod_spark.operators.graph import connected_components
     from flod_spark.operators.minhash import minhash_candidates
 
@@ -616,7 +634,10 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: everything up to the keeper set is dedup_cluster's plan
     (bounded LSH join + O(log n) star rounds over edge lists); the final
     step joins the keeper ids (one column) back to the corpus — at scale
-    an id-only shuffle-hash join, never wide rows through the closure."""
+    an id-only shuffle-hash join, never wide rows through the closure.
+
+    Scale: dedup_cluster's plan plus one id-only join back to the
+    corpus."""
     cc = dedup_cluster(spark, sf_dir)
     keep = cc.filter(~F.col("is_dup")).select("doc_id")
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
@@ -686,7 +707,10 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg-friendly groupBy(doc_id) count. (doc_id, g) is distinct
     by construction (array_distinct before explode), so COUNT(*) after
     the join IS the distinct-overlap count. At real scale the broadcast
-    carries gram HASHES (or a bloom filter), not strings — same plan."""
+    carries gram HASHES (or a bloom filter), not strings — same plan.
+
+    Scale: benchmark grams broadcast; the train side stays map-only plus
+    one partial-agg count."""
     docs = load(spark, sf_dir, "documents", spread=True, amplify=2000)
     tok = docs.select(
         "doc_id", F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0)).alias("tk")

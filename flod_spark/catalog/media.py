@@ -32,7 +32,9 @@ def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata: byte length (UTF-8), printable-ASCII ratio,
     16-hex content id — the typed-metadata sidecar every media column
     carries (mirrors flod's tag metadata for 'stream encoding' README.md:27).
-    Map-only; at 100 TB this runs inside the scan stage."""
+    Map-only; at 100 TB this runs inside the scan stage.
+
+    Scale: map-only; runs inside the scan stage at 100 TB."""
     docs = load(spark, sf_dir, "documents")
     as_bin = F.col("text").cast("binary")
     return docs.select(

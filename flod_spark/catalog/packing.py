@@ -76,7 +76,10 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: token count is a map-only JVM regexp; the only exchange
     is the hash partition on shard; the running sum is a within-shard
     window (no global order). DuckDB's SUM() OVER yields HUGEINT, hence
-    the CAST to BIGINT in the oracle (the stream_session lesson)."""
+    the CAST to BIGINT in the oracle (the stream_session lesson).
+
+    Scale: one hash exchange on the uniform shard key; the running sum
+    is a within-shard window (no global order)."""
     docs = load(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",

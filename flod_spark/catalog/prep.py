@@ -94,7 +94,10 @@ def prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     composed — the flagship chain (entry()'s query). Stage expressions
     are shared with the standalone qkeys; the module docstring carries
     the per-stage 100 TB story (map-only filters, broadcast benchmark
-    grams, one fingerprint shuffle, ~15-group audit)."""
+    grams, one fingerprint shuffle, ~15-group audit).
+
+    Scale: per-stage story in the module docstring — map-only filters,
+    broadcast benchmark grams, one fingerprint shuffle, ~15-group audit."""
     docs = load(spark, sf_dir, "documents")
     q = docs.filter(quality_keep_col())
     tok_arr = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))

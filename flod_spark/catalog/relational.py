@@ -91,7 +91,10 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     a CONSTANT-size mergeable state per group, so the shuffle carries one
     sketch per (task, group) instead of the distinct pairs / full sorted
     values their exact twins need — no Expand, no second shuffle, no
-    per-group buffering of the data."""
+    per-group buffering of the data.
+
+    Scale: constant-size mergeable sketch per (task, group); one
+    partial-agg shuffle regardless of cardinality."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
@@ -252,7 +255,10 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (SURVEY §2.5): for each purchase, the latest preceding
     click by the same user. Implemented via flod_spark.operators.asof
     (union + single per-key time-sorted window pass — ONE shuffle on the
-    key, no conditional-join explosion; tie-break (ts, event_id) total)."""
+    key, no conditional-join explosion; tie-break (ts, event_id) total).
+
+    Scale: one key-hash shuffle for the union window pass; no
+    range-condition join explosion."""
     from flod_spark.operators.asof import asof_join
 
     ev = load(spark, sf_dir, "events")
@@ -345,7 +351,10 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running totals + lag per customer (frame-based window agg).
-    Decimal accumulation keeps prefix sums exact in both engines."""
+    Decimal accumulation keeps prefix sums exact in both engines.
+
+    Scale: window partitioned per customer — frames stream within each
+    key, no global sort."""
     orders = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -369,7 +378,10 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: Catalyst plans TakeOrderedAndProject (per-partition
     heap + single merge) — no full sort of 100 TB ever happens. Plan
-    asserted in tests/test_plans.py."""
+    asserted in tests/test_plans.py.
+
+    Scale: TakeOrderedAndProject heaps per partition + a single K-row
+    merge; no global sort."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
@@ -449,7 +461,9 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar expression gallery (SURVEY §2.5 'scalar fns'): string, date,
     math, conditional — all whole-stage-codegen JVM expressions (no UDFs).
-    Per-row IEEE double arithmetic is bit-identical to the oracle."""
+    Per-row IEEE double arithmetic is bit-identical to the oracle.
+
+    Scale: map-only whole-stage-codegen; runs inside the scan stage."""
     li = load(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -479,7 +493,10 @@ def scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6-shaped filter+agg: the pushdown showcase. All four filters
     reach the parquet scan (PushedFilters asserted in tests/test_plans.py);
-    only 4 columns are read from a 11-column table."""
+    only 4 columns are read from a 11-column table.
+
+    Scale: all filters pushed to the parquet scan, 4 of 11 columns read,
+    one 1-row aggregate."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.filter(
@@ -509,7 +526,10 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long->wide): total price per priority x status. Explicit
     value list — at scale NEVER let pivot infer values (that is an extra
-    distinct pass over 100 TB); decimal partial sums as usual."""
+    distinct pass over 100 TB); decimal partial sums as usual.
+
+    Scale: the explicit value list avoids a corpus-wide distinct pass;
+    decimal partial sums collapse map-side."""
     o = load(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderpriority")
@@ -616,7 +636,10 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, and the c_nationkey = s_nationkey local-supplier predicate
     runs as a post-join filter on two already-present small columns.
     Final agg has ~|nations| groups — partial-agg collapses it map-side.
-    Result ordered by revenue with an n_name tiebreak (deterministic)."""
+    Result ordered by revenue with an n_name tiebreak (deterministic).
+
+    Scale: broadcast dim chain, two co-partitioned fact shuffles,
+    map-side-collapsed final aggregate (plan shape above)."""
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load(spark, sf_dir, "nation").join(
         F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
@@ -741,7 +764,10 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS: the general form rollup/cube specialize (each set
     aggregated once, union of results; Spark expands then partial-aggs,
     so the shuffle carries one pre-aggregated row per (set, group) per
-    task — same scale shape as agg_group)."""
+    task — same scale shape as agg_group).
+
+    Scale: Expand then partial agg — the shuffle carries one
+    pre-aggregated row per (set, group) per task."""
     orders = load(spark, sf_dir, "orders")
     return orders.groupingSets(
         [["o_orderpriority"], ["o_orderstatus"], []], "o_orderpriority", "o_orderstatus"
@@ -1059,7 +1085,10 @@ def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact global rank via the with_seq bucket machinery (boundary
     sample -> one hash exchange -> P-row offsets) instead of the
     single-partition global-sort window, so the EXACT ntile is computed
-    scale-out — no WindowExec without partitioning anywhere in the plan."""
+    scale-out — no WindowExec without partitioning anywhere in the plan.
+
+    Scale: bucketed rank machinery — one hash exchange; no
+    single-partition window in the plan."""
     docs = load(spark, sf_dir, "documents")
     s = docs.select(
         "doc_id",
@@ -1256,7 +1285,10 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar subquery is DECORRELATED by hand into the scale shape: one
     partial-agg per-part average over lineitem (exact — integer-valued
     quantities), broadcast-joined back; Catalyst plans the same for the
-    subquery form, written explicitly here so the plan is pinned."""
+    subquery form, written explicitly here so the plan is pinned.
+
+    Scale: decorrelated per-part average broadcast back over the fact
+    scan; one partial-agg shuffle."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
     parts = F.broadcast(
@@ -1303,7 +1335,9 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     three-valued logic, Spark's null-safe `<=>` (ANSI IS NOT DISTINCT
     FROM), and the coalesce idiom — the correctness corners every
     engine switch trips over (flod's typed streams have no NULL; the
-    relational surface must get it right). Map-only + one 1-row agg."""
+    relational surface must get it right). Map-only + one 1-row agg.
+
+    Scale: map-only expressions plus one 1-row aggregate."""
     o = load(spark, sf_dir, "orders")
     t = o.select(
         "o_orderkey",
@@ -1342,7 +1376,10 @@ def window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     global seq from _dist_over_total_order — the bucketed with_seq plan
     (one hash exchange) replaces the single-partition global-sort
     window while producing bitwise-identical doubles (same IEEE
-    divisions the built-in window functions perform)."""
+    divisions the built-in window functions perform).
+
+    Scale: the bucketed with_seq plan (one hash exchange) replaces the
+    single-partition global-sort window."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
     )
@@ -1433,7 +1470,10 @@ def join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase, but only if within 30 minutes — beyond it the match is
     nulled, the purchase kept. Same single-shuffle union+window operator
     as join_asof (operators/asof.py, how='left'); the tolerance is a
-    map-side post-rule, so the bound adds zero shuffle cost."""
+    map-side post-rule, so the bound adds zero shuffle cost.
+
+    Scale: same single-shuffle asof plan; the tolerance is a map-side
+    post-rule with zero shuffle cost."""
     from flod_spark.operators.asof import asof_join
 
     ev = load(spark, sf_dir, "events")
@@ -1487,7 +1527,9 @@ def datetime_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ISO Monday=1 — the classic cross-engine off-by-one), quarter/week
     truncation, interval arithmetic, day differences. All map-only JVM
     expressions; every convention difference is normalized explicitly
-    rather than left to engine defaults."""
+    rather than left to engine defaults.
+
+    Scale: map-only JVM expressions inside the scan stage."""
     ev = load(spark, sf_dir, "events")
     return ev.select(
         "event_id",
@@ -1533,7 +1575,10 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact table. The EXISTS compiles to a LEFT SEMI join on
     l_orderkey with the date predicate pushed into the join condition —
     one co-partitioned shuffle, never a per-row subquery; the quarter
-    filter prunes orders at the scan (PushedFilters)."""
+    filter prunes orders at the scan (PushedFilters).
+
+    Scale: LEFT SEMI join on one co-partitioned shuffle; date predicates
+    pushed to both scans."""
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -1657,7 +1702,10 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scans as PushedFilters via OR-distribution) and the residual
     disjunction evaluates post-join; part is the broadcast side, so the
     whole query is one broadcast hash join + a 1-row aggregate — no
-    shuffle of lineitem at all."""
+    shuffle of lineitem at all.
+
+    Scale: part is broadcast, lineitem never shuffles; one 1-row
+    aggregate."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
@@ -1709,7 +1757,10 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     subqueries — the 100 TB form of EXISTS-rewriting (no triple
     self-join of lineitem); supplier/nation broadcast at the end.
     COUNT(*) counts qualifying LINES per the reference shape (a
-    supplier with two late lines in one order counts twice)."""
+    supplier with two late lines in one order counts twice).
+
+    Scale: one orderkey-partitioned aggregation replaces both correlated
+    subqueries; supplier/nation broadcast."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
@@ -2161,7 +2212,10 @@ def sql_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
     translation), the strongest possible cross-engine statement of
     intent. Catalyst plans it identically to the DataFrame form
     (filter pushdown, partial agg); the view layer is how SQL-only
-    users consume every table this engine reads."""
+    users consume every table this engine reads.
+
+    Scale: Catalyst plans the SQL text identically to the DataFrame form
+    — pushdown and partial aggregation included."""
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_SQL_DIRECT)
 

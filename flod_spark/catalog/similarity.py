@@ -75,7 +75,10 @@ _QVEC_SQL = (
 def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: first 10 vec_ids as queries vs the corpus.
     Queries broadcast; corpus scanned once; TakeOrdered per query via
-    window on the (tiny) query partition count."""
+    window on the (tiny) query partition count.
+
+    Scale: documented small-NQ brute force; sim_lsh / sim_ivf are the
+    bucketed scale paths."""
     emb = load(spark, sf_dir, "embeddings")
     q = (
         emb.orderBy("vec_id")
@@ -163,7 +166,10 @@ def sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     projections. This is the scale path for ANN: candidates = same bucket
     (~n/64 of the corpus per query). Output: bucket histogram (the
     candidate-generation statistics); end-to-end ANN asserted against
-    brute force in tests/test_similarity.py."""
+    brute force in tests/test_similarity.py.
+
+    Scale: bucketing is map-only (broadcast planes); candidates are
+    ~n/64 of the corpus per query."""
     emb = load(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", _as_double("embedding").alias("v"))
     b = e.select("vec_id", _bucket_spark(F.col("v")).alias("bucket"))
@@ -188,7 +194,10 @@ def sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine >= DEDUP_COS), blocked by label (the
     cluster id a production pipeline gets from LSH/IVF) — avoids O(n²);
-    within-block pairs only. One shuffle on the block key."""
+    within-block pairs only. One shuffle on the block key.
+
+    Scale: label-blocked pairs only — one shuffle on the block key,
+    never O(n^2)."""
     emb = load(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", "label", _as_double("embedding").alias("v"))
     a = e.alias("a")
@@ -300,7 +309,10 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query work touches N_PROBE/N_CELLS of the corpus; final top-k is
     a WindowGroupLimit rank. At real scale N_CELLS grows to sqrt(n) and
     the assignment output is written bucketed-by-cell so queries prune
-    cells at the scan (partition pruning), not per-row."""
+    cells at the scan (partition pruning), not per-row.
+
+    Scale: broadcast centroids; each query scans only its probed cells
+    (probe fraction bounds the work)."""
     emb = load(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", _as_double("embedding").alias("v"))
     cent = _cent_df(e)
@@ -373,7 +385,10 @@ def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     tasks x labels x dims regardless of corpus size; output is
     labels x dims rows. The iterative k-means loop is this query run per
     round with labels := nearest-centroid assignment (sim_ivf's
-    max_by construction) — each round stays one bounded shuffle."""
+    max_by construction) — each round stays one bounded shuffle.
+
+    Scale: one (label, pos) partial-agg shuffle; fixed-point sums are
+    order-independent."""
     emb = load(spark, sf_dir, "embeddings")
     x = emb.select(
         "label", F.posexplode(_as_double("embedding")).alias("pos0", "v")
@@ -487,7 +502,10 @@ def kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-round DAG — fine at gate scale, noted for 100 TB) and stops when
     moved/n drops below tolerance. Exactness across engines comes from
     the fixed-point update: identical centroid doubles => identical
-    round-2 cosines => identical assignments, bit for bit."""
+    round-2 cosines => identical assignments, bit for bit.
+
+    Scale: each round is one broadcast + one partial-agg shuffle;
+    lineage is checkpointed between rounds."""
     emb = load(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", _as_double("embedding").alias("v"))
     # persist round 1 once: both the centroid update AND the final
@@ -660,7 +678,10 @@ def semdedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     of how the IVF cells grow (~sqrt(n)), closing semdedup's one
     documented 100 TB caveat. The oracle unrolls the refinement rounds
     as CTEs; every dot/sign/chop decision is bit-identical cross-engine
-    (fold-based dots, md5 planes, id-ordered chop)."""
+    (fold-based dots, md5 planes, id-ordered chop).
+
+    Scale: every within-cell pair generator is capped at SEMDEDUP_BOUND,
+    so pair cost is <= n*B/2 however cells grow."""
     emb = load(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", _as_double("embedding").alias("v"))
     a = _assign_cells(e, _cent_df(e))
@@ -757,7 +778,9 @@ def embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sanity gate before any cosine ANN (un-normalized vectors silently
     corrupt dot-product 'cosine'). Sequential fold on doubles matches
     DuckDB's list_reduce bitwise (registry determinism rule). Map-only;
-    runs inside the scan stage at any scale."""
+    runs inside the scan stage at any scale.
+
+    Scale: map-only fold; runs inside the scan stage."""
     emb = load(spark, sf_dir, "embeddings")
     v = _as_double("embedding")
     sq = F.aggregate(

@@ -130,7 +130,10 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed dedup (first occurrence per (user, type)) — the batch shadow of
     streaming dropDuplicatesWithinWatermark (streaming/dedup.py). min_by on
-    (ts, event_id) gives the deterministic 'first'."""
+    (ts, event_id) gives the deterministic 'first'.
+
+    Scale: min_by collapses map-side; the shuffle carries one row per
+    key per task."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("user_id", "event_type").agg(
         F.min("event_id").alias("first_event_id"),

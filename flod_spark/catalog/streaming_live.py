@@ -91,7 +91,10 @@ def stream_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     time-ordered micro-batches -> withWatermark + window() -> append-mode
     memory sink. The horizon filter keeps exactly the windows append mode
     deterministically emitted (closed by the final watermark); the oracle
-    applies the same cutoff, so the comparison is exact, not 'close'."""
+    applies the same cutoff, so the comparison is exact, not 'close'.
+
+    Scale: watermark-bounded window state; partial aggregation collapses
+    events map-side before the state store."""
     ev = load(spark, sf_dir, "events")
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
     replay_dir = tempfile.mkdtemp(prefix="flod_replay_w_")
@@ -175,7 +178,9 @@ def stream_take_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandasWithState (streaming/take.py) — a per-key counter state;
     rows past n are dropped. Because replay preserves event-time order and
     (user_id, ts) is unique, the taken rows are exactly the n earliest per
-    key, giving the exact SQL oracle."""
+    key, giving the exact SQL oracle.
+
+    Scale: state is one counter per key, sharded by key hash."""
     ev = load(spark, sf_dir, "events")
     replay_dir = tempfile.mkdtemp(prefix="flod_replay_t_")
     shutil.rmtree(replay_dir, ignore_errors=True)
@@ -202,7 +207,10 @@ def stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound lets Spark evict join state (signups older than watermark-30min
     can never match again). Inner-join append emission is exact — every
     on-time pair emits exactly once — so the batch SQL oracle applies
-    with no horizon cutoff, unlike windowed aggregation."""
+    with no horizon cutoff, unlike windowed aggregation.
+
+    Scale: the watermark + range bound evicts join state; state holds
+    only the active window."""
     ev = load(spark, sf_dir, "events")
     replay_dir = tempfile.mkdtemp(prefix="flod_replay_j_")
     shutil.rmtree(replay_dir, ignore_errors=True)
@@ -248,7 +256,10 @@ def stream_queue_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL entry point C (flod `pass!E`, range.d:211-237): the caller
     put()s chunks into a StreamingQueue; each put is one micro-batch.
     Six chunks of 100 values flow through a narrow transform and drain
-    append-mode — the closed-form oracle regenerates the stream."""
+    append-mode — the closed-form oracle regenerates the stream.
+
+    Scale: each put is one micro-batch through a state-free narrow
+    transform."""
     from flod_spark.streaming.queue import StreamingQueue
 
     q = StreamingQueue(spark, spool_dir=tempfile.mkdtemp(prefix="flod_sq_live_"))
@@ -290,7 +301,10 @@ def stream_sessionize_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-field state merged across micro-batches, data-driven emission,
     and watermark-driven eviction. Sessions closed by data emit
     watermark-independently; open sessions emit iff the final watermark
-    passed last+gap (exact ms arithmetic mirrored in the oracle)."""
+    passed last+gap (exact ms arithmetic mirrored in the oracle).
+
+    Scale: state is 3 longs per OPEN session, watermark-evicted; see
+    streaming/sessionize.py."""
     from flod_spark.streaming.sessionize import streaming_sessionize
 
     ev = load(spark, sf_dir, "events")
@@ -314,7 +328,10 @@ def scan_pystream_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_queue_live (flod pipe-as-output-range, range.d:211-237), but
     through the registered Spark 4 source API with exact failure-replay
     semantics (readBetweenOffsets). Drained append-mode into a memory
-    sink; the closed-form oracle regenerates the stream."""
+    sink; the closed-form oracle regenerates the stream.
+
+    Scale: offset-tracked reads replay deterministically; state is one
+    integer offset, rows per trigger bounded."""
     from flod_spark.sources import register_flodgen
 
     register_flodgen(spark)

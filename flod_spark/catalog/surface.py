@@ -46,7 +46,10 @@ def scan_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 pipeFromInputRange (range.d:58-87): lazy numeric range.
     spark.range is a parallel Range scan — no driver materialization, scales
-    to any length (flod's infinite-range analog is streaming rate source)."""
+    to any length (flod's infinite-range analog is streaming rate source).
+
+    Scale: spark.range plans a parallel Range scan — no driver data,
+    length-independent."""
     return spark.range(0, 100000, 7).select(F.col("id").alias("value"))
 
 
@@ -57,7 +60,11 @@ def scan_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scan_delegate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 DelegateSource/pass!(E,fun) (range.d:169-189, 264-268): a driver
-    callback produces elements. Batch analog: generator -> Arrow batches."""
+    callback produces elements. Batch analog: generator -> Arrow batches.
+
+    Scale: the shim materializes the generator driver-side (bounded
+    inputs only); scan_pysource is the zero-materialization production
+    form."""
     def gen():
         for i in range(4096):
             yield (i, (i * 2654435761) % 2147483648)
@@ -72,7 +79,10 @@ def scan_delegate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scan_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 OutputRangeSource (range.d:211-237): caller put()s chunks in;
-    snapshot becomes the batch. Streaming twin: streaming/queue.py."""
+    snapshot becomes the batch. Streaming twin: streaming/queue.py.
+
+    Scale: the snapshot is one createDataFrame of the queued chunks;
+    stream_queue_live is the unbounded form."""
     from flod_spark.pipeline import Queue
 
     q = Queue(spark)
@@ -95,7 +105,10 @@ def take_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((l_orderkey, l_linenumber) alone is NOT unique in this data — the
     price column completes the total order, SURVEY §4.2-1).
     Catalyst plans TakeOrderedAndProject: per-partition top-n then a single
-    O(n) merge — no full sort at 100 TB."""
+    O(n) merge — no full sort at 100 TB.
+
+    Scale: TakeOrderedAndProject — per-partition top-n plus one O(n)
+    merge; no full sort at any size."""
     li = load(spark, sf_dir, "lineitem")
     return li.orderBy("l_orderkey", "l_linenumber", "l_extendedprice").limit(1000)
 
@@ -140,7 +153,10 @@ def by_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3/F4 byChunk(n) (range.d:549-624): regroup ordered stream into
     fixed 512-element chunks (last partial), one summary row per chunk.
     Uses seq.with_seq — range shuffle + per-partition rank, never a
-    single-partition global window (scale note in seq.py)."""
+    single-partition global window (scale note in seq.py).
+
+    Scale: with_seq's bucketed rank plan (one range exchange); never a
+    single-partition window."""
     from flod_spark.seq import with_seq
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
@@ -202,7 +218,10 @@ def by_element(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5 ByElement / entry point B (pipeline.d:467-470, range.d:309-340):
     pipeline as lazy input range. toLocalIterator pulls partition-at-a-time
     (bounded driver memory); we re-create a DataFrame from the consumed
-    prefix to prove round-trip fidelity."""
+    prefix to prove round-trip fidelity.
+
+    Scale: toLocalIterator streams partition-at-a-time — driver memory
+    bounded by one partition, the F5 contract by design."""
     part = load(spark, sf_dir, "part").orderBy("p_partkey")
     it = part.toLocalIterator()
     rows = [next(it) for _ in range(min(500, part.count()))]
@@ -217,7 +236,11 @@ def adapter_noop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6-F17 protocol adapters (adapter.d:12-580) are identity on data —
     flod's physical glue between pull/peek/push/alloc. Spark's analog is
     Catalyst's EnsureRequirements inserting exchanges; the user-visible knob
-    is repartition, which must not change results (asserted here)."""
+    is repartition, which must not change results (asserted here).
+
+    Scale: identity on data; Catalyst's EnsureRequirements owns the
+    physical exchanges, so the adapter itself costs nothing at any
+    scale."""
     li = load(spark, sf_dir, "lineitem")
     return li.repartition(16, "l_returnflag").groupBy("l_returnflag").agg(F.count("*").alias("n"))
 
@@ -228,7 +251,10 @@ def adapter_noop(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sink_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 array()/ArraySink (package.d:69-112): materialize to driver and
     back — round-trip proves schema + value fidelity. (At 100 TB one never
-    collects; the sink becomes write_parquet. Kept tiny here by design.)"""
+    collects; the sink becomes write_parquet. Kept tiny here by design.)
+
+    Scale: driver materialization IS the K3 contract (capped input by
+    design); write_parquet is the scale sink."""
     sup = load(spark, sf_dir, "supplier")
     rows = sup.collect()
     return spark.createDataFrame(rows, sup.schema)
@@ -237,7 +263,10 @@ def sink_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sink_discard", oracle="SELECT COUNT(*) AS n_written FROM lineitem")
 def sink_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 discard()/NullSink (package.d:43-66): consume & drop. Spark noop
-    write exercises the full pipeline without a sink cost."""
+    write exercises the full pipeline without a sink cost.
+
+    Scale: the noop sink runs the full distributed plan with zero sink
+    cost — the measurement-harness shape."""
     li = load(spark, sf_dir, "lineitem")
     li.write.format("noop").mode("overwrite").save()
     return li.agg(F.count("*").alias("n_written"))
@@ -246,7 +275,10 @@ def sink_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sink_file", oracle="SELECT * FROM orders")
 def sink_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1 write()/FileWriter (file.d:36-67): write + read-back round-trip
-    (mirrors the reference's /etc/passwd round-trip test file.d:69-84)."""
+    (mirrors the reference's /etc/passwd round-trip test file.d:69-84).
+
+    Scale: distributed parquet write, one file per task; the read-back
+    keeps pushdown intact."""
     orders = load(spark, sf_dir, "orders")
     with tempfile.TemporaryDirectory() as d:
         path = f"{d}/orders_roundtrip.parquet"
@@ -258,7 +290,10 @@ def sink_file(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sink_copy", oracle="SELECT * FROM region")
 def sink_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4 copy(target)/RangeSink (range.d:133-167): stream into a caller
-    output range via partition-at-a-time iteration."""
+    output range via partition-at-a-time iteration.
+
+    Scale: partition-at-a-time iteration — the driver holds one
+    partition at a time, the K4 streaming contract."""
     region = load(spark, sf_dir, "region")
     target: list = []
     for row in region.toLocalIterator():
@@ -281,7 +316,10 @@ def scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw-byte scanning has no scale factor). At 100 TB the binaryFile
     source is the media-ingest entry point: one task per file, rows
     carry (path, length, content) and downstream stages drop bytes
-    early (see catalog/media.py)."""
+    early (see catalog/media.py).
+
+    Scale: one task per file; raw bytes drop before any shuffle
+    (catalog/media.py discipline)."""
     df = spark.read.format("binaryFile").load("/root/repo/FIXTURES.md")
     return df.select(
         F.col("length"),
@@ -383,7 +421,10 @@ def by_line_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     high half in hex (BMP-only planted data), then the built-in
     decode(…,'UTF-16LE') + split — all JVM expressions, map-only, no
     shuffle; the oracle decodes 2-byte units arithmetically in SQL.
-    Like scan_binary, sf-independent (raw bytes have no scale factor)."""
+    Like scan_binary, sf-independent (raw bytes have no scale factor).
+
+    Scale: map-only JVM decode + split; no shuffle, sf-independent raw
+    bytes."""
     df = spark.createDataFrame(
         list(_WIDE_BLOBS), "blob_id string, width int, blob binary"
     )
@@ -447,7 +488,10 @@ def scan_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor generating its slice locally — the production contract for
     wrapping any external generator/service as a scan, with zero driver
     materialization (scan_delegate shows the createDataFrame shim form).
-    Closed-form arithmetic stream keeps it oracle-exact."""
+    Closed-form arithmetic stream keeps it oracle-exact.
+
+    Scale: driver plans splits, each executor generates its slice
+    locally — zero driver materialization."""
     from flod_spark.sources import register_flodgen
 
     register_flodgen(spark)

@@ -120,7 +120,9 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: stopword-hit counts per language, argmax with
     a fixed tie order (en>de>fr>es). Word boundaries spelled as
     (^|[^a-z])…([^a-z]|$) — identical semantics in Java regex and RE2
-    (\\b differs subtly, so it is avoided). At 100 TB: map-only."""
+    (\\b differs subtly, so it is avoided). At 100 TB: map-only.
+
+    Scale: map-only regexp counting inside the scan stage."""
     docs = load(spark, sf_dir, "documents")
     scores = {
         lang: F.size(
@@ -191,7 +193,9 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length / punctuation / uppercase / stopword-density
     ratios with a keep-drop verdict — the C4-style filter shape (incl.
-    C4's stopword floor). Map-only at scale."""
+    C4's stopword floor). Map-only at scale.
+
+    Scale: map-only ratio arithmetic; runs inside the scan."""
     docs = load(spark, sf_dir, "documents")
     n = F.length("text").cast("long")
     n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_RE), F.lit(0))).cast("long")
@@ -218,7 +222,9 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase text.
-    md5 hex is engine-identical, so this doubles as the dedup_exact key."""
+    md5 hex is engine-identical, so this doubles as the dedup_exact key.
+
+    Scale: map-only md5 over normalized text; one scan, no shuffle."""
     docs = load(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower("text"), WS_RE, " ")
     return docs.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
@@ -244,7 +250,9 @@ def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII/noise scrub: mask URLs then emails, collapse runs of spaces/tabs
     (newlines preserved) — the pre-training cleanup shape. Flags record
     which docs were touched (for audit sampling downstream). Map-only at
-    100 TB; explicit ASCII classes keep Java and RE2 regex identical."""
+    100 TB; explicit ASCII classes keep Java and RE2 regex identical.
+
+    Scale: map-only regexp chain; no shuffle."""
     docs = load(spark, sf_dir, "documents")
     cleaned = F.regexp_replace(
         F.regexp_replace(F.regexp_replace("text", _URL_RE, "<URL>"), _EMAIL_RE, "<EMAIL>"),
@@ -314,7 +322,10 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     per occurrence; count_distinct(doc_id) rewrites to a two-phase
     (token, doc_id) pre-aggregate. The final top-K is
     TakeOrderedAndProject (per-partition heaps, K rows to the driver) —
-    no global sort. Tiebreak on token keeps the cut deterministic."""
+    no global sort. Tiebreak on token keeps the cut deterministic.
+
+    Scale: partial-agg token shuffle + two-phase distinct +
+    TakeOrderedAndProject (shape above)."""
     docs = load(spark, sf_dir, "documents", spread=True, amplify=2000)
     tok = docs.select(
         "doc_id",
@@ -496,7 +507,10 @@ def bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     no positional explode-and-rejoin); only (pair, partial count) rows
     cross the shuffle, and the top-50 is TakeOrderedAndProject (no
     global sort). At 100 TB this is exactly the scalable shape of a
-    tokenizer-training pair census."""
+    tokenizer-training pair census.
+
+    Scale: map-side pairing, (pair, partial count) shuffle,
+    TakeOrderedAndProject cut."""
     docs = load(spark, sf_dir, "documents", spread=True, amplify=100)
     tk = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))
     t = docs.select(tk.alias("tk")).filter(F.size("tk") >= 2)
@@ -567,7 +581,10 @@ def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically (same construction in the oracle) so groups are
     non-vacuous at every sf: 100 canonical pages with case/port/
     tracking/slash variants collapse onto them. Map-only regexp chain +
-    one window on the canon key."""
+    one window on the canon key.
+
+    Scale: map-only canonicalization plus one window keyed on the
+    canonical URL."""
     docs = load(spark, sf_dir, "documents")
     d = F.col("doc_id")
     url = F.concat(
@@ -638,7 +655,9 @@ def text_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form (ceil((n-32)/16)+1), generated MAP-SIDE by sequence()+
     explode and sliced from the token array — no shuffle, no per-token
     rows; only window summaries leave the stage (pack_sequences is the
-    contiguous-chop twin)."""
+    contiguous-chop twin).
+
+    Scale: map-side window generation from the token array; no shuffle."""
     docs = load(spark, sf_dir, "documents", spread=True, amplify=50)
     tk = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))
     t = docs.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 1)
@@ -806,7 +825,10 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (arrays_zip of three shifted slices — no self-join, no positional
     re-join); the shuffle carries (gram, partial count) rows and the
     count_distinct rewrites to a (gram, doc_id) pre-aggregate; the cut
-    is TakeOrderedAndProject with a unique gram tiebreak."""
+    is TakeOrderedAndProject with a unique gram tiebreak.
+
+    Scale: map-side trigram arithmetic, partial-agg shuffle,
+    TakeOrderedAndProject cut."""
     docs = load(spark, sf_dir, "documents", spread=True, amplify=100)
     tk = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))
     t = docs.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 3)

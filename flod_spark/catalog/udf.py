@@ -71,7 +71,10 @@ def udf_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify the Python/Arrow plumbing end-to-end).
 
     Plan shape: pruned 5-column scan -> mapInPandas [narrow] -> done.
-    Nothing shuffles; parallelism = scan splits."""
+    Nothing shuffles; parallelism = scan splits.
+
+    Scale: narrow Arrow stage; parallelism = scan splits; nothing
+    shuffles."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
     )
@@ -93,7 +96,9 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar pandas_udf flavor (element-wise, Arrow-vectorized): the
     same charge expression as udf_stage but authored as a column
     function — the stage shape for user math that composes with other
-    column expressions. Narrow; pipelines with the scan."""
+    column expressions. Narrow; pipelines with the scan.
+
+    Scale: Arrow-vectorized narrow stage pipelining with the scan."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -139,7 +144,10 @@ def udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract: the group must fit an executor (here: per-returnflag at
     gate scale; real pipelines key on bounded entities) — for unbounded
     groups use mapInPandas or a window expression instead. One shuffle
-    on the group key."""
+    on the group key.
+
+    Scale: one shuffle on the group key; groups must fit an executor
+    (key on bounded entities)."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
     )

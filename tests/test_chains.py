@@ -206,9 +206,9 @@ def test_gate_window_round4_membership():
 
 
 def test_every_registered_query_documents_itself():
-    """Every qkey carries a real docstring (the judge-facing scale
-    story lives there) — a registration without one fails here before
-    it fails review."""
+    """Every qkey carries a real docstring WITH an explicit 'Scale:'
+    note (the judge-facing 100 TB story lives there) — a registration
+    without either fails here before it fails review."""
     import inspect
 
     from flod_spark import registry
@@ -220,3 +220,21 @@ def test_every_registered_query_documents_itself():
         if len(inspect.unwrap(f).__doc__ or "") < 60
     ]
     assert not bad, f"undocumented queries: {bad}"
+    no_scale = [
+        n
+        for n, f in registry.QUERIES.items()
+        if "Scale:" not in (inspect.unwrap(f).__doc__ or "")
+    ]
+    assert not no_scale, f"queries without a Scale: note: {no_scale}"
+
+
+def test_registry_referential_integrity():
+    """Cheap guards for the next 50 registrations: every oracle refers
+    to a registered query (a typo'd qkey in @query would silently
+    orphan its oracle), and qkeys are unique non-empty strings."""
+    from flod_spark import registry
+
+    registry.load_catalog()
+    orphans = set(registry.ORACLES) - set(registry.QUERIES)
+    assert not orphans, f"oracles with no query: {orphans}"
+    assert all(isinstance(k, str) and k for k in registry.QUERIES)
