@@ -69,51 +69,44 @@ def ensure_shipped(spark: SparkSession) -> None:
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). _GATE_ORDER makes the window explicit, and ROTATES each
 # round so every registered query earns at least one driver CORRECTNESS
-# row across rounds (round-2 verdict item 4). Round-4 window =
-#   (a) all 28 round-3 registrations that have never had a driver row
-#       (they passed r3's local parity only — the r3 gate window was
-#       already full when they landed),
-#   (b) the 9 new round-4 qkeys (semdedup_bounded, ngram_lm,
-#       by_line_wide, tpch_q4/q13/q15/q19/q21/q22),
-#   (c) 13 round-robin re-proofs of the OLDEST driver rows (last proven
-#       in round 2; registration order).
-# After round 4 every registered query has >= 1 driver CORRECTNESS row
-# across CORRECTNESS_r01-r04. Everything rotated out was driver-green in
+# row across rounds (round-2 verdict item 4). Round-5 window =
+#   (a) the 23-query round-4 backlog — registrations that missed the
+#       round-4 50-cap and have never had a driver row (local parity
+#       green every round),
+#   (b) the new round-5 qkeys (first driver row),
+#   (c) one re-proof of simhash_pairs, whose implementation changed
+#       materially this round (64-bit banded signature — the r4 driver
+#       row proved the old 32-bit form),
+#   (d) round-robin re-proofs of the OLDEST driver rows (last proven in
+#       round 2; registration order) filling to 50. New round-5
+#       registrations displace (d) slots, never (a)-(c).
+# After round 5 every registered query has >= 1 driver CORRECTNESS row
+# across CORRECTNESS_r01-r05. Everything rotated out was driver-green in
 # an earlier round AND stays verified by tools/parity.py locally each
 # round. Keys not listed here sort after listed ones, in registration
 # order.
 _GATE_ORDER = (
-    # (a) never-gated round-3 registrations: sources/sinks/UDF surfaces
-    "scan_pysource", "scan_pystream_live", "sink_pysink", "udf_table",
-    "stream_sessionize_live",
-    # (a) never-gated: TPC-H + relational additions
-    "tpch_q1", "tpch_q7", "tpch_q8", "tpch_q17",
-    "merge_upsert", "quality_buckets", "key_skew_stats", "null_semantics",
-    "window_dist", "value_zscore", "join_asof_tol", "datetime_fns",
-    # (a) never-gated: text/dedup/embedding additions
-    "pii_scrub", "bpe_pairs", "dedup_url", "text_windows",
-    "simhash_pairs", "dedup_containment", "embed_norms", "media_decode",
-    # (a) never-gated: event analytics
-    "funnel_steps", "cohort_retention", "orders_rfm",
-    # (b) new round-4 qkeys
-    "semdedup_bounded", "ngram_lm", "by_line_wide",
-    "tpch_q4", "tpch_q13", "tpch_q15", "tpch_q19", "tpch_q21", "tpch_q22",
-    "tfidf_terms", "pagerank_iter", "resample_interp", "stream_agg_complete_live",
-    "stream_sliding_live",
-    # (b) late round-4 qkeys: TPC-H completion + live dedup + int8
-    # quantization. These displace the (c) re-proof slots — new queries
-    # earning their FIRST driver row outrank re-proving r1/r2 greens
-    # that tools/parity.py re-verifies locally every round anyway.
-    # length_buckets / ngram_topk / dup_rate_report /
-    # stream_foreach_upsert_live / sink_compact / scan_evolved /
-    # snapshot_diff / dedup_verify / fingerprint_winnow / nested_fns /
-    # stream_prep_live / sql_direct / curation_join / agg_mode /
-    # char_entropy / window_offset / agg_corr / histogram_bins /
-    # sample_exact_k / unpivot_melt / json_parse_once / sentence_split /
-    # dq_audit (also new) missed the 50-cap: they are the round-5 gate
-    # backlog (local parity green).
-    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
-    "stream_dedup_live", "embed_quantize",
+    # (a) round-4 backlog: relational/text additions
+    "nested_fns", "sql_direct", "agg_mode", "window_offset", "agg_corr",
+    "histogram_bins", "unpivot_melt", "dq_audit", "ngram_topk",
+    "fingerprint_winnow", "char_entropy", "json_parse_once",
+    "sentence_split",
+    # (a) round-4 backlog: dedup/corpus/stream/layout additions
+    "dup_rate_report", "snapshot_diff", "dedup_verify",
+    "stream_foreach_upsert_live", "stream_prep_live", "sink_compact",
+    "scan_evolved", "sample_exact_k", "length_buckets", "curation_join",
+    # (b) new round-5 qkeys
+    "dedup_substring", "media_decode_png",
+    # (c) changed-implementation re-proof
+    "simhash_pairs",
+    # (d) oldest-row re-proofs (last driver-proven round 2), filling
+    # to the 50-cap in registration order
+    "scan_file", "scan_array", "scan_range", "scan_delegate",
+    "scan_queue", "take_limit", "by_line", "by_chunk",
+    "by_chunk_arrays", "by_element", "adapter_noop", "sink_collect",
+    "sink_discard", "sink_file", "sink_copy", "scan_binary",
+    "agg_group", "agg_distinct", "join_equi", "join_anti",
+    "join_asof", "join_range", "window_rank", "sort_topk",
 )
 
 

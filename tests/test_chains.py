@@ -168,34 +168,29 @@ def test_take_stress_reference_scale(spark):
         assert got.m == (k - 1 if k else None)
 
 
-def test_gate_window_round4_membership():
+def test_gate_window_round5_membership():
     """The driver checks only the FIRST 50 queries() entries. Pin the
-    round-4 rotation: every round-3 registration that never earned a
-    driver CORRECTNESS row, plus the new round-4 qkeys, must sit inside
+    round-5 rotation: the 23-query round-4 backlog (registrations with
+    no driver CORRECTNESS row through r4), the new round-5 qkeys, and
+    the changed-implementation simhash_pairs re-proof must sit inside
     the window (a silent reorder would cost them their driver row and
     break the every-query-gets-gated-once invariant)."""
     import __spark_entry__ as e
 
     window = list(e.queries())[:50]
     must_gate = {
-        # round-3 registrations with no driver row through r3
-        "scan_pysource", "scan_pystream_live", "sink_pysink", "udf_table",
-        "stream_sessionize_live",
-        "tpch_q1", "tpch_q7", "tpch_q8", "tpch_q17",
-        "merge_upsert", "quality_buckets", "key_skew_stats", "null_semantics",
-        "window_dist", "value_zscore", "join_asof_tol", "datetime_fns",
-        "pii_scrub", "bpe_pairs", "dedup_url", "text_windows",
-        "simhash_pairs", "dedup_containment", "embed_norms", "media_decode",
-        "funnel_steps", "cohort_retention", "orders_rfm",
-        # new in round 4
-        "semdedup_bounded", "ngram_lm", "by_line_wide",
-        "tpch_q4", "tpch_q13", "tpch_q15", "tpch_q19", "tpch_q21", "tpch_q22",
-        "tfidf_terms", "pagerank_iter", "resample_interp", "stream_agg_complete_live",
-        "stream_sliding_live",
-        # late round-4: TPC-H completion + live dedup + quantization
-        # (length_buckets missed the 50-cap; round-5 backlog)
-        "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
-        "stream_dedup_live", "embed_quantize",
+        # round-4 backlog: no driver row through r4
+        "nested_fns", "sql_direct", "agg_mode", "window_offset", "agg_corr",
+        "histogram_bins", "unpivot_melt", "dq_audit", "ngram_topk",
+        "fingerprint_winnow", "char_entropy", "json_parse_once",
+        "sentence_split", "dup_rate_report", "snapshot_diff",
+        "dedup_verify", "stream_foreach_upsert_live", "stream_prep_live",
+        "sink_compact", "scan_evolved", "sample_exact_k", "length_buckets",
+        "curation_join",
+        # new in round 5
+        "dedup_substring", "media_decode_png",
+        # changed implementation (64-bit banding) — fresh driver proof
+        "simhash_pairs",
     }
     missing = must_gate - set(window)
     assert not missing, f"rotated out of the 50-entry gate window: {missing}"
