@@ -243,3 +243,112 @@ def scan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return back
+
+
+@query("sink_orc", oracle="SELECT * FROM supplier")
+def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 write() for ORC — the other production columnar format (Hive
+    lineage; same predicate-pushdown + stripe-statistics story as
+    parquet). Round-trip with the original schema, like sink_csv/json.
+
+    Scale: scan+write bandwidth only, no shuffle; ORC stripes carry
+    min/max indexes so downstream filters skip stripes exactly as
+    parquet row-groups do."""
+    return _roundtrip(spark, load(spark, sf_dir, "supplier"), "orc")
+
+
+# Z-order quantization width: 16 bits per dimension -> 32-bit z-values.
+_Z_BITS = 16
+
+
+def _zorder_oracle() -> str:
+    """DuckDB twin of the Spark z-value computation, generated from the
+    same constants so both engines interleave identical bits."""
+    interleave = " + ".join(
+        f"(((qp >> {i}) & 1) << {2 * i}) + (((qd >> {i}) & 1) << {2 * i + 1})"
+        for i in range(_Z_BITS)
+    )
+    return (
+        "WITH s AS (SELECT MIN(o_totalprice) mnp, MAX(o_totalprice) mxp, "
+        "    MIN(datediff('day', DATE '1970-01-01', o_orderdate)) mnd, "
+        "    MAX(datediff('day', DATE '1970-01-01', o_orderdate)) mxd FROM orders), "
+        "q AS (SELECT "
+        "  LEAST(65535, GREATEST(0, CAST(FLOOR(((o_totalprice - mnp) * 65535.0) / (mxp - mnp)) AS BIGINT))) AS qp, "
+        "  LEAST(65535, GREATEST(0, (CAST(datediff('day', DATE '1970-01-01', o_orderdate) - mnd AS BIGINT) * 65535) // CAST(mxd - mnd AS BIGINT))) AS qd "
+        "  FROM orders, s), "
+        f"z AS (SELECT qp, qd, {interleave} AS zval FROM q) "
+        "SELECT zval >> 24 AS z_bucket, COUNT(*) AS n, "
+        "  MIN(qp) AS min_qp, MAX(qp) AS max_qp, "
+        "  MIN(qd) AS min_qd, MAX(qd) AS max_qd "
+        "FROM z GROUP BY zval >> 24"
+    )
+
+
+@query("sort_zorder", oracle=_zorder_oracle())
+def sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) layout — the multi-dimensional clustering
+    technique behind Delta's OPTIMIZE ZORDER: quantize each dimension to
+    16 bits, interleave the bits into one 32-bit z-value, and lay data
+    out in z-value ranges. Each z-range then spans a NARROW rectangle in
+    BOTH dimensions, so file-level min/max statistics prune scans for
+    predicates on either column — a total sort on one column can only
+    ever prune that column. The gated query proves the mechanism: per
+    z-bucket (top 8 bits), the min/max of both quantized dims show each
+    bucket covering a small sub-rectangle. Bit-exact cross-engine: the
+    price quantization is one IEEE double expression in identical op
+    order, the date side is pure integer arithmetic, the interleave is
+    integer bit ops generated from the same constants as the oracle.
+
+    Scale: min/max come from one broadcast 1-row agg (at 100 TB use
+    approx quantile breakpoints instead of min/max so outliers don't
+    crush the grid); the z-value itself is a map-only expression, and
+    the production write is repartitionByRange(zval) -> parquet, giving
+    every file tight min/max on BOTH dims for skipping."""
+    o = load(spark, sf_dir, "orders").select("o_totalprice", "o_orderdate")
+    stats = o.agg(
+        F.min("o_totalprice").alias("mnp"),
+        F.max("o_totalprice").alias("mxp"),
+        F.min(F.datediff("o_orderdate", F.lit("1970-01-01"))).alias("mnd"),
+        F.max(F.datediff("o_orderdate", F.lit("1970-01-01"))).alias("mxd"),
+    )
+    q = o.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.lit(65535),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    ((F.col("o_totalprice") - F.col("mnp")) * F.lit(65535.0))
+                    / (F.col("mxp") - F.col("mnp"))
+                ),
+            ),
+        ).alias("qp"),
+        F.least(
+            F.lit(65535),
+            F.floor(
+                (
+                    (F.datediff("o_orderdate", F.lit("1970-01-01")) - F.col("mnd")).cast(
+                        "long"
+                    )
+                    * F.lit(65535)
+                )
+                / (F.col("mxd") - F.col("mnd"))
+            ).cast("long"),
+        ).alias("qd"),
+    )
+    zval = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        zval = zval + F.shiftleft(F.shiftright(F.col("qp"), i).bitwiseAND(F.lit(1)), 2 * i)
+        zval = zval + F.shiftleft(
+            F.shiftright(F.col("qd"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return (
+        q.withColumn("zval", zval)
+        .groupBy(F.shiftright(F.col("zval"), 24).alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("qp").alias("min_qp"),
+            F.max("qp").alias("max_qp"),
+            F.min("qd").alias("min_qd"),
+            F.max("qd").alias("max_qd"),
+        )
+    )

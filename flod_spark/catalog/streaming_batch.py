@@ -266,3 +266,62 @@ def resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("val_sum").isNotNull(), F.col("val_sum")).otherwise(interp).alias("val_interp"),
         F.col("val_sum").isNull().alias("is_gap"),
     )
+
+
+@query(
+    "rollup_hierarchy",
+    oracle=(
+        # minute -> hour -> day: each level aggregates the PREVIOUS level's
+        # rows; SQL states each level against raw events, which is equal
+        # because COUNT/SUM are decomposable and the decimal sums exact.
+        "WITH m AS (SELECT time_bucket(INTERVAL '1 minute', ts) AS b, event_type, "
+        "    COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sv FROM events GROUP BY 1, 2), "
+        "h AS (SELECT time_bucket(INTERVAL '1 hour', b) AS b, event_type, "
+        "    SUM(n) AS n, SUM(sv) AS sv FROM m GROUP BY 1, 2), "
+        "d AS (SELECT time_bucket(INTERVAL '1 day', b) AS b, event_type, "
+        "    SUM(n) AS n, SUM(sv) AS sv FROM h GROUP BY 1, 2) "
+        "SELECT 'minute' AS level, b AS bucket_start, event_type, CAST(n AS BIGINT) AS n_events, "
+        "  CAST(sv AS DOUBLE) AS sum_value FROM m "
+        "UNION ALL SELECT 'hour', b, event_type, CAST(n AS BIGINT), CAST(sv AS DOUBLE) FROM h "
+        "UNION ALL SELECT 'day', b, event_type, CAST(n AS BIGINT), CAST(sv AS DOUBLE) FROM d"
+    ),
+)
+def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (TimescaleDB continuous-aggregate /
+    Druid rollup analog): the minute level aggregates raw events ONCE;
+    the hour level aggregates the |minutes| minute rows, and the day
+    level the |hours| hour rows — never touching raw data again. COUNT
+    and DECIMAL SUM are decomposable, so re-aggregating partials is
+    exact (averages derive as sv/n at read time from the same partials).
+    The output unions all three levels with a level tag — the serving
+    table of a metrics store.
+
+    Scale: THE pattern for 100 TB metrics — raw data is read exactly
+    once (the minute pass); each higher level costs |lower-level rows|,
+    orders of magnitude smaller. Incrementally maintained in production
+    by merge_upsert on late-arriving minute partials; each level is one
+    partial-agg shuffle on (bucket, type)."""
+    ev = load(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("b"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", F.col("b")).alias("b"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    day = hour.groupBy(
+        F.date_trunc("day", F.col("b")).alias("b"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+
+    def lvl(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("level"),
+            F.col("b").alias("bucket_start"),
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.col("sv").cast("double").alias("sum_value"),
+        )
+
+    return lvl(minute, "minute").unionByName(lvl(hour, "hour")).unionByName(lvl(day, "day"))
