@@ -342,3 +342,151 @@ def curation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "triangle_count",
+    oracle=(
+        # significant-co-purchase graph: supplier pairs whose distinct-order
+        # co-occurrence exceeds 1.3x the mean pair co-occurrence; triangles
+        # counted on key-ordered edges (s1 < s2 orients each edge once).
+        "WITH pairs AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, "
+        "    COUNT(DISTINCT a.l_orderkey) AS c "
+        "  FROM lineitem a JOIN lineitem b "
+        "    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey "
+        "  GROUP BY 1, 2), "
+        "m AS (SELECT CAST(SUM(c) AS DOUBLE) / COUNT(*) AS avgc FROM pairs), "
+        "e AS (SELECT s1, s2 FROM pairs, m WHERE CAST(c AS DOUBLE) > 1.3 * avgc), "
+        "t AS (SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c FROM e e1 "
+        "  JOIN e e2 ON e2.s1 = e1.s2 JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2), "
+        "n AS (SELECT a AS node FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t) "
+        "SELECT node AS suppkey, COUNT(*) AS n_tri FROM n GROUP BY node"
+    ),
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the significant-co-purchase graph —
+    the clustering-coefficient primitive of graph analytics. Edges are
+    supplier pairs whose co-occurrence (distinct shared orders) exceeds
+    1.3x the mean pair co-occurrence (a data-derived cutoff, so the
+    graph stays sparse at every scale factor without magic constants);
+    the threshold compare is one identical double expression on both
+    engines. Edges are oriented s1 < s2, so each triangle {a,b,c} is
+    enumerated exactly once as (a,b),(b,c),(a,c) with a < b < c.
+
+    Scale: the canonical two-shuffle triangle plan — wedges from the
+    (s1=key) edge self-join, closed against the edge set. Key-ordering
+    orients each edge once; at 100 TB you orient by DEGREE (low->high,
+    key tiebreak) instead, which bounds wedge fan-out to O(m^1.5)
+    regardless of skew (a celebrity node generates wedges only toward
+    higher-degree nodes). The co-occurrence pair build is itself the
+    dominant exchange and is capped per order by the order's line count."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+        .agg(F.countDistinct("a.l_orderkey").alias("c"))
+    )
+    m = pairs.agg(
+        (F.sum("c").cast("double") / F.count("*")).alias("avgc")
+    )
+    e = (
+        pairs.crossJoin(F.broadcast(m))
+        .filter(F.col("c").cast("double") > F.lit(1.3) * F.col("avgc"))
+        .select("s1", "s2")
+        .localCheckpoint()  # reused three times below; truncate the pair-build lineage
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e2.s1") == F.col("e1.s2"))
+        .join(
+            e3,
+            (F.col("e3.s1") == F.col("e1.s1")) & (F.col("e3.s2") == F.col("e2.s2")),
+        )
+        .select(
+            F.col("e1.s1").alias("a"), F.col("e1.s2").alias("b"), F.col("e2.s2").alias("c")
+        )
+    )
+    nodes = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy(F.col("node").alias("suppkey")).agg(F.count("*").alias("n_tri"))
+
+
+# Heavy-hitter capacity: candidates are every key with frequency > n/_HH_C.
+_HH_C = 160
+
+
+def _mg_candidates(batches):
+    """Per-partition Misra-Gries summary over user_id (bounded memory).
+
+    Batched decrement: when the counter set exceeds _HH_C, subtract the
+    (_HH_C+1)-th largest count from every counter and drop the non-
+    positive ones. Each such round removes >= (_HH_C+1) x excess units of
+    stream mass, so cumulative decrement <= n_p/(_HH_C+1) — every key
+    with partition frequency above n_p/_HH_C ends with a positive
+    counter. Combined with the averaging argument (a global heavy hitter
+    must be a partition heavy hitter somewhere), the union of partition
+    summaries is a LOSSLESS candidate superset of {freq > n/_HH_C}.
+    """
+    import pandas as pd  # local: runs on executors
+
+    counters: dict = {}
+    for b in batches:
+        for k, v in b["user_id"].value_counts().items():
+            counters[k] = counters.get(k, 0) + int(v)
+        if len(counters) > _HH_C:
+            excess = sorted(counters.values(), reverse=True)[_HH_C]
+            counters = {k: c - excess for k, c in counters.items() if c > excess}
+    yield pd.DataFrame({"user_id": pd.Series(list(counters.keys()), dtype="int64")})
+
+
+@query(
+    "heavy_hitters",
+    oracle=(
+        "SELECT user_id, COUNT(*) AS cnt FROM events WHERE user_id IS NOT NULL "
+        "GROUP BY user_id HAVING COUNT(*) * 160 > (SELECT COUNT(*) FROM events "
+        "WHERE user_id IS NOT NULL)"
+    ),
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-item detection (epsilon-heavy-hitters, eps = 1/160) via
+    the two-pass Misra-Gries pattern: pass 1 streams each partition
+    through a BOUNDED-memory counter summary (mapInPandas, O(C) state —
+    never a full distinct-key hash), whose union provably contains every
+    key with global frequency > n/C; pass 2 recounts ONLY the candidates
+    exactly and keeps those above the threshold (integer compare
+    cnt*C > n — no float). Output is exact regardless of data skew; the
+    MG lemma makes the candidate filter lossless, the recount makes it
+    precise.
+
+    Scale: THE answer when distinct keys >> executor memory (URLs,
+    ngrams at 100 TB): pass 1 is map-only with O(C) state per task and
+    ships |tasks| x C candidate rows; pass 2 is one semi-join (candidate
+    set broadcast) + partial-agg recount. A naive groupBy would shuffle
+    every distinct key; this shuffles only candidates."""
+    ev = load(spark, sf_dir, "events").select("user_id").filter(
+        F.col("user_id").isNotNull()
+    )
+    cand = (
+        ev.mapInPandas(_mg_candidates, schema="user_id long")
+        .distinct()
+    )
+    n = ev.agg(F.count("*").alias("n"))
+    return (
+        ev.join(F.broadcast(cand), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("cnt") * F.lit(_HH_C) > F.col("n"))
+        .select("user_id", "cnt")
+    )

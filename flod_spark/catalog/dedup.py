@@ -880,3 +880,86 @@ def dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         jac.alias("jaccard"),
         (jac >= DEDUP_VERIFY_JACCARD).alias("is_dup"),
     )
+
+
+def _del1_sql(x: str) -> str:
+    """Spark SQL: array of all single-character deletions of ``x``."""
+    return (
+        f"CASE WHEN length({x}) <= 0 THEN array() ELSE "
+        f"transform(sequence(1, length({x})), i -> "
+        f"concat(substring({x}, 1, i - 1), substring({x}, i + 1, length({x})))) END"
+    )
+
+
+@query(
+    "join_fuzzy",
+    oracle=(
+        # brute force is exact and affordable at oracle scale (|distinct
+        # names|^2 levenshtein calls); the Spark side must reproduce it
+        # from the pruned candidate space.
+        "WITH names AS (SELECT p_name, COUNT(*) AS cnt FROM part GROUP BY p_name) "
+        "SELECT a.p_name AS name_a, b.p_name AS name_b, "
+        "  levenshtein(a.p_name, b.p_name) AS dist, "
+        "  a.cnt AS cnt_a, b.cnt AS cnt_b "
+        "FROM names a JOIN names b ON a.p_name < b.p_name "
+        "WHERE levenshtein(a.p_name, b.p_name) <= 2"
+    ),
+)
+def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join (ed <= 2) without the cross join —
+    the string-matching primitive behind title/URL near-dup detection
+    and entity resolution. Candidate generation is the deletion-
+    neighborhood trick (SymSpell): two strings within edit distance 2
+    always share a member of their <=2-character-deletion neighborhoods
+    (take an optimal alignment; delete from each side the characters the
+    script touches — at most 2 per side — leaving a common string), so
+    an equi-join on the exploded variants is a LOSSLESS candidate
+    filter, and the built-in levenshtein verify on candidates makes the
+    result exact. Runs on DISTINCT strings (the vocabulary), with row
+    counts joined back — never once per duplicated row.
+
+    Scale: neighborhood size is O(L^2) per distinct string (L = string
+    length), generated map-side by a Catalyst transform — no Python.
+    The candidate join keys on the variant string (uniform md5-like
+    spread); the verify is O(candidates), never |vocab|^2. For long
+    strings (L > ~50) production switches to segment-pigeonhole
+    candidates (PassJoin): partition each string into d+1 segments and
+    index (segment, position) — neighborhood size drops to O(d*L)."""
+    names = (
+        load(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.length("p_name") > 0)
+    )
+    d1 = F.expr(_del1_sql("p_name"))
+    d2 = F.expr(
+        "flatten(transform(" + _del1_sql("p_name") + ", v -> " + _del1_sql("v") + "))"
+    )
+    variants = names.select(
+        "p_name",
+        F.explode(
+            F.array_distinct(F.concat(F.array(F.col("p_name")), d1, d2))
+        ).alias("variant"),
+    )
+    va, vb = variants.alias("va"), variants.alias("vb")
+    cand = (
+        va.join(
+            vb,
+            (F.col("va.variant") == F.col("vb.variant"))
+            & (F.col("va.p_name") < F.col("vb.p_name")),
+        )
+        .select(
+            F.col("va.p_name").alias("name_a"), F.col("vb.p_name").alias("name_b")
+        )
+        .distinct()
+    )
+    verified = cand.withColumn(
+        "dist", F.levenshtein("name_a", "name_b")
+    ).filter(F.col("dist") <= 2)
+    ca = names.select(F.col("p_name").alias("name_a"), F.col("cnt").alias("cnt_a"))
+    cb = names.select(F.col("p_name").alias("name_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        verified.join(F.broadcast(ca), "name_a")
+        .join(F.broadcast(cb), "name_b")
+        .select("name_a", "name_b", "dist", "cnt_a", "cnt_b")
+    )
