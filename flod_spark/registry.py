@@ -73,7 +73,10 @@ def ensure_shipped(spark: SparkSession) -> None:
 #   (a) the 23-query round-4 backlog — registrations that missed the
 #       round-4 50-cap and have never had a driver row (local parity
 #       green every round),
-#   (b) the new round-5 qkeys (first driver row),
+#   (b) the new round-5 qkeys (first driver row): dedup_substring,
+#       media_decode_png, plus the mid-round additions (sink_orc,
+#       sort_zorder, rollup_hierarchy, triangle_count, heavy_hitters,
+#       join_fuzzy, stream_outer_join_live),
 #   (c) one re-proof of simhash_pairs, whose implementation changed
 #       materially this round (64-bit banded signature — the r4 driver
 #       row proved the old 32-bit form),
@@ -96,7 +99,9 @@ _GATE_ORDER = (
     "stream_foreach_upsert_live", "stream_prep_live", "sink_compact",
     "scan_evolved", "sample_exact_k", "length_buckets", "curation_join",
     # (b) new round-5 qkeys
-    "dedup_substring", "media_decode_png",
+    "dedup_substring", "media_decode_png", "sink_orc", "sort_zorder",
+    "rollup_hierarchy", "triangle_count", "heavy_hitters", "join_fuzzy",
+    "stream_outer_join_live",
     # (c) changed-implementation re-proof
     "simhash_pairs",
     # (d) oldest-row re-proofs (last driver-proven round 2), filling
@@ -105,8 +110,7 @@ _GATE_ORDER = (
     "scan_queue", "take_limit", "by_line", "by_chunk",
     "by_chunk_arrays", "by_element", "adapter_noop", "sink_collect",
     "sink_discard", "sink_file", "sink_copy", "scan_binary",
-    "agg_group", "agg_distinct", "join_equi", "join_anti",
-    "join_asof", "join_range", "window_rank", "sort_topk",
+    "agg_group",
 )
 
 

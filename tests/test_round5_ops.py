@@ -1,0 +1,195 @@
+"""Tests for the round-5 mid-round operators: fuzzy join, heavy hitters,
+triangle counting, z-order locality, rollup decomposability, and the
+outer stream-stream join's deterministic null emission."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from flod_spark.catalog.analytics import _HH_C, _mg_candidates, heavy_hitters, triangle_count
+from flod_spark.catalog.codec_formats import sort_zorder
+from flod_spark.catalog.dedup import join_fuzzy
+from flod_spark.catalog.streaming_batch import rollup_hierarchy
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class TestJoinFuzzy:
+    def test_matches_brute_force(self, spark, sf_dir):
+        got = {
+            (r["name_a"], r["name_b"], r["dist"])
+            for r in join_fuzzy(spark, sf_dir).collect()
+        }
+        names = [
+            r["p_name"]
+            for r in spark.read.parquet(f"{sf_dir}/part.parquet")
+            .select("p_name")
+            .distinct()
+            .collect()
+        ]
+        want = {
+            (a, b, _lev(a, b))
+            for i, a in enumerate(names)
+            for b in names[i + 1 :]
+            if _lev(a, b) <= 2
+        }
+        # normalize pair order (a < b) in the brute force
+        want = {(min(a, b), max(a, b), d) for a, b, d in want}
+        assert got == want
+        assert want, "fuzzy-join test is vacuous: no close pairs in testdata"
+
+    def test_deletion_neighborhood_lossless_on_planted(self, spark, sf_dir):
+        # planted edit scripts: substitution, deletion, insertion, two-edit
+        base = "sparkling widget"
+        variants = {
+            "sparkling wadget": 1,  # substitution
+            "sparklng widget": 1,  # deletion
+            "sparklings widget": 1,  # insertion
+            "sparkl widget": 3,  # 3 deletions -> must NOT pair at d<=2
+            "sparkling wadgets": 2,  # sub + insert
+        }
+        import pandas as pd
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"p_name": [base, *variants]})
+        )
+        from flod_spark.catalog.dedup import _del1_sql
+
+        d1 = F.expr(_del1_sql("p_name"))
+        d2 = F.expr(
+            "flatten(transform(" + _del1_sql("p_name") + ", v -> " + _del1_sql("v") + "))"
+        )
+        v = df.select(
+            "p_name",
+            F.explode(F.array_distinct(F.concat(F.array("p_name"), d1, d2))).alias("var"),
+        )
+        va, vb = v.alias("va"), v.alias("vb")
+        cand = (
+            va.join(
+                vb,
+                (F.col("va.var") == F.col("vb.var"))
+                & (F.col("va.p_name") < F.col("vb.p_name")),
+            )
+            .select(F.col("va.p_name").alias("a"), F.col("vb.p_name").alias("b"))
+            .distinct()
+        )
+        pairs = {
+            tuple(sorted((r["a"], r["b"])))
+            for r in cand.withColumn("d", F.levenshtein("a", "b"))
+            .filter(F.col("d") <= 2)
+            .collect()
+        }
+        for variant, dist in variants.items():
+            key = tuple(sorted((base, variant)))
+            if dist <= 2:
+                assert key in pairs, f"missed {variant} at distance {dist}"
+            else:
+                assert key not in pairs
+
+
+class TestHeavyHitters:
+    def test_exact_vs_groupby(self, spark, sf_dir):
+        got = {
+            (r["user_id"], r["cnt"]) for r in heavy_hitters(spark, sf_dir).collect()
+        }
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+            F.col("user_id").isNotNull()
+        )
+        n = ev.count()
+        want = {
+            (r["user_id"], r["cnt"])
+            for r in ev.groupBy("user_id")
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") * _HH_C > n)
+            .collect()
+        }
+        assert got == want
+        assert want, "heavy-hitter test is vacuous: no keys above threshold"
+
+    def test_mg_candidates_superset_under_adversarial_partitioning(self, spark):
+        # one heavy key diluted across partitions among many unique keys:
+        # the bounded-memory summary must still surface it
+        import pandas as pd
+
+        n_parts, per_part = 8, 4000
+        rows = []
+        for p in range(n_parts):
+            rows.extend([7] * 60)  # heavy key: 480 total
+            rows.extend(range(p * per_part + 1000, p * per_part + 1000 + per_part))
+        df = spark.createDataFrame(
+            pd.DataFrame({"user_id": pd.Series(rows, dtype="int64")})
+        ).repartition(n_parts)
+        cand = {
+            r["user_id"]
+            for r in df.mapInPandas(_mg_candidates, schema="user_id long")
+            .distinct()
+            .collect()
+        }
+        n = len(rows)
+        # global freq 480 > n/_HH_C -> the lemma promises key 7 survives
+        assert 480 > n / _HH_C
+        assert 7 in cand
+        # bounded output: at most C entries per partition
+        assert len(cand) <= n_parts * _HH_C
+
+
+class TestTriangleCount:
+    def test_total_is_multiple_of_three_roles(self, spark):
+        sf01 = "/root/testdata/sf0.01"
+        rows = triangle_count(spark, sf01).collect()
+        total = sum(r["n_tri"] for r in rows)
+        assert total % 3 == 0 and total > 0
+        # every node's count positive (zero-count nodes are absent)
+        assert all(r["n_tri"] > 0 for r in rows)
+
+
+class TestSortZorder:
+    def test_bucket_locality(self, spark, sf_dir):
+        # z >> 24 pins the top 4 bits of each 16-bit dim: every bucket
+        # must span < 2^12 in BOTH quantized dimensions — the property
+        # that makes file-level min/max prune on either predicate column
+        for r in sort_zorder(spark, sf_dir).collect():
+            assert r["max_qp"] - r["min_qp"] < 4096
+            assert r["max_qd"] - r["min_qd"] < 4096
+
+
+class TestRollupHierarchy:
+    def test_day_level_equals_direct_aggregation(self, spark, sf_dir):
+        out = rollup_hierarchy(spark, sf_dir)
+        day = {
+            (r["bucket_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in out.filter(F.col("level") == "day").collect()
+        }
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        direct = {
+            (r["b"], r["event_type"]): (r["n"], r["sv"])
+            for r in ev.groupBy(
+                F.date_trunc("day", F.col("ts")).alias("b"), "event_type"
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv"),
+            )
+            .collect()
+        }
+        assert day == direct
+
+
+class TestStreamOuterJoinLive:
+    def test_null_emission_deterministic(self, spark):
+        from flod_spark.catalog.streaming_live import stream_outer_join_live
+
+        sf = "/root/testdata/sf0.001"
+        a = stream_outer_join_live(spark, sf).collect()
+        b = stream_outer_join_live(spark, sf).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        nulls = [r for r in a if r["click_id"] is None]
+        assert nulls, "outer-join test is vacuous: every signup matched a click"
