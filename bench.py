@@ -69,6 +69,15 @@ HEADLINE = [
     # inflate -> unfilter -> feature, two Arrow stages)
     "dedup_substring",
     "media_decode_png",
+    # mid-round-5 additions: frequency/graph/layout/fuzzy-join coverage —
+    # each a different shuffle shape (bounded-memory candidate pass, the
+    # co-occurrence pair build, map-only interleave + tiny agg, rollup
+    # re-aggregation, deletion-neighborhood join)
+    "heavy_hitters",
+    "triangle_count",
+    "sort_zorder",
+    "rollup_hierarchy",
+    "join_fuzzy",
 ]
 
 

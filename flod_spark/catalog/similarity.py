@@ -838,3 +838,179 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mx").alias("scale"),
         F.array_join(q, ",").alias("qvec"),
     )
+
+
+# Product quantization geometry: M subspaces x K centroids over the 64-dim
+# embeddings (16 dims per subspace, 4-bit codes).
+_PQ_M, _PQ_K, _PQ_SUBDIM = 4, 16, 16
+
+
+def _pq_oracle() -> str:
+    codes = ", ".join(
+        f"MAX(CASE WHEN m = {m} THEN cid END) AS code_{m}" for m in range(_PQ_M)
+    )
+    err = " + ".join(f"MAX(CASE WHEN m = {m} THEN dist END)" for m in range(_PQ_M))
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"ms AS (SELECT unnest(range({_PQ_M})) AS m), "
+        "sub AS (SELECT vec_id, m, "
+        f"    list_slice(v, m * {_PQ_SUBDIM} + 1, (m + 1) * {_PQ_SUBDIM}) AS sv "
+        "  FROM e, ms), "
+        f"cent AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < {_PQ_K}), "
+        "d AS (SELECT s.vec_id, s.m, c.cid, "
+        "    list_reduce(list_transform(list_zip(s.sv, c.cv), "
+        "      x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, t) -> acc + t) AS dist "
+        "  FROM sub s JOIN cent c USING (m)), "
+        "r AS (SELECT vec_id, m, cid, dist, "
+        "    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rk FROM d), "
+        "b AS (SELECT vec_id, m, cid, dist FROM r WHERE rk = 1) "
+        f"SELECT vec_id, {codes}, {err} AS err FROM b GROUP BY vec_id"
+    )
+
+
+@query("embed_pq", oracle=_pq_oracle())
+def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jegou et al., the FAISS IVF-PQ building
+    block): split each 64-dim embedding into 4 subvectors of 16 dims,
+    assign each to its nearest of 16 per-subspace centroids, and emit
+    the 4-bit-per-subspace code word plus the exact reconstruction
+    error. 64 dims x 4 bytes compress to 4 code bytes (64x), and ANN
+    search then scans codes with a per-query distance lookup table
+    (asymmetric distance) instead of raw vectors. The codebook here is
+    the deterministic Forgy sample (subvectors of the 16 smallest
+    vec_ids) so both engines derive it from the table — kmeans_iter is
+    the registered Lloyd-refinement template a production codebook
+    would add. Exactness: subvector distances are one sequential
+    zip-fold of identical IEEE doubles; argmin breaks ties on centroid
+    id; the error sum adds the 4 subspace minima in fixed order.
+
+    Scale: centroids are M x K = 64 tiny rows — broadcast (production
+    bakes them into the task closure as FAISS does); assignment is a
+    map-side broadcast join with partial-agg argmin, so nothing
+    shuffles but (vec, subspace) minima. The 64x compression is what
+    lets a 100 TB embedding corpus fit an in-memory ANN index."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    slices = F.array(
+        *[F.slice("v", m * _PQ_SUBDIM + 1, _PQ_SUBDIM) for m in range(_PQ_M)]
+    )
+    sub = emb.select("vec_id", F.posexplode(slices).alias("m", "sv"))
+    cent = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv")
+    )
+    dist = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored = sub.join(F.broadcast(cent), "m").select(
+        "vec_id", "m", "cid", dist.alias("dist")
+    )
+    best = scored.groupBy("vec_id", "m").agg(
+        F.min_by("cid", F.struct("dist", "cid")).alias("cid"),
+        F.min("dist").alias("dist"),
+    )
+    code_cols = [
+        F.max(F.when(F.col("m") == m, F.col("cid"))).alias(f"code_{m}")
+        for m in range(_PQ_M)
+    ]
+    err_terms = [F.max(F.when(F.col("m") == m, F.col("dist"))) for m in range(_PQ_M)]
+    err = err_terms[0]
+    for t in err_terms[1:]:
+        err = err + t
+    return best.groupBy("vec_id").agg(*code_cols, err.alias("err"))
+
+
+def _pq_adc_oracle() -> str:
+    adist = " + ".join(f"MAX(CASE WHEN m = {m} THEN lut END)" for m in range(_PQ_M))
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"ms AS (SELECT unnest(range({_PQ_M})) AS m), "
+        "sub AS (SELECT vec_id, m, "
+        f"    list_slice(v, m * {_PQ_SUBDIM} + 1, (m + 1) * {_PQ_SUBDIM}) AS sv "
+        "  FROM e, ms), "
+        f"cent AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < {_PQ_K}), "
+        "d AS (SELECT s.vec_id, s.m, c.cid, "
+        "    list_reduce(list_transform(list_zip(s.sv, c.cv), "
+        "      x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, t) -> acc + t) AS dist "
+        "  FROM sub s JOIN cent c USING (m)), "
+        "r AS (SELECT vec_id, m, cid, dist, "
+        "    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rk FROM d), "
+        "codes AS (SELECT vec_id, m, cid FROM r WHERE rk = 1), "
+        # the SAME per-(vector,subspace,centroid) distances double as the
+        # query lookup tables — queries are corpus members here
+        f"lut AS (SELECT vec_id AS query_id, m, cid, dist AS lut FROM d WHERE vec_id < {NQ}), "
+        "a AS (SELECT l.query_id, c.vec_id AS neighbor_id, c.m, l.lut "
+        "  FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid "
+        "  WHERE c.vec_id <> l.query_id), "
+        f"s AS (SELECT query_id, neighbor_id, {adist} AS adist "
+        "  FROM a GROUP BY query_id, neighbor_id), "
+        "t AS (SELECT query_id, neighbor_id, adist, "
+        "    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rk "
+        "  FROM s) "
+        f"SELECT query_id, neighbor_id, adist, CAST(rk AS BIGINT) AS rk FROM t WHERE rk <= {K}"
+    )
+
+
+@query("sim_pq_adc", oracle=_pq_adc_oracle())
+def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search over the embed_pq codes with asymmetric distance
+    computation (ADC) — how a PQ index is actually queried: each query
+    precomputes a tiny M x K lookup table of subspace distances to every
+    centroid, and a candidate's approximate distance is just M table
+    lookups summed per its code word — no per-pair vector math at all.
+    Top-K per query (first NQ vec_ids as queries, self excluded,
+    neighbor-id tiebreak). Exact cross-engine: the LUT entries are the
+    same sequential zip-folds as embed_pq, and the M-term sum adds in
+    fixed subspace order.
+
+    Scale: THE serving plan for 100 TB ANN — the corpus side touches
+    only 4-byte codes (64x less I/O than vectors); LUTs are NQ x M x K
+    doubles broadcast to every task; the scan is map-side with a
+    per-query TakeOrdered. Recall tuning (more centroids, OPQ
+    rotations, IVF cell pruning via sim_ivf) changes constants, not the
+    plan shape."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    slices = F.array(
+        *[F.slice("v", m * _PQ_SUBDIM + 1, _PQ_SUBDIM) for m in range(_PQ_M)]
+    )
+    sub = emb.select("vec_id", F.posexplode(slices).alias("m", "sv"))
+    cent = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv")
+    )
+    dist = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored = sub.join(F.broadcast(cent), "m").select(
+        "vec_id", "m", "cid", dist.alias("dist")
+    )
+    codes = (
+        scored.groupBy("vec_id", "m")
+        .agg(F.min_by("cid", F.struct("dist", "cid")).alias("cid"))
+    )
+    lut = scored.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), "m", "cid", F.col("dist").alias("lut")
+    )
+    joined = (
+        codes.join(F.broadcast(lut), ["m", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "m", "lut")
+    )
+    terms = [
+        F.max(F.when(F.col("m") == m, F.col("lut"))) for m in range(_PQ_M)
+    ]
+    adist = terms[0]
+    for t in terms[1:]:
+        adist = adist + t
+    s = joined.groupBy("query_id", "neighbor_id").agg(adist.alias("adist"))
+    w = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("neighbor_id"))
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K)
+        .withColumn("rk", F.col("rk").cast("long"))
+    )

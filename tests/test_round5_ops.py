@@ -193,3 +193,36 @@ class TestStreamOuterJoinLive:
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
         nulls = [r for r in a if r["click_id"] is None]
         assert nulls, "outer-join test is vacuous: every signup matched a click"
+
+
+class TestEmbedPQ:
+    def test_codebook_members_self_assign_with_zero_error(self, spark, sf_dir):
+        from flod_spark.catalog.similarity import _PQ_K, embed_pq
+
+        rows = {r["vec_id"]: r for r in embed_pq(spark, sf_dir).collect()}
+        for vid in range(_PQ_K):
+            r = rows[vid]
+            # a codebook vector's subvectors ARE centroids: exact self-match
+            assert (r["code_0"], r["code_1"], r["code_2"], r["code_3"]) == (
+                vid,
+                vid,
+                vid,
+                vid,
+            )
+            assert r["err"] == 0.0
+        # all errors non-negative, all codes in range
+        for r in rows.values():
+            assert r["err"] >= 0.0
+            for m in range(4):
+                assert 0 <= r[f"code_{m}"] < _PQ_K
+
+    def test_adc_ranks_are_dense_per_query(self, spark, sf_dir):
+        from flod_spark.catalog.similarity import K, NQ, sim_pq_adc
+
+        rows = sim_pq_adc(spark, sf_dir).collect()
+        per_q: dict = {}
+        for r in rows:
+            per_q.setdefault(r["query_id"], []).append(r["rk"])
+        assert set(per_q) == set(range(NQ))
+        for rks in per_q.values():
+            assert sorted(rks) == list(range(1, K + 1))
