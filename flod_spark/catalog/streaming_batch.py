@@ -325,3 +325,36 @@ def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return lvl(minute, "minute").unionByName(lvl(hour, "hour")).unionByName(lvl(day, "day"))
+
+
+@query(
+    "sliding_distinct",
+    oracle=(
+        "WITH w AS (SELECT DISTINCT user_id, unnest(generate_series("
+        "    time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '45 minutes', "
+        "    time_bucket(INTERVAL '15 minutes', ts), INTERVAL '15 minutes')) AS win_start "
+        "  FROM events WHERE user_id IS NOT NULL) "
+        "SELECT win_start, COUNT(*) AS n_users FROM w GROUP BY win_start"
+    ),
+)
+def sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per sliding 1-hour window (15-min slide) — the
+    active-users metric, computed EXACTLY with the two-level plan:
+    level 1 dedups (window, user) pairs (partial agg collapses each
+    task's repeats before the exchange), level 2 counts the deduped
+    pairs per window. A direct countDistinct would ship every event
+    occurrence to the window's reducer; this ships each (window, user)
+    pair once per task.
+
+    Scale: the partial-dedup level bounds the exchange at
+    |windows x users-per-task|, independent of event volume; beyond
+    ~10^9 users per window the exact form hands off to HLL sketches
+    (agg_approx's documented territory) with mergeable state."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    pairs = ev.groupBy(
+        F.window("ts", "1 hour", "15 minutes").alias("w"), "user_id"
+    ).agg(F.lit(1).alias("_one"))
+    return (
+        pairs.groupBy(F.col("w.start").alias("win_start"))
+        .agg(F.count("*").alias("n_users"))
+    )

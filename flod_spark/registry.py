@@ -101,7 +101,7 @@ _GATE_ORDER = (
     # (b) new round-5 qkeys
     "dedup_substring", "media_decode_png", "sink_orc", "sort_zorder",
     "rollup_hierarchy", "triangle_count", "heavy_hitters", "join_fuzzy",
-    "stream_outer_join_live", "embed_pq", "sim_pq_adc",
+    "stream_outer_join_live", "embed_pq", "sim_pq_adc", "sliding_distinct",
     # (c) changed-implementation re-proof
     "simhash_pairs",
     # (d) oldest-row re-proofs (last driver-proven round 2), filling
@@ -109,7 +109,7 @@ _GATE_ORDER = (
     "scan_file", "scan_array", "scan_range", "scan_delegate",
     "scan_queue", "take_limit", "by_line", "by_chunk",
     "by_chunk_arrays", "by_element", "adapter_noop", "sink_collect",
-    "sink_discard", "sink_file", "sink_copy",
+    "sink_discard", "sink_file",
 )
 
 

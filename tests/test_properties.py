@@ -89,3 +89,40 @@ def test_fixed_point_sum_is_order_free(vals):
     assert sum(ints) == sum(reversed(ints)) == sum(sorted(ints))
     # quantization error bound: n ulps at 2^-40
     assert abs(sum(ints) / FXP - math.fsum(float(v) for v in vals)) <= len(vals) / FXP
+
+
+def _del_neighborhood(s: str, d: int = 2) -> set:
+    out = {s}
+    frontier = {s}
+    for _ in range(d):
+        nxt = set()
+        for w in frontier:
+            for i in range(len(w)):
+                nxt.add(w[:i] + w[i + 1 :])
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=300, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    a=st.text(alphabet=list("abc"), max_size=8),
+    b=st.text(alphabet=list("abc"), max_size=8),
+)
+def test_deletion_neighborhood_candidate_filter_is_lossless(a, b):
+    """join_fuzzy's SymSpell lemma (dedup.py): edit distance <= 2 implies
+    the <=2-deletion neighborhoods intersect — the candidate equi-join can
+    over-generate (verified away by levenshtein) but NEVER under-generate.
+    Tiny alphabet maximizes collision density, the adversarial case."""
+    if _lev(a, b) <= 2:
+        assert _del_neighborhood(a) & _del_neighborhood(b), (a, b)
