@@ -625,3 +625,144 @@ def stream_prep_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = drop_duplicates_unbounded(kept, "fp")
     return _drain(deduped, spark).select("doc_id", "lang", "fp")
+
+
+@query(
+    "stream_outer_join_live",
+    oracle=(
+        "SELECT e1.event_id AS signup_id, e2.event_id AS click_id "
+        "FROM events e1 LEFT JOIN events e2 ON e1.user_id = e2.user_id "
+        " AND e2.event_type = 'click' "
+        " AND e2.event_id <> e1.event_id "
+        " AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 30 MINUTE "
+        "WHERE e1.event_type = 'signup'"
+    ),
+)
+def stream_outer_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream LEFT OUTER join — stream_join_live's shape
+    (clicks within 30 min after a signup) plus the null-emission path:
+    a signup with no matching click emits (signup_id, NULL) once the
+    watermark proves no future click can match. Null emission is
+    watermark-driven state EVICTION, which only happens in a LATER
+    micro-batch, so end-of-stream needs care: three far-future sentinel
+    batches are appended (signup at +10d, click at +11d, either at
+    +12d). The global watermark is the MIN over both sides' watermark
+    nodes, so the first two sentinels advance each side past every real
+    row, and the third batch runs with that watermark applied, evicting
+    and emitting every real unmatched signup deterministically — no
+    reliance on Spark's best-effort no-data micro-batches. Sentinel
+    rows use negative ids and never equi-match; the output filter drops
+    them. The oracle is then a plain batch LEFT JOIN with no horizon
+    cutoff.
+
+    Scale: identical state story to the inner join — watermark + range
+    bound evict join state; the outer path adds only the per-row
+    matched bit Spark keeps to decide null emission."""
+    import datetime as _dt
+
+    from flod_spark.streaming.replay import append_sentinel_batches
+
+    ev = load(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_oj_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4, tiebreak=("event_id",))
+    if max_ts is not None:
+        append_sentinel_batches(
+            spark,
+            replay_dir,
+            [
+                (-1, max_ts + _dt.timedelta(days=10), -1, "signup", 0.0, "{}"),
+                (-2, max_ts + _dt.timedelta(days=11), -2, "click", 0.0, "{}"),
+                (-3, max_ts + _dt.timedelta(days=12), -3, "signup", 0.0, "{}"),
+            ],
+            ev.schema,
+        )
+    stream = with_event_time(stream)
+    signups = (
+        stream.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("u"),
+            F.col("ts").alias("ts_s"),
+        )
+        .withWatermark("ts_s", "2 hours")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("u2"),
+            F.col("ts").alias("ts_c"),
+        )
+        .withWatermark("ts_c", "2 hours")
+    )
+    joined = signups.join(
+        clicks,
+        (F.col("u") == F.col("u2"))
+        & (F.col("click_id") != F.col("signup_id"))
+        & (F.col("ts_c") >= F.col("ts_s"))
+        & (F.col("ts_c") <= F.col("ts_s") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select("signup_id", "click_id")
+    return _drain(joined, spark).filter(F.col("signup_id") >= 0)
+
+
+@query(
+    "stream_sliding_distinct_live",
+    oracle=(
+        "WITH w AS (SELECT DISTINCT user_id, unnest(generate_series("
+        "    time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '45 minutes', "
+        "    time_bucket(INTERVAL '15 minutes', ts), INTERVAL '15 minutes')) AS win_start "
+        "  FROM events WHERE user_id IS NOT NULL) "
+        "SELECT win_start, COUNT(*) AS n_users FROM w GROUP BY win_start"
+    ),
+)
+def stream_sliding_distinct_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming operators — sliding_distinct on the
+    live path: a first streaming aggregation dedups (window, user)
+    pairs in keyed state, a SECOND streaming aggregation downstream
+    counts the deduped pairs per window (Spark's multiple-stateful-
+    operator support; the second agg groups on the window struct the
+    first produced, so watermark propagation evicts both states in
+    lockstep). Two far-future sentinel rows (never-matching negative
+    user ids) make end-of-stream emission deterministic: the first
+    advances the watermark past every real window, the next batch
+    applies it, flushing BOTH operators — so the oracle is the full
+    batch answer with NO horizon cutoff; the output filter drops the
+    sentinel-only far-future windows.
+
+    Scale: state is |open windows x users-per-window| for level 1 and
+    |open windows| for level 2, both watermark-bounded; the exchange
+    carries deduped pairs, never raw events — the streaming form of
+    sliding_distinct's two-level exactness."""
+    import datetime as _dt
+
+    from flod_spark.streaming.replay import append_sentinel_batches
+
+    ev = load(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_sd_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4, tiebreak=("event_id",))
+    if max_ts is not None:
+        append_sentinel_batches(
+            spark,
+            replay_dir,
+            [
+                (-1, max_ts + _dt.timedelta(days=10), -1, "view", 0.0, "{}"),
+                (-2, max_ts + _dt.timedelta(days=11), -2, "view", 0.0, "{}"),
+            ],
+            ev.schema,
+        )
+    s = with_event_time(stream).filter(F.col("user_id").isNotNull())
+    pairs = (
+        s.withWatermark("ts", _WATERMARK)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("_n"))
+    )
+    counts = pairs.groupBy("w").agg(F.count("*").alias("n_users"))
+    got = _drain(counts, spark)
+    return got.select(
+        as_naive(F.col("w.start")).alias("win_start"), "n_users"
+    ).filter(F.col("win_start") <= F.lit(max_ts))

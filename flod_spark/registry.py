@@ -102,6 +102,7 @@ _GATE_ORDER = (
     "dedup_substring", "media_decode_png", "sink_orc", "sort_zorder",
     "rollup_hierarchy", "triangle_count", "heavy_hitters", "join_fuzzy",
     "stream_outer_join_live", "embed_pq", "sim_pq_adc", "sliding_distinct",
+    "stream_sliding_distinct_live",
     # (c) changed-implementation re-proof
     "simhash_pairs",
     # (d) oldest-row re-proofs (last driver-proven round 2), filling
@@ -109,7 +110,7 @@ _GATE_ORDER = (
     "scan_file", "scan_array", "scan_range", "scan_delegate",
     "scan_queue", "take_limit", "by_line", "by_chunk",
     "by_chunk_arrays", "by_element", "adapter_noop", "sink_collect",
-    "sink_discard", "sink_file",
+    "sink_discard",
 )
 
 

@@ -117,3 +117,30 @@ def replay_stream(
         .option("maxFilesPerTrigger", 1)
         .parquet(out_dir)
     )
+
+
+def append_sentinel_batches(spark, out_dir: str, rows, schema) -> None:
+    """Append each row as its OWN single-file micro-batch replayed AFTER
+    every existing file (strictly increasing pinned mod times — the file
+    source replays in mod-time order).
+
+    Far-future sentinel rows are how a finite replay makes watermark-
+    driven emission deterministic: eviction/null-emission happens only in
+    a batch AFTER the watermark advances, so end-of-stream results would
+    otherwise depend on Spark's best-effort no-data micro-batches. One
+    sentinel advances a watermark node; one more batch applies it — use
+    as many as the query has watermark nodes, plus one."""
+    import glob as _glob
+    import os as _os
+
+    base = max(
+        (_os.path.getmtime(f) for f in _glob.glob(f"{out_dir}/part-*")),
+        default=0.0,
+    )
+    for i, row in enumerate(rows):
+        before = set(_glob.glob(f"{out_dir}/part-*"))
+        spark.createDataFrame([row], schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(out_dir)
+        for f in set(_glob.glob(f"{out_dir}/part-*")) - before:
+            _os.utime(f, (base + 10.0 * (i + 1), base + 10.0 * (i + 1)))

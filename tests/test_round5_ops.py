@@ -226,3 +226,21 @@ class TestEmbedPQ:
         assert set(per_q) == set(range(NQ))
         for rks in per_q.values():
             assert sorted(rks) == list(range(1, K + 1))
+
+
+class TestStreamSlidingDistinctLive:
+    def test_chained_states_flush_and_match_batch(self, spark):
+        from flod_spark.catalog.streaming_batch import sliding_distinct
+        from flod_spark.catalog.streaming_live import stream_sliding_distinct_live
+
+        sf = "/root/testdata/sf0.001"
+        live = {
+            (r["win_start"], r["n_users"])
+            for r in stream_sliding_distinct_live(spark, sf).collect()
+        }
+        batch = {
+            (r["win_start"], r["n_users"]) for r in sliding_distinct(spark, sf).collect()
+        }
+        # the sentinel flush means NO horizon: live == batch exactly
+        assert live == batch
+        assert live, "sliding-distinct live test is vacuous"
