@@ -925,12 +925,31 @@ def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings (L > ~50) production switches to segment-pigeonhole
     candidates (PassJoin): partition each string into d+1 segments and
     index (segment, position) — neighborhood size drops to O(d*L)."""
-    names = (
+    names = _part_names(spark, sf_dir)
+    verified = _fuzzy_name_pairs(names)
+    ca = names.select(F.col("p_name").alias("name_a"), F.col("cnt").alias("cnt_a"))
+    cb = names.select(F.col("p_name").alias("name_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        verified.join(F.broadcast(ca), "name_a")
+        .join(F.broadcast(cb), "name_b")
+        .select("name_a", "name_b", "dist", "cnt_a", "cnt_b")
+    )
+
+
+def _part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
         load(spark, sf_dir, "part")
         .groupBy("p_name")
         .agg(F.count("*").alias("cnt"))
         .filter(F.length("p_name") > 0)
     )
+
+
+def _fuzzy_name_pairs(names: DataFrame) -> DataFrame:
+    """Verified edit-distance<=2 pairs (name_a < name_b, dist) from a
+    vocabulary frame with a p_name column — join_fuzzy's deletion-
+    neighborhood candidate join + levenshtein verify, shared with
+    entity_resolve."""
     d1 = F.expr(_del1_sql("p_name"))
     d2 = F.expr(
         "flatten(transform(" + _del1_sql("p_name") + ", v -> " + _del1_sql("v") + "))"
@@ -953,13 +972,54 @@ def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    verified = cand.withColumn(
-        "dist", F.levenshtein("name_a", "name_b")
-    ).filter(F.col("dist") <= 2)
-    ca = names.select(F.col("p_name").alias("name_a"), F.col("cnt").alias("cnt_a"))
-    cb = names.select(F.col("p_name").alias("name_b"), F.col("cnt").alias("cnt_b"))
+    return cand.withColumn("dist", F.levenshtein("name_a", "name_b")).filter(
+        F.col("dist") <= 2
+    )
+
+
+@query(
+    "entity_resolve",
+    oracle=(
+        "WITH RECURSIVE names AS (SELECT p_name, COUNT(*) AS cnt FROM part "
+        "  WHERE length(p_name) > 0 GROUP BY p_name), "
+        "pairs AS (SELECT a.p_name AS a, b.p_name AS b "
+        "  FROM names a JOIN names b ON a.p_name < b.p_name "
+        "  WHERE levenshtein(a.p_name, b.p_name) <= 2), "
+        "und AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs), "
+        "reach AS (SELECT p_name AS n, p_name AS r FROM names "
+        "  UNION SELECT reach.n, und.b FROM reach JOIN und ON und.a = reach.r), "
+        "g AS (SELECT n, MIN(r) AS canonical FROM reach GROUP BY n) "
+        "SELECT g.n AS name, g.canonical, g.n <> g.canonical AS is_alias, names.cnt "
+        "FROM g JOIN names ON names.p_name = g.n"
+    ),
+)
+def entity_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution — the composition the individual
+    operators exist for: fuzzy-match the vocabulary (join_fuzzy's
+    deletion-neighborhood join), take connected components of the match
+    graph (A~B, B~C collapse even though A,C never matched directly;
+    operators/graph.py's large-star/small-star), and assign every name
+    its component's canonical form (min name) plus its row mass. The
+    oracle recomputes the same closure with a recursive CTE over the
+    brute-force pair graph.
+
+    Scale: pairs are the bounded fuzzy join; components are O(log n)
+    edge-list shuffle rounds (never a component inside one task);
+    the canonical assignment is one left join — the same shape that
+    resolves billions of merchant/product names."""
+    from flod_spark.operators.graph import connected_components
+
+    names = _part_names(spark, sf_dir)
+    pairs = _fuzzy_name_pairs(names)
+    comp = connected_components(pairs, src="name_a", dst="name_b")
     return (
-        verified.join(F.broadcast(ca), "name_a")
-        .join(F.broadcast(cb), "name_b")
-        .select("name_a", "name_b", "dist", "cnt_a", "cnt_b")
+        names.join(
+            comp.withColumnRenamed("node", "p_name"), "p_name", "left"
+        )
+        .select(
+            F.col("p_name").alias("name"),
+            F.coalesce("component", "p_name").alias("canonical"),
+            (F.coalesce("component", "p_name") != F.col("p_name")).alias("is_alias"),
+            "cnt",
+        )
     )

@@ -2493,3 +2493,86 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_nonpositive_totals")
     )
     return null_keys.crossJoin(dup_keys).crossJoin(orphans).crossJoin(bad_totals)
+
+
+# quantile_exact_2pass: histogram resolution for the coarse pass
+_QE_BUCKETS = 4096
+_QE_PCTS = (50, 90, 99)
+
+
+def _qe_oracle() -> str:
+    cases = ", ".join(
+        f"MAX(CASE WHEN rk = (c - 1) * {p} // 100 + 1 THEN x END) AS p{p}"
+        for p in _QE_PCTS
+    )
+    return (
+        "WITH s AS (SELECT l_extendedprice AS x FROM lineitem), "
+        "n AS (SELECT COUNT(*) AS c FROM s), "
+        "r AS (SELECT x, row_number() OVER (ORDER BY x) AS rk FROM s) "
+        f"SELECT {cases} FROM r, n GROUP BY c"
+    )
+
+
+@query("quantile_exact_2pass", oracle=_qe_oracle())
+def quantile_exact_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global quantiles (p50/p90/p99) without a global sort — the
+    two-pass selection algorithm every engine uses when approxQuantile's
+    error bound isn't acceptable (billing thresholds, SLO cutoffs):
+    pass 1 histograms the column into 4096 fixed-width buckets (one
+    partial-agg shuffle of <= 4096 rows); the driver walks the
+    cumulative counts to locate each target rank's bucket; pass 2 reads
+    ONLY that bucket's rows (predicate pushed to the scan) and selects
+    the local rank via TakeOrderedAndProject. The value at rank k is
+    well-defined under ties regardless of tie order, so the answer is
+    exact; the rank formula (nearest-rank, (n-1)*p//100 + 1) is integer
+    arithmetic on both engines. The bucketing is internal — correctness
+    never depends on float bucket edges, only both passes sharing the
+    expression.
+
+    Scale: pass 1 state is 4096 counters per task; pass 2 touches
+    ~n/4096 rows per target. At 100 TB a bucket may still hold millions
+    of rows — recurse the same histogram within the bucket (each level
+    divides by 4096; two levels cover 10^13 rows) instead of raising
+    the TakeOrdered limit. Driver-side state is one 4096-entry array —
+    the replay-boundary rule, never data-sized."""
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_extendedprice").alias("x"))
+    stats = li.agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx"), F.count("*").alias("n")
+    ).collect()[0]
+    mn, mx, n = stats["mn"], stats["mx"], stats["n"]
+    if n == 0 or mn == mx:
+        # degenerate: all-equal (or empty) input — every quantile is mn
+        return spark.createDataFrame(
+            [tuple([mn] * len(_QE_PCTS))], schema=", ".join(f"p{p} double" for p in _QE_PCTS)
+        )
+    bucket = F.least(
+        F.lit(_QE_BUCKETS - 1),
+        F.floor((F.col("x") - F.lit(mn)) * F.lit(float(_QE_BUCKETS)) / F.lit(mx - mn)),
+    ).cast("int")
+    counts = {
+        r["b"]: r["c"]
+        for r in li.select(bucket.alias("b")).groupBy("b").agg(F.count("*").alias("c")).collect()
+    }
+    sels = []
+    for p in _QE_PCTS:
+        rank = (n - 1) * p // 100 + 1
+        cum = 0
+        target_b = _QE_BUCKETS - 1
+        for b in range(_QE_BUCKETS):
+            c = counts.get(b, 0)
+            if cum + c >= rank:
+                target_b = b
+                break
+            cum += c
+        local = rank - cum
+        val = (
+            li.filter(bucket == target_b)
+            .orderBy("x")
+            .limit(local)
+            .agg(F.max("x").alias(f"p{p}"))
+        )
+        sels.append(val)
+    out = sels[0]
+    for v in sels[1:]:
+        out = out.crossJoin(v)
+    return out

@@ -102,15 +102,14 @@ _GATE_ORDER = (
     "dedup_substring", "media_decode_png", "sink_orc", "sort_zorder",
     "rollup_hierarchy", "triangle_count", "heavy_hitters", "join_fuzzy",
     "stream_outer_join_live", "embed_pq", "sim_pq_adc", "sliding_distinct",
-    "stream_sliding_distinct_live",
+    "stream_sliding_distinct_live", "quantile_exact_2pass", "entity_resolve",
     # (c) changed-implementation re-proof
     "simhash_pairs",
     # (d) oldest-row re-proofs (last driver-proven round 2), filling
     # to the 50-cap in registration order
     "scan_file", "scan_array", "scan_range", "scan_delegate",
     "scan_queue", "take_limit", "by_line", "by_chunk",
-    "by_chunk_arrays", "by_element", "adapter_noop", "sink_collect",
-    "sink_discard",
+    "by_chunk_arrays", "by_element", "adapter_noop",
 )
 
 

@@ -244,3 +244,53 @@ class TestStreamSlidingDistinctLive:
         # the sentinel flush means NO horizon: live == batch exactly
         assert live == batch
         assert live, "sliding-distinct live test is vacuous"
+
+
+class TestQuantileExact2Pass:
+    def test_matches_sorted_python(self, spark, sf_dir):
+        from flod_spark.catalog.relational import _QE_PCTS, quantile_exact_2pass
+
+        row = quantile_exact_2pass(spark, sf_dir).collect()[0]
+        xs = sorted(
+            r["l_extendedprice"]
+            for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .select("l_extendedprice")
+            .collect()
+        )
+        n = len(xs)
+        for p in _QE_PCTS:
+            want = xs[(n - 1) * p // 100]  # nearest-rank, 0-indexed
+            assert row[f"p{p}"] == want
+
+    def test_all_equal_input_degenerates_to_single_bin(self, spark, tmp_path):
+        import pandas as pd
+
+        from flod_spark.catalog.relational import quantile_exact_2pass
+
+        d = str(tmp_path / "sfdeg")
+        import os
+
+        os.makedirs(d)
+        pd.DataFrame({"l_extendedprice": [42.0] * 100}).to_parquet(
+            f"{d}/lineitem.parquet"
+        )
+        row = quantile_exact_2pass(spark, d).collect()[0]
+        assert (row["p50"], row["p90"], row["p99"]) == (42.0, 42.0, 42.0)
+
+
+class TestEntityResolve:
+    def test_canonical_closed_under_fuzzy_pairs(self, spark, sf_dir):
+        from flod_spark.catalog.dedup import entity_resolve, join_fuzzy
+
+        canon = {
+            r["name"]: r["canonical"] for r in entity_resolve(spark, sf_dir).collect()
+        }
+        # every matched pair must share a canonical form (transitivity)
+        for r in join_fuzzy(spark, sf_dir).collect():
+            assert canon[r["name_a"]] == canon[r["name_b"]]
+        # canonical is a member of its own entity and is the minimum name
+        groups: dict = {}
+        for name, c in canon.items():
+            groups.setdefault(c, []).append(name)
+        for c, members in groups.items():
+            assert c in members and c == min(members)
