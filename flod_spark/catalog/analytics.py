@@ -378,9 +378,16 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     orients each edge once; at 100 TB you orient by DEGREE (low->high,
     key tiebreak) instead, which bounds wedge fan-out to O(m^1.5)
     regardless of skew (a celebrity node generates wedges only toward
-    higher-degree nodes). The co-occurrence pair build is itself the
-    dominant exchange and is capped per order by the order's line count."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    higher-degree nodes). The co-occurrence pair build is the dominant
+    exchange: (order, supplier) rows are DISTINCTed before the
+    self-join (multi-lineitem repeats never reach it, and the distinct
+    turns COUNT(DISTINCT order) into a plain partial-agg count), and
+    fan-out is capped per order by the order's supplier count."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
     a = li.alias("a")
     b = li.alias("b")
     pairs = (
@@ -392,7 +399,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
         )
-        .agg(F.countDistinct("a.l_orderkey").alias("c"))
+        .agg(F.count("*").alias("c"))
     )
     m = pairs.agg(
         (F.sum("c").cast("double") / F.count("*")).alias("avgc")
