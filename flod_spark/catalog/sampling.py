@@ -199,3 +199,48 @@ def sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rk", "doc_id")
         .limit(SAMPLE_EXACT_K)
     )
+
+
+@query(
+    "split_groupwise",
+    oracle=(
+        f"WITH h AS (SELECT user_id, event_type, "
+        f"    {_sql_hash_prefix('g|', 'user_id')} AS hp FROM events "
+        "  WHERE user_id IS NOT NULL), "
+        f"s AS (SELECT CASE WHEN hp < '{_thr(TRAIN_FRAC)}' THEN 'train' "
+        f"  WHEN hp < '{_thr(TRAIN_FRAC + VAL_FRAC)}' THEN 'val' ELSE 'test' END AS split, "
+        "  user_id, event_type FROM h) "
+        "SELECT split, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events "
+        "FROM s GROUP BY split"
+    ),
+)
+def split_groupwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE train/val/test split — the leakage guard split_assign
+    can't give row-level data: hashing the GROUP key (user_id) sends
+    every row of a user to the same split, so no user's behavior
+    straddles train and test (the classic eval-contamination bug row-
+    hash splits cause whenever rows within a group correlate). Split
+    membership is a pure function of user_id: appending new events can
+    add rows to a user's existing split but never move the user. Output
+    is the split audit (distinct users + event mass per split); the
+    one-split-per-user invariant is pytest-pinned.
+
+    Scale: map-only assignment (one md5 of the group key per row, no
+    pre-join of a membership table) + a two-level distinct-count —
+    exactly sliding_distinct's bounded-exchange shape."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    hp = _hash_prefix("g|", F.col("user_id"))
+    split = (
+        F.when(hp < _thr(TRAIN_FRAC), "train")
+        .when(hp < _thr(TRAIN_FRAC + VAL_FRAC), "val")
+        .otherwise("test")
+    )
+    pairs = (
+        ev.select(split.alias("split"), "user_id")
+        .groupBy("split", "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return pairs.groupBy("split").agg(
+        F.count("*").alias("n_users"),
+        F.sum("n").alias("n_events"),
+    )

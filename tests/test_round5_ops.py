@@ -294,3 +294,39 @@ class TestEntityResolve:
             groups.setdefault(c, []).append(name)
         for c, members in groups.items():
             assert c in members and c == min(members)
+
+
+class TestSplitGroupwise:
+    def test_one_split_per_user_and_fractions(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from flod_spark.catalog.sampling import TRAIN_FRAC, _hash_prefix, _thr
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+            F.col("user_id").isNotNull()
+        )
+        hp = _hash_prefix("g|", F.col("user_id"))
+        split = F.when(hp < _thr(TRAIN_FRAC), "train").otherwise("other")
+        # the invariant the operator exists for: a user maps to exactly
+        # one split, no matter how many rows they have
+        multi = (
+            ev.select(split.alias("s"), "user_id")
+            .distinct()
+            .groupBy("user_id")
+            .agg(F.count("*").alias("k"))
+            .filter(F.col("k") > 1)
+            .count()
+        )
+        assert multi == 0
+
+    def test_audit_masses_sum_to_total(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from flod_spark.catalog.sampling import split_groupwise
+
+        rows = split_groupwise(spark, sf_dir).collect()
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+            F.col("user_id").isNotNull()
+        )
+        assert sum(r["n_events"] for r in rows) == ev.count()
+        assert sum(r["n_users"] for r in rows) == ev.select("user_id").distinct().count()
