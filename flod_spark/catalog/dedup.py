@@ -1023,3 +1023,112 @@ def entity_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+# PassJoin geometry: tau = 2 edits -> tau + 1 = 3 segments per indexed
+# string; probe substring positions shift at most tau from the segment's
+# home position.
+_PJ_TAU = 2
+_PJ_SEGS = _PJ_TAU + 1
+
+
+def _pj_seg_len(l: str, i: int) -> str:
+    """SQL: length of segment i (0-based) in the even partition scheme of
+    a string of length ``l``: the LAST (l % 3) segments get the extra
+    character."""
+    return f"(({l}) DIV {_PJ_SEGS} + (CASE WHEN {i} >= {_PJ_SEGS} - ({l}) % {_PJ_SEGS} THEN 1 ELSE 0 END))"
+
+
+def _pj_seg_start(l: str, i: int) -> str:
+    """SQL: 1-based start of segment i = 1 + sum of lengths of segments
+    before it."""
+    prior = " + ".join(_pj_seg_len(l, j) for j in range(i)) or "0"
+    return f"(1 + {prior})"
+
+
+@query(
+    "join_fuzzy_seg",
+    oracle=(
+        "WITH names AS (SELECT DISTINCT p_name FROM part WHERE length(p_name) > 0) "
+        "SELECT a.p_name AS name_a, b.p_name AS name_b, "
+        "  levenshtein(a.p_name, b.p_name) AS dist "
+        "FROM names a JOIN names b ON a.p_name < b.p_name "
+        "WHERE levenshtein(a.p_name, b.p_name) <= 2"
+    ),
+)
+def join_fuzzy_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_fuzzy's documented LONG-STRING scale path, implemented for
+    real: PassJoin segment-pigeonhole candidates (Li et al.). Each
+    indexed string of length l splits into tau+1 = 3 fixed segments; if
+    ed(u, v) <= 2 then some segment of v carries NO edit, so it appears
+    in u VERBATIM, shifted by at most the net indel balance before it
+    (<= tau). The probe therefore emits, for every target length
+    l in [|u|-2, |u|+2] and segment index i, u's substrings of that
+    scheme's segment length at the <= 2*tau+1 in-window positions — an
+    O(tau^2 * L)-per-string index (vs the deletion neighborhood's
+    O(L^2)), which is why production switches here for long strings.
+    The equi-join on (target length, segment index, substring) is a
+    LOSSLESS candidate filter by the pigeonhole argument; levenshtein
+    verify makes it exact — the oracle is the same brute force as
+    join_fuzzy, so the two registered implementations are proven
+    answer-identical.
+
+    Scale: candidate keys carry the length and segment index, so only
+    same-length-window strings ever meet; segments are near-uniform
+    substrings (md5-like spread); verify is O(candidates). State per
+    string is 3 index rows + <= 75 probe rows regardless of length."""
+    names = _part_names(spark, sf_dir).select("p_name").filter(
+        F.length("p_name") >= _PJ_SEGS  # segments must be non-empty
+    )
+    # index side: 3 segments per string
+    idx_entries = F.array(
+        *[
+            F.expr(
+                "struct(length(p_name) AS l, "
+                f"{i} AS i, "
+                f"substring(p_name, {_pj_seg_start('length(p_name)', i)}, "
+                f"{_pj_seg_len('length(p_name)', i)}) AS seg)"
+            )
+            for i in range(_PJ_SEGS)
+        ]
+    )
+    idx = names.select(
+        F.col("p_name").alias("v"), F.explode(idx_entries).alias("e")
+    ).select("v", "e.l", "e.i", F.col("e.seg").alias("seg"))
+    # probe side: for each target length l0 = |u|+dl and segment i, the
+    # segment-length substring of u at each in-window start p0+shift
+    probe_entries = []
+    for dl in range(-_PJ_TAU, _PJ_TAU + 1):
+        l0 = f"(length(p_name) + {dl})"
+        for i in range(_PJ_SEGS):
+            ln = _pj_seg_len(l0, i)
+            p0 = _pj_seg_start(l0, i)
+            for shift in range(-_PJ_TAU, _PJ_TAU + 1):
+                p = f"({p0} + {shift})"
+                probe_entries.append(
+                    F.expr(
+                        f"CASE WHEN {l0} >= {_PJ_SEGS} AND {p} >= 1 "
+                        f"AND {p} + {ln} - 1 <= length(p_name) THEN "
+                        f"struct({l0} AS l, {i} AS i, "
+                        f"substring(p_name, {p}, {ln}) AS seg) END"
+                    )
+                )
+    probe = names.select(
+        F.col("p_name").alias("u"),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.array(*probe_entries), lambda x: x.isNotNull())
+            )
+        ).alias("e"),
+    ).select("u", "e.l", "e.i", F.col("e.seg").alias("seg"))
+    cand = (
+        probe.join(idx, ["l", "i", "seg"])
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("name_a"), F.greatest("u", "v").alias("name_b")
+        )
+        .distinct()
+    )
+    return cand.withColumn("dist", F.levenshtein("name_a", "name_b")).filter(
+        F.col("dist") <= _PJ_TAU
+    )

@@ -766,3 +766,82 @@ def stream_sliding_distinct_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select(
         as_naive(F.col("w.start")).alias("win_start"), "n_users"
     ).filter(F.col("win_start") <= F.lit(max_ts))
+
+
+@query(
+    "stream_full_outer_join_live",
+    oracle=(
+        "SELECT s.signup_id, c.click_id FROM "
+        "(SELECT event_id AS signup_id, user_id AS u, ts AS ts_s FROM events "
+        " WHERE event_type = 'signup') s "
+        "FULL JOIN "
+        "(SELECT event_id AS click_id, user_id AS u2, ts AS ts_c FROM events "
+        " WHERE event_type = 'click') c "
+        "ON s.u = c.u2 AND c.click_id <> s.signup_id "
+        " AND c.ts_c >= s.ts_s AND c.ts_c <= s.ts_s + INTERVAL 30 MINUTE"
+    ),
+)
+def stream_full_outer_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join — both null-emission paths at once:
+    signups with no click in their 30-minute window emit
+    (signup_id, NULL) and clicks following no signup emit
+    (NULL, click_id), each driven by watermark eviction of the opposite
+    side's state. Same three-sentinel flush as stream_outer_join_live
+    (advance each side's watermark node, then one batch to apply the
+    min); sentinel rows never equi-match and the output filter drops
+    them from whichever side they surface on. Oracle: plain batch FULL
+    JOIN, no horizon cutoff.
+
+    Scale: identical state story to the inner join plus one matched bit
+    per buffered row on BOTH sides."""
+    import datetime as _dt
+
+    from flod_spark.streaming.replay import append_sentinel_batches
+
+    ev = load(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_foj_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4, tiebreak=("event_id",))
+    if max_ts is not None:
+        append_sentinel_batches(
+            spark,
+            replay_dir,
+            [
+                (-1, max_ts + _dt.timedelta(days=10), -1, "signup", 0.0, "{}"),
+                (-2, max_ts + _dt.timedelta(days=11), -2, "click", 0.0, "{}"),
+                (-3, max_ts + _dt.timedelta(days=12), -3, "signup", 0.0, "{}"),
+            ],
+            ev.schema,
+        )
+    stream = with_event_time(stream)
+    signups = (
+        stream.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("u"),
+            F.col("ts").alias("ts_s"),
+        )
+        .withWatermark("ts_s", "2 hours")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("u2"),
+            F.col("ts").alias("ts_c"),
+        )
+        .withWatermark("ts_c", "2 hours")
+    )
+    joined = signups.join(
+        clicks,
+        (F.col("u") == F.col("u2"))
+        & (F.col("click_id") != F.col("signup_id"))
+        & (F.col("ts_c") >= F.col("ts_s"))
+        & (F.col("ts_c") <= F.col("ts_s") + F.expr("INTERVAL 30 MINUTES")),
+        "fullOuter",
+    ).select("signup_id", "click_id")
+    return _drain(joined, spark).filter(
+        (F.coalesce("signup_id", F.lit(0)) >= 0)
+        & (F.coalesce("click_id", F.lit(0)) >= 0)
+    )
