@@ -210,3 +210,110 @@ def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("sampled_frames").cast("long").alias("n_sampled"),
         feat_bytes.alias("feat_bytes"),
     )
+
+
+# media_resize target dims (fixed output raster)
+_RZ_W, _RZ_H = 8, 8
+
+
+def _resize_oracle() -> str:
+    def sx(expr: str) -> str:
+        return f"(({expr} * w) // CAST({_RZ_W} AS BIGINT))"
+
+    def sy(expr: str) -> str:
+        return f"(({expr} * h) // CAST({_RZ_H} AS BIGINT))"
+
+    px = (
+        f"chr(CAST(32 + (media_id + 3 * {sx('x2')} + 5 * {sy('y2')}) % 64 AS INT)) || "
+        f"chr(CAST(32 + (2 * media_id + {sx('x2')} + 7 * {sy('y2')}) % 64 AS INT)) || "
+        f"chr(CAST(32 + (media_id + {sx('x2')} + {sy('y2')}) % 64 AS INT))"
+    )
+    return (
+        "WITH p AS (SELECT doc_id AS media_id, "
+        "    CAST(1 + doc_id % 16 AS BIGINT) AS w, "
+        "    CAST(1 + (doc_id * 7) % 16 AS BIGINT) AS h FROM documents), "
+        f"px AS (SELECT media_id, array_to_string(list_transform(range(0, {_RZ_H}), y2 -> "
+        f"    array_to_string(list_transform(range(0, {_RZ_W}), x2 -> {px}), '')), '') AS raw "
+        "  FROM p) "
+        f"SELECT media_id, CAST({_RZ_W} AS BIGINT) AS width, "
+        f"  CAST({_RZ_H} AS BIGINT) AS height, sha256(raw) AS px_sha FROM px"
+    )
+
+
+@query("media_resize", oracle=_resize_oracle())
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize under the gate — the mandate's resize stage,
+    no longer a stub: the same deterministic PNGs as media_decode_png
+    run encode -> nearest-neighbor resample to 8x8 -> re-encode -> final
+    decode, every codec step the pure-stdlib real path
+    (functions/media.py::resize_nearest / png_decode). The output is
+    sha256 over the RESIZED raw pixels, and the oracle recomputes the
+    nearest-neighbor index map ((x2*w)//8, (y2*h)//8) in closed form —
+    one wrong sampled pixel in any image breaks the gate. Up- and
+    down-scaling are both exercised (source dims cycle 1..16 around the
+    8x8 target).
+
+    Scale: three Arrow-batched map-only stages (pack, resize, unpack);
+    resized bytes are bounded by the target raster regardless of
+    source size, the property that makes resize the FIRST stage of any
+    100 TB image pipeline."""
+    from flod_spark.functions.media import resize_nearest
+
+    docs = load(spark, sf_dir, "documents")
+    params = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(1) + F.col("doc_id") % 16).cast("int").alias("w"),
+        (F.lit(1) + (F.col("doc_id") * 7) % 16).cast("int").alias("h"),
+    )
+
+    def pack(batches):
+        import pandas as pd
+
+        from flod_spark.functions.media import png_encode
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
+                mid, w, h = int(mid), int(w), int(h)
+                px = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        px.append(32 + (mid + 3 * x + 5 * y) % 64)
+                        px.append(32 + (2 * mid + x + 7 * y) % 64)
+                        px.append(32 + (mid + x + y) % 64)
+                blobs.append(
+                    png_encode(
+                        w, h, bytes(px), color_type=2,
+                        filters=[(mid + y) % 5 for y in range(h)],
+                    )
+                )
+                ids.append(mid)
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "blob": blobs})
+
+    packed = params.mapInPandas(pack, schema="media_id long, blob binary")
+    resized = resize_nearest(packed, _RZ_W, _RZ_H)
+
+    def unpack(batches):
+        import pandas as pd
+
+        from flod_spark.functions.media import png_decode
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "raw": [
+                        png_decode(bytes(b))["pixels"] if b is not None else None
+                        for b in pdf["blob"]
+                    ],
+                }
+            )
+
+    raw = resized.mapInPandas(unpack, schema="media_id long, raw binary")
+    return raw.select(
+        "media_id",
+        F.lit(_RZ_W).cast("long").alias("width"),
+        F.lit(_RZ_H).cast("long").alias("height"),
+        F.sha2("raw", 256).alias("px_sha"),
+    )

@@ -106,17 +106,50 @@ def decode_media(df: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
-def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stage stub: records target dims; real impl writes new blobs.
-    Raises clearly if someone expects real pixels in this container."""
+def resize_nearest(
+    df: DataFrame, width: int, height: int, id_col: str = "media_id", blob_col: str = "blob"
+) -> DataFrame:
+    """REAL resize stage (formerly a stub): PNG in -> nearest-neighbor
+    resample to (width, height) -> PNG out (filter 0), all stdlib via
+    :func:`png_decode` / :func:`png_encode`. Nearest-neighbor index map
+    is pure integer arithmetic — source pixel of output (x2, y2) is
+    ((x2 * src_w) // width, (y2 * src_h) // height) — so the result is
+    bit-deterministic and SQL-derivable for synthetic pixel content
+    (catalog/media.py::media_resize's oracle). Blobs that are not
+    supported PNGs pass through as NULL (the decode-stage degraded-mode
+    convention).
+
+    Scale: Arrow-batched map-only stage; output bytes are bounded by
+    width * height * channels regardless of input size."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "resize requires an image codec (PIL/opencv) not present in this "
-            "container; decode_media + feature flow is the testable path"
-        )
+        def rz(blob):
+            if blob is None:
+                return None
+            try:
+                d = png_decode(bytes(blob))
+            except ValueError:
+                return None
+            sw, sh = d["width"], d["height"]
+            ch = _PNG_CHANNELS[d["color_type"]]
+            px, out = d["pixels"], bytearray()
+            for y2 in range(height):
+                sy = (y2 * sh) // height
+                for x2 in range(width):
+                    sx = (x2 * sw) // width
+                    o = (sy * sw + sx) * ch
+                    out += px[o : o + ch]
+            return png_encode(
+                width, height, bytes(out), color_type=d["color_type"],
+                filters=[0] * height,
+            )
 
-    return df.mapInPandas(run, schema=df.schema)
+        for pdf in batches:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], blob_col: [rz(b) for b in pdf[blob_col]]}
+            )
+
+    return df.mapInPandas(run, schema=f"{id_col} long, {blob_col} binary")
 
 
 def frame_sample_plan(df: DataFrame, every_n: int) -> DataFrame:

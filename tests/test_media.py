@@ -6,7 +6,12 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from flod_spark.functions.media import decode_media, frame_sample_plan, pack_media, resize_stub
+from flod_spark.functions.media import (
+    decode_media,
+    frame_sample_plan,
+    pack_media,
+    resize_nearest,
+)
 
 
 @pytest.fixture(scope="module")
@@ -40,9 +45,30 @@ def test_frame_sample_plan(spark, media_df):
     assert sampled[2] == [0, 60, 120, 180]
 
 
-def test_resize_stub_raises_clearly(spark, media_df):
-    with pytest.raises(Exception, match="codec"):
-        resize_stub(media_df, 100, 100).collect()
+def test_resize_nearest_identity_and_downscale(spark):
+    """resize_nearest is a REAL codec round-trip: same-size resize is the
+    identity on pixels; a 2x downscale keeps exactly the even-index
+    pixels (nearest-neighbor floor map); non-PNG blobs pass through as
+    NULL."""
+    import pandas as pd
+
+    from flod_spark.functions.media import png_decode, png_encode
+
+    w, h = 4, 2
+    px = bytes(range(10, 10 + w * h * 3))
+    blob = png_encode(w, h, px, color_type=2, filters=[0] * h)
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": pd.Series([1, 2], dtype="int64"),
+                      "blob": [blob, b"not a png at all"]})
+    )
+    same = {r["media_id"]: r["blob"] for r in resize_nearest(df, w, h).collect()}
+    assert png_decode(bytes(same[1]))["pixels"] == px
+    assert same[2] is None
+    down = resize_nearest(df, 2, 1).collect()
+    got = png_decode(bytes(next(r["blob"] for r in down if r["media_id"] == 1)))
+    # output (x2, 0) samples source ((x2*4)//2, (0*2)//1) = (2*x2, 0)
+    want = px[0:3] + px[6:9]
+    assert got["pixels"] == want and (got["width"], got["height"]) == (2, 1)
 
 
 def test_decode_media_real_wav_and_fallbacks(spark):
