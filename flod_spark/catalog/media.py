@@ -317,3 +317,83 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_RZ_H).cast("long").alias("height"),
         F.sha2("raw", 256).alias("px_sha"),
     )
+
+
+@query(
+    "media_decode_wav",
+    oracle=(
+        # closed form of the synthesized 8-bit mono PCM: sample i is the
+        # single byte 32 + (id + 11*i) % 64, so DuckDB's sha256 over the
+        # chr()-assembled string hashes exactly the raw sample bytes the
+        # stdlib wave decoder returns
+        "WITH p AS (SELECT doc_id AS media_id, "
+        "    8000 + (doc_id % 8) * 1000 AS rate, "
+        "    50 + doc_id % 100 AS n FROM documents), "
+        "raw AS (SELECT media_id, rate, n, "
+        "    array_to_string(list_transform(range(0, n), "
+        "      i -> chr(CAST(32 + (media_id + 11 * i) % 64 AS INT))), '') AS pcm "
+        "  FROM p) "
+        "SELECT media_id, 'audio' AS kind, CAST(rate AS BIGINT) AS sample_rate, "
+        "  CAST(8 AS BIGINT) AS bits, CAST(n AS BIGINT) AS n_frames, "
+        "  array_to_string(list_transform(range(1, 9), "
+        "    i -> CAST(CAST('0x' || substr(sha256(pcm), 2*i - 1, 2) AS INT) AS VARCHAR)), ',') "
+        "    AS feat_bytes "
+        "FROM raw"
+    ),
+)
+def media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under the gate: per-doc deterministic 8-bit mono
+    PCM -> spec-conformant RIFF/WAVE bytes (stdlib ``wave`` writer) ->
+    decode_media_real, whose WAV leg re-parses them with the stdlib
+    reader (genuine container decode: fmt chunk, sample rate, width,
+    frame count, raw sample bytes). The oracle recomputes the PCM
+    closed form and its sha256 — the audio twin of media_decode_png,
+    closing the 'real audio codec' leg with its own gate row instead of
+    only adapter tests.
+
+    Scale: two Arrow-batched map-only stages; blobs die at the decode
+    stage, exactly media_decode's shape."""
+    from flod_spark.functions.media import decode_media_real
+
+    docs = load(spark, sf_dir, "documents")
+    params = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(8000) + (F.col("doc_id") % 8) * 1000).cast("int").alias("rate"),
+        (F.lit(50) + F.col("doc_id") % 100).cast("int").alias("n"),
+    )
+
+    def pack(batches):
+        import io as _io
+        import wave as _wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, rate, n in zip(pdf["media_id"], pdf["rate"], pdf["n"]):
+                mid, rate, n = int(mid), int(rate), int(n)
+                pcm = bytes(32 + (mid + 11 * i) % 64 for i in range(n))
+                buf = _io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(1)
+                    w.setframerate(rate)
+                    w.writeframes(pcm)
+                ids.append(mid)
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "blob": blobs})
+
+    packed = params.mapInPandas(pack, schema="media_id long, blob binary")
+    decoded = decode_media_real(packed)
+    feat_bytes = F.array_join(
+        F.transform(F.col("feature"), lambda f: F.round(f * 255).cast("int").cast("string")), ","
+    )
+    return decoded.select(
+        "media_id",
+        "kind",
+        F.col("width").cast("long").alias("sample_rate"),
+        F.col("height").cast("long").alias("bits"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        feat_bytes.alias("feat_bytes"),
+    )
