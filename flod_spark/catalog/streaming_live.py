@@ -845,3 +845,58 @@ def stream_full_outer_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce("signup_id", F.lit(0)) >= 0)
         & (F.coalesce("click_id", F.lit(0)) >= 0)
     )
+
+
+@query(
+    "stream_agg_update_live",
+    oracle=(
+        "SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type, "
+        "  CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY win_start, event_type"
+    ),
+)
+def stream_agg_update_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode — the third emission contract next to append
+    (stream_window_live) and complete (stream_agg_complete_live): each
+    micro-batch emits only the (window, type) rows whose aggregate
+    CHANGED, so the memory sink accumulates every intermediate version
+    of every row. Determinism without any horizon or sentinel: a window
+    only re-emits when new events landed in it, so its event count
+    strictly increases across its updates — the per-key row with the
+    MAX (n_events, sum_value) struct IS the final aggregate, equal to
+    the batch answer over ALL windows (ordered replay means the
+    watermark never drops data). The decimal sum rides inside the same
+    struct, so the selection is one lexicographic max.
+
+    Scale: update mode is the low-latency serving contract (push
+    changed rows to a keyed store every trigger); state is identical to
+    append mode's windowed aggregation, but emission happens per change
+    instead of per closure — the downstream upsert sink
+    (stream_foreach_upsert_live) is its natural pair."""
+    ev = load(spark, sf_dir, "events")
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_u_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=5, tiebreak=("event_id",))
+    agg = (
+        with_event_time(stream)
+        .withWatermark("ts", _WATERMARK)
+        .groupBy(F.window("ts", _WINDOW).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            as_naive(F.col("w.start")).alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    got = _drain(agg, spark, output_mode="update")
+    final = got.groupBy("win_start", "event_type").agg(
+        F.max(F.struct("n_events", "sum_value")).alias("s")
+    )
+    return final.select(
+        "win_start", "event_type", F.col("s.n_events"), F.col("s.sum_value")
+    )
