@@ -94,42 +94,9 @@ def media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     media_decode; blobs die at the decode stage."""
     from flod_spark.io import load as _load  # noqa: F401 (uniform import style)
 
-    docs = load(spark, sf_dir, "documents")
-    params = docs.select(
-        F.col("doc_id").alias("media_id"),
-        (F.lit(1) + F.col("doc_id") % 16).cast("int").alias("w"),
-        (F.lit(1) + (F.col("doc_id") * 7) % 16).cast("int").alias("h"),
-    )
-
-    def pack(batches):
-        import pandas as pd
-
-        from flod_spark.functions.media import png_encode
-
-        for pdf in batches:
-            ids, blobs = [], []
-            for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
-                mid, w, h = int(mid), int(w), int(h)
-                px = bytearray()
-                for y in range(h):
-                    for x in range(w):
-                        px.append(32 + (mid + 3 * x + 5 * y) % 64)
-                        px.append(32 + (2 * mid + x + 7 * y) % 64)
-                        px.append(32 + (mid + x + y) % 64)
-                blobs.append(
-                    png_encode(
-                        w, h, bytes(px), color_type=2,
-                        filters=[(mid + y) % 5 for y in range(h)],
-                    )
-                )
-                ids.append(mid)
-            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
-                                "blob": blobs})
-
-    packed = params.mapInPandas(pack, schema="media_id long, blob binary")
     from flod_spark.functions.media import decode_media_real
 
-    decoded = decode_media_real(packed)
+    decoded = decode_media_real(_synth_png_stream(spark, sf_dir))
     feat_bytes = F.array_join(
         F.transform(F.col("feature"), lambda f: F.round(f * 255).cast("int").cast("string")), ","
     )
@@ -259,40 +226,7 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB image pipeline."""
     from flod_spark.functions.media import resize_nearest
 
-    docs = load(spark, sf_dir, "documents")
-    params = docs.select(
-        F.col("doc_id").alias("media_id"),
-        (F.lit(1) + F.col("doc_id") % 16).cast("int").alias("w"),
-        (F.lit(1) + (F.col("doc_id") * 7) % 16).cast("int").alias("h"),
-    )
-
-    def pack(batches):
-        import pandas as pd
-
-        from flod_spark.functions.media import png_encode
-
-        for pdf in batches:
-            ids, blobs = [], []
-            for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
-                mid, w, h = int(mid), int(w), int(h)
-                px = bytearray()
-                for y in range(h):
-                    for x in range(w):
-                        px.append(32 + (mid + 3 * x + 5 * y) % 64)
-                        px.append(32 + (2 * mid + x + 7 * y) % 64)
-                        px.append(32 + (mid + x + y) % 64)
-                blobs.append(
-                    png_encode(
-                        w, h, bytes(px), color_type=2,
-                        filters=[(mid + y) % 5 for y in range(h)],
-                    )
-                )
-                ids.append(mid)
-            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
-                                "blob": blobs})
-
-    packed = params.mapInPandas(pack, schema="media_id long, blob binary")
-    resized = resize_nearest(packed, _RZ_W, _RZ_H)
+    resized = resize_nearest(_synth_png_stream(spark, sf_dir), _RZ_W, _RZ_H)
 
     def unpack(batches):
         import pandas as pd
@@ -397,3 +331,45 @@ def media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_frames").cast("long").alias("n_frames"),
         feat_bytes.alias("feat_bytes"),
     )
+
+
+def _synth_png_batches(batches):
+    """mapInPandas stage: per-doc closed-form RGB pixels packed as
+    spec-conformant PNGs with cycling filter types — the ONE source of
+    the synthetic-image formula media_decode_png's and media_resize's
+    oracles both mirror (keep the three in lockstep)."""
+    import pandas as pd
+
+    from flod_spark.functions.media import png_encode
+
+    for pdf in batches:
+        ids, blobs = [], []
+        for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
+            mid, w, h = int(mid), int(w), int(h)
+            px = bytearray()
+            for y in range(h):
+                for x in range(w):
+                    px.append(32 + (mid + 3 * x + 5 * y) % 64)
+                    px.append(32 + (2 * mid + x + 7 * y) % 64)
+                    px.append(32 + (mid + x + y) % 64)
+            blobs.append(
+                png_encode(
+                    w, h, bytes(px), color_type=2,
+                    filters=[(mid + y) % 5 for y in range(h)],
+                )
+            )
+            ids.append(mid)
+        yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                            "blob": blobs})
+
+
+def _synth_png_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, blob) frame of the deterministic per-doc PNGs (dims
+    cycle 1..16 on each axis)."""
+    docs = load(spark, sf_dir, "documents")
+    params = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(1) + F.col("doc_id") % 16).cast("int").alias("w"),
+        (F.lit(1) + (F.col("doc_id") * 7) % 16).cast("int").alias("h"),
+    )
+    return params.mapInPandas(_synth_png_batches, schema="media_id long, blob binary")
