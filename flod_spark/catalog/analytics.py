@@ -421,11 +421,9 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e1.s1").alias("a"), F.col("e1.s2").alias("b"), F.col("e2.s2").alias("c")
         )
     )
-    nodes = (
-        tris.select(F.col("a").alias("node"))
-        .unionAll(tris.select(F.col("b").alias("node")))
-        .unionAll(tris.select(F.col("c").alias("node")))
-    )
+    # one explode, not a 3-branch union: a union would re-execute the
+    # whole triangle join once per branch (measured 13 exchanges vs 5)
+    nodes = tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
     return nodes.groupBy(F.col("node").alias("suppkey")).agg(F.count("*").alias("n_tri"))
 
 

@@ -302,15 +302,21 @@ def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     by merge_upsert on late-arriving minute partials; each level is one
     partial-agg shuffle on (bucket, type)."""
     ev = load(spark, sf_dir, "events")
+    # each level is MATERIALIZED before the next consumes it (and before
+    # the 3-way union below) — without the checkpoints Spark re-derives
+    # minute 3x and hour 2x across the union branches (measured 6
+    # exchanges vs 3; ReuseExchange does not fire across the branches),
+    # which at 100 TB means re-reading the raw table three times. This is
+    # exactly what a metrics store does: each rollup level is a TABLE.
     minute = ev.groupBy(
         F.date_trunc("minute", F.col("ts")).alias("b"), "event_type"
     ).agg(
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
-    )
+    ).localCheckpoint()
     hour = minute.groupBy(
         F.date_trunc("hour", F.col("b")).alias("b"), "event_type"
-    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv")).localCheckpoint()
     day = hour.groupBy(
         F.date_trunc("day", F.col("b")).alias("b"), "event_type"
     ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
