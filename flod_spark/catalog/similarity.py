@@ -892,22 +892,7 @@ def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    slices = F.array(
-        *[F.slice("v", m * _PQ_SUBDIM + 1, _PQ_SUBDIM) for m in range(_PQ_M)]
-    )
-    sub = emb.select("vec_id", F.posexplode(slices).alias("m", "sv"))
-    cent = sub.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv")
-    )
-    dist = F.aggregate(
-        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    scored = sub.join(F.broadcast(cent), "m").select(
-        "vec_id", "m", "cid", dist.alias("dist")
-    )
-    best = scored.groupBy("vec_id", "m").agg(
+    best = _pq_scored(emb).groupBy("vec_id", "m").agg(
         F.min_by("cid", F.struct("dist", "cid")).alias("cid"),
         F.min("dist").alias("dist"),
     )
@@ -974,21 +959,7 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    slices = F.array(
-        *[F.slice("v", m * _PQ_SUBDIM + 1, _PQ_SUBDIM) for m in range(_PQ_M)]
-    )
-    sub = emb.select("vec_id", F.posexplode(slices).alias("m", "sv"))
-    cent = sub.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv")
-    )
-    dist = F.aggregate(
-        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    scored = sub.join(F.broadcast(cent), "m").select(
-        "vec_id", "m", "cid", dist.alias("dist")
-    )
+    scored = _pq_scored(emb)
     codes = (
         scored.groupBy("vec_id", "m")
         .agg(F.min_by("cid", F.struct("dist", "cid")).alias("cid"))
@@ -1013,4 +984,133 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= K)
         .withColumn("rk", F.col("rk").cast("long"))
+    )
+
+
+def _pq_scored(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, cid, dist): squared L2 from each vector's m-th
+    subvector to every centroid of subspace m (Forgy sample codebook =
+    subvectors of vec_id < _PQ_K). The one construction embed_pq,
+    sim_pq_adc and sim_ivfpq all build on — codes are its per-(vec, m)
+    argmin, query LUTs its vec_id < NQ slice."""
+    slices = F.array(
+        *[F.slice("v", m * _PQ_SUBDIM + 1, _PQ_SUBDIM) for m in range(_PQ_M)]
+    )
+    sub = emb.select("vec_id", F.posexplode(slices).alias("m", "sv"))
+    cent = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv")
+    )
+    dist = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return sub.join(F.broadcast(cent), "m").select(
+        "vec_id", "m", "cid", dist.alias("dist")
+    )
+
+
+def _ivfpq_oracle() -> str:
+    adist = " + ".join(f"MAX(CASE WHEN m = {m} THEN lut END)" for m in range(_PQ_M))
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        + _CENT_SQL
+        + ", "
+        "sc AS (SELECT e.vec_id, cent_id, "
+        f"    {_cos_sql('e.v', 'cv')} AS cos FROM e, cent), "
+        "a AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, "
+        "    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM sc) "
+        "  WHERE rn = 1), "
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT {NQ}), "
+        "qs AS (SELECT query_id, cent_id, "
+        f"    {_cos_sql('qv', 'cv')} AS cos FROM q, cent), "
+        "qp AS (SELECT query_id, cent_id AS cell FROM (SELECT *, "
+        "    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cent_id) AS rn FROM qs) "
+        f"  WHERE rn <= {N_PROBE}), "
+        f"ms AS (SELECT unnest(range({_PQ_M})) AS m), "
+        "sub AS (SELECT vec_id, m, "
+        f"    list_slice(v, m * {_PQ_SUBDIM} + 1, (m + 1) * {_PQ_SUBDIM}) AS sv "
+        "  FROM e, ms), "
+        f"pcent AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < {_PQ_K}), "
+        "d AS (SELECT s.vec_id, s.m, p.cid, "
+        "    list_reduce(list_transform(list_zip(s.sv, p.cv), "
+        "      x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, t) -> acc + t) AS dist "
+        "  FROM sub s JOIN pcent p USING (m)), "
+        "codes AS (SELECT vec_id, m, cid FROM (SELECT *, "
+        "    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rk FROM d) "
+        "  WHERE rk = 1), "
+        f"lut AS (SELECT vec_id AS query_id, m, cid, dist AS lut FROM d WHERE vec_id < {NQ}), "
+        "cand AS (SELECT qp.query_id, a.vec_id AS neighbor_id FROM qp "
+        "  JOIN a USING (cell) WHERE a.vec_id <> qp.query_id), "
+        "j AS (SELECT c.query_id, c.neighbor_id, codes.m, l.lut FROM cand c "
+        "  JOIN codes ON codes.vec_id = c.neighbor_id "
+        "  JOIN lut l ON l.query_id = c.query_id AND l.m = codes.m AND l.cid = codes.cid), "
+        f"s AS (SELECT query_id, neighbor_id, {adist} AS adist "
+        "  FROM j GROUP BY query_id, neighbor_id), "
+        "t AS (SELECT query_id, neighbor_id, adist, "
+        "    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rk FROM s) "
+        f"SELECT query_id, neighbor_id, adist, CAST(rk AS BIGINT) AS rk FROM t WHERE rk <= {K}"
+    )
+
+
+@query("sim_ivfpq", oracle=_ivfpq_oracle())
+def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full FAISS-style serving stack COMPOSED — IVF cell pruning x
+    PQ compression x ADC scoring: each query probes its N_PROBE nearest
+    Voronoi cells (sim_ivf's machinery), and candidates inside those
+    cells are scored from their 4-byte PQ codes via the query's M x K
+    lookup table (sim_pq_adc's machinery) — raw vectors are never
+    touched after index build. Top-K per query with neighbor-id
+    tiebreak; the oracle composes the same two constructions, so cell
+    pruning, code assignment and ADC arithmetic are all value-checked
+    together.
+
+    Scale: this is THE billion-vector layout — the corpus stores (cell,
+    code) pairs bucketed by cell (scan prunes to the probe fraction),
+    codes are 64x smaller than vectors, per-candidate cost is M table
+    lookups, and everything that crosses a shuffle is id-sized. IVF
+    centroids and query LUTs broadcast."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    cent = _cent_df(e)
+    a = _assign_cells(e, cent).select("vec_id", "cell")
+    scored = _pq_scored(e)
+    codes = scored.groupBy("vec_id", "m").agg(
+        F.min_by("cid", F.struct("dist", "cid")).alias("cid")
+    )
+    lut = scored.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), "m", "cid", F.col("dist").alias("lut")
+    )
+    q = (
+        e.orderBy("vec_id")
+        .limit(NQ)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    )
+    cos_qc = _cos_spark(F.col("qv"), F.col("cv"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cent_id"))
+    qp = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "cent_id", cos_qc.alias("cos"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", F.col("cent_id").alias("cell"))
+    )
+    cand = (
+        a.join(F.broadcast(qp), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    j = cand.join(
+        codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    ).join(F.broadcast(lut), ["query_id", "m", "cid"])
+    terms = [F.max(F.when(F.col("m") == m, F.col("lut"))) for m in range(_PQ_M)]
+    adist = terms[0]
+    for t in terms[1:]:
+        adist = adist + t
+    s = j.groupBy("query_id", "neighbor_id").agg(adist.alias("adist"))
+    wk = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("neighbor_id"))
+    return (
+        s.withColumn("rk", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rk") <= K)
     )

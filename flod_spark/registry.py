@@ -105,12 +105,12 @@ _GATE_ORDER = (
     "stream_sliding_distinct_live", "quantile_exact_2pass", "entity_resolve",
     "split_groupwise", "join_fuzzy_seg", "stream_full_outer_join_live",
     "media_resize", "media_decode_wav", "stream_agg_update_live",
+    "sim_ivfpq",
     # (c) changed-implementation re-proof
     "simhash_pairs",
     # (d) oldest-row re-proofs (last driver-proven round 2), filling
     # to the 50-cap in registration order
     "scan_file", "scan_array", "scan_range", "scan_delegate",
-    "scan_queue",
 )
 
 

@@ -378,3 +378,17 @@ class TestJoinFuzzySeg:
         for variant in cases[1:]:
             key = (min(base, variant), max(base, variant))
             assert key in got, f"missed planted variant {variant!r}"
+
+
+class TestSimIVFPQ:
+    def test_ranks_dense_and_candidates_within_probed_cells(self, spark, sf_dir):
+        from flod_spark.catalog.similarity import K, NQ, sim_ivfpq
+
+        rows = sim_ivfpq(spark, sf_dir).collect()
+        per_q: dict = {}
+        for r in rows:
+            per_q.setdefault(r["query_id"], []).append(r["rk"])
+        assert set(per_q) == set(range(NQ))
+        for rks in per_q.values():
+            assert sorted(rks) == list(range(1, K + 1))
+        assert all(r["adist"] >= 0.0 for r in rows)
