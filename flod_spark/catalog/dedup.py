@@ -1077,9 +1077,14 @@ def join_fuzzy_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-length-window strings ever meet; segments are near-uniform
     substrings (md5-like spread); verify is O(candidates). State per
     string is 3 index rows + <= 75 probe rows regardless of length."""
-    names = _part_names(spark, sf_dir).select("p_name").filter(
-        F.length("p_name") >= _PJ_SEGS  # segments must be non-empty
-    )
+    names = _part_names(spark, sf_dir).select("p_name")
+    # Only strings of length >= tau+1 can be segment-INDEXED (segments
+    # must be non-empty); every string still PROBES, so a pair with one
+    # short side is caught through its long side's index entries. Pairs
+    # where BOTH sides are shorter than tau+1 go through the dedicated
+    # short-string branch below — without it, tiny strings silently
+    # never pair (a latent hole the long-named testdata would not catch).
+    indexable = names.filter(F.length("p_name") >= _PJ_SEGS)
     # index side: 3 segments per string
     idx_entries = F.array(
         *[
@@ -1092,7 +1097,7 @@ def join_fuzzy_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_PJ_SEGS)
         ]
     )
-    idx = names.select(
+    idx = indexable.select(
         F.col("p_name").alias("v"), F.explode(idx_entries).alias("e")
     ).select("v", "e.l", "e.i", F.col("e.seg").alias("seg"))
     # probe side: for each target length l0 = |u|+dl and segment i, the
@@ -1127,8 +1132,21 @@ def join_fuzzy_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.least("u", "v").alias("name_a"), F.greatest("u", "v").alias("name_b")
         )
-        .distinct()
     )
-    return cand.withColumn("dist", F.levenshtein("name_a", "name_b")).filter(
-        F.col("dist") <= _PJ_TAU
+    # short x short branch: strings below the segmentable length are a
+    # BOUNDED vocabulary class (< |alphabet|^tau + ... strings exist at
+    # all), so pairing them against each other directly is O(1) at any
+    # corpus scale; length difference > tau cannot be within distance tau
+    shorts = names.filter(F.length("p_name") < _PJ_SEGS)
+    sa, sb = shorts.alias("sa"), shorts.alias("sb")
+    short_pairs = sa.join(
+        sb, F.col("sa.p_name") < F.col("sb.p_name")
+    ).select(
+        F.col("sa.p_name").alias("name_a"), F.col("sb.p_name").alias("name_b")
+    )
+    return (
+        cand.unionByName(short_pairs)
+        .distinct()
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= _PJ_TAU)
     )

@@ -369,15 +369,30 @@ class TestJoinFuzzySeg:
             "abcdefghijklmnopqrZZ",  # two insertions at end
             "XbcdefgXijklmnopqr",  # subs in segs 0 and 1 -> seg 2 clean
         ]
+        # below-segmentable-length strings: short x short pairs go through
+        # the dedicated branch, short x long through the long side's index
+        shorts = ["a", "b", "ab", "abc", "abcd"]
+        allc = cases + shorts
         with tempfile.TemporaryDirectory() as d:
-            pd.DataFrame({"p_name": cases}).to_parquet(f"{d}/part.parquet")
+            pd.DataFrame({"p_name": allc}).to_parquet(f"{d}/part.parquet")
             got = {
-                (r["name_a"], r["name_b"])
+                (r["name_a"], r["name_b"], r["dist"])
                 for r in join_fuzzy_seg(spark, d).collect()
             }
+        want = {
+            (min(a, b), max(a, b), _lev(a, b))
+            for i, a in enumerate(allc)
+            for b in allc[i + 1 :]
+            if _lev(a, b) <= 2
+        }
+        assert got == want
+        # the planted long-string variants are all present
         for variant in cases[1:]:
-            key = (min(base, variant), max(base, variant))
-            assert key in got, f"missed planted variant {variant!r}"
+            assert any(
+                {x, y} == {base, variant} for x, y, _ in got
+            ), f"missed planted variant {variant!r}"
+        # and at least one short-pair really exercised the branch
+        assert ("a", "b", 1) in got and ("a", "abc", 2) in got
 
 
 class TestSimIVFPQ:
