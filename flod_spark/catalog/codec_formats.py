@@ -272,9 +272,14 @@ def _zorder_oracle() -> str:
         "WITH s AS (SELECT MIN(o_totalprice) mnp, MAX(o_totalprice) mxp, "
         "    MIN(datediff('day', DATE '1970-01-01', o_orderdate)) mnd, "
         "    MAX(datediff('day', DATE '1970-01-01', o_orderdate)) mxd FROM orders), "
+        # degenerate-dimension guard (mx = mn): bucket 0 on both engines —
+        # DuckDB would otherwise error on x/0 -> inf -> BIGINT while Spark
+        # NULLs it (histogram_bins' rule)
         "q AS (SELECT "
-        "  LEAST(65535, GREATEST(0, CAST(FLOOR(((o_totalprice - mnp) * 65535.0) / (mxp - mnp)) AS BIGINT))) AS qp, "
-        "  LEAST(65535, GREATEST(0, (CAST(datediff('day', DATE '1970-01-01', o_orderdate) - mnd AS BIGINT) * 65535) // CAST(mxd - mnd AS BIGINT))) AS qd "
+        "  CASE WHEN mxp = mnp THEN 0 ELSE "
+        "    LEAST(65535, GREATEST(0, CAST(FLOOR(((o_totalprice - mnp) * 65535.0) / (mxp - mnp)) AS BIGINT))) END AS qp, "
+        "  CASE WHEN mxd = mnd THEN 0 ELSE "
+        "    LEAST(65535, GREATEST(0, (CAST(datediff('day', DATE '1970-01-01', o_orderdate) - mnd AS BIGINT) * 65535) // CAST(mxd - mnd AS BIGINT))) END AS qd "
         "  FROM orders, s), "
         f"z AS (SELECT qp, qd, {interleave} AS zval FROM q) "
         "SELECT zval >> 24 AS z_bucket, COUNT(*) AS n, "
@@ -311,7 +316,7 @@ def sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.datediff("o_orderdate", F.lit("1970-01-01"))).alias("mnd"),
         F.max(F.datediff("o_orderdate", F.lit("1970-01-01"))).alias("mxd"),
     )
-    q = o.crossJoin(F.broadcast(stats)).select(
+    qp_expr = F.when(F.col("mxp") == F.col("mnp"), F.lit(0).cast("long")).otherwise(
         F.least(
             F.lit(65535),
             F.greatest(
@@ -321,7 +326,9 @@ def sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (F.col("mxp") - F.col("mnp"))
                 ),
             ),
-        ).alias("qp"),
+        )
+    )
+    qd_expr = F.when(F.col("mxd") == F.col("mnd"), F.lit(0).cast("long")).otherwise(
         F.least(
             F.lit(65535),
             F.floor(
@@ -333,8 +340,9 @@ def sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 / (F.col("mxd") - F.col("mnd"))
             ).cast("long"),
-        ).alias("qd"),
+        )
     )
+    q = o.crossJoin(F.broadcast(stats)).select(qp_expr.alias("qp"), qd_expr.alias("qd"))
     zval = F.lit(0).cast("long")
     for i in range(_Z_BITS):
         zval = zval + F.shiftleft(F.shiftright(F.col("qp"), i).bitwiseAND(F.lit(1)), 2 * i)

@@ -2506,7 +2506,7 @@ def _qe_oracle() -> str:
         for p in _QE_PCTS
     )
     return (
-        "WITH s AS (SELECT l_extendedprice AS x FROM lineitem), "
+        "WITH s AS (SELECT l_extendedprice AS x FROM lineitem WHERE l_extendedprice IS NOT NULL), "
         "n AS (SELECT COUNT(*) AS c FROM s), "
         "r AS (SELECT x, row_number() OVER (ORDER BY x) AS rk FROM s) "
         f"SELECT {cases} FROM r, n GROUP BY c"
@@ -2535,7 +2535,11 @@ def quantile_exact_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     divides by 4096; two levels cover 10^13 rows) instead of raising
     the TakeOrdered limit. Driver-side state is one 4096-entry array —
     the replay-boundary rule, never data-sized."""
-    li = load(spark, sf_dir, "lineitem").select(F.col("l_extendedprice").alias("x"))
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_extendedprice").alias("x"))
+        .filter(F.col("x").isNotNull())  # NULL ordering differs cross-engine
+    )
     stats = li.agg(
         F.min("x").alias("mn"), F.max("x").alias("mx"), F.count("*").alias("n")
     ).collect()[0]

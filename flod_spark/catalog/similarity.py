@@ -851,7 +851,7 @@ def _pq_oracle() -> str:
     )
     err = " + ".join(f"MAX(CASE WHEN m = {m} THEN dist END)" for m in range(_PQ_M))
     return (
-        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL), "
         f"ms AS (SELECT unnest(range({_PQ_M})) AS m), "
         "sub AS (SELECT vec_id, m, "
         f"    list_slice(v, m * {_PQ_SUBDIM} + 1, (m + 1) * {_PQ_SUBDIM}) AS sv "
@@ -889,8 +889,10 @@ def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side broadcast join with partial-agg argmin, so nothing
     shuffles but (vec, subspace) minima. The 64x compression is what
     lets a 100 TB embedding corpus fit an in-memory ANN index."""
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("v")
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())  # NULL ordering differs cross-engine
+        .select("vec_id", _as_double("embedding").alias("v"))
     )
     best = _pq_scored(emb).groupBy("vec_id", "m").agg(
         F.min_by("cid", F.struct("dist", "cid")).alias("cid"),
@@ -910,7 +912,7 @@ def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_adc_oracle() -> str:
     adist = " + ".join(f"MAX(CASE WHEN m = {m} THEN lut END)" for m in range(_PQ_M))
     return (
-        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL), "
         f"ms AS (SELECT unnest(range({_PQ_M})) AS m), "
         "sub AS (SELECT vec_id, m, "
         f"    list_slice(v, m * {_PQ_SUBDIM} + 1, (m + 1) * {_PQ_SUBDIM}) AS sv "
@@ -956,8 +958,10 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query TakeOrdered. Recall tuning (more centroids, OPQ
     rotations, IVF cell pruning via sim_ivf) changes constants, not the
     plan shape."""
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("v")
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())  # NULL ordering differs cross-engine
+        .select("vec_id", _as_double("embedding").alias("v"))
     )
     scored = _pq_scored(emb)
     codes = (
@@ -1013,7 +1017,7 @@ def _pq_scored(emb: DataFrame) -> DataFrame:
 def _ivfpq_oracle() -> str:
     adist = " + ".join(f"MAX(CASE WHEN m = {m} THEN lut END)" for m in range(_PQ_M))
     return (
-        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL), "
         + _CENT_SQL
         + ", "
         "sc AS (SELECT e.vec_id, cent_id, "
@@ -1070,8 +1074,10 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes are 64x smaller than vectors, per-candidate cost is M table
     lookups, and everything that crosses a shuffle is id-sized. IVF
     centroids and query LUTs broadcast."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("v")
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())  # NULL ordering differs cross-engine
+        .select("vec_id", _as_double("embedding").alias("v"))
     )
     cent = _cent_df(e)
     a = _assign_cells(e, cent).select("vec_id", "cell")

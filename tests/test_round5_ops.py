@@ -407,3 +407,33 @@ class TestSimIVFPQ:
         for rks in per_q.values():
             assert sorted(rks) == list(range(1, K + 1))
         assert all(r["adist"] >= 0.0 for r in rows)
+
+
+class TestDegenerateGuards:
+    def test_zorder_constant_dimension_buckets_to_zero(self, spark, tmp_path):
+        import datetime
+        import os
+
+        import pandas as pd
+
+        from flod_spark.catalog.codec_formats import sort_zorder
+
+        d = str(tmp_path / "sfz")
+        os.makedirs(d)
+        pd.DataFrame(
+            {
+                "o_totalprice": [42.0] * 50,  # constant -> qp guard
+                "o_orderdate": [
+                    datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i)
+                    for i in range(50)
+                ],
+            }
+        ).to_parquet(
+            f"{d}/orders.parquet",
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        rows = sort_zorder(spark, d).collect()
+        # constant price quantizes to bucket 0 everywhere; dates spread
+        assert all(r["min_qp"] == 0 and r["max_qp"] == 0 for r in rows)
+        assert sum(r["n"] for r in rows) == 50
