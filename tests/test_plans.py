@@ -332,6 +332,14 @@ HEADLINE_PINS = {
     "tpch_q2": (5, 1),
     "dedup_verify": (3, 0),
     "fingerprint_winnow": (0, 0),
+    # round-5 bench additions (values = PLANS.md at introduction)
+    "dedup_substring": (4, 0),
+    "media_decode_png": (0, 0),
+    "heavy_hitters": (2, 0),
+    "triangle_count": (5, 2),
+    "sort_zorder": (1, 0),
+    "rollup_hierarchy": (1, 0),
+    "join_fuzzy": (4, 0),
 }
 
 
