@@ -900,3 +900,95 @@ def stream_agg_update_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "win_start", "event_type", F.col("s.n_events"), F.col("s.sum_value")
     )
+
+
+def _mg_shard_fn(key, pdfs, state):
+    """Per-shard streaming Misra-Gries (bounded state: two arrays of at
+    most analytics._HH_C entries), merged across micro-batches. Emits
+    the CURRENT candidate set every batch; the union of emissions is a
+    candidate superset of the shard's final summary, so downstream
+    exact recounting stays lossless (see stream_heavy_hitters_live)."""
+    import pandas as pd
+
+    from flod_spark.catalog.analytics import _HH_C
+
+    if state.exists:
+        ks, vs = state.get
+        counters = dict(zip(ks, vs))
+    else:
+        counters = {}
+    for pdf in pdfs:
+        for k, v in pdf["user_id"].value_counts().items():
+            counters[k] = counters.get(k, 0) + int(v)
+        if len(counters) > _HH_C:
+            excess = sorted(counters.values(), reverse=True)[_HH_C]
+            counters = {k: c - excess for k, c in counters.items() if c > excess}
+    state.update(([int(k) for k in counters], [int(c) for c in counters.values()]))
+    yield pd.DataFrame(
+        {
+            "shard": pd.Series([int(key[0])] * len(counters), dtype="int64"),
+            "user_id": pd.Series([int(k) for k in counters], dtype="int64"),
+        }
+    )
+
+
+@query(
+    "stream_heavy_hitters_live",
+    oracle=(
+        "SELECT user_id, COUNT(*) AS cnt FROM events WHERE user_id IS NOT NULL "
+        "GROUP BY user_id HAVING COUNT(*) * 160 > (SELECT COUNT(*) FROM events "
+        "WHERE user_id IS NOT NULL)"
+    ),
+)
+def stream_heavy_hitters_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters ON THE LIVE PATH — the streaming form of
+    heavy_hitters: events shard by key hash into 8 state partitions,
+    each running a bounded-memory Misra-Gries summary inside
+    applyInPandasWithState (state = two arrays, never a full key set),
+    emitting its candidate snapshot every trigger. Because a key's
+    every occurrence lands in ONE shard, a global heavy hitter is a
+    shard heavy hitter outright (no averaging argument needed), so the
+    union of emitted snapshots provably contains every key above n/C —
+    and the exact batch recount + integer threshold make the final
+    answer EXACT no matter how the sketch's candidate set wobbles
+    across triggers. Output equals heavy_hitters' (same oracle row for
+    row) — the batch/stream agreement the unified model promises.
+
+    Scale: state per shard is O(C); emissions are |shards| x C rows per
+    trigger; the recount is heavy_hitters' semi-join pass. Shard count
+    tracks executor count in production — more shards, same lemma."""
+    ev = load(spark, sf_dir, "events")
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_hh_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4, tiebreak=("event_id",))
+    src = (
+        with_event_time(stream)
+        .filter(F.col("user_id").isNotNull())
+        .withWatermark("ts", _WATERMARK)
+        .select(F.pmod(F.xxhash64("user_id"), F.lit(8)).alias("shard"), "user_id")
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    snapshots = src.groupBy("shard").applyInPandasWithState(
+        _mg_shard_fn,
+        outputStructType="shard long, user_id long",
+        stateStructType="ks array<long>, vs array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    got = _drain(snapshots, spark, output_mode="update")
+    cand = got.select("user_id").distinct()
+    from flod_spark.catalog.analytics import _HH_C
+
+    ev_b = load(spark, sf_dir, "events").select("user_id").filter(
+        F.col("user_id").isNotNull()
+    )
+    n = ev_b.agg(F.count("*").alias("n"))
+    return (
+        ev_b.join(F.broadcast(cand), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("cnt") * F.lit(_HH_C) > F.col("n"))
+        .select("user_id", "cnt")
+    )

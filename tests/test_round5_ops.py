@@ -437,3 +437,20 @@ class TestDegenerateGuards:
         # constant price quantizes to bucket 0 everywhere; dates spread
         assert all(r["min_qp"] == 0 and r["max_qp"] == 0 for r in rows)
         assert sum(r["n"] for r in rows) == 50
+
+
+class TestStreamHeavyHittersLive:
+    def test_equals_batch_heavy_hitters(self, spark):
+        from flod_spark.catalog.analytics import heavy_hitters
+        from flod_spark.catalog.streaming_live import stream_heavy_hitters_live
+
+        sf = "/root/testdata/sf0.001"
+        live = {
+            (r["user_id"], r["cnt"])
+            for r in stream_heavy_hitters_live(spark, sf).collect()
+        }
+        batch = {
+            (r["user_id"], r["cnt"]) for r in heavy_hitters(spark, sf).collect()
+        }
+        assert live == batch
+        assert live, "streaming heavy-hitters test is vacuous"
