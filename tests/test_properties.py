@@ -126,3 +126,63 @@ def test_deletion_neighborhood_candidate_filter_is_lossless(a, b):
     Tiny alphabet maximizes collision density, the adversarial case."""
     if _lev(a, b) <= 2:
         assert _del_neighborhood(a) & _del_neighborhood(b), (a, b)
+
+
+def _pj_segments(v: str):
+    """Pure-Python mirror of dedup.py's segment scheme: 3 segments, the
+    last (len % 3) get the extra char; yields (i, seg, start_1based)."""
+    l = len(v)
+    q, r = divmod(l, 3)
+    start = 1
+    for i in range(3):
+        ln = q + (1 if i >= 3 - r else 0)
+        yield i, v[start - 1 : start - 1 + ln], start
+        start += ln
+
+
+def _pj_probe_entries(u: str):
+    """Mirror of the probe generator: for each target length l0 and
+    segment index, u's substrings of the scheme's segment length at the
+    in-window positions."""
+    out = set()
+    for dl in range(-2, 3):
+        l0 = len(u) + dl
+        if l0 < 3:
+            continue
+        q, r = divmod(l0, 3)
+        start = 1
+        for i in range(3):
+            ln = q + (1 if i >= 3 - r else 0)
+            p0 = start
+            start += ln
+            for shift in range(-2, 3):
+                p = p0 + shift
+                if p >= 1 and p + ln - 1 <= len(u):
+                    out.add((l0, i, u[p - 1 : p - 1 + ln]))
+    return out
+
+
+@settings(max_examples=300, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    a=st.text(alphabet=list("ab"), min_size=1, max_size=10),
+    b=st.text(alphabet=list("ab"), min_size=1, max_size=10),
+)
+def test_passjoin_segment_candidates_are_lossless(a, b):
+    """join_fuzzy_seg's pigeonhole scheme (dedup.py), mirrored in pure
+    Python: if lev(a,b) <= 2 the pair MUST surface as a candidate —
+    through a segment match in either direction, or the short x short
+    branch. Binary alphabet maximizes spurious structure; lengths 1-10
+    cross the segmentable threshold both ways."""
+    if a == b or _lev(a, b) > 2:
+        return
+    short_a, short_b = len(a) < 3, len(b) < 3
+    if short_a and short_b:
+        return  # short x short branch pairs them unconditionally
+    hit = False
+    if not short_b:  # b indexable, a probes
+        idx_b = {(len(b), i, seg) for i, seg, _ in _pj_segments(b)}
+        hit = hit or bool(_pj_probe_entries(a) & idx_b)
+    if not short_a:  # a indexable, b probes
+        idx_a = {(len(a), i, seg) for i, seg, _ in _pj_segments(a)}
+        hit = hit or bool(_pj_probe_entries(b) & idx_a)
+    assert hit, (a, b, _lev(a, b))

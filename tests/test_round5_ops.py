@@ -454,3 +454,28 @@ class TestStreamHeavyHittersLive:
         }
         assert live == batch
         assert live, "streaming heavy-hitters test is vacuous"
+
+
+class TestPassJoinMirrorFidelity:
+    def test_sql_segments_match_python_mirror(self, spark):
+        # the hypothesis lemma test (test_properties.py) trusts a pure-
+        # Python mirror of the segment scheme; prove the mirror and the
+        # actual Spark SQL expressions agree on a length sweep
+        import pandas as pd
+
+        from flod_spark.catalog.dedup import _PJ_SEGS, _pj_seg_len, _pj_seg_start
+        from tests.test_properties import _pj_segments
+
+        names = ["x" * n for n in range(3, 20)]
+        df = spark.createDataFrame(pd.DataFrame({"p_name": names}))
+        exprs = []
+        for i in range(_PJ_SEGS):
+            exprs.append(
+                F.expr(_pj_seg_start("length(p_name)", i)).alias(f"s{i}")
+            )
+            exprs.append(F.expr(_pj_seg_len("length(p_name)", i)).alias(f"l{i}"))
+        got = {r["p_name"]: r for r in df.select("p_name", *exprs).collect()}
+        for v in names:
+            for i, seg, start in _pj_segments(v):
+                assert got[v][f"s{i}"] == start, (v, i)
+                assert got[v][f"l{i}"] == len(seg), (v, i)
