@@ -80,7 +80,7 @@ def udf_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.mapInPandas(
         _charge_stage,
-        schema="l_orderkey long, l_linenumber long, charge double, band string",
+        schema="l_orderkey long, l_linenumber int, charge double, band string",
     )
 
 
@@ -205,4 +205,67 @@ def udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.createOrReplaceTempView("_udtf_docs")
     return spark.sql(
         "SELECT s.* FROM _udtf_docs, LATERAL flod_segment_split(doc_id, text) s"
+    )
+
+
+def _charge_stage_arrow(batches):
+    """Chunk-wise user stage on RAW ARROW batches (no pandas
+    materialization): the same effective-charge computation as
+    _charge_stage, expressed with pyarrow.compute kernels. Mirrors the
+    oracle's left-associated op order exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        price = b.column("l_extendedprice")
+        disc = b.column("l_discount")
+        tax = b.column("l_tax")
+        charge = pc.multiply(
+            pc.multiply(price, pc.subtract(pa.scalar(1.0), disc)),
+            pc.add(pa.scalar(1.0), tax),
+        )
+        band = pc.if_else(
+            pc.less(charge, pa.scalar(20000.0)),
+            pa.scalar("low"),
+            pc.if_else(
+                pc.greater_equal(charge, pa.scalar(60000.0)),
+                pa.scalar("high"),
+                pa.scalar("mid"),
+            ),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [b.column("l_orderkey"), b.column("l_linenumber"), charge, band],
+            names=["l_orderkey", "l_linenumber", "charge", "band"],
+        )
+
+
+@query(
+    "udf_arrow",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, "
+        "  (l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS charge, "
+        "  CASE WHEN (l_extendedprice * (1 - l_discount)) * (1 + l_tax) < 20000 THEN 'low' "
+        "       WHEN (l_extendedprice * (1 - l_discount)) * (1 + l_tax) >= 60000 THEN 'high' "
+        "       ELSE 'mid' END AS band "
+        "FROM lineitem"
+    ),
+)
+def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """udf_stage's computation through mapInArrow — the zero-copy stage
+    surface: batches stay pyarrow RecordBatches end to end (no
+    Arrow->pandas->Arrow conversion, no index bookkeeping, exact float
+    semantics with no NaN/None coercions), which is the right authoring
+    level for byte-oriented stages (codecs, tokenizers) where pandas
+    materialization is pure overhead. Same oracle as udf_stage — the
+    two stage APIs are proven computation-identical.
+
+    Scale: identical shape to mapInPandas (narrow, Arrow-batched, no
+    shuffle) minus the per-batch pandas conversion cost; parallelism =
+    scan splits."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+    )
+    return li.mapInArrow(
+        _charge_stage_arrow,
+        schema="l_orderkey long, l_linenumber int, charge double, band string",
     )
