@@ -479,3 +479,79 @@ class TestPassJoinMirrorFidelity:
             for i, seg, start in _pj_segments(v):
                 assert got[v][f"s{i}"] == start, (v, i)
                 assert got[v][f"l{i}"] == len(seg), (v, i)
+
+
+class TestRound5Degenerates:
+    """Planted tiny/empty inputs for the round-5 ops whose gate tables
+    can't show those shapes (the reference's 0/1-length discipline)."""
+
+    def _write(self, tmp_path, name, df):
+        import os
+
+        d = str(tmp_path / "sfdeg2")
+        os.makedirs(d, exist_ok=True)
+        df.to_parquet(
+            f"{d}/{name}.parquet",
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        return d
+
+    def test_heavy_hitters_single_event(self, spark, tmp_path):
+        import datetime
+
+        import pandas as pd
+
+        d = self._write(
+            tmp_path,
+            "events",
+            pd.DataFrame(
+                {
+                    "event_id": pd.Series([1], dtype="int64"),
+                    "ts": [datetime.datetime(2024, 1, 1)],
+                    "user_id": pd.Series([7], dtype="int64"),
+                    "event_type": ["view"],
+                    "value": [1.0],
+                    "props": ["{}"],
+                }
+            ),
+        )
+        rows = heavy_hitters(spark, d).collect()
+        # n=1: the single key has cnt*160 = 160 > 1 -> it IS a heavy hitter
+        assert [(r["user_id"], r["cnt"]) for r in rows] == [(7, 1)]
+
+    def test_sliding_distinct_empty_events(self, spark, tmp_path):
+        import pandas as pd
+
+        from flod_spark.catalog.streaming_batch import sliding_distinct
+
+        d = self._write(
+            tmp_path,
+            "events",
+            pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "event_type": pd.Series([], dtype="object"),
+                    "value": pd.Series([], dtype="float64"),
+                    "props": pd.Series([], dtype="object"),
+                }
+            ),
+        )
+        assert sliding_distinct(spark, d).count() == 0
+
+    def test_triangle_count_empty_lineitem(self, spark, tmp_path):
+        import pandas as pd
+
+        d = self._write(
+            tmp_path,
+            "lineitem",
+            pd.DataFrame(
+                {
+                    "l_orderkey": pd.Series([], dtype="int64"),
+                    "l_suppkey": pd.Series([], dtype="int64"),
+                }
+            ),
+        )
+        assert triangle_count(spark, d).count() == 0
