@@ -2580,3 +2580,92 @@ def quantile_exact_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     for v in sels[1:]:
         out = out.crossJoin(v)
     return out
+
+
+# cdc_apply / scd2_build: a deterministic change log derived from orders —
+# key = o_orderkey % 1000 (forces multiple versions per key), seq =
+# o_orderkey (a total version order), op = I/U/D by a fixed rule. Both
+# engines derive it identically.
+_CDC_LOG_SQL = (
+    "log AS (SELECT o_orderkey % 1000 AS k, o_orderkey AS seq, "
+    "    CASE WHEN o_orderkey % 10 = 9 THEN 'D' "
+    "         WHEN o_orderkey % 10 < 5 THEN 'I' ELSE 'U' END AS op, "
+    "    o_totalprice AS val FROM orders)"
+)
+
+
+def _cdc_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        (F.col("o_orderkey") % 1000).alias("k"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 10 == 9, "D")
+        .when(F.col("o_orderkey") % 10 < 5, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.col("o_totalprice").alias("val"),
+    )
+
+
+@query(
+    "cdc_apply",
+    oracle=(
+        f"WITH {_CDC_LOG_SQL}, "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM log) "
+        "SELECT k, seq AS last_seq, val FROM r WHERE rn = 1 AND op <> 'D'"
+    ),
+)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log application with TOMBSTONES — the replication-sink half
+    merge_upsert's aggregate-maintenance doesn't cover: given an
+    insert/update/delete change log with a per-key version order, the
+    table state is each key's LATEST entry, and keys whose latest op is
+    a delete vanish entirely. One rank per key (WindowGroupLimit via
+    rn = 1) then the tombstone filter — the exact semantics of applying
+    a Debezium/binlog stream to a lakehouse table.
+
+    Scale: one exchange on the key; the rank prunes to one row per key
+    BEFORE the filter; at 100 TB this runs per ingestion partition and
+    the survivor set merges into the base table by key (merge_upsert's
+    co-partitioned pattern)."""
+    log = _cdc_log(spark, sf_dir)
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("k", F.col("seq").alias("last_seq"), "val")
+    )
+
+
+@query(
+    "scd2_build",
+    oracle=(
+        f"WITH {_CDC_LOG_SQL} "
+        "SELECT k, seq AS valid_from, "
+        "  lead(seq) OVER (PARTITION BY k ORDER BY seq) AS valid_to, "
+        "  lead(seq) OVER (PARTITION BY k ORDER BY seq) IS NULL AS is_current, "
+        "  op, val FROM log"
+    ),
+)
+def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 from the same change log: every
+    version of every key becomes a row with a validity interval —
+    valid_from = its version, valid_to = the next version's (NULL +
+    is_current for the open row). This is the warehouse pattern that
+    lets fact rows join the dimension AS OF their event time
+    (join_asof's range predicate against [valid_from, valid_to)).
+
+    Scale: one exchange on the key, one lead() per row inside the
+    per-key window — the dimension build is linear in versions; the
+    as-of consumers never rescan history."""
+    log = _cdc_log(spark, sf_dir)
+    w = Window.partitionBy("k").orderBy("seq")
+    nxt = F.lead("seq").over(w)
+    return log.select(
+        "k",
+        F.col("seq").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        "op",
+        "val",
+    )
