@@ -555,3 +555,49 @@ class TestRound5Degenerates:
             ),
         )
         assert triangle_count(spark, d).count() == 0
+
+
+class TestScaleBound:
+    def test_heavy_hitters_exact_at_sf01(self, spark, sf01_dir):
+        # scale-bound correctness: the bounded-memory candidate pass stays
+        # lossless at 10x the gate data (100k events). The uniform
+        # synthetic data has NO eps-heavy hitters at this scale (1500
+        # users x ~67 events vs threshold n/160 = 625), so the exact
+        # answer is empty — non-vacuity is covered at sf0.01, where the
+        # threshold sits below the mean frequency.
+        got = {
+            (r["user_id"], r["cnt"])
+            for r in heavy_hitters(spark, sf01_dir).collect()
+        }
+        ev = spark.read.parquet(f"{sf01_dir}/events.parquet").filter(
+            F.col("user_id").isNotNull()
+        )
+        n = ev.count()
+        want = {
+            (r["user_id"], r["cnt"])
+            for r in ev.groupBy("user_id")
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") * _HH_C > n)
+            .collect()
+        }
+        assert got == want
+
+    def test_join_fuzzy_exact_at_sf01(self, spark, sf01_dir):
+        got = {
+            (r["name_a"], r["name_b"], r["dist"])
+            for r in join_fuzzy(spark, sf01_dir).collect()
+        }
+        names = [
+            r["p_name"]
+            for r in spark.read.parquet(f"{sf01_dir}/part.parquet")
+            .select("p_name")
+            .distinct()
+            .collect()
+        ]
+        want = {
+            (min(a, b), max(a, b), _lev(a, b))
+            for i, a in enumerate(names)
+            for b in names[i + 1 :]
+            if _lev(a, b) <= 2
+        }
+        assert got == want and want
