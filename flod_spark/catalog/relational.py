@@ -1399,9 +1399,12 @@ def window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-user z-scores with moments from EXACT decimal sums: mean
         # and variance become identical doubles in both engines, and the
         # per-row (x-mean)/sd arithmetic is IEEE-identical after that
+        # s2's scale-12 decimal exceeds 2^53 unscaled, where DuckDB's
+        # direct decimal->double cast double-rounds — VARCHAR round-trip
+        # is correctly rounded on both engines (agg_corr's rule)
         "WITH m AS (SELECT user_id, COUNT(*) AS n, "
-        "    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1, "
-        "    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2 "
+        "    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s1, "
+        "    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s2 "
         "  FROM events GROUP BY user_id) "
         "SELECT e.event_id, e.user_id, e.value, "
         "  (e.value - m.s1 / m.n) / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n)) AS z, "
@@ -2307,12 +2310,17 @@ def window_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Pearson r from EXACT decimal moments (built-in corr() uses
         # float accumulation — order-dependent); the only floats are the
         # final few scalar ops on already-aggregated values
+        # decimal -> double goes through VARCHAR: DuckDB's direct decimal
+        # cast double-rounds (int128 -> double, then / 10^scale) and can
+        # land one ulp off the correctly-rounded value Spark's
+        # BigDecimal.doubleValue produces (observed on sf0.001's 'A'
+        # group); string -> double is correctly rounded on both engines
         "WITH m AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
-        "    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx, "
-        "    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy, "
-        "    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx, "
-        "    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy, "
-        "    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy "
+        "    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx, "
+        "    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy, "
+        "    CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sxx, "
+        "    CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS syy, "
+        "    CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sxy "
         "  FROM lineitem GROUP BY l_returnflag) "
         "SELECT l_returnflag, n, "
         "  (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price, "

@@ -8,6 +8,12 @@ Determinism rules (so the driver's order-insensitive value-hash matches):
 - Any SUM/AVG over doubles goes through CAST(x AS DECIMAL(…)) first (exact,
   associative), then the result is CAST back to DOUBLE — bit-identical in
   Spark and DuckDB regardless of partial-aggregation order.
+- If the decimal's UNSCALED value can exceed 2^53 (second moments: sums of
+  squares/products), the DuckDB cast must round-trip through VARCHAR —
+  DuckDB's direct decimal->double double-rounds (int128 -> double, then
+  / 10^scale) and can land one ulp off Spark's correctly-rounded
+  BigDecimal.doubleValue (observed: agg_corr at sf0.001). Plain money sums
+  at our scale factors stay below 2^53 and are safe either way.
 - Per-row double arithmetic (IEEE, fixed op order) is bit-identical already.
 - Array reductions use sequential fold on DOUBLE in both engines
   (Spark aggregate() / DuckDB list_reduce()) so dot products match bitwise.
