@@ -601,3 +601,41 @@ class TestScaleBound:
             if _lev(a, b) <= 2
         }
         assert got == want and want
+
+
+class TestStreamingEmptyInputs:
+    def _empty_events_dir(self, tmp_path):
+        import os
+
+        import pandas as pd
+
+        d = str(tmp_path / "sfempty")
+        os.makedirs(d, exist_ok=True)
+        pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "user_id": pd.Series([], dtype="int64"),
+                "event_type": pd.Series([], dtype="object"),
+                "value": pd.Series([], dtype="float64"),
+                "props": pd.Series([], dtype="object"),
+            }
+        ).to_parquet(f"{d}/events.parquet")
+        return d
+
+    def test_outer_join_live_empty(self, spark, tmp_path):
+        from flod_spark.catalog.streaming_live import stream_outer_join_live
+
+        assert stream_outer_join_live(spark, self._empty_events_dir(tmp_path)).count() == 0
+
+    def test_heavy_hitters_live_empty(self, spark, tmp_path):
+        from flod_spark.catalog.streaming_live import stream_heavy_hitters_live
+
+        assert (
+            stream_heavy_hitters_live(spark, self._empty_events_dir(tmp_path)).count() == 0
+        )
+
+    def test_agg_update_live_empty(self, spark, tmp_path):
+        from flod_spark.catalog.streaming_live import stream_agg_update_live
+
+        assert stream_agg_update_live(spark, self._empty_events_dir(tmp_path)).count() == 0
