@@ -431,27 +431,34 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HH_C = 160
 
 
-def _mg_candidates(batches):
-    """Per-partition Misra-Gries summary over user_id (bounded memory).
+def _mg_absorb(counters: dict, value_counts) -> dict:
+    """THE Misra-Gries update (one source for the batch and streaming
+    forms): absorb a batch's value counts, then batched-decrement —
+    when the counter set exceeds _HH_C, subtract the (_HH_C+1)-th
+    largest count from every counter and drop the non-positive ones.
+    Each decrement round removes >= (_HH_C+1) x excess units of stream
+    mass, so cumulative decrement <= n_p/(_HH_C+1): every key with
+    local frequency above n_p/_HH_C ends with a positive counter.
+    This bound is what makes the candidate union LOSSLESS in both
+    heavy_hitters and stream_heavy_hitters_live."""
+    for k, v in value_counts.items():
+        counters[k] = counters.get(k, 0) + int(v)
+    if len(counters) > _HH_C:
+        excess = sorted(counters.values(), reverse=True)[_HH_C]
+        counters = {k: c - excess for k, c in counters.items() if c > excess}
+    return counters
 
-    Batched decrement: when the counter set exceeds _HH_C, subtract the
-    (_HH_C+1)-th largest count from every counter and drop the non-
-    positive ones. Each such round removes >= (_HH_C+1) x excess units of
-    stream mass, so cumulative decrement <= n_p/(_HH_C+1) — every key
-    with partition frequency above n_p/_HH_C ends with a positive
-    counter. Combined with the averaging argument (a global heavy hitter
-    must be a partition heavy hitter somewhere), the union of partition
-    summaries is a LOSSLESS candidate superset of {freq > n/_HH_C}.
-    """
+
+def _mg_candidates(batches):
+    """Per-partition Misra-Gries summary over user_id (bounded memory,
+    _mg_absorb's lemma + the averaging argument: a global heavy hitter
+    must be a partition heavy hitter somewhere, so the union of
+    partition summaries is a lossless candidate superset)."""
     import pandas as pd  # local: runs on executors
 
     counters: dict = {}
     for b in batches:
-        for k, v in b["user_id"].value_counts().items():
-            counters[k] = counters.get(k, 0) + int(v)
-        if len(counters) > _HH_C:
-            excess = sorted(counters.values(), reverse=True)[_HH_C]
-            counters = {k: c - excess for k, c in counters.items() if c > excess}
+        counters = _mg_absorb(counters, b["user_id"].value_counts())
     yield pd.DataFrame({"user_id": pd.Series(list(counters.keys()), dtype="int64")})
 
 
@@ -459,7 +466,8 @@ def _mg_candidates(batches):
     "heavy_hitters",
     oracle=(
         "SELECT user_id, COUNT(*) AS cnt FROM events WHERE user_id IS NOT NULL "
-        "GROUP BY user_id HAVING COUNT(*) * 160 > (SELECT COUNT(*) FROM events "
+        # threshold interpolated from _HH_C so oracle and engine can never drift
+        f"GROUP BY user_id HAVING COUNT(*) * {_HH_C} > (SELECT COUNT(*) FROM events "
         "WHERE user_id IS NOT NULL)"
     ),
 )

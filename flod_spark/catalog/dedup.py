@@ -897,7 +897,8 @@ def _del1_sql(x: str) -> str:
         # brute force is exact and affordable at oracle scale (|distinct
         # names|^2 levenshtein calls); the Spark side must reproduce it
         # from the pruned candidate space.
-        "WITH names AS (SELECT p_name, COUNT(*) AS cnt FROM part GROUP BY p_name) "
+        "WITH names AS (SELECT p_name, COUNT(*) AS cnt FROM part "
+        "  WHERE length(p_name) > 0 GROUP BY p_name) "
         "SELECT a.p_name AS name_a, b.p_name AS name_b, "
         "  levenshtein(a.p_name, b.p_name) AS dist, "
         "  a.cnt AS cnt_a, b.cnt AS cnt_b "

@@ -2552,11 +2552,14 @@ def quantile_exact_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("x").alias("mn"), F.max("x").alias("mx"), F.count("*").alias("n")
     ).collect()[0]
     mn, mx, n = stats["mn"], stats["mx"], stats["n"]
-    if n == 0 or mn == mx:
-        # degenerate: all-equal (or empty) input — every quantile is mn
-        return spark.createDataFrame(
-            [tuple([mn] * len(_QE_PCTS))], schema=", ".join(f"p{p} double" for p in _QE_PCTS)
-        )
+    schema = ", ".join(f"p{p} double" for p in _QE_PCTS)
+    if n == 0:
+        # empty input: no ranks exist — zero rows, like the oracle's
+        # empty GROUP BY c
+        return spark.createDataFrame([], schema=schema)
+    if mn == mx:
+        # all-equal input — every quantile is the constant
+        return spark.createDataFrame([tuple([mn] * len(_QE_PCTS))], schema=schema)
     bucket = F.least(
         F.lit(_QE_BUCKETS - 1),
         F.floor((F.col("x") - F.lit(mn)) * F.lit(float(_QE_BUCKETS)) / F.lit(mx - mn)),

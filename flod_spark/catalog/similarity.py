@@ -964,25 +964,13 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", _as_double("embedding").alias("v"))
     )
     scored = _pq_scored(emb)
-    codes = (
-        scored.groupBy("vec_id", "m")
-        .agg(F.min_by("cid", F.struct("dist", "cid")).alias("cid"))
-    )
-    lut = scored.filter(F.col("vec_id") < NQ).select(
-        F.col("vec_id").alias("query_id"), "m", "cid", F.col("dist").alias("lut")
-    )
     joined = (
-        codes.join(F.broadcast(lut), ["m", "cid"])
+        _pq_codes(scored)
+        .join(F.broadcast(_pq_lut(scored)), ["m", "cid"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "m", "lut")
     )
-    terms = [
-        F.max(F.when(F.col("m") == m, F.col("lut"))) for m in range(_PQ_M)
-    ]
-    adist = terms[0]
-    for t in terms[1:]:
-        adist = adist + t
-    s = joined.groupBy("query_id", "neighbor_id").agg(adist.alias("adist"))
+    s = joined.groupBy("query_id", "neighbor_id").agg(_pq_adist_col().alias("adist"))
     w = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("neighbor_id"))
     return (
         s.withColumn("rk", F.row_number().over(w))
@@ -1014,6 +1002,32 @@ def _pq_scored(emb: DataFrame) -> DataFrame:
     )
 
 
+def _pq_codes(scored: DataFrame) -> DataFrame:
+    """(vec_id, m, cid): per-(vector, subspace) argmin code, centroid-id
+    tiebreak — shared by sim_pq_adc and sim_ivfpq."""
+    return scored.groupBy("vec_id", "m").agg(
+        F.min_by("cid", F.struct("dist", "cid")).alias("cid")
+    )
+
+
+def _pq_lut(scored: DataFrame) -> DataFrame:
+    """(query_id, m, cid, lut): the first-NQ queries' subspace distance
+    lookup tables — the same rows _pq_scored computed for assignment."""
+    return scored.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), "m", "cid", F.col("dist").alias("lut")
+    )
+
+
+def _pq_adist_col():
+    """Fixed-subspace-order ADC sum over pivoted (m, lut) rows — the
+    cross-engine exactness contract lives HERE, once."""
+    terms = [F.max(F.when(F.col("m") == m, F.col("lut"))) for m in range(_PQ_M)]
+    adist = terms[0]
+    for t in terms[1:]:
+        adist = adist + t
+    return adist
+
+
 def _ivfpq_oracle() -> str:
     adist = " + ".join(f"MAX(CASE WHEN m = {m} THEN lut END)" for m in range(_PQ_M))
     return (
@@ -1025,7 +1039,7 @@ def _ivfpq_oracle() -> str:
         "a AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, "
         "    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM sc) "
         "  WHERE rn = 1), "
-        f"q AS (SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT {NQ}), "
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {NQ}), "
         "qs AS (SELECT query_id, cent_id, "
         f"    {_cos_sql('qv', 'cv')} AS cos FROM q, cent), "
         "qp AS (SELECT query_id, cent_id AS cell FROM (SELECT *, "
@@ -1082,16 +1096,11 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = _cent_df(e)
     a = _assign_cells(e, cent).select("vec_id", "cell")
     scored = _pq_scored(e)
-    codes = scored.groupBy("vec_id", "m").agg(
-        F.min_by("cid", F.struct("dist", "cid")).alias("cid")
-    )
-    lut = scored.filter(F.col("vec_id") < NQ).select(
-        F.col("vec_id").alias("query_id"), "m", "cid", F.col("dist").alias("lut")
-    )
-    q = (
-        e.orderBy("vec_id")
-        .limit(NQ)
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    # queries = vec_id < NQ, the SAME predicate the LUT uses (an
+    # orderBy/limit head would diverge from the LUT keys if any of the
+    # first NQ ids were filtered out above)
+    q = e.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     cos_qc = _cos_spark(F.col("qv"), F.col("cv"))
     wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cent_id"))
@@ -1108,13 +1117,9 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
     j = cand.join(
-        codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
-    ).join(F.broadcast(lut), ["query_id", "m", "cid"])
-    terms = [F.max(F.when(F.col("m") == m, F.col("lut"))) for m in range(_PQ_M)]
-    adist = terms[0]
-    for t in terms[1:]:
-        adist = adist + t
-    s = j.groupBy("query_id", "neighbor_id").agg(adist.alias("adist"))
+        _pq_codes(scored).withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    ).join(F.broadcast(_pq_lut(scored)), ["query_id", "m", "cid"])
+    s = j.groupBy("query_id", "neighbor_id").agg(_pq_adist_col().alias("adist"))
     wk = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("neighbor_id"))
     return (
         s.withColumn("rk", F.row_number().over(wk).cast("long"))

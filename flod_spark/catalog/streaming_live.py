@@ -32,6 +32,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flod_spark.catalog.analytics import _HH_C
 from flod_spark.io import load
 from flod_spark.registry import query
 from flod_spark.streaming import replay_stream, streaming_take_per_key, tumbling_counts
@@ -658,6 +659,20 @@ def stream_outer_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical state story to the inner join — watermark + range
     bound evict join state; the outer path adds only the per-row
     matched bit Spark keeps to decide null emission."""
+    return _sentinel_click_join(spark, sf_dir, "leftOuter").filter(
+        F.col("signup_id") >= 0
+    )
+
+
+def _sentinel_click_join(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
+    """The signups x clicks stream-stream join scaffold shared by the
+    left- and full-outer gated queries: replayed source + the THREE
+    far-future sentinel batches (one per side's watermark node plus one
+    batch that applies the min watermark, flushing eviction/null
+    emission deterministically) + the watermarked 30-minute interval
+    condition. Callers filter their side's sentinel rows (negative ids)
+    out of the drained result — the join condition, watermark, and
+    sentinel protocol are correctness-critical and live only here."""
     import datetime as _dt
 
     from flod_spark.streaming.replay import append_sentinel_batches
@@ -703,9 +718,9 @@ def stream_outer_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("click_id") != F.col("signup_id"))
         & (F.col("ts_c") >= F.col("ts_s"))
         & (F.col("ts_c") <= F.col("ts_s") + F.expr("INTERVAL 30 MINUTES")),
-        "leftOuter",
+        how,
     ).select("signup_id", "click_id")
-    return _drain(joined, spark).filter(F.col("signup_id") >= 0)
+    return _drain(joined, spark)
 
 
 @query(
@@ -794,54 +809,7 @@ def stream_full_outer_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical state story to the inner join plus one matched bit
     per buffered row on BOTH sides."""
-    import datetime as _dt
-
-    from flod_spark.streaming.replay import append_sentinel_batches
-
-    ev = load(spark, sf_dir, "events")
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
-    replay_dir = tempfile.mkdtemp(prefix="flod_replay_foj_")
-    shutil.rmtree(replay_dir, ignore_errors=True)
-    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4, tiebreak=("event_id",))
-    if max_ts is not None:
-        append_sentinel_batches(
-            spark,
-            replay_dir,
-            [
-                (-1, max_ts + _dt.timedelta(days=10), -1, "signup", 0.0, "{}"),
-                (-2, max_ts + _dt.timedelta(days=11), -2, "click", 0.0, "{}"),
-                (-3, max_ts + _dt.timedelta(days=12), -3, "signup", 0.0, "{}"),
-            ],
-            ev.schema,
-        )
-    stream = with_event_time(stream)
-    signups = (
-        stream.filter(F.col("event_type") == "signup")
-        .select(
-            F.col("event_id").alias("signup_id"),
-            F.col("user_id").alias("u"),
-            F.col("ts").alias("ts_s"),
-        )
-        .withWatermark("ts_s", "2 hours")
-    )
-    clicks = (
-        stream.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("u2"),
-            F.col("ts").alias("ts_c"),
-        )
-        .withWatermark("ts_c", "2 hours")
-    )
-    joined = signups.join(
-        clicks,
-        (F.col("u") == F.col("u2"))
-        & (F.col("click_id") != F.col("signup_id"))
-        & (F.col("ts_c") >= F.col("ts_s"))
-        & (F.col("ts_c") <= F.col("ts_s") + F.expr("INTERVAL 30 MINUTES")),
-        "fullOuter",
-    ).select("signup_id", "click_id")
-    return _drain(joined, spark).filter(
+    return _sentinel_click_join(spark, sf_dir, "fullOuter").filter(
         (F.coalesce("signup_id", F.lit(0)) >= 0)
         & (F.coalesce("click_id", F.lit(0)) >= 0)
     )
@@ -910,7 +878,7 @@ def _mg_shard_fn(key, pdfs, state):
     exact recounting stays lossless (see stream_heavy_hitters_live)."""
     import pandas as pd
 
-    from flod_spark.catalog.analytics import _HH_C
+    from flod_spark.catalog.analytics import _mg_absorb
 
     if state.exists:
         ks, vs = state.get
@@ -918,11 +886,7 @@ def _mg_shard_fn(key, pdfs, state):
     else:
         counters = {}
     for pdf in pdfs:
-        for k, v in pdf["user_id"].value_counts().items():
-            counters[k] = counters.get(k, 0) + int(v)
-        if len(counters) > _HH_C:
-            excess = sorted(counters.values(), reverse=True)[_HH_C]
-            counters = {k: c - excess for k, c in counters.items() if c > excess}
+        counters = _mg_absorb(counters, pdf["user_id"].value_counts())
     state.update(([int(k) for k in counters], [int(c) for c in counters.values()]))
     yield pd.DataFrame(
         {
@@ -936,7 +900,8 @@ def _mg_shard_fn(key, pdfs, state):
     "stream_heavy_hitters_live",
     oracle=(
         "SELECT user_id, COUNT(*) AS cnt FROM events WHERE user_id IS NOT NULL "
-        "GROUP BY user_id HAVING COUNT(*) * 160 > (SELECT COUNT(*) FROM events "
+        # threshold interpolated from _HH_C so oracle and engine can never drift
+        f"GROUP BY user_id HAVING COUNT(*) * {_HH_C} > (SELECT COUNT(*) FROM events "
         "WHERE user_id IS NOT NULL)"
     ),
 )
