@@ -2680,3 +2680,44 @@ def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "op",
         "val",
     )
+
+
+@query(
+    "window_rolling_median",
+    oracle=(
+        # exact rolling median over the same microsecond range frame as
+        # window_range_frame; agg_percentile already pins quantile_cont ==
+        # Spark percentile() value-for-value, so the only new surface is
+        # the frame evaluation
+        "SELECT event_id, user_id, ts, "
+        "  quantile_cont(value, 0.5) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) "
+        "    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS rolling_median_1h "
+        "FROM events"
+    ),
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling median per user over a 1-hour event-time range
+    frame — the robust-statistics twin of window_range_frame's rolling
+    sum (a median shrugs off the value spikes that drag a mean, which
+    is why monitoring pipelines roll medians). percentile() is an exact
+    order statistic: both engines sort the frame's values and
+    interpolate with the same (n-1)*q arithmetic (agg_percentile pins
+    the function pair; this query adds the sliding-frame evaluation).
+
+    Scale: one shuffle on user_id; each frame re-evaluates an O(w log w)
+    sort over at most the 1-hour window — the price of exactness (no
+    constant-state sliding form exists for order statistics; at higher
+    volumes the approx percentile sketch in agg_approx is the handoff,
+    or t-digest state in a custom stateful operator)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("percentile(value, 0.5)").over(w).alias("rolling_median_1h"),
+    )
