@@ -639,3 +639,17 @@ class TestStreamingEmptyInputs:
         from flod_spark.catalog.streaming_live import stream_agg_update_live
 
         assert stream_agg_update_live(spark, self._empty_events_dir(tmp_path)).count() == 0
+
+
+class TestStreamFullOuterJoinLive:
+    def test_both_null_paths_deterministic(self, spark):
+        from flod_spark.catalog.streaming_live import stream_full_outer_join_live
+
+        from collections import Counter
+
+        sf = "/root/testdata/sf0.001"
+        a = stream_full_outer_join_live(spark, sf).collect()
+        b = stream_full_outer_join_live(spark, sf).collect()
+        assert Counter(map(tuple, a)) == Counter(map(tuple, b))
+        assert any(r["click_id"] is None for r in a), "no unmatched signups"
+        assert any(r["signup_id"] is None for r in a), "no unmatched clicks"
