@@ -440,7 +440,15 @@ def _mg_absorb(counters: dict, value_counts) -> dict:
     mass, so cumulative decrement <= n_p/(_HH_C+1): every key with
     local frequency above n_p/_HH_C ends with a positive counter.
     This bound is what makes the candidate union LOSSLESS in both
-    heavy_hitters and stream_heavy_hitters_live."""
+    heavy_hitters and stream_heavy_hitters_live.
+
+    Memory: the trim runs once per absorbed batch, so the dict peaks at
+    O(_HH_C + distinct keys in the batch) — bounded by the Arrow batch
+    size (spark.sql.execution.arrow.maxRecordsPerBatch, 10k default),
+    not by the stream's distinct-key count; between batches it is back
+    to <= _HH_C entries. (A per-insert trim would pin the peak at C+1
+    but costs an O(C log C) sort per row — the batch-level trim is the
+    standard amortized form and the decrement bound is unaffected.)"""
     for k, v in value_counts.items():
         counters[k] = counters.get(k, 0) + int(v)
     if len(counters) > _HH_C:
@@ -474,8 +482,10 @@ def _mg_candidates(batches):
 def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-item detection (epsilon-heavy-hitters, eps = 1/160) via
     the two-pass Misra-Gries pattern: pass 1 streams each partition
-    through a BOUNDED-memory counter summary (mapInPandas, O(C) state —
-    never a full distinct-key hash), whose union provably contains every
+    through a BOUNDED-memory counter summary (mapInPandas; state peaks
+    at O(C + one Arrow batch's distinct keys) — trim is per-batch, see
+    _mg_absorb — never the stream's full distinct-key hash), whose
+    union provably contains every
     key with global frequency > n/C; pass 2 recounts ONLY the candidates
     exactly and keeps those above the threshold (integer compare
     cnt*C > n — no float). Output is exact regardless of data skew; the

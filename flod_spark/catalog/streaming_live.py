@@ -43,7 +43,12 @@ _WATERMARK = "2 hours"
 _TAKE_N = 3
 
 
-def _drain(stream_df: DataFrame, spark: SparkSession, output_mode: str = "append") -> DataFrame:
+def _drain(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "append",
+    cleanup: tuple = (),
+) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink and
     return the materialized result (unique names: re-entrant per call).
 
@@ -53,7 +58,12 @@ def _drain(stream_df: DataFrame, spark: SparkSession, output_mode: str = "append
     measured ~12% of wall time), and results are partition-count
     independent (keys hash to exactly one state partition either way;
     the RocksDB-vs-default test pins that). On a real cluster this
-    number tracks executor count, not a benchmark constant."""
+    number tracks executor count, not a benchmark constant.
+
+    ``cleanup``: temp dirs (replay spools) to remove once the stream has
+    run dry — the memory sink holds the materialized result, so the
+    source files are dead weight afterwards; without this every gated
+    live query leaks a full copy of its input table to /tmp per run."""
     name = "live_" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix=f"flod_ckpt_{name}_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -73,6 +83,8 @@ def _drain(stream_df: DataFrame, spark: SparkSession, output_mode: str = "append
             shutil.rmtree(ckpt, ignore_errors=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        for d in cleanup:
+            shutil.rmtree(d, ignore_errors=True)
     return spark.table(name)
 
 
@@ -101,7 +113,8 @@ def stream_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay_dir = tempfile.mkdtemp(prefix="flod_replay_w_")
     shutil.rmtree(replay_dir, ignore_errors=True)
     stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=5, tiebreak=("event_id",))
-    got = _drain(tumbling_counts(stream, window=_WINDOW, watermark=_WATERMARK), spark)
+    got = _drain(tumbling_counts(stream, window=_WINDOW, watermark=_WATERMARK), spark,
+                 cleanup=(replay_dir,))
     # windows closed by the final watermark: win_end <= max_ts - 2h
     horizon = F.lit(max_ts) - F.expr("INTERVAL 3 HOURS")
     return got.filter(F.col("win_start") <= horizon)
@@ -154,7 +167,7 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
     )
-    got = _drain(sess, spark)
+    got = _drain(sess, spark, cleanup=(replay_dir,))
     horizon = F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
     return got.select(
         "user_id",
@@ -186,7 +199,7 @@ def stream_take_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay_dir = tempfile.mkdtemp(prefix="flod_replay_t_")
     shutil.rmtree(replay_dir, ignore_errors=True)
     stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4, tiebreak=("event_id",))
-    got = _drain(streaming_take_per_key(stream, _TAKE_N), spark)
+    got = _drain(streaming_take_per_key(stream, _TAKE_N), spark, cleanup=(replay_dir,))
     return got.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
@@ -242,7 +255,7 @@ def stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ts_c") >= F.col("ts_s"))
         & (F.col("ts_c") <= F.col("ts_s") + F.expr("INTERVAL 30 MINUTES")),
     ).select("signup_id", "click_id")
-    return _drain(joined, spark)
+    return _drain(joined, spark, cleanup=(replay_dir,))
 
 
 @query(
@@ -263,13 +276,14 @@ def stream_queue_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform."""
     from flod_spark.streaming.queue import StreamingQueue
 
-    q = StreamingQueue(spark, spool_dir=tempfile.mkdtemp(prefix="flod_sq_live_"))
+    spool_dir = tempfile.mkdtemp(prefix="flod_sq_live_")
+    q = StreamingQueue(spark, spool_dir=spool_dir)
     for c in range(6):
         q.put(range(c * 100 * 7 + 1, (c + 1) * 100 * 7 + 1, 7))
     enriched = q.stream().select(
         F.col("value"), (F.col("value") % 10).alias("bucket")
     )
-    return _drain(enriched, spark)
+    return _drain(enriched, spark, cleanup=(spool_dir,))
 
 
 @query(
@@ -312,7 +326,7 @@ def stream_sessionize_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay_dir = tempfile.mkdtemp(prefix="flod_replay_cs_")
     shutil.rmtree(replay_dir, ignore_errors=True)
     stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4, tiebreak=("event_id",))
-    return _drain(streaming_sessionize(stream), spark)
+    return _drain(streaming_sessionize(stream), spark, cleanup=(replay_dir,))
 
 
 @query(
@@ -379,7 +393,7 @@ def stream_agg_complete_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
-    return _drain(agg, spark, output_mode="complete")
+    return _drain(agg, spark, output_mode="complete", cleanup=(replay_dir,))
 
 
 @query(
@@ -417,7 +431,7 @@ def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(replay_dir, ignore_errors=True)
     stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=5, tiebreak=("event_id",))
     got = _drain(sliding_counts(stream, window="1 hour", slide="15 minutes",
-                                watermark=_WATERMARK), spark)
+                                watermark=_WATERMARK), spark, cleanup=(replay_dir,))
     horizon = F.lit(max_ts) - F.expr("INTERVAL 3 HOURS")
     return got.filter(F.col("win_start") <= horizon)
 
@@ -455,7 +469,7 @@ def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.select("user_id", "event_type", "event_id", "ts"),
         "user_id", "event_type",
     )
-    return _drain(dd, spark).select(
+    return _drain(dd, spark, cleanup=(replay_dir,)).select(
         "user_id",
         "event_type",
         F.col("event_id").alias("first_event_id"),
@@ -552,6 +566,7 @@ def stream_foreach_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(ckpt, ignore_errors=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(replay_dir, ignore_errors=True)
     # empty-first-run guard: a zero-batch stream (empty events input
     # writes no replay files, so foreachBatch never fires) leaves no
     # state version — the merged-schema empty aggregate IS the answer
@@ -625,7 +640,7 @@ def stream_prep_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.md5(_norm_col().cast("binary")).alias("fp")
     )
     deduped = drop_duplicates_unbounded(kept, "fp")
-    return _drain(deduped, spark).select("doc_id", "lang", "fp")
+    return _drain(deduped, spark, cleanup=(replay_dir,)).select("doc_id", "lang", "fp")
 
 
 @query(
@@ -720,7 +735,7 @@ def _sentinel_click_join(spark: SparkSession, sf_dir: str, how: str) -> DataFram
         & (F.col("ts_c") <= F.col("ts_s") + F.expr("INTERVAL 30 MINUTES")),
         how,
     ).select("signup_id", "click_id")
-    return _drain(joined, spark)
+    return _drain(joined, spark, cleanup=(replay_dir,))
 
 
 @query(
@@ -757,6 +772,11 @@ def stream_sliding_distinct_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    if max_ts is None:
+        # explicit empty-input branch (the sentinel append above already
+        # needs max_ts): no events -> no windows; don't rely on the final
+        # `win_start <= NULL` filter evaluating to NULL row-by-row
+        return spark.createDataFrame([], "win_start timestamp_ntz, n_users bigint")
     replay_dir = tempfile.mkdtemp(prefix="flod_replay_sd_")
     shutil.rmtree(replay_dir, ignore_errors=True)
     stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4, tiebreak=("event_id",))
@@ -777,7 +797,7 @@ def stream_sliding_distinct_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("_n"))
     )
     counts = pairs.groupBy("w").agg(F.count("*").alias("n_users"))
-    got = _drain(counts, spark)
+    got = _drain(counts, spark, cleanup=(replay_dir,))
     return got.select(
         as_naive(F.col("w.start")).alias("win_start"), "n_users"
     ).filter(F.col("win_start") <= F.lit(max_ts))
@@ -861,7 +881,7 @@ def stream_agg_update_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    got = _drain(agg, spark, output_mode="update")
+    got = _drain(agg, spark, output_mode="update", cleanup=(replay_dir,))
     final = got.groupBy("win_start", "event_type").agg(
         F.max(F.struct("n_events", "sum_value")).alias("s")
     )
@@ -941,7 +961,7 @@ def stream_heavy_hitters_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    got = _drain(snapshots, spark, output_mode="update")
+    got = _drain(snapshots, spark, output_mode="update", cleanup=(replay_dir,))
     cand = got.select("user_id").distinct()
     from flod_spark.catalog.analytics import _HH_C
 

@@ -26,6 +26,16 @@ def sf_dir() -> str:
 
 
 @pytest.fixture(scope="session")
+def sf001_dir() -> str:
+    """The sf0.01 testdata dir (the driver's gate scale) — same sibling
+    convention as sf01_dir; skip where the data isn't present."""
+    d = str(Path(SF_DIR).parent / "sf0.01")
+    if not Path(d).is_dir():
+        pytest.skip(f"sf0.01 testdata not present at {d}")
+    return d
+
+
+@pytest.fixture(scope="session")
 def sf01_dir() -> str:
     """The sf0.1 testdata dir for scale-bound tests: honor the same
     SPARK_GRAFT_SF_DIR convention bench.py uses, else the sf0.1 sibling

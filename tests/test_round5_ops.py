@@ -142,9 +142,8 @@ class TestHeavyHitters:
 
 
 class TestTriangleCount:
-    def test_total_is_multiple_of_three_roles(self, spark):
-        sf01 = "/root/testdata/sf0.01"
-        rows = triangle_count(spark, sf01).collect()
+    def test_total_is_multiple_of_three_roles(self, spark, sf001_dir):
+        rows = triangle_count(spark, sf001_dir).collect()
         total = sum(r["n_tri"] for r in rows)
         assert total % 3 == 0 and total > 0
         # every node's count positive (zero-count nodes are absent)
@@ -184,10 +183,10 @@ class TestRollupHierarchy:
 
 
 class TestStreamOuterJoinLive:
-    def test_null_emission_deterministic(self, spark):
+    def test_null_emission_deterministic(self, spark, sf_dir):
         from flod_spark.catalog.streaming_live import stream_outer_join_live
 
-        sf = "/root/testdata/sf0.001"
+        sf = sf_dir
         a = stream_outer_join_live(spark, sf).collect()
         b = stream_outer_join_live(spark, sf).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
@@ -229,11 +228,11 @@ class TestEmbedPQ:
 
 
 class TestStreamSlidingDistinctLive:
-    def test_chained_states_flush_and_match_batch(self, spark):
+    def test_chained_states_flush_and_match_batch(self, spark, sf_dir):
         from flod_spark.catalog.streaming_batch import sliding_distinct
         from flod_spark.catalog.streaming_live import stream_sliding_distinct_live
 
-        sf = "/root/testdata/sf0.001"
+        sf = sf_dir
         live = {
             (r["win_start"], r["n_users"])
             for r in stream_sliding_distinct_live(spark, sf).collect()
@@ -440,11 +439,11 @@ class TestDegenerateGuards:
 
 
 class TestStreamHeavyHittersLive:
-    def test_equals_batch_heavy_hitters(self, spark):
+    def test_equals_batch_heavy_hitters(self, spark, sf_dir):
         from flod_spark.catalog.analytics import heavy_hitters
         from flod_spark.catalog.streaming_live import stream_heavy_hitters_live
 
-        sf = "/root/testdata/sf0.001"
+        sf = sf_dir
         live = {
             (r["user_id"], r["cnt"])
             for r in stream_heavy_hitters_live(spark, sf).collect()
@@ -640,14 +639,21 @@ class TestStreamingEmptyInputs:
 
         assert stream_agg_update_live(spark, self._empty_events_dir(tmp_path)).count() == 0
 
+    def test_sliding_distinct_live_empty(self, spark, tmp_path):
+        from flod_spark.catalog.streaming_live import stream_sliding_distinct_live
+
+        got = stream_sliding_distinct_live(spark, self._empty_events_dir(tmp_path))
+        assert got.columns == ["win_start", "n_users"]
+        assert got.count() == 0
+
 
 class TestStreamFullOuterJoinLive:
-    def test_both_null_paths_deterministic(self, spark):
+    def test_both_null_paths_deterministic(self, spark, sf_dir):
         from flod_spark.catalog.streaming_live import stream_full_outer_join_live
 
         from collections import Counter
 
-        sf = "/root/testdata/sf0.001"
+        sf = sf_dir
         a = stream_full_outer_join_live(spark, sf).collect()
         b = stream_full_outer_join_live(spark, sf).collect()
         assert Counter(map(tuple, a)) == Counter(map(tuple, b))
