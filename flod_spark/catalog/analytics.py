@@ -344,12 +344,44 @@ def curation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orient_by_degree(e: DataFrame) -> DataFrame:
+    """Re-orient an undirected edge set (one row per edge, endpoints
+    s1 <> s2) low->high by (degree, key) — the skew-proof total order
+    for wedge enumeration. Degrees are computed on the SAME edge set
+    (one partial-agg pass over both endpoints) and broadcast back (the
+    degree table is |nodes| rows — tiny next to edges). Any total node
+    order preserves triangle counts exactly; this one also bounds
+    per-node wedge fan-out: a node's out-edges only point to nodes of
+    >= (degree, key) rank, so out-degree <= sqrt(2m) for every node
+    and total wedges sum to O(m^1.5) regardless of skew (a celebrity
+    node's edges all point INTO it — it generates zero wedges)."""
+    deg = (
+        e.select(F.col("s1").alias("node"))
+        .unionAll(e.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    ed = e.join(
+        F.broadcast(deg.select(F.col("node").alias("s1"), F.col("d").alias("d1"))), "s1"
+    ).join(
+        F.broadcast(deg.select(F.col("node").alias("s2"), F.col("d").alias("d2"))), "s2"
+    )
+    s1_first = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("s1") < F.col("s2"))
+    )
+    return ed.select(
+        F.when(s1_first, F.col("s1")).otherwise(F.col("s2")).alias("u"),
+        F.when(s1_first, F.col("s2")).otherwise(F.col("s1")).alias("v"),
+    )
+
+
 @query(
     "triangle_count",
     oracle=(
         # significant-co-purchase graph: supplier pairs whose distinct-order
         # co-occurrence exceeds 1.3x the mean pair co-occurrence; triangles
-        # counted on key-ordered edges (s1 < s2 orients each edge once).
+        # counted on DEGREE-oriented edges ((deg, key) low->high — the same
+        # total order the engine uses, so the enumeration is mirrored 1:1).
         "WITH pairs AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, "
         "    COUNT(DISTINCT a.l_orderkey) AS c "
         "  FROM lineitem a JOIN lineitem b "
@@ -357,8 +389,14 @@ def curation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  GROUP BY 1, 2), "
         "m AS (SELECT CAST(SUM(c) AS DOUBLE) / COUNT(*) AS avgc FROM pairs), "
         "e AS (SELECT s1, s2 FROM pairs, m WHERE CAST(c AS DOUBLE) > 1.3 * avgc), "
-        "t AS (SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c FROM e e1 "
-        "  JOIN e e2 ON e2.s1 = e1.s2 JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2), "
+        "deg AS (SELECT node, COUNT(*) AS d FROM "
+        "  (SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e) GROUP BY node), "
+        "oe AS (SELECT "
+        "    CASE WHEN (d1.d, e.s1) < (d2.d, e.s2) THEN e.s1 ELSE e.s2 END AS u, "
+        "    CASE WHEN (d1.d, e.s1) < (d2.d, e.s2) THEN e.s2 ELSE e.s1 END AS v "
+        "  FROM e JOIN deg d1 ON d1.node = e.s1 JOIN deg d2 ON d2.node = e.s2), "
+        "t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM oe e1 "
+        "  JOIN oe e2 ON e2.u = e1.v JOIN oe e3 ON e3.u = e1.u AND e3.v = e2.v), "
         "n AS (SELECT a AS node FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t) "
         "SELECT node AS suppkey, COUNT(*) AS n_tri FROM n GROUP BY node"
     ),
@@ -370,19 +408,23 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.3x the mean pair co-occurrence (a data-derived cutoff, so the
     graph stays sparse at every scale factor without magic constants);
     the threshold compare is one identical double expression on both
-    engines. Edges are oriented s1 < s2, so each triangle {a,b,c} is
-    enumerated exactly once as (a,b),(b,c),(a,c) with a < b < c.
+    engines. Edges are then oriented low->high by (DEGREE, key) —
+    _orient_by_degree — a total order, so each triangle {a,b,c} is
+    still enumerated exactly once as (a,b),(b,c),(a,c) with a ≺ b ≺ c,
+    and the oracle mirrors the same CASE in SQL.
 
-    Scale: the canonical two-shuffle triangle plan — wedges from the
-    (s1=key) edge self-join, closed against the edge set. Key-ordering
-    orients each edge once; at 100 TB you orient by DEGREE (low->high,
-    key tiebreak) instead, which bounds wedge fan-out to O(m^1.5)
-    regardless of skew (a celebrity node generates wedges only toward
-    higher-degree nodes). The co-occurrence pair build is the dominant
-    exchange: (order, supplier) rows are DISTINCTed before the
-    self-join (multi-lineitem repeats never reach it, and the distinct
-    turns COUNT(DISTINCT order) into a plain partial-agg count), and
-    fan-out is capped per order by the order's supplier count."""
+    Scale: the degree-oriented wedge plan (Suri-Vassilvitskii / Cohen's
+    MapReduce triangle counting) SHIPPED, not just documented: wedges
+    fan out from a node only toward higher-(degree, key) neighbors, so
+    per-node fan-out is <= sqrt(2m) and total wedge volume is O(m^1.5)
+    REGARDLESS of degree skew — the key-ordered form this replaces is
+    O(d_max^2) at a low-keyed hub. Degree computation is one
+    partial-agg pass broadcast back onto edges (|nodes| rows). The
+    co-occurrence pair build remains the dominant exchange: (order,
+    supplier) rows are DISTINCTed before the self-join (multi-lineitem
+    repeats never reach it, and the distinct turns COUNT(DISTINCT
+    order) into a plain partial-agg count), and fan-out is capped per
+    order by the order's supplier count."""
     li = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
@@ -408,17 +450,18 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.crossJoin(F.broadcast(m))
         .filter(F.col("c").cast("double") > F.lit(1.3) * F.col("avgc"))
         .select("s1", "s2")
-        .localCheckpoint()  # reused three times below; truncate the pair-build lineage
+        .localCheckpoint()  # reused by the degree pass + wedge closure below
     )
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    oe = _orient_by_degree(e).localCheckpoint()  # reused three times
+    e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
     tris = (
-        e1.join(e2, F.col("e2.s1") == F.col("e1.s2"))
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
         .join(
             e3,
-            (F.col("e3.s1") == F.col("e1.s1")) & (F.col("e3.s2") == F.col("e2.s2")),
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
         )
         .select(
-            F.col("e1.s1").alias("a"), F.col("e1.s2").alias("b"), F.col("e2.s2").alias("c")
+            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
         )
     )
     # one explode, not a 3-branch union: a union would re-execute the

@@ -149,6 +149,68 @@ class TestTriangleCount:
         # every node's count positive (zero-count nodes are absent)
         assert all(r["n_tri"] > 0 for r in rows)
 
+    def test_degree_orientation_zeroes_hub_fanout(self, spark):
+        """Planted star with the hub at key 0 — the key-orientation
+        worst case (every edge would point OUT of the hub, O(k^2)
+        wedges). Degree orientation must point every edge INTO the hub:
+        hub out-degree 0, and max out-degree within the sqrt(2m) bound
+        that makes total wedge volume O(m^1.5)."""
+        import pandas as pd
+
+        from flod_spark.catalog.analytics import _orient_by_degree
+
+        k = 40
+        e = spark.createDataFrame(
+            pd.DataFrame({"s1": [0] * k, "s2": list(range(1, k + 1))})
+        )
+        out = {
+            r["u"]: r["cnt"]
+            for r in _orient_by_degree(e)
+            .groupBy("u")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        assert out.get(0, 0) == 0, "hub still generates wedges"
+        assert sum(out.values()) == k  # every edge survives, reoriented
+        assert max(out.values()) <= int((2 * k) ** 0.5) + 1
+
+    def test_orientation_preserves_triangles_on_planted_graph(self, spark):
+        """Triangle counts are invariant under ANY total node order:
+        the degree-oriented closure must find exactly the planted
+        triangles {1,2,3}, {3,4,5}, {1,3,5}."""
+        import pandas as pd
+
+        from flod_spark.catalog.analytics import _orient_by_degree
+
+        e = spark.createDataFrame(
+            pd.DataFrame(
+                [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5), (1, 5)],
+                columns=["s1", "s2"],
+            )
+        )
+        oe = _orient_by_degree(e).localCheckpoint()
+        e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
+        tris = (
+            e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+            .join(
+                e3,
+                (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            )
+            .select(
+                F.col("e1.u").alias("a"),
+                F.col("e1.v").alias("b"),
+                F.col("e2.v").alias("c"),
+            )
+        )
+        got = {
+            r["node"]: r["n"]
+            for r in tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == {1: 2, 2: 1, 3: 3, 4: 1, 5: 2}
+
 
 class TestSortZorder:
     def test_bucket_locality(self, spark, sf_dir):
