@@ -841,8 +841,14 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Product quantization geometry: M subspaces x K centroids over the 64-dim
-# embeddings (16 dims per subspace, 4-bit codes).
-_PQ_M, _PQ_K, _PQ_SUBDIM = 4, 16, 16
+# embeddings (8 dims per subspace, 6-bit codes). Chosen against the recall
+# gate (tests/test_similarity.py::test_pq_adc_recall_vs_brute_force): the
+# round-5 (M=4, K=16) form measured 0.20 macro recall@5 on the unit-norm
+# synthetic embeddings; (M=8, K=64) measures 0.30 at 42x compression —
+# subspace count is the dominant recall knob for this data (sweeping M/K:
+# 4x16=0.20, 8x16=0.22, 4x64=0.22, 8x64=0.30). Every oracle interpolates
+# these constants, so engine and oracle can never drift.
+_PQ_M, _PQ_K, _PQ_SUBDIM = 8, 64, 8
 
 
 def _pq_oracle() -> str:
@@ -871,23 +877,26 @@ def _pq_oracle() -> str:
 @query("embed_pq", oracle=_pq_oracle())
 def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (Jegou et al., the FAISS IVF-PQ building
-    block): split each 64-dim embedding into 4 subvectors of 16 dims,
-    assign each to its nearest of 16 per-subspace centroids, and emit
-    the 4-bit-per-subspace code word plus the exact reconstruction
-    error. 64 dims x 4 bytes compress to 4 code bytes (64x), and ANN
-    search then scans codes with a per-query distance lookup table
-    (asymmetric distance) instead of raw vectors. The codebook here is
-    the deterministic Forgy sample (subvectors of the 16 smallest
-    vec_ids) so both engines derive it from the table — kmeans_iter is
-    the registered Lloyd-refinement template a production codebook
-    would add. Exactness: subvector distances are one sequential
-    zip-fold of identical IEEE doubles; argmin breaks ties on centroid
-    id; the error sum adds the 4 subspace minima in fixed order.
+    block): split each 64-dim embedding into _PQ_M=8 subvectors of 8
+    dims, assign each to its nearest of _PQ_K=64 per-subspace
+    centroids, and emit the 6-bit-per-subspace code word plus the exact
+    reconstruction error. 64 dims x 4 bytes compress to 8 sub-byte
+    codes (42x at 6 bits packed), and ANN search then scans codes with
+    a per-query distance lookup table (asymmetric distance) instead of
+    raw vectors. The codebook here is the deterministic Forgy sample
+    (subvectors of the _PQ_K smallest vec_ids) so both engines derive
+    it from the table — kmeans_iter is the registered Lloyd-refinement
+    template a production codebook would add. The geometry is gated by
+    a recall floor against exact top-K (tests/test_similarity.py), not
+    just by the arithmetic oracle. Exactness: subvector distances are
+    one sequential zip-fold of identical IEEE doubles; argmin breaks
+    ties on centroid id; the error sum adds the M subspace minima in
+    fixed order.
 
-    Scale: centroids are M x K = 64 tiny rows — broadcast (production
+    Scale: centroids are M x K = 512 tiny rows — broadcast (production
     bakes them into the task closure as FAISS does); assignment is a
     map-side broadcast join with partial-agg argmin, so nothing
-    shuffles but (vec, subspace) minima. The 64x compression is what
+    shuffles but (vec, subspace) minima. The 42x compression is what
     lets a 100 TB embedding corpus fit an in-memory ANN index."""
     emb = (
         load(spark, sf_dir, "embeddings")
@@ -953,11 +962,12 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed subspace order.
 
     Scale: THE serving plan for 100 TB ANN — the corpus side touches
-    only 4-byte codes (64x less I/O than vectors); LUTs are NQ x M x K
+    only code words (42x less I/O than vectors); LUTs are NQ x M x K
     doubles broadcast to every task; the scan is map-side with a
     per-query TakeOrdered. Recall tuning (more centroids, OPQ
     rotations, IVF cell pruning via sim_ivf) changes constants, not the
-    plan shape."""
+    plan shape — the current constants hold the documented 0.25 recall
+    floor (tests/test_similarity.py::test_pq_adc_recall_vs_brute_force)."""
     emb = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("embedding").isNotNull())  # NULL ordering differs cross-engine
@@ -1085,9 +1095,11 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: this is THE billion-vector layout — the corpus stores (cell,
     code) pairs bucketed by cell (scan prunes to the probe fraction),
-    codes are 64x smaller than vectors, per-candidate cost is M table
+    codes are 42x smaller than vectors, per-candidate cost is M table
     lookups, and everything that crosses a shuffle is id-sized. IVF
-    centroids and query LUTs broadcast."""
+    centroids and query LUTs broadcast. Retrieval quality is gated by
+    a recall floor vs exact top-K (tests/test_similarity.py), which
+    composes the PQ loss with the cell-pruning loss."""
     e = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("embedding").isNotNull())  # NULL ordering differs cross-engine
