@@ -2506,6 +2506,51 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quantile_exact_2pass: histogram resolution for the coarse pass
 _QE_BUCKETS = 4096
 _QE_PCTS = (50, 90, 99)
+# pass-2 ceiling: a target bucket holding more rows than this recurses
+# into a sub-histogram instead of raising the TakeOrdered limit. At the
+# gate scale factors every bucket holds ~n/4096 << _QE_LEAF rows, so the
+# gated plan never recurses (tests force it with tiny buckets/leaf).
+_QE_LEAF = 100_000
+
+
+def _qe_value_df(li, mn, mx, rank: int, name: str,
+                 buckets: int = _QE_BUCKETS, leaf: int = _QE_LEAF):
+    """1-row DataFrame holding the exact value at ascending 1-based
+    ``rank`` among li.x (all within [mn, mx], mn < mx): one fixed-width
+    histogram level (partial-agg shuffle of <= ``buckets`` rows), a
+    driver walk of the cumulative counts to the target bucket, then
+    either a TakeOrderedAndProject inside the bucket (<= ``leaf`` rows)
+    or RECURSION into the bucket's own value range — each level divides
+    the candidate set by ~``buckets``, so two levels cover 4096 * leaf
+    ~= 4e8 rows per bucket and three cover 100 TB. Driver state per
+    level is one ``buckets``-entry dict plus a 1-row min/max read.
+    Termination: a recursing bucket either shrinks (its sub-histogram
+    splits mn < mx into >= 2 occupied buckets) or collapses to
+    all-equal values, returned directly."""
+    bucket = F.least(
+        F.lit(buckets - 1),
+        F.floor((F.col("x") - F.lit(mn)) * F.lit(float(buckets)) / F.lit(mx - mn)),
+    ).cast("int")
+    counts = {
+        r["b"]: r["c"]
+        for r in li.select(bucket.alias("b")).groupBy("b").agg(F.count("*").alias("c")).collect()
+    }
+    cum = 0
+    target_b = buckets - 1
+    for b in range(buckets):
+        c = counts.get(b, 0)
+        if cum + c >= rank:
+            target_b = b
+            break
+        cum += c
+    local = rank - cum
+    sub = li.filter(bucket == target_b)
+    if counts.get(target_b, 0) > leaf:
+        s = sub.agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect()[0]
+        if s["mn"] == s["mx"]:  # bucket of one repeated value: any rank = it
+            return li.sparkSession.createDataFrame([(s["mn"],)], f"{name} double")
+        return _qe_value_df(sub, s["mn"], s["mx"], local, name, buckets, leaf)
+    return sub.orderBy("x").limit(local).agg(F.max("x").alias(name))
 
 
 def _qe_oracle() -> str:
@@ -2539,9 +2584,11 @@ def quantile_exact_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pass 1 state is 4096 counters per task; pass 2 touches
     ~n/4096 rows per target. At 100 TB a bucket may still hold millions
-    of rows — recurse the same histogram within the bucket (each level
-    divides by 4096; two levels cover 10^13 rows) instead of raising
-    the TakeOrdered limit. Driver-side state is one 4096-entry array —
+    of rows — _qe_value_df RECURSES the same histogram within the
+    bucket whenever it exceeds _QE_LEAF rows (each level divides by
+    4096; three levels cover 100 TB) instead of raising the TakeOrdered
+    limit; tests/test_operators.py forces the recursive path with tiny
+    buckets/leaf. Driver-side state is one 4096-entry dict per level —
     the replay-boundary rule, never data-sized."""
     li = (
         load(spark, sf_dir, "lineitem")
@@ -2560,33 +2607,9 @@ def quantile_exact_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     if mn == mx:
         # all-equal input — every quantile is the constant
         return spark.createDataFrame([tuple([mn] * len(_QE_PCTS))], schema=schema)
-    bucket = F.least(
-        F.lit(_QE_BUCKETS - 1),
-        F.floor((F.col("x") - F.lit(mn)) * F.lit(float(_QE_BUCKETS)) / F.lit(mx - mn)),
-    ).cast("int")
-    counts = {
-        r["b"]: r["c"]
-        for r in li.select(bucket.alias("b")).groupBy("b").agg(F.count("*").alias("c")).collect()
-    }
-    sels = []
-    for p in _QE_PCTS:
-        rank = (n - 1) * p // 100 + 1
-        cum = 0
-        target_b = _QE_BUCKETS - 1
-        for b in range(_QE_BUCKETS):
-            c = counts.get(b, 0)
-            if cum + c >= rank:
-                target_b = b
-                break
-            cum += c
-        local = rank - cum
-        val = (
-            li.filter(bucket == target_b)
-            .orderBy("x")
-            .limit(local)
-            .agg(F.max("x").alias(f"p{p}"))
-        )
-        sels.append(val)
+    sels = [
+        _qe_value_df(li, mn, mx, (n - 1) * p // 100 + 1, f"p{p}") for p in _QE_PCTS
+    ]
     out = sels[0]
     for v in sels[1:]:
         out = out.crossJoin(v)

@@ -338,6 +338,41 @@ class TestQuantileExact2Pass:
         row = quantile_exact_2pass(spark, d).collect()[0]
         assert (row["p50"], row["p90"], row["p99"]) == (42.0, 42.0, 42.0)
 
+    def test_recursive_refinement_forced(self, spark):
+        """The 100 TB path exercised for real: buckets=4, leaf=8 over a
+        deliberately skewed 4000-value table — every interesting rank
+        lands in a bucket holding >> leaf rows, so _qe_value_df MUST
+        recurse (several levels for the dense cluster) and still return
+        the exact sorted-order value at every tested rank."""
+        import pandas as pd
+
+        from flod_spark.catalog.relational import _qe_value_df
+
+        # 3000 values packed into [0, 1) (dense cluster -> deep
+        # recursion) + 1000 spread over [0, 1000)
+        xs = [i / 3000.0 for i in range(3000)] + [float(i) for i in range(1000)]
+        df = spark.createDataFrame(pd.DataFrame({"x": xs}))
+        srt = sorted(xs)
+        n = len(xs)
+        for rank in (1, 2, 1500, 2999, 3000, 3001, 3500, n - 1, n):
+            got = _qe_value_df(
+                df, min(xs), max(xs), rank, "v", buckets=4, leaf=8
+            ).collect()[0]["v"]
+            assert got == srt[rank - 1], f"rank {rank}: {got} != {srt[rank-1]}"
+
+    def test_recursion_handles_repeated_value_bucket(self, spark):
+        """A bucket of one repeated value defeats histogram splitting —
+        the all-equal early return must answer any local rank inside it."""
+        import pandas as pd
+
+        from flod_spark.catalog.relational import _qe_value_df
+
+        xs = [0.0] + [5.0] * 500 + [10.0]
+        df = spark.createDataFrame(pd.DataFrame({"x": xs}))
+        for rank in (2, 250, 501):
+            got = _qe_value_df(df, 0.0, 10.0, rank, "v", buckets=4, leaf=8).collect()[0]["v"]
+            assert got == 5.0
+
 
 class TestEntityResolve:
     def test_canonical_closed_under_fuzzy_pairs(self, spark, sf_dir):
