@@ -643,6 +643,93 @@ def stream_prep_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(deduped, spark, cleanup=(replay_dir,)).select("doc_id", "lang", "fp")
 
 
+def _dedup_substring_live_oracle() -> str:
+    from flod_spark.catalog.text import _KR_K, winnow_arows_cte
+
+    return (
+        # first arrival per anchor hash = min (doc_id, p) under the
+        # replay order; every later arrival of that hash is a dup
+        # anchor; coverage = interval union of dup spans per doc
+        f"WITH {winnow_arows_cte()}, "
+        "r AS (SELECT doc_id, n, n_anchors, p, "
+        "    row_number() OVER (PARTITION BY hv ORDER BY doc_id, p) AS rn FROM arows), "
+        "dup AS (SELECT doc_id, list_sort(list(p)) AS ps FROM r WHERE rn > 1 GROUP BY doc_id), "
+        "cov AS (SELECT doc_id, len(ps) AS n_dup, "
+        f"    COALESCE(list_sum(list_transform(range(1, len(ps)), "
+        f"      i -> least({_KR_K}, ps[i+1] - ps[i]))), 0) + {_KR_K} AS dup_chars "
+        "  FROM dup), "
+        "base AS (SELECT DISTINCT doc_id, n, n_anchors FROM arows) "
+        "SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_chars, "
+        "  CAST(b.n_anchors AS BIGINT) AS n_anchors, "
+        "  CAST(COALESCE(c.n_dup, 0) AS BIGINT) AS n_dup_anchors, "
+        "  CAST(COALESCE(c.dup_chars, 0) AS BIGINT) AS dup_chars, "
+        "  CAST(COALESCE(c.dup_chars, 0) AS DOUBLE) / b.n AS dup_frac "
+        "FROM base b LEFT JOIN cov c USING (doc_id)"
+    )
+
+
+@query("stream_dedup_substring_live", oracle=_dedup_substring_live_oracle())
+def stream_dedup_substring_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level passage dedup as INCREMENTAL INGESTION — the
+    streaming capstone of the prep story: documents replayed as
+    micro-batches in doc_id order, winnow anchors extracted map-side on
+    the stream (the same Arrow kernel as dedup_substring — anchor
+    extraction is stateless), then per-key streaming state claims each
+    anchor HASH for its first arrival (dropDuplicates on h — the
+    stream_dedup_live determinism contract: sorted single-file batches
+    + order-preserving shuffle make 'first' = min (doc_id, p)). A later
+    doc's anchors that fail to claim their hash are passage-dup
+    evidence against everything seen so far; the batch-side recount
+    (heavy_hitters' pattern) anti-joins the drained survivor set
+    against the deterministically recomputed anchor rows and reports
+    per-doc dup coverage — exact interval-union chars, like the batch
+    report, but measured against the ARRIVAL prefix instead of the
+    whole corpus.
+
+    Scale: the stream side is map-only anchor extraction (n/W-dense)
+    plus one keyed state store of 8-byte anchor hashes — the unbounded
+    regime, same as stream_dedup_live; dropDuplicatesWithinWatermark
+    bounds it when the dup horizon is known. The recount is one
+    anti-join on (doc, p) and per-doc array math."""
+    from flod_spark.catalog.text import anchor_coverage_chars, winnow_anchor_rows
+    from flod_spark.streaming.dedup import drop_duplicates_unbounded
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "ingest_ts", F.timestamp_micros(F.col("doc_id") * 1_000_000)
+    )
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_ss_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, docs, "ingest_ts", replay_dir, n_batches=4, tiebreak=("doc_id",))
+    survivors = drop_duplicates_unbounded(winnow_anchor_rows(stream), "h")
+    kept = _drain(survivors, spark, cleanup=(replay_dir,)).select("doc_id", "p")
+    # batch-side recount: the kernel is deterministic, so recomputing
+    # anchors over the same table reproduces the stream's rows exactly
+    anchors = winnow_anchor_rows(load(spark, sf_dir, "documents"))
+    base = anchors.groupBy("doc_id").agg(
+        F.first("n_chars").alias("n_chars"), F.first("n_anchors").alias("n_anchors")
+    )
+    dup = (
+        anchors.join(kept, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("p")).alias("ps"))
+        .select(
+            "doc_id",
+            F.size("ps").cast("long").alias("n_dup_anchors"),
+            anchor_coverage_chars().alias("dup_chars"),
+        )
+    )
+    j = base.join(dup, "doc_id", "left")
+    dc = F.coalesce("dup_chars", F.lit(0)).cast("long")
+    return j.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_anchors").cast("long").alias("n_anchors"),
+        F.coalesce("n_dup_anchors", F.lit(0)).cast("long").alias("n_dup_anchors"),
+        dc.alias("dup_chars"),
+        (dc.cast("double") / F.col("n_chars")).alias("dup_frac"),
+    )
+
+
 @query(
     "stream_outer_join_live",
     oracle=(

@@ -1097,6 +1097,20 @@ def winnow_anchor_rows(docs: DataFrame) -> DataFrame:
     )
 
 
+def anchor_coverage_chars():
+    """Interval-union length of [p, p+K-1] spans over a sorted anchor
+    position array column ``ps``: consecutive gaps clipped at K, plus K
+    for the last anchor — exact covered-chars, pure per-doc array math.
+    Shared by substring_dup_report and the live streaming twin."""
+    sz = F.size("ps")
+    diffs = F.zip_with(
+        F.slice("ps", 1, sz - 1),
+        F.slice(F.col("ps"), 2, sz - 1),
+        lambda a, b: F.least(F.lit(_KR_K).cast("long"), b - a),
+    )
+    return F.aggregate(diffs, F.lit(0).cast("long"), lambda a, x: a + x) + _KR_K
+
+
 def substring_dup_report(docs: DataFrame) -> DataFrame:
     """Core of dedup_substring, reusable on any (doc_id, text) frame
     (the planted-passage tests feed it directly). See the gated query's
@@ -1121,20 +1135,10 @@ def substring_dup_report(docs: DataFrame) -> DataFrame:
     shared = anchors.join(df_h, "h").groupBy("doc_id").agg(
         F.array_sort(F.collect_list("p")).alias("ps")
     )
-    # interval-union length of [p, p+K-1] spans over the sorted anchor
-    # positions: consecutive gaps clipped at K, plus K for the last
-    # anchor — exact covered-chars, pure per-doc array math
-    sz = F.size("ps")
-    diffs = F.zip_with(
-        F.slice("ps", 1, sz - 1),
-        F.slice(F.col("ps"), 2, sz - 1),
-        lambda a, b: F.least(F.lit(_KR_K).cast("long"), b - a),
-    )
-    dup_chars = (
-        F.aggregate(diffs, F.lit(0).cast("long"), lambda a, x: a + x) + _KR_K
-    )
     cov = shared.select(
-        "doc_id", sz.cast("long").alias("n_shared_anchors"), dup_chars.alias("dup_chars")
+        "doc_id",
+        F.size("ps").cast("long").alias("n_shared_anchors"),
+        anchor_coverage_chars().alias("dup_chars"),
     )
     j = base.join(cov, "doc_id", "left")
     dc = F.coalesce("dup_chars", F.lit(0)).cast("long")
@@ -1148,14 +1152,14 @@ def substring_dup_report(docs: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "dedup_substring",
-    oracle=(
-        # the same Horner gram hashes and leftmost-window-min anchors as
-        # fingerprint_winnow's oracle, extended with positions; shared =
-        # anchor hash in >= 2 docs; covered chars = interval union of
-        # [p, p+K-1] over the sorted shared positions
-        "WITH nrm AS (SELECT doc_id, "
+def winnow_arows_cte() -> str:
+    """The winnow-anchor CTE chain (documents -> arows(doc_id, n,
+    n_anchors, p, hv)) shared by dedup_substring's oracle and the live
+    streaming twin — same Horner gram hashes and leftmost-window-min
+    anchors as fingerprint_winnow, extended with positions. One source
+    so a constant change moves every oracle together."""
+    return (
+        "nrm AS (SELECT doc_id, "
         f"    substr(regexp_replace(lower(text), '[ \\t\\r\\n]+', ' ', 'g'), 1, {_KR_CAP}) AS t "
         "  FROM documents), "
         f"d AS (SELECT doc_id, t, length(t) AS n FROM nrm WHERE length(t) >= {_KR_K + _KR_W - 1}), "
@@ -1167,7 +1171,16 @@ def substring_dup_report(docs: DataFrame) -> DataFrame:
         f"      j -> j + list_position(h[j:j+{_KR_W - 1}], list_min(h[j:j+{_KR_W - 1}])) - 1))) AS ap "
         "  FROM hs), "
         "arows AS (SELECT doc_id, n, len(ap) AS n_anchors, p, h[p] AS hv "
-        "  FROM (SELECT doc_id, n, h, ap, unnest(ap) AS p FROM anch)), "
+        "  FROM (SELECT doc_id, n, h, ap, unnest(ap) AS p FROM anch))"
+    )
+
+
+@query(
+    "dedup_substring",
+    oracle=(
+        # shared = anchor hash in >= 2 docs; covered chars = interval
+        # union of [p, p+K-1] over the sorted shared positions
+        f"WITH {winnow_arows_cte()}, "
         "dfh AS (SELECT hv FROM (SELECT hv, COUNT(DISTINCT doc_id) AS nd "
         "  FROM arows GROUP BY hv) WHERE nd >= 2), "
         "shared AS (SELECT doc_id, list_sort(list(p)) AS ps "

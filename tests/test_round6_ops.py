@@ -1,0 +1,69 @@
+"""Tests for the round-6 additions: streaming substring dedup (arrival-
+prefix semantics), and the operators registered this round."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyspark.sql.functions as F  # noqa: F401  (used by later test classes)
+
+
+def _docs_dir(tmp_path, rows):
+    d = str(tmp_path / "sfdocs")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(rows, columns=["doc_id", "lang", "text"]).astype(
+        {"doc_id": "int64"}
+    ).to_parquet(f"{d}/documents.parquet")
+    return d
+
+
+class TestStreamDedupSubstringLive:
+    def test_arrival_prefix_semantics_on_planted_passages(self, spark, tmp_path):
+        """Unlike the batch report (symmetric: BOTH docs sharing a
+        passage show coverage), the live form charges a passage only to
+        docs arriving AFTER its first appearance: doc 1 owns all its
+        anchors, doc 2 (same passage, later) shows ~passage coverage,
+        doc 3 is unique, doc 4 (exact copy of doc 1) near-total."""
+        import random
+
+        from flod_spark.catalog.streaming_live import stream_dedup_substring_live
+        from flod_spark.catalog.text import _KR_K, _KR_W
+
+        rng = random.Random(11)
+        alpha = "abcdefghij "
+        passage = "".join(rng.choice(alpha) for _ in range(500))
+        pre = "".join(rng.choice(alpha) for _ in range(300))
+        post = "".join(rng.choice(alpha) for _ in range(300))
+        other = "".join(rng.choice(alpha) for _ in range(600))
+        full = pre + passage
+        d = _docs_dir(
+            tmp_path,
+            [
+                (1, "en", full),
+                (2, "en", passage + post),
+                (3, "en", other),
+                (4, "en", full),
+            ],
+        )
+        got = {r["doc_id"]: r for r in stream_dedup_substring_live(spark, d).collect()}
+        assert set(got) == {1, 2, 3, 4}
+        for r in got.values():
+            assert 0 <= r["dup_chars"] <= r["n_chars"]
+        # first arrival owns everything — the asymmetry the batch
+        # report doesn't have
+        assert got[1]["n_dup_anchors"] == 0 and got[1]["dup_chars"] == 0
+        assert got[3]["n_dup_anchors"] == 0
+        # the later passage-sharer: coverage in the passage's ballpark
+        lo = len(passage) * 0.5
+        hi = len(passage) + (_KR_K + _KR_W) * 2
+        assert lo <= got[2]["dup_chars"] <= hi
+        # an exact copy re-claims nothing: every anchor is a dup
+        assert got[4]["n_dup_anchors"] == got[4]["n_anchors"]
+        assert got[4]["dup_frac"] > 0.8
+
+    def test_empty_documents(self, spark, tmp_path):
+        from flod_spark.catalog.streaming_live import stream_dedup_substring_live
+
+        got = stream_dedup_substring_live(spark, _docs_dir(tmp_path, []))
+        assert got.count() == 0
