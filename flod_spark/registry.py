@@ -75,51 +75,46 @@ def ensure_shipped(spark: SparkSession) -> None:
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). _GATE_ORDER makes the window explicit, and ROTATES each
 # round so every registered query earns at least one driver CORRECTNESS
-# row across rounds (round-2 verdict item 4). Round-5 window =
-#   (a) the 23-query round-4 backlog — registrations that missed the
-#       round-4 50-cap and have never had a driver row (local parity
-#       green every round),
-#   (b) the new round-5 qkeys (first driver row): dedup_substring,
-#       media_decode_png, plus the mid-round additions (sink_orc,
-#       sort_zorder, rollup_hierarchy, triangle_count, heavy_hitters,
-#       join_fuzzy, stream_outer_join_live),
-#   (c) one re-proof of simhash_pairs, whose implementation changed
-#       materially this round (64-bit banded signature — the r4 driver
-#       row proved the old 32-bit form),
-#   (d) round-robin re-proofs of the OLDEST driver rows (last proven in
-#       round 2; registration order) filling to 50. New round-5
-#       registrations displace (d) slots, never (a)-(c).
-# After round 5 every registered query has >= 1 driver CORRECTNESS row
-# across CORRECTNESS_r01-r05 EXCEPT the additions that landed after the
-# 50-cap filled (stream_heavy_hitters_live onward) — those are the
-# round-6 window's (a) backlog, parity-verified locally meanwhile (the
-# same overflow rule rounds 3-5 applied). Everything rotated out was
-# driver-green in an earlier round AND stays verified by
-# tools/parity.py locally each round. Keys not listed here sort after
-# listed ones, in registration order.
+# row across rounds (round-2 verdict item 4). Rotation planning reads
+# COVERAGE.md (tools/coverage_table.py — per-qkey driver rounds +
+# staleness from CORRECTNESS_r*.json); tests/test_chains.py pins this
+# window against the same data so they cannot drift. Round-6 window =
+#   (a) every never-driver-gated qkey: the 5 late-round-5 registrations
+#       (cdc_apply, scd2_build, stream_heavy_hitters_live, udf_arrow,
+#       window_rolling_median — all parity-green since r5),
+#   (b) the new round-6 registrations (first driver row),
+#   (c) changed-implementation re-proofs (the simhash_pairs precedent):
+#       triangle_count (degree-oriented wedge enumeration), embed_pq /
+#       sim_pq_adc / sim_ivfpq (PQ geometry widened to M=8 x K=64 for
+#       the recall gate), quantile_exact_2pass (recursive refinement),
+#   (d) round-robin re-proofs of the STALEST driver rows (last proven
+#       round 2, registration order; COVERAGE.md's tail) filling to 50.
+#       New round-6 registrations displace (d) slots, never (a)-(c) —
+#       the (d) list below is the FULL 44-key r2-stale backlog, so the
+#       window self-adjusts: whatever (b) doesn't claim goes to the
+#       oldest re-proofs, and the overflow is round 7's (d).
+# Keys not listed here sort after listed ones, in registration order.
 _GATE_ORDER = (
-    # (a) round-4 backlog: relational/text additions
-    "nested_fns", "sql_direct", "agg_mode", "window_offset", "agg_corr",
-    "histogram_bins", "unpivot_melt", "dq_audit", "ngram_topk",
-    "fingerprint_winnow", "char_entropy", "json_parse_once",
-    "sentence_split",
-    # (a) round-4 backlog: dedup/corpus/stream/layout additions
-    "dup_rate_report", "snapshot_diff", "dedup_verify",
-    "stream_foreach_upsert_live", "stream_prep_live", "sink_compact",
-    "scan_evolved", "sample_exact_k", "length_buckets", "curation_join",
-    # (b) new round-5 qkeys
-    "dedup_substring", "media_decode_png", "sink_orc", "sort_zorder",
-    "rollup_hierarchy", "triangle_count", "heavy_hitters", "join_fuzzy",
-    "stream_outer_join_live", "embed_pq", "sim_pq_adc", "sliding_distinct",
-    "stream_sliding_distinct_live", "quantile_exact_2pass", "entity_resolve",
-    "split_groupwise", "join_fuzzy_seg", "stream_full_outer_join_live",
-    "media_resize", "media_decode_wav", "stream_agg_update_live",
-    "sim_ivfpq",
-    # (c) changed-implementation re-proof
-    "simhash_pairs",
-    # (d) oldest-row re-proofs (last driver-proven round 2), filling
-    # to the 50-cap in registration order
-    "scan_file", "scan_array", "scan_range", "scan_delegate",
+    # (a) never driver-gated
+    "cdc_apply", "scd2_build", "stream_heavy_hitters_live", "udf_arrow",
+    "window_rolling_median",
+    # (b) new round-6 registrations
+    "stream_dedup_substring_live",
+    # (c) changed-implementation re-proofs
+    "triangle_count", "embed_pq", "sim_pq_adc", "sim_ivfpq",
+    "quantile_exact_2pass",
+    # (d) stalest-row re-proofs (last driver-proven round 2), filling
+    # to the 50-cap in registration order — overflow rolls to round 7
+    "scan_queue", "take_limit", "by_line", "by_chunk", "by_chunk_arrays",
+    "by_element", "adapter_noop", "sink_collect", "sink_discard",
+    "sink_file", "sink_copy", "scan_binary", "agg_group", "agg_distinct",
+    "join_equi", "join_anti", "join_asof", "join_range", "window_rank",
+    "sort_topk", "set_union", "set_except", "scalar_fns", "tpch_q6",
+    "tpch_q3", "stream_window", "stream_sliding", "stream_dedup",
+    "text_stats", "lang_id", "doc_quality", "json_extract", "dedup_exact",
+    "dedup_minhash", "dedup_simhash", "dedup_ngram", "sim_topk", "sim_lsh",
+    "embed_dedup", "media_meta", "udf_stage", "codec_gzip", "sample_hash",
+    "sample_stratified",
 )
 
 

@@ -168,33 +168,50 @@ def test_take_stress_reference_scale(spark):
         assert got.m == (k - 1 if k else None)
 
 
-def test_gate_window_round5_membership():
+# Round-6 registrations (first driver row) and changed-implementation
+# re-proofs — the (b)/(c) classes the staleness data can't derive.
+ROUND6_NEW = {
+    "stream_dedup_substring_live",
+}
+ROUND6_CHANGED = {
+    "triangle_count",        # degree-oriented wedge enumeration
+    "embed_pq", "sim_pq_adc", "sim_ivfpq",  # PQ geometry 8x64
+    "quantile_exact_2pass",  # recursive bucket refinement
+}
+
+
+def test_gate_window_round6_membership():
     """The driver checks only the FIRST 50 queries() entries. Pin the
-    round-5 rotation: the 23-query round-4 backlog (registrations with
-    no driver CORRECTNESS row through r4), the new round-5 qkeys, and
-    the changed-implementation simhash_pairs re-proof must sit inside
-    the window (a silent reorder would cost them their driver row and
-    break the every-query-gets-gated-once invariant)."""
+    round-6 rotation against the RECORDED driver rows (COVERAGE.md's
+    source, tools/coverage_table.py::driver_rounds): every
+    never-driver-gated qkey, every round-6 registration, and every
+    changed-implementation re-proof must sit inside the window, and the
+    remaining slots must go to the stalest recorded rows — a silent
+    reorder or a new registration that forgets the rotation breaks the
+    every-query-gets-gated-once invariant here, not in the verdict."""
     import __spark_entry__ as e
+    from tools.coverage_table import driver_rounds
 
     window = list(e.queries())[:50]
-    must_gate = {
-        # round-4 backlog: no driver row through r4
-        "nested_fns", "sql_direct", "agg_mode", "window_offset", "agg_corr",
-        "histogram_bins", "unpivot_melt", "dq_audit", "ngram_topk",
-        "fingerprint_winnow", "char_entropy", "json_parse_once",
-        "sentence_split", "dup_rate_report", "snapshot_diff",
-        "dedup_verify", "stream_foreach_upsert_live", "stream_prep_live",
-        "sink_compact", "scan_evolved", "sample_exact_k", "length_buckets",
-        "curation_join",
-        # new in round 5
-        "dedup_substring", "media_decode_png",
-        # changed implementation (64-bit banding) — fresh driver proof
-        "simhash_pairs",
-    }
+    rows, latest = driver_rounds()
+    never = {q for q, rs in rows.items() if not rs}
+    # every registration without a driver row must be in-window — this
+    # auto-covers round-6 additions (they have no CORRECTNESS row yet)
+    must_gate = never | ROUND6_NEW | ROUND6_CHANGED
     missing = must_gate - set(window)
     assert not missing, f"rotated out of the 50-entry gate window: {missing}"
     assert len(window) == 50
+    # the fill slots re-prove the stalest rows: nothing in the window
+    # (beyond the must-gate set) may be fresher than rows still waiting
+    # at the max staleness tier
+    fill = [q for q in window if q not in must_gate]
+    oldest = min(rs[-1] for q, rs in rows.items() if rs)
+    waiting = {q for q, rs in rows.items() if rs and rs[-1] == oldest} - set(window)
+    fresh_fill = [q for q in fill if rows[q] and rows[q][-1] > oldest]
+    assert not (fresh_fill and waiting), (
+        f"window wastes slots on fresh rows {fresh_fill} while "
+        f"stalest-tier rows wait: {sorted(waiting)[:5]}..."
+    )
     # every registered query has an oracle except the sketch family
     no_oracle = set(e.queries()) - set(e.oracle_sql())
     assert no_oracle == {"agg_approx"}
