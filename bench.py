@@ -78,6 +78,16 @@ HEADLINE = [
     "sort_zorder",
     "rollup_hierarchy",
     "join_fuzzy",
+    # round-6 additions (r5 verdict item 6): the expensive round-5
+    # machinery measured nowhere — the two-pass quantile's driver walk +
+    # bucket selection, the composed fuzzy-join -> connected-components
+    # entity pipeline, the full IVF-PQ serving stack, and the stateful
+    # streaming Misra-Gries — plus the round-6 streaming passage dedup
+    "quantile_exact_2pass",
+    "entity_resolve",
+    "sim_ivfpq",
+    "stream_heavy_hitters_live",
+    "stream_dedup_substring_live",
 ]
 
 
