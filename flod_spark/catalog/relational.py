@@ -752,6 +752,93 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bloom semi-join reduction: filter geometry. M bits / K salted md5
+# hashes; with |dim keys| n, FP rate ~ (1 - e^(-K*n/M))^K — at the gate
+# scales (n <= ~100) effectively zero, at n = 2000 still < 1e-5.
+_BLOOM_M = 1 << 16
+_BLOOM_K = 3
+_BLOOM_NATION = 3  # dim predicate: suppliers of this nation
+
+
+def _bloom_pos(col, i: int) -> F.Column:
+    """Bit position of hash i for a key (the packing.py hex-int bridge:
+    Spark conv == DuckDB CAST('0x'||… AS BIGINT), byte-identical md5)."""
+    h = F.md5(F.concat(F.lit(f"bf{i}|"), col.cast("string")).cast("binary"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BLOOM_M
+
+
+@query(
+    "join_bloom",
+    oracle=(
+        # the oracle is the PLAIN equi-join: the bloom prefilter has no
+        # false negatives and the exact join removes its false
+        # positives, so the result is identical by construction
+        "SELECT l_suppkey, COUNT(*) AS n_items, "
+        "  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        f"WHERE s_nationkey = {_BLOOM_NATION} "
+        "GROUP BY l_suppkey"
+    ),
+)
+def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction — the RUNTIME-FILTER pattern
+    (Spark's InjectRuntimeFilter / ORC-Parquet bloom pushdown) as a
+    first-class op: the dim side's join keys build a _BLOOM_M-bit /
+    _BLOOM_K-hash filter (salted-md5 bit positions — deterministic
+    cross-engine, no RNG), the fact side tests its key against the
+    broadcast bitmask MAP-SIDE before the join, and the exact equi-join
+    then removes the (provably rare) false positives. No false
+    negatives, so the result is bit-identical to the plain join — the
+    oracle IS the plain join. The selectivity pytest pins that the
+    prefilter genuinely prunes.
+
+    Scale: THE answer when the dim side is too big to broadcast as ROWS
+    but its key set compresses to a filter: a 100M-key dim is a ~100 MB
+    hash relation yet a 16 MB bloom at 1% FP — the fact side drops
+    non-matching rows at the scan (pipelined with the parquet reader,
+    before any exchange), shrinking shuffle volume to matches + FP.
+    Build is one partial-agg DISTINCT over <= K*n bit positions
+    (bounded by M, the constant 64 Ki here), driver state is the M-bit
+    mask itself (8 KiB — the 4096-histogram precedent, never
+    data-sized), broadcast back as a literal. At petabyte fact scale
+    this composes with partition pruning; Spark's own AQE runtime
+    filter automates the same shape for selective broadcast joins."""
+    dim = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == _BLOOM_NATION)
+        .select("s_suppkey")
+    )
+    pos = dim.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("s_suppkey"), i) for i in range(_BLOOM_K)])
+        ).alias("p")
+    ).distinct()
+    words = [0] * (_BLOOM_M // 64)
+    for r in pos.collect():  # <= min(K*n, M) ints — constant-bounded
+        words[r["p"] // 64] |= 1 << (r["p"] % 64)
+    # two's-complement into Spark's signed long
+    mask = F.array(
+        *[F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long") for w in words]
+    )
+    fact = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    hit = None
+    for i in range(_BLOOM_K):
+        p = _bloom_pos(F.col("l_suppkey"), i)
+        b = (
+            F.bit_get(
+                F.element_at(mask, (p / 64).cast("int") + 1), (p % 64).cast("int")
+            )
+            == 1
+        )
+        hit = b if hit is None else (hit & b)
+    pre = fact.filter(hit)
+    joined = pre.join(dim, pre.l_suppkey == dim.s_suppkey)
+    return joined.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast("double").alias("sum_price"),
+    )
+
+
 @query(
     "agg_grouping_sets",
     oracle=(

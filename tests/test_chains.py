@@ -172,6 +172,7 @@ def test_take_stress_reference_scale(spark):
 # re-proofs — the (b)/(c) classes the staleness data can't derive.
 ROUND6_NEW = {
     "stream_dedup_substring_live",
+    "join_bloom",
 }
 ROUND6_CHANGED = {
     "triangle_count",        # degree-oriented wedge enumeration

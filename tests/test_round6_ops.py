@@ -67,3 +67,51 @@ class TestStreamDedupSubstringLive:
 
         got = stream_dedup_substring_live(spark, _docs_dir(tmp_path, []))
         assert got.count() == 0
+
+
+class TestJoinBloom:
+    def test_prefilter_prunes_without_false_negatives(self, spark, sf001_dir):
+        """The bloom's value proposition, pinned: every true-match fact
+        row passes the prefilter (no false negatives — correctness),
+        and the pass set is far smaller than the fact table (genuine
+        map-side pruning — the reason to build the filter at all)."""
+        from flod_spark.catalog.relational import (
+            _BLOOM_K,
+            _BLOOM_M,
+            _BLOOM_NATION,
+            _bloom_pos,
+        )
+
+        dim = (
+            spark.read.parquet(f"{sf001_dir}/supplier.parquet")
+            .filter(F.col("s_nationkey") == _BLOOM_NATION)
+            .select("s_suppkey")
+        )
+        pos = dim.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("s_suppkey"), i) for i in range(_BLOOM_K)])
+            ).alias("p")
+        ).distinct()
+        words = [0] * (_BLOOM_M // 64)
+        for r in pos.collect():
+            words[r["p"] // 64] |= 1 << (r["p"] % 64)
+        mask = F.array(
+            *[F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long") for w in words]
+        )
+        fact = spark.read.parquet(f"{sf001_dir}/lineitem.parquet").select("l_suppkey")
+        hit = None
+        for i in range(_BLOOM_K):
+            p = _bloom_pos(F.col("l_suppkey"), i)
+            b = (
+                F.bit_get(
+                    F.element_at(mask, (p / 64).cast("int") + 1), (p % 64).cast("int")
+                )
+                == 1
+            )
+            hit = b if hit is None else (hit & b)
+        total = fact.count()
+        passed = fact.filter(hit).count()
+        true_rows = fact.join(dim, fact.l_suppkey == dim.s_suppkey, "left_semi").count()
+        assert true_rows > 0, "bloom test vacuous: dim nation has no suppliers"
+        assert passed >= true_rows  # no false negatives
+        assert passed < total * 0.5, f"prefilter barely prunes: {passed}/{total}"
