@@ -470,6 +470,91 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.groupBy(F.col("node").alias("suppkey")).agg(F.count("*").alias("n_tri"))
 
 
+# Count-Min sketch geometry: depth (independent hash rows) x width
+# (counters per row). Overestimate bound: est <= true + 2N/width per
+# row, and the MIN over depth rows makes exceeding it require a
+# collision in EVERY row (probability (2/width)^depth per key).
+_CM_D, _CM_W = 4, 1024
+
+
+def _cm_pos(col, i: int) -> F.Column:
+    """Bit-identical cross-engine counter index for hash row i (the
+    packing.py hex-int bridge: Spark conv == DuckDB CAST('0x'||…))."""
+    h = F.md5(F.concat(F.lit(f"cm{i}|"), col.cast("string")).cast("binary"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _CM_W
+
+
+def _cm_pos_sql(expr: str, i: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5('cm{i}|' || CAST({expr} AS VARCHAR)), 1, 8) "
+        f"AS BIGINT) % {_CM_W}"
+    )
+
+
+@query(
+    "sketch_countmin",
+    oracle=(
+        "WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL), "
+        f"ms AS (SELECT unnest(range({_CM_D})) AS i), "
+        "pos AS (SELECT user_id, i, CASE i "
+        + " ".join(f"WHEN {i} THEN {_cm_pos_sql('user_id', i)}" for i in range(_CM_D))
+        + " END AS p FROM e, ms), "
+        "sk AS (SELECT i, p, CAST(COUNT(*) AS BIGINT) AS c FROM pos GROUP BY i, p), "
+        "k AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM e GROUP BY user_id), "
+        "kp AS (SELECT user_id, i, CASE i "
+        + " ".join(f"WHEN {i} THEN {_cm_pos_sql('user_id', i)}" for i in range(_CM_D))
+        + " END AS p FROM k, ms), "
+        "est AS (SELECT kp.user_id, MIN(sk.c) AS cm_est "
+        "  FROM kp JOIN sk USING (i, p) GROUP BY kp.user_id) "
+        "SELECT k.user_id, k.true_cnt, est.cm_est FROM k JOIN est USING (user_id)"
+    ),
+)
+def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode-Muthukrishnan) with a fully EXACT
+    oracle — unlike agg_approx's engine-specific HLL/KLL, the sketch
+    here is deterministic by construction (salted-md5 counter indexes),
+    so DuckDB rebuilds the identical _CM_D x _CM_W counter matrix and
+    the per-key MIN-over-rows estimate matches bit-for-bit. Output per
+    distinct key: the true count next to the sketch estimate — the
+    overestimate-only guarantee (est >= true always; collisions only
+    ADD) is pinned by pytest, and the gap is the price of constant
+    memory. heavy_hitters answers 'which keys are frequent'; the CM
+    sketch answers 'how frequent is ANY key' from O(D*W) state.
+
+    Scale: the sketch is a partial-agg groupBy over (row, position) —
+    counters merge by addition, so map-side combine collapses each
+    task's stream to <= D*W rows before ONE exchange of constant size,
+    no matter how many events or distinct keys (the groupBy-every-key
+    alternative shuffles |keys| rows). Point queries join the broadcast
+    4096-row sketch. The same build runs incrementally on a stream
+    (counters only add — update-mode agg); width/depth trade memory for
+    the eps*N overestimate bound, independent of data size."""
+    ev = load(spark, sf_dir, "events").select("user_id").filter(
+        F.col("user_id").isNotNull()
+    )
+    pos_arr = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), _cm_pos(F.col("user_id"), i).alias("p"))
+            for i in range(_CM_D)
+        ]
+    )
+    sketch = (
+        ev.select(F.explode(pos_arr).alias("ip"))
+        .groupBy(F.col("ip.i").alias("i"), F.col("ip.p").alias("p"))
+        .agg(F.count("*").alias("c"))
+    )
+    keys = ev.groupBy("user_id").agg(F.count("*").alias("true_cnt"))
+    kp = keys.select("user_id", "true_cnt", F.explode(pos_arr).alias("ip")).select(
+        "user_id", "true_cnt", F.col("ip.i").alias("i"), F.col("ip.p").alias("p")
+    )
+    est = (
+        kp.join(F.broadcast(sketch), ["i", "p"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cm_est"))
+    )
+    return keys.join(est, "user_id")
+
+
 # Heavy-hitter capacity: candidates are every key with frequency > n/_HH_C.
 _HH_C = 160
 

@@ -99,7 +99,7 @@ _GATE_ORDER = (
     "cdc_apply", "scd2_build", "stream_heavy_hitters_live", "udf_arrow",
     "window_rolling_median",
     # (b) new round-6 registrations
-    "stream_dedup_substring_live", "join_bloom",
+    "stream_dedup_substring_live", "join_bloom", "sketch_countmin",
     # (c) changed-implementation re-proofs
     "triangle_count", "embed_pq", "sim_pq_adc", "sim_ivfpq",
     "quantile_exact_2pass",

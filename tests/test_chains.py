@@ -173,6 +173,7 @@ def test_take_stress_reference_scale(spark):
 ROUND6_NEW = {
     "stream_dedup_substring_live",
     "join_bloom",
+    "sketch_countmin",
 }
 ROUND6_CHANGED = {
     "triangle_count",        # degree-oriented wedge enumeration

@@ -69,6 +69,35 @@ class TestStreamDedupSubstringLive:
         assert got.count() == 0
 
 
+class TestSketchCountMin:
+    def test_overestimate_only_and_mass_conservation(self, spark, sf_dir):
+        """The CM guarantees that survive any hash collision pattern:
+        est >= true for EVERY key (collisions only add), and each of
+        the D sketch rows conserves total stream mass (sum of its W
+        counters == N) — the mergeability invariant that makes the
+        build one partial-agg exchange."""
+        from flod_spark.catalog.analytics import _CM_D, _cm_pos, sketch_countmin
+
+        rows = sketch_countmin(spark, sf_dir).collect()
+        assert rows, "CM test vacuous: no keys"
+        assert all(r["cm_est"] >= r["true_cnt"] for r in rows)
+        ev = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("user_id")
+            .filter(F.col("user_id").isNotNull())
+        )
+        n = ev.count()
+        for i in range(_CM_D):
+            row_sum = (
+                ev.select(_cm_pos(F.col("user_id"), i).alias("p"))
+                .groupBy("p")
+                .count()
+                .agg(F.sum("count"))
+                .collect()[0][0]
+            )
+            assert row_sum == n
+
+
 class TestJoinBloom:
     def test_prefilter_prunes_without_false_negatives(self, spark, sf001_dir):
         """The bloom's value proposition, pinned: every true-match fact
