@@ -364,3 +364,49 @@ def sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy(F.col("w.start").alias("win_start"))
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@query(
+    "bars_ohlc",
+    oracle=(
+        # open/close = value at the min/max (ts, event_id) arrival in
+        # the bucket — the composite order packed into one exact
+        # integer key (epoch micros * 1e6 + event_id; HUGEINT in
+        # DuckDB, DECIMAL(38,0) in Spark: no overflow, no float)
+        "SELECT time_bucket(INTERVAL '1 hour', ts) AS bar_start, "
+        "  CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "  arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000 + event_id) AS open, "
+        "  MAX(value) AS high, MIN(value) AS low, "
+        "  arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000 + event_id) AS close, "
+        "  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume "
+        "FROM events GROUP BY bar_start"
+    ),
+)
+def bars_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time bars (the TimescaleDB candlestick / Druid rollup
+    staple): per 1-hour bucket, the OPEN and CLOSE are the values at
+    the first and last arrival — selected by min_by/max_by over an
+    exact composite order key ((ts, event_id) packed into one
+    DECIMAL(38,0)/HUGEINT integer, since a bare ts can tie across
+    users and arg_min under ties is engine-nondeterministic) — plus
+    high/low extremes and a DECIMAL-exact volume sum.
+
+    Scale: a single partial-agg groupBy — min_by/max_by carry one
+    (value, key) pair of running state per bucket per task, so the
+    exchange moves |buckets| pre-combined rows exactly like stream_
+    window; no window function, no sort anywhere. The same aggregate
+    runs incrementally under update-mode streaming (min_by/max_by
+    merge), making this the batch twin of a live candlestick feed."""
+    ev = load(spark, sf_dir, "events")
+    key = ts_micros("ts").cast("decimal(38,0)") * 1_000_000 + F.col("event_id")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bar_start"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("volume"),
+        )
+    )

@@ -174,6 +174,7 @@ ROUND6_NEW = {
     "stream_dedup_substring_live",
     "join_bloom",
     "sketch_countmin",
+    "bars_ohlc",
 }
 ROUND6_CHANGED = {
     "triangle_count",        # degree-oriented wedge enumeration

@@ -69,6 +69,45 @@ class TestStreamDedupSubstringLive:
         assert got.count() == 0
 
 
+class TestBarsOHLC:
+    def test_invariants_on_real_data(self, spark, sf_dir):
+        from flod_spark.catalog.streaming_batch import bars_ohlc
+
+        rows = bars_ohlc(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["low"] <= r["open"] <= r["high"]
+            assert r["low"] <= r["close"] <= r["high"]
+            assert r["n_events"] >= 1
+
+    def test_tie_on_ts_breaks_by_event_id(self, spark, tmp_path):
+        """Two events at the IDENTICAL timestamp: open must be the
+        lower event_id's value, close the higher's — the composite
+        order key is what makes this deterministic where a bare
+        arg_min(value, ts) is engine luck."""
+        import datetime as dt
+
+        from flod_spark.catalog.streaming_batch import bars_ohlc
+
+        d = str(tmp_path / "sfohlc")
+        os.makedirs(d, exist_ok=True)
+        t = dt.datetime(2025, 1, 1, 10, 30, 0)
+        pd.DataFrame(
+            {
+                "event_id": pd.Series([2, 1, 3], dtype="int64"),
+                "ts": pd.Series([t, t, t], dtype="datetime64[us]"),
+                "user_id": pd.Series([1, 2, 3], dtype="int64"),
+                "event_type": ["view"] * 3,
+                "value": [20.0, 10.0, 30.0],
+                "props": ["{}"] * 3,
+            }
+        ).to_parquet(f"{d}/events.parquet")
+        r = bars_ohlc(spark, d).collect()[0]
+        assert r["open"] == 10.0  # event_id 1
+        assert r["close"] == 30.0  # event_id 3
+        assert (r["low"], r["high"]) == (10.0, 30.0)
+
+
 class TestSketchCountMin:
     def test_overestimate_only_and_mass_conservation(self, spark, sf_dir):
         """The CM guarantees that survive any hash collision pattern:
