@@ -977,6 +977,52 @@ def stream_agg_update_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_live_oracle() -> str:
+    from flod_spark.catalog.relational import _CDC_LOG_SQL
+
+    return (
+        f"WITH {_CDC_LOG_SQL}, "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM log) "
+        "SELECT k, seq AS last_seq, val FROM r WHERE rn = 1 AND op <> 'D'"
+    )
+
+
+@query("stream_cdc_apply_live", oracle=_cdc_live_oracle())
+def stream_cdc_apply_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log application ON THE LIVE PATH — the replication sink as a
+    continuous process: the same deterministic change log as cdc_apply
+    (insert/update/delete ops with a per-key version order) replayed as
+    micro-batches in seq order, folded by an UPDATE-mode streaming
+    aggregation keeping each key's lexicographic-max (seq, op, val)
+    struct. Determinism needs no sentinels and no horizon
+    (stream_agg_update_live's argument): a key re-emits only when a
+    higher-seq entry lands, so its emitted versions are monotone in seq
+    and the per-key max over the accumulated memory-sink rows IS the
+    final state; tombstone keys (latest op = D) are then dropped
+    exactly as the batch form does. Same oracle as cdc_apply — the
+    batch/stream agreement for replication semantics.
+
+    Scale: state is one (seq, op, val) struct per live key — the
+    materialized table itself, the irreducible minimum for CDC; the
+    exchange carries per-batch partial maxima (map-side combine), and
+    the downstream upsert into a lakehouse table is
+    stream_foreach_upsert_live's exactly-once MERGE pattern."""
+    from flod_spark.catalog.relational import _cdc_log
+
+    log = _cdc_log(spark, sf_dir).withColumn(
+        "ingest_ts", F.timestamp_micros(F.col("seq") * 1_000_000)
+    )
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_cdc_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, log, "ingest_ts", replay_dir, n_batches=4, tiebreak=("seq",))
+    agg = stream.groupBy("k").agg(F.max(F.struct("seq", "op", "val")).alias("s"))
+    got = _drain(agg, spark, output_mode="update", cleanup=(replay_dir,))
+    final = got.groupBy("k").agg(F.max("s").alias("s"))
+    return final.filter(F.col("s.op") != "D").select(
+        "k", F.col("s.seq").alias("last_seq"), F.col("s.val").alias("val")
+    )
+
+
 def _mg_shard_fn(key, pdfs, state):
     """Per-shard streaming Misra-Gries (bounded state: two arrays of at
     most analytics._HH_C entries), merged across micro-batches. Emits

@@ -175,6 +175,7 @@ ROUND6_NEW = {
     "join_bloom",
     "sketch_countmin",
     "bars_ohlc",
+    "stream_cdc_apply_live",
 }
 ROUND6_CHANGED = {
     "triangle_count",        # degree-oriented wedge enumeration

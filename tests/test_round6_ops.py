@@ -69,6 +69,34 @@ class TestStreamDedupSubstringLive:
         assert got.count() == 0
 
 
+class TestStreamCdcApplyLive:
+    def test_equals_batch_cdc_apply(self, spark, sf_dir):
+        from flod_spark.catalog.relational import cdc_apply
+        from flod_spark.catalog.streaming_live import stream_cdc_apply_live
+
+        live = {tuple(r) for r in stream_cdc_apply_live(spark, sf_dir).collect()}
+        batch = {tuple(r) for r in cdc_apply(spark, sf_dir).collect()}
+        assert live == batch
+        assert live, "CDC live test vacuous: empty log"
+
+    def test_empty_log(self, spark, tmp_path):
+        from flod_spark.catalog.streaming_live import stream_cdc_apply_live
+
+        d = str(tmp_path / "sfcdc")
+        os.makedirs(d, exist_ok=True)
+        pd.DataFrame(
+            {
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "o_custkey": pd.Series([], dtype="int64"),
+                "o_orderstatus": pd.Series([], dtype="object"),
+                "o_totalprice": pd.Series([], dtype="float64"),
+                "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                "o_orderpriority": pd.Series([], dtype="object"),
+            }
+        ).to_parquet(f"{d}/orders.parquet")
+        assert stream_cdc_apply_live(spark, d).count() == 0
+
+
 class TestBarsOHLC:
     def test_invariants_on_real_data(self, spark, sf_dir):
         from flod_spark.catalog.streaming_batch import bars_ohlc
