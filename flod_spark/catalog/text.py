@@ -1352,3 +1352,98 @@ def sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.filter(F.length("sentence") > 0).withColumn(
         "n_chars", F.length("sentence").cast("long")
     )
+
+
+# BM25 ranking constants: fixed query terms, k1 = 6/5 and b = 3/4 as
+# exact rationals (cleared denominators keep every intermediate a
+# BIGINT), idf quantized via the ngram_lm floor-log2 trick with a 2^20
+# pre-shift so common/rare terms still separate after quantization.
+_BM25_TERMS = ("window", "merge", "scan")
+_BM25_SHIFT = 1 << 20
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    contribs = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN "
+        f"CAST((length(bin(((nd + 1) * {_BM25_SHIFT}) // (df_{i} + 1))) - 1) "
+        f"  * (44 * tt * tf_{i}) AS DOUBLE) "
+        f"/ (20 * tt * tf_{i} + 6 * tt + 18 * dl * nd) ELSE 0.0 END)"
+        for i in range(len(_BM25_TERMS))
+    )
+    return (
+        "WITH t AS (SELECT doc_id, "
+        f"    regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents), "
+        f"p AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, {tf_cols} FROM t), "
+        f"g AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, "
+        f"    CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS tt, {df_cols} FROM p) "
+        f"SELECT doc_id, dl AS n_tokens, {contribs} AS score FROM p, g"
+    )
+
+
+@query("bm25_score", oracle=_bm25_oracle())
+def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring (Robertson-Sparck Jones) for a fixed
+    query, EXACT cross-engine — the retrieval/RAG ranking primitive
+    tfidf_terms' keyword extraction doesn't cover. Floats normally make
+    BM25 engine-specific (ln idf, partial-sum order); here every
+    intermediate is a BIGINT: idf quantizes to floor-log2 of the
+    2^20-shifted (N+1)/(df+1) ratio (binary-string-length trick,
+    integer division on both engines), and the tf saturation
+    tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) with k1=6/5, b=3/4 clears
+    denominators by 20*T (T = corpus token count, avgdl = T/D): term
+    weight = idf * 44*T*tf / (20*T*tf + 6*T + 18*dl*D) — one IEEE
+    division of exact <2^53 integers per term, summed in fixed written
+    order. The planted-ranking pytest pins the semantics (rare term
+    outranks common; longer doc scores below shorter at equal tf).
+
+    Scale: one map-side pass computes dl and per-term tf from the token
+    array (no explode — the query is a handful of literals); corpus
+    stats (N, T, df per term) are ONE tiny aggregate broadcast back.
+    At 100 TB with open vocabularies the same algebra runs over an
+    inverted (term, doc, tf) layout joined against a broadcast query-
+    term table — identical integer contract, different storage."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))
+
+    def tf(term):  # closure per term (a 2-arg lambda would be (elem, idx))
+        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("long")
+
+    p = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[tf(t).alias(f"tf_{i}") for i, t in enumerate(_BM25_TERMS)],
+    )
+    g = p.agg(
+        F.count("*").cast("long").alias("nd"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("tt"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).cast("long").alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    j = p.crossJoin(F.broadcast(g))
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = (
+            F.length(
+                F.bin(F.expr(f"((nd + 1) * {_BM25_SHIFT}) div (df_{i} + 1)"))
+            )
+            - 1
+        ).cast("long")
+        num = (idf * 44 * F.col("tt") * F.col(f"tf_{i}")).cast("double")
+        den = (
+            20 * F.col("tt") * F.col(f"tf_{i}")
+            + 6 * F.col("tt")
+            + 18 * F.col("dl") * F.col("nd")
+        ).cast("double")
+        c = F.when(F.col(f"tf_{i}") > 0, num / den).otherwise(F.lit(0.0))
+        score = c if score is None else score + c
+    return j.select("doc_id", F.col("dl").alias("n_tokens"), score.alias("score"))

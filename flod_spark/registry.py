@@ -100,7 +100,7 @@ _GATE_ORDER = (
     "window_rolling_median",
     # (b) new round-6 registrations
     "stream_dedup_substring_live", "join_bloom", "sketch_countmin",
-    "bars_ohlc", "stream_cdc_apply_live",
+    "bars_ohlc", "stream_cdc_apply_live", "bm25_score",
     # (c) changed-implementation re-proofs
     "triangle_count", "embed_pq", "sim_pq_adc", "sim_ivfpq",
     "quantile_exact_2pass",

@@ -176,6 +176,7 @@ ROUND6_NEW = {
     "sketch_countmin",
     "bars_ohlc",
     "stream_cdc_apply_live",
+    "bm25_score",
 }
 ROUND6_CHANGED = {
     "triangle_count",        # degree-oriented wedge enumeration

@@ -69,6 +69,37 @@ class TestStreamDedupSubstringLive:
         assert got.count() == 0
 
 
+class TestBM25Score:
+    def test_planted_ranking_semantics(self, spark, tmp_path):
+        """The two orderings BM25 exists to produce: a rare query term
+        outranks a common one at equal tf/dl (idf), and at equal tf the
+        shorter doc outranks the longer (length normalization)."""
+        from flod_spark.catalog.text import bm25_score
+
+        filler = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [(100, "en", "merge " + filler), (101, "en", "window " + filler)]
+        # doc 102: same tf for 'window' as 101 but twice the length
+        rows.append((102, "en", "window " + filler + " " + filler))
+        # 20 background docs make 'window' common; nothing else has 'merge'
+        rows += [(i, "en", f"window iota kappa lambda mu nu xi doc{i}") for i in range(20)]
+        d = _docs_dir(tmp_path, rows)
+        got = {r["doc_id"]: r["score"] for r in bm25_score(spark, d).collect()}
+        assert got[100] > got[101], "rare term must outrank common term"
+        assert got[101] > got[102], "shorter doc must outrank longer at equal tf"
+        assert all(s >= 0 for s in got.values())
+
+    def test_no_query_term_scores_zero(self, spark, tmp_path):
+        from flod_spark.catalog.text import bm25_score
+
+        d = _docs_dir(
+            tmp_path,
+            [(1, "en", "alpha beta gamma"), (2, "en", "window alpha")],
+        )
+        got = {r["doc_id"]: r["score"] for r in bm25_score(spark, d).collect()}
+        assert got[1] == 0.0
+        assert got[2] > 0.0
+
+
 class TestStreamCdcApplyLive:
     def test_equals_batch_cdc_apply(self, spark, sf_dir):
         from flod_spark.catalog.relational import cdc_apply
