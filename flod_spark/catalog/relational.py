@@ -897,6 +897,98 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_rolling_regression",
+    oracle=(
+        # rolling least-squares slope from EXACT decimal moment sums
+        # over the 1-hour range frame (agg_corr's discipline applied to
+        # a window): x = micros since the global min (bounded, so the
+        # decimal products never overflow), sums cast to DOUBLE through
+        # VARCHAR (DuckDB's direct decimal cast double-rounds), and the
+        # closing slope algebra is the identical IEEE op sequence on
+        # both engines. den = 0 <=> a single-point frame -> NULL slope.
+        "WITH mn AS (SELECT MIN(epoch_us(ts)) AS m0 FROM events), "
+        "b AS (SELECT event_id, user_id, ts, epoch_us(ts) - m0 AS x, value "
+        "  FROM events, mn), "
+        "w AS (SELECT event_id, user_id, ts, "
+        "    CAST(COUNT(*) OVER fr AS BIGINT) AS n, "
+        # x casts to DECIMAL(24): DuckDB's multiply keeps the MAX
+        # operand width (not the sum), so the product type must already
+        # hold x^2 (~9e22, 23 digits); Spark widens to p1+p2+1 on its
+        # own. Both engines stay exact — only the declared types differ.
+        "    SUM(CAST(x AS DECIMAL(24,0))) OVER fr AS dsx, "
+        "    SUM(CAST(value AS DECIMAL(18,6))) OVER fr AS dsy, "
+        "    SUM(CAST(x AS DECIMAL(24,0)) * CAST(value AS DECIMAL(18,6))) OVER fr AS dsxy, "
+        "    SUM(CAST(x AS DECIMAL(24,0)) * CAST(x AS DECIMAL(24,0))) OVER fr AS dsxx "
+        "  FROM b WINDOW fr AS (PARTITION BY user_id ORDER BY x "
+        "    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)), "
+        "c AS (SELECT event_id, user_id, ts, n, "
+        "    CAST(CAST(dsx AS VARCHAR) AS DOUBLE) AS sx, "
+        "    CAST(CAST(dsy AS VARCHAR) AS DOUBLE) AS sy, "
+        "    CAST(CAST(dsxy AS VARCHAR) AS DOUBLE) AS sxy, "
+        "    CAST(CAST(dsxx AS VARCHAR) AS DOUBLE) AS sxx FROM w) "
+        "SELECT event_id, user_id, ts, n AS n_win, "
+        "  CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL "
+        "       ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope "
+        "FROM c"
+    ),
+)
+def window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling least-squares TREND per user — slope of value vs time
+    over the trailing 1-hour event-time frame (the drift/anomaly-slope
+    stat next to window_rolling_median's level and value_zscore's
+    deviation). Exactness is agg_corr's contract lifted into a window:
+    the five moments (n, Σx, Σy, Σxy, Σx²) accumulate in DECIMAL over
+    the range frame (x = micros since the corpus min, so every product
+    stays far under DECIMAL(38)), each sum casts to a correctly-rounded
+    double once, and slope = (nΣxy-ΣxΣy)/(nΣx²-(Σx)²) is the same IEEE
+    op sequence on both engines. A single-point frame has den = 0
+    exactly (x < 2^53 is exact, both engines round x² identically) and
+    yields NULL, not NaN.
+
+    Scale: one shuffle on user_id; the range frame evaluates with a
+    sliding two-pointer accumulator per sorted partition — decimal adds
+    are invertible, so Spark maintains the frame incrementally instead
+    of rescanning it (the reason moments beat a per-frame UDAF). The
+    global-min offset is a 1-row broadcast."""
+    ev = load(spark, sf_dir, "events")
+    m0 = ev.agg(F.min(ts_micros("ts")).alias("m0"))
+    b = ev.crossJoin(F.broadcast(m0)).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (ts_micros("ts") - F.col("m0")).alias("x"),
+        "value",
+    )
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("x")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    xd = F.col("x").cast("decimal(18,0)")
+    yd = F.col("value").cast("decimal(18,6)")
+    w = b.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(fr).alias("n"),
+        F.sum(xd).over(fr).cast("double").alias("sx"),
+        F.sum(yd).over(fr).cast("double").alias("sy"),
+        F.sum(xd * yd).over(fr).cast("double").alias("sxy"),
+        F.sum(xd * xd).over(fr).cast("double").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    den = n * F.col("sxx") - sx * sx
+    num = n * F.col("sxy") - sx * sy
+    return w.select(
+        "event_id",
+        "user_id",
+        "ts",
+        n.alias("n_win"),
+        F.when(den == 0, F.lit(None).cast("double")).otherwise(num / den).alias("slope"),
+    )
+
+
+@query(
     "tpch_q10",
     oracle=(
         "SELECT c_custkey, c_name, "

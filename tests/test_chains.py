@@ -177,6 +177,7 @@ ROUND6_NEW = {
     "bars_ohlc",
     "stream_cdc_apply_live",
     "bm25_score",
+    "window_rolling_regression",
 }
 ROUND6_CHANGED = {
     "triangle_count",        # degree-oriented wedge enumeration

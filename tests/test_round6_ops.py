@@ -69,6 +69,52 @@ class TestStreamDedupSubstringLive:
         assert got.count() == 0
 
 
+class TestWindowRollingRegression:
+    def _events_dir(self, tmp_path, rows):
+        import datetime as dt  # noqa: F401
+
+        d = str(tmp_path / "sfreg")
+        os.makedirs(d, exist_ok=True)
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).astype({"event_id": "int64", "user_id": "int64", "ts": "datetime64[us]"}).to_parquet(
+            f"{d}/events.parquet"
+        )
+        return d
+
+    def test_planted_linear_series_recovers_exact_slope(self, spark, tmp_path):
+        """A perfectly linear series value = 2.5 * minutes: every frame
+        with >= 2 points must report slope == 2.5 per minute (converted
+        from the per-microsecond output) with zero residual — least
+        squares on exact collinear points is exact."""
+        import datetime as dt
+
+        from flod_spark.catalog.relational import window_rolling_regression
+
+        t0 = dt.datetime(2025, 3, 1, 9, 0, 0)
+        rows = [
+            (i, t0 + dt.timedelta(minutes=i), 7, "view", 2.5 * i, "{}")
+            for i in range(10)
+        ]
+        # an isolated single point for user 8 -> NULL slope
+        rows.append((100, t0, 8, "view", 42.0, "{}"))
+        d = self._events_dir(tmp_path, rows)
+        got = {r["event_id"]: r for r in window_rolling_regression(spark, d).collect()}
+        assert got[100]["slope"] is None and got[100]["n_win"] == 1
+        for i in range(1, 10):
+            r = got[i]
+            assert r["n_win"] == i + 1  # minutes apart: 1h frame holds all
+            slope_per_min = r["slope"] * 60_000_000
+            assert abs(slope_per_min - 2.5) < 1e-9, f"event {i}: {slope_per_min}"
+
+    def test_deterministic_across_runs(self, spark, sf_dir):
+        from flod_spark.catalog.relational import window_rolling_regression
+
+        a = sorted(map(tuple, window_rolling_regression(spark, sf_dir).collect()))
+        b = sorted(map(tuple, window_rolling_regression(spark, sf_dir).collect()))
+        assert a == b
+
+
 class TestBM25Score:
     def test_planted_ranking_semantics(self, spark, tmp_path):
         """The two orderings BM25 exists to produce: a rare query term
