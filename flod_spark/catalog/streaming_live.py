@@ -1023,6 +1023,68 @@ def stream_cdc_apply_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bars_live_oracle() -> str:
+    from flod_spark.catalog.streaming_batch import bars_ohlc  # noqa: F401
+
+    from flod_spark.registry import ORACLES
+
+    return ORACLES["bars_ohlc"]
+
+
+@query("stream_bars_ohlc_live", oracle=_bars_live_oracle())
+def stream_bars_ohlc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE candlestick bars — bars_ohlc as an UPDATE-mode streaming
+    aggregation, the real-time feed the batch query is the twin of:
+    per-hour state holds (count, min_by/max_by pairs over the exact
+    composite (ts, event_id) order key, DECIMAL volume), re-emitting a
+    bar every trigger it changes. Determinism is stream_agg_update_
+    live's monotonicity argument: a bar's event count strictly
+    increases across its emissions, so the accumulated memory-sink row
+    with the max n_events per bar IS its final state — no watermark, no
+    sentinels, no horizon; the oracle is bars_ohlc's verbatim.
+
+    Scale: state is one OHLC struct per open bar (bounded by the time
+    span, not the stream); min_by/max_by merge, so partial aggregation
+    collapses each micro-batch map-side before the state store — the
+    same one-exchange shape as the batch bars."""
+    ev = load(spark, sf_dir, "events")
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_oh_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4, tiebreak=("event_id",))
+    from flod_spark.io import ts_micros
+
+    s = with_event_time(stream)
+    key = ts_micros("ts").cast("decimal(38,0)") * 1_000_000 + F.col("event_id")
+    agg = (
+        s.groupBy(F.date_trunc("hour", F.col("ts")).alias("bar_start"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("volume"),
+        )
+        .select(
+            as_naive(F.col("bar_start")).alias("bar_start"),
+            "n_events", "open", "high", "low", "close", "volume",
+        )
+    )
+    got = _drain(agg, spark, output_mode="update", cleanup=(replay_dir,))
+    final = got.groupBy("bar_start").agg(
+        F.max(F.struct("n_events", "open", "high", "low", "close", "volume")).alias("s")
+    )
+    return final.select(
+        "bar_start",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.open").alias("open"),
+        F.col("s.high").alias("high"),
+        F.col("s.low").alias("low"),
+        F.col("s.close").alias("close"),
+        F.col("s.volume").alias("volume"),
+    )
+
+
 def _mg_shard_fn(key, pdfs, state):
     """Per-shard streaming Misra-Gries (bounded state: two arrays of at
     most analytics._HH_C entries), merged across micro-batches. Emits

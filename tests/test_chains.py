@@ -178,6 +178,7 @@ ROUND6_NEW = {
     "stream_cdc_apply_live",
     "bm25_score",
     "window_rolling_regression",
+    "stream_bars_ohlc_live",
 }
 ROUND6_CHANGED = {
     "triangle_count",        # degree-oriented wedge enumeration

@@ -146,6 +146,17 @@ class TestBM25Score:
         assert got[2] > 0.0
 
 
+class TestStreamBarsOhlcLive:
+    def test_equals_batch_bars(self, spark, sf_dir):
+        from flod_spark.catalog.streaming_batch import bars_ohlc
+        from flod_spark.catalog.streaming_live import stream_bars_ohlc_live
+
+        live = {tuple(r) for r in stream_bars_ohlc_live(spark, sf_dir).collect()}
+        batch = {tuple(r) for r in bars_ohlc(spark, sf_dir).collect()}
+        assert live == batch
+        assert live, "live bars test vacuous"
+
+
 class TestStreamCdcApplyLive:
     def test_equals_batch_cdc_apply(self, spark, sf_dir):
         from flod_spark.catalog.relational import cdc_apply
