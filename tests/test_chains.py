@@ -222,6 +222,12 @@ def test_gate_window_round6_membership():
     # every registered query has an oracle except the sketch family
     no_oracle = set(e.queries()) - set(e.oracle_sql())
     assert no_oracle == {"agg_approx"}
+    # gate_order() silently ignores unknown keys, so a typo'd entry in
+    # _GATE_ORDER would silently drop a must-gate query — catch it here
+    from flod_spark import registry
+
+    unknown = set(registry._GATE_ORDER) - set(e.queries())
+    assert not unknown, f"_GATE_ORDER names unregistered queries: {unknown}"
 
 
 def test_every_registered_query_documents_itself():
