@@ -340,6 +340,15 @@ HEADLINE_PINS = {
     "sort_zorder": (1, 0),
     "rollup_hierarchy": (1, 0),
     "join_fuzzy": (4, 0),
+    # round-6 bench additions (fingerprinted at sf0.001 at introduction)
+    "bars_ohlc": (1, 0),
+    "bm25_score": (0, 0),
+    "join_bloom": (1, 0),
+    "sketch_countmin": (3, 0),
+    "window_rolling_regression": (1, 0),
+    "entity_resolve": (5, 1),
+    "sim_ivfpq": (6, 1),
+    "quantile_exact_2pass": (0, 0),
 }
 
 
