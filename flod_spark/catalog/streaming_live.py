@@ -1023,6 +1023,94 @@ def stream_cdc_apply_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_enrich_fn(key, pdfs, state):
+    """Per-user latest-signup state machine: rows processed in strict
+    (ts, event_id) order (sorted within the batch; replay guarantees
+    cross-batch order); a signup updates the 2-long state, a click
+    emits (click_id, latest signup id so far, -1 if none)."""
+    import pandas as pd
+
+    sid = int(state.get[0]) if state.exists else -1
+    clicks, sids = [], []
+    for pdf in pdfs:
+        for _, row in pdf.sort_values(["_us", "event_id"]).iterrows():
+            if row["event_type"] == "signup":
+                sid = int(row["event_id"])
+            else:
+                clicks.append(int(row["event_id"]))
+                sids.append(sid)
+    state.update((sid,))
+    yield pd.DataFrame(
+        {
+            "click_id": pd.Series(clicks, dtype="int64"),
+            "signup_id": pd.Series(sids, dtype="int64"),
+        }
+    )
+
+
+@query(
+    "stream_asof_enrich_live",
+    oracle=(
+        # each click enriched with the user's LATEST signup at or
+        # before it ((user_id, ts) is unique, so 'latest' is a total
+        # order) — the batch form is exactly a left as-of join
+        "WITH s AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'), "
+        "c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'), "
+        "j AS (SELECT c.event_id AS click_id, s.event_id AS sid, "
+        "    row_number() OVER (PARTITION BY c.event_id ORDER BY s.ts DESC) AS rn "
+        "  FROM c JOIN s ON s.user_id = c.user_id AND s.ts <= c.ts) "
+        "SELECT c.event_id AS click_id, j2.sid AS signup_id "
+        "FROM c LEFT JOIN (SELECT click_id, sid FROM j WHERE rn = 1) j2 "
+        "  ON c.event_id = j2.click_id"
+    ),
+)
+def stream_asof_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ENRICHMENT against evolving keyed state — the Flink
+    'temporal join' / feature-store lookup pattern the join family's
+    batch as-of (join_asof) is the offline twin of: one stream carries
+    both dimension updates (signups) and probes (clicks); a custom
+    applyInPandasWithState operator keeps each user's LATEST signup in
+    2 longs of state and stamps every click with it at arrival.
+    Determinism is the replay contract: per-key rows arrive in (ts,
+    event_id) order across micro-batches and are sorted within each
+    batch, so 'latest at click time' is exact and the oracle is the
+    plain batch as-of join (clicks before any signup surface as NULL —
+    the -1 state sentinel converted after the drain).
+
+    Scale: state is one (signup_id,) per user — the online feature
+    table itself, sharded by key hash; each click costs O(1) against
+    local state with no join shuffle at all (the enrichment the
+    stream-stream interval join cannot express without buffering both
+    sides). In production the same operator reads its initial state
+    from a snapshot and the stream from the CDC tail."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from flod_spark.io import ts_micros
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "click")
+    )
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_ae_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4, tiebreak=("event_id",))
+    src = (
+        with_event_time(stream)
+        .withWatermark("ts", _WATERMARK)
+        .select("user_id", "event_type", "event_id", ts_micros("ts").alias("_us"))
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _asof_enrich_fn,
+        outputStructType="click_id long, signup_id long",
+        stateStructType="sid long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    got = _drain(out, spark, output_mode="update", cleanup=(replay_dir,))
+    return got.select(
+        "click_id", F.nullif("signup_id", F.lit(-1)).alias("signup_id")
+    )
+
+
 def _bars_live_oracle() -> str:
     from flod_spark.catalog.streaming_batch import bars_ohlc  # noqa: F401
 

@@ -179,6 +179,7 @@ ROUND6_NEW = {
     "bm25_score",
     "window_rolling_regression",
     "stream_bars_ohlc_live",
+    "stream_asof_enrich_live",
 }
 ROUND6_CHANGED = {
     "triangle_count",        # degree-oriented wedge enumeration

@@ -146,6 +146,46 @@ class TestBM25Score:
         assert got[2] > 0.0
 
 
+class TestStreamAsofEnrichLive:
+    def test_planted_state_machine(self, spark, tmp_path):
+        """click before any signup -> NULL; each click stamps the most
+        recent signup, including after the state is overwritten."""
+        import datetime as dt
+
+        from flod_spark.catalog.streaming_live import stream_asof_enrich_live
+
+        t0 = dt.datetime(2025, 5, 1, 12, 0, 0)
+        rows = [
+            # (event_id, minutes, user, type)
+            (1, 0, 7, "click"),    # before any signup -> NULL
+            (2, 1, 7, "signup"),
+            (3, 2, 7, "click"),    # -> 2
+            (4, 3, 7, "signup"),
+            (5, 4, 7, "click"),    # -> 4 (state overwritten)
+            (6, 5, 8, "click"),    # other user, no signup -> NULL
+        ]
+        d = str(tmp_path / "sfasof")
+        os.makedirs(d, exist_ok=True)
+        pd.DataFrame(
+            {
+                "event_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "ts": pd.Series(
+                    [t0 + pd.Timedelta(minutes=r[1]) for r in rows],
+                    dtype="datetime64[us]",
+                ),
+                "user_id": pd.Series([r[2] for r in rows], dtype="int64"),
+                "event_type": [r[3] for r in rows],
+                "value": [0.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(f"{d}/events.parquet")
+        got = {
+            r["click_id"]: r["signup_id"]
+            for r in stream_asof_enrich_live(spark, d).collect()
+        }
+        assert got == {1: None, 3: 2, 5: 4, 6: None}
+
+
 class TestStreamBarsOhlcLive:
     def test_equals_batch_bars(self, spark, sf_dir):
         from flod_spark.catalog.streaming_batch import bars_ohlc
