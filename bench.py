@@ -88,6 +88,9 @@ HEADLINE = [
     "sim_ivfpq",
     "stream_heavy_hitters_live",
     "stream_dedup_substring_live",
+    # late round-6: stateful enrichment (the O(1)-per-probe temporal
+    # join — regression here means state-op overhead crept up)
+    "stream_asof_enrich_live",
 ]
 
 
