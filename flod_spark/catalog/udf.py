@@ -27,6 +27,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from flod_spark.io import load
 from flod_spark.registry import query
@@ -110,6 +111,56 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
+
+
+@query(
+    "udf_grouped_agg",
+    oracle=(
+        # the UDF's integer-cents sum == SUM(DECIMAL(18,2)); both exit
+        # to double below 2^53 (exact), then the same two IEEE
+        # divisions — bit-identical despite a Python aggregate
+        "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items, "
+        "  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED-AGG pandas_udf — the remaining stage-authoring flavor
+    (scalar / grouped-map / mapInPandas / mapInArrow / UDTF are
+    registered already): a user Python AGGREGATE usable inside
+    groupBy().agg() next to built-ins. The exactness contract carries
+    over: the group's quantities sum as integer cents in numpy
+    (order-free, so pandas' row order — which shuffles decide — cannot
+    move the result), and the two closing IEEE divisions mirror the
+    oracle's decimal path.
+
+    Scale: a grouped-agg UDF materializes EACH GROUP in one executor's
+    memory (Arrow-transferred) — fine for bounded groups like these 3
+    flags' partials... except it is NOT partial: unlike built-in
+    aggregates there is no map-side combine, the full group's rows
+    cross the exchange. That is the documented trade of the authoring
+    surface — for unbounded groups express the aggregate as decimal
+    built-ins (agg_group) or a two-phase mapInPandas summary
+    (heavy_hitters' shape) instead."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def exact_avg_qty(q: pd.Series) -> float:
+        cents = int((q * 100.0).round().astype("int64").sum())
+        return (cents / 100.0) / len(q)
+
+    # Spark refuses to mix grouped-agg pandas UDFs with built-in
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the
+    # row count is a pandas aggregate too
+    @pandas_udf("long")
+    def n_rows(q: pd.Series) -> int:
+        return len(q)
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        n_rows("l_quantity").alias("n_items"),
+        exact_avg_qty("l_quantity").alias("avg_qty"),
     )
 
 

@@ -180,6 +180,7 @@ ROUND6_NEW = {
     "window_rolling_regression",
     "stream_bars_ohlc_live",
     "stream_asof_enrich_live",
+    "udf_grouped_agg",
 }
 ROUND6_CHANGED = {
     "triangle_count",        # degree-oriented wedge enumeration
