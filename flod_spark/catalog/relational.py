@@ -752,6 +752,58 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# k-anonymity threshold: a quasi-identifier combination shared by fewer
+# than K individuals is a re-identification risk.
+_KANON_K = 5
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=(
+        # quasi-identifiers: nation x market segment x account-balance
+        # band (floor to 1000s — the generalization step of the audit)
+        "WITH q AS (SELECT c_nationkey, c_mktsegment, "
+        "    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band, c_custkey "
+        "  FROM customer), "
+        "g AS (SELECT c_nationkey, c_mktsegment, bal_band, "
+        "    CAST(COUNT(*) AS BIGINT) AS class_size FROM q GROUP BY 1, 2, 3) "
+        f"SELECT c_nationkey, c_mktsegment, bal_band, class_size, "
+        f"  class_size < {_KANON_K} AS at_risk "
+        "FROM g"
+    ),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit — the privacy/governance gate a dataset passes
+    before release (Sweeney): rows sharing a quasi-identifier
+    combination (nation x market segment x generalized balance band)
+    form an equivalence class; classes smaller than _KANON_K are
+    re-identification risks the release must generalize or suppress.
+    Output is the per-class size with the at-risk flag — the
+    suppression worklist. The balance band is floor(bal/1000): one
+    identical IEEE division + floor on both engines.
+
+    Scale: one partial-agg groupBy on the QI tuple — |classes| rows
+    cross the exchange, never |individuals|; the follow-up suppression
+    is a broadcast semi-join of at-risk classes back onto the table
+    (join_bloom's shape). l-diversity extends the same aggregate with
+    per-class COUNT(DISTINCT sensitive) — the two-level
+    sliding_distinct pattern."""
+    c = load(spark, sf_dir, "customer")
+    g = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count("*").alias("class_size"))
+    )
+    return g.select(
+        "c_nationkey", "c_mktsegment", "bal_band", "class_size",
+        (F.col("class_size") < _KANON_K).alias("at_risk"),
+    )
+
+
 # Bloom semi-join reduction: filter geometry. M bits / K salted md5
 # hashes; with |dim keys| n, FP rate ~ (1 - e^(-K*n/M))^K — at the gate
 # scales (n <= ~100) effectively zero, at n = 2000 still < 1e-5.

@@ -181,6 +181,7 @@ ROUND6_NEW = {
     "stream_bars_ohlc_live",
     "stream_asof_enrich_live",
     "udf_grouped_agg",
+    "k_anonymity_audit",
 }
 ROUND6_CHANGED = {
     "triangle_count",        # degree-oriented wedge enumeration

@@ -146,6 +146,18 @@ class TestBM25Score:
         assert got[2] > 0.0
 
 
+class TestKAnonymityAudit:
+    def test_class_sizes_partition_the_table(self, spark, sf_dir):
+        from flod_spark.catalog.relational import _KANON_K, k_anonymity_audit
+
+        rows = k_anonymity_audit(spark, sf_dir).collect()
+        total = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+        assert sum(r["class_size"] for r in rows) == total
+        for r in rows:
+            assert r["at_risk"] == (r["class_size"] < _KANON_K)
+        assert any(r["at_risk"] for r in rows), "audit vacuous: no small classes"
+
+
 class TestStreamAsofEnrichLive:
     def test_planted_state_machine(self, spark, tmp_path):
         """click before any signup -> NULL; each click stamps the most
