@@ -478,17 +478,17 @@ _CM_D, _CM_W = 4, 1024
 
 
 def _cm_pos(col, i: int) -> F.Column:
-    """Bit-identical cross-engine counter index for hash row i (the
-    packing.py hex-int bridge: Spark conv == DuckDB CAST('0x'||…))."""
-    h = F.md5(F.concat(F.lit(f"cm{i}|"), col.cast("string")).cast("binary"))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _CM_W
+    """Counter index for hash row i (functions/hashbridge.py — the one
+    salted-md5 hex-int bridge, shared with its SQL twin)."""
+    from flod_spark.functions.hashbridge import salted_mod
+
+    return salted_mod(col, f"cm{i}|", _CM_W)
 
 
 def _cm_pos_sql(expr: str, i: int) -> str:
-    return (
-        f"CAST('0x' || substr(md5('cm{i}|' || CAST({expr} AS VARCHAR)), 1, 8) "
-        f"AS BIGINT) % {_CM_W}"
-    )
+    from flod_spark.functions.hashbridge import salted_mod_sql
+
+    return salted_mod_sql(expr, f"cm{i}|", _CM_W)
 
 
 @query(

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flod_spark.catalog.text import BPE_RE
+from flod_spark.functions.hashbridge import salted_mod, salted_mod_sql
 from flod_spark.io import load
 from flod_spark.registry import query
 from flod_spark.seq import SEQ, with_seq
@@ -38,16 +39,12 @@ PACK_BUDGET = 2048  # tokens per packed training sequence
 
 
 def _shard_col() -> F.Column:
-    """Uniform deterministic shard from the first 8 md5 hex chars of the
-    salted doc_id (same portable hex-int bridge as operators/minhash.py:
-    Spark conv(...,16,10) == DuckDB CAST('0x'|| ... AS BIGINT))."""
-    h = F.md5(F.concat(F.lit("k|"), F.col("doc_id").cast("string")).cast("binary"))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % NSHARDS
+    """Uniform deterministic shard of the salted doc_id
+    (functions/hashbridge.py — the one salted-md5 hex-int bridge)."""
+    return salted_mod(F.col("doc_id"), "k|", NSHARDS)
 
 
-_SHARD_SQL = (
-    f"CAST('0x' || substr(md5('k|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {NSHARDS}"
-)
+_SHARD_SQL = salted_mod_sql("doc_id", "k|", NSHARDS)
 
 
 @query(

@@ -813,10 +813,48 @@ _BLOOM_NATION = 3  # dim predicate: suppliers of this nation
 
 
 def _bloom_pos(col, i: int) -> F.Column:
-    """Bit position of hash i for a key (the packing.py hex-int bridge:
-    Spark conv == DuckDB CAST('0x'||… AS BIGINT), byte-identical md5)."""
-    h = F.md5(F.concat(F.lit(f"bf{i}|"), col.cast("string")).cast("binary"))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BLOOM_M
+    """Bit position of hash i for a key (functions/hashbridge.py — the
+    one salted-md5 hex-int bridge)."""
+    from flod_spark.functions.hashbridge import salted_mod
+
+    return salted_mod(col, f"bf{i}|", _BLOOM_M)
+
+
+def _bloom_build_words(dim: DataFrame, key: str) -> list[int]:
+    """Aggregate a dim side's join keys into the _BLOOM_M-bit filter as
+    a list of 64-bit words. The collect is <= min(K*n, M) distinct
+    positions — bounded by the constant M, never by the data."""
+    pos = dim.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col(key), i) for i in range(_BLOOM_K)])
+        ).alias("p")
+    ).distinct()
+    words = [0] * (_BLOOM_M // 64)
+    for r in pos.collect():
+        words[r["p"] // 64] |= 1 << (r["p"] % 64)
+    return words
+
+
+def _bloom_hit(words: list[int], col) -> F.Column:
+    """Map-side membership test of ``col`` against the broadcast word
+    mask: all K bit positions set. Shared by join_bloom and its
+    no-false-negative pytest, so the test exercises the shipped
+    predicate, not a copy."""
+    # two's-complement into Spark's signed long literals
+    mask = F.array(
+        *[F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long") for w in words]
+    )
+    hit = None
+    for i in range(_BLOOM_K):
+        p = _bloom_pos(col, i)
+        b = (
+            F.bit_get(
+                F.element_at(mask, (p / 64).cast("int") + 1), (p % 64).cast("int")
+            )
+            == 1
+        )
+        hit = b if hit is None else (hit & b)
+    return hit
 
 
 @query(
@@ -860,30 +898,9 @@ def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_nationkey") == _BLOOM_NATION)
         .select("s_suppkey")
     )
-    pos = dim.select(
-        F.explode(
-            F.array(*[_bloom_pos(F.col("s_suppkey"), i) for i in range(_BLOOM_K)])
-        ).alias("p")
-    ).distinct()
-    words = [0] * (_BLOOM_M // 64)
-    for r in pos.collect():  # <= min(K*n, M) ints — constant-bounded
-        words[r["p"] // 64] |= 1 << (r["p"] % 64)
-    # two's-complement into Spark's signed long
-    mask = F.array(
-        *[F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long") for w in words]
-    )
+    words = _bloom_build_words(dim, "s_suppkey")
     fact = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
-    hit = None
-    for i in range(_BLOOM_K):
-        p = _bloom_pos(F.col("l_suppkey"), i)
-        b = (
-            F.bit_get(
-                F.element_at(mask, (p / 64).cast("int") + 1), (p % 64).cast("int")
-            )
-            == 1
-        )
-        hit = b if hit is None else (hit & b)
-    pre = fact.filter(hit)
+    pre = fact.filter(_bloom_hit(words, F.col("l_suppkey")))
     joined = pre.join(dim, pre.l_suppkey == dim.s_suppkey)
     return joined.groupBy("l_suppkey").agg(
         F.count("*").alias("n_items"),
@@ -2744,8 +2761,27 @@ _QE_PCTS = (50, 90, 99)
 _QE_LEAF = 100_000
 
 
+def _qe_histogram(li, bucket) -> dict:
+    """{bucket -> count} for one histogram level (the per-level driver
+    state: <= ``buckets`` entries)."""
+    return {
+        r["b"]: r["c"]
+        for r in li.select(bucket.alias("b")).groupBy("b").agg(F.count("*").alias("c")).collect()
+    }
+
+
+def _qe_bucket_expr(mn, mx, buckets: int):
+    """The shared fixed-width bucket expression (both passes and the
+    top-level caller must agree on it bit-for-bit)."""
+    return F.least(
+        F.lit(buckets - 1),
+        F.floor((F.col("x") - F.lit(mn)) * F.lit(float(buckets)) / F.lit(mx - mn)),
+    ).cast("int")
+
+
 def _qe_value_df(li, mn, mx, rank: int, name: str,
-                 buckets: int = _QE_BUCKETS, leaf: int = _QE_LEAF):
+                 buckets: int = _QE_BUCKETS, leaf: int = _QE_LEAF,
+                 counts: dict | None = None):
     """1-row DataFrame holding the exact value at ascending 1-based
     ``rank`` among li.x (all within [mn, mx], mn < mx): one fixed-width
     histogram level (partial-agg shuffle of <= ``buckets`` rows), a
@@ -2755,17 +2791,16 @@ def _qe_value_df(li, mn, mx, rank: int, name: str,
     the candidate set by ~``buckets``, so two levels cover 4096 * leaf
     ~= 4e8 rows per bucket and three cover 100 TB. Driver state per
     level is one ``buckets``-entry dict plus a 1-row min/max read.
+    ``counts`` lets the caller share ONE level-1 histogram across
+    several ranks over the same [mn, mx] (quantile_exact_2pass asks for
+    three percentiles — without it, pass 1 would rescan the table per
+    percentile); recursion always histograms its own sub-range.
     Termination: a recursing bucket either shrinks (its sub-histogram
     splits mn < mx into >= 2 occupied buckets) or collapses to
     all-equal values, returned directly."""
-    bucket = F.least(
-        F.lit(buckets - 1),
-        F.floor((F.col("x") - F.lit(mn)) * F.lit(float(buckets)) / F.lit(mx - mn)),
-    ).cast("int")
-    counts = {
-        r["b"]: r["c"]
-        for r in li.select(bucket.alias("b")).groupBy("b").agg(F.count("*").alias("c")).collect()
-    }
+    bucket = _qe_bucket_expr(mn, mx, buckets)
+    if counts is None:
+        counts = _qe_histogram(li, bucket)
     cum = 0
     target_b = buckets - 1
     for b in range(buckets):
@@ -2838,8 +2873,12 @@ def quantile_exact_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     if mn == mx:
         # all-equal input — every quantile is the constant
         return spark.createDataFrame([tuple([mn] * len(_QE_PCTS))], schema=schema)
+    # ONE level-1 histogram shared by all three percentile walks (pass 1
+    # would otherwise rescan the table once per percentile)
+    counts = _qe_histogram(li, _qe_bucket_expr(mn, mx, _QE_BUCKETS))
     sels = [
-        _qe_value_df(li, mn, mx, (n - 1) * p // 100 + 1, f"p{p}") for p in _QE_PCTS
+        _qe_value_df(li, mn, mx, (n - 1) * p // 100 + 1, f"p{p}", counts=counts)
+        for p in _QE_PCTS
     ]
     out = sels[0]
     for v in sels[1:]:

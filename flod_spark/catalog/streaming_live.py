@@ -1032,8 +1032,14 @@ def _asof_enrich_fn(key, pdfs, state):
 
     sid = int(state.get[0]) if state.exists else -1
     clicks, sids = [], []
-    for pdf in pdfs:
-        for _, row in pdf.sort_values(["_us", "event_id"]).iterrows():
+    # ONE sort over the whole micro-batch group: a group larger than the
+    # Arrow batch size arrives as several chunks, and chunk-local sorts
+    # would let a later-chunk signup with an earlier ts be applied after
+    # clicks it should precede
+    chunks = list(pdfs)
+    batch = pd.concat(chunks, ignore_index=True) if chunks else None
+    if batch is not None and len(batch):
+        for _, row in batch.sort_values(["_us", "event_id"]).iterrows():
             if row["event_type"] == "signup":
                 sid = int(row["event_id"])
             else:

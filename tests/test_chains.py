@@ -233,6 +233,21 @@ def test_gate_window_round6_membership():
     assert not unknown, f"_GATE_ORDER names unregistered queries: {unknown}"
 
 
+def test_coverage_md_is_fresh():
+    """COVERAGE.md is the rotation-planning artifact the registry
+    comment points at — a registration that forgets to regenerate it
+    ships a stale never-gated list and silently misplans round 7.
+    Regenerate with `python tools/coverage_table.py`."""
+    import pathlib
+
+    from tools.coverage_table import build_coverage_md
+
+    committed = pathlib.Path(__file__).resolve().parents[1] / "COVERAGE.md"
+    assert committed.read_text() == build_coverage_md(), (
+        "COVERAGE.md is stale — run `python tools/coverage_table.py`"
+    )
+
+
 def test_every_registered_query_documents_itself():
     """Every qkey carries a real docstring WITH an explicit 'Scale:'
     note (the judge-facing 100 TB story lives there) — a registration

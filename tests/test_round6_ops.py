@@ -197,6 +197,55 @@ class TestStreamAsofEnrichLive:
         }
         assert got == {1: None, 3: 2, 5: 4, 6: None}
 
+    def test_multi_arrow_chunk_groups(self, spark, tmp_path):
+        """One user's batch group split across several Arrow record
+        batches (maxRecordsPerBatch=4): the state fn must order the
+        WHOLE group, not each chunk — every click still maps to the
+        signup immediately before it."""
+        import datetime as dt
+
+        from flod_spark.catalog.streaming_live import stream_asof_enrich_live
+
+        t0 = dt.datetime(2025, 5, 2, 8, 0, 0)
+        rows = []
+        eid = 0
+        want = {}
+        last_signup = None
+        for i in range(30):
+            eid += 1
+            if i % 2 == 0:
+                rows.append((eid, i, 7, "signup"))
+                last_signup = eid
+            else:
+                rows.append((eid, i, 7, "click"))
+                want[eid] = last_signup
+        d = str(tmp_path / "sfasofchunks")
+        os.makedirs(d, exist_ok=True)
+        pd.DataFrame(
+            {
+                "event_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "ts": pd.Series(
+                    [t0 + pd.Timedelta(seconds=r[1]) for r in rows],
+                    dtype="datetime64[us]",
+                ),
+                "user_id": pd.Series([r[2] for r in rows], dtype="int64"),
+                "event_type": [r[3] for r in rows],
+                "value": [0.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(f"{d}/events.parquet")
+        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "4")
+        try:
+            got = {
+                r["click_id"]: r["signup_id"]
+                for r in stream_asof_enrich_live(spark, d).collect()
+            }
+        finally:
+            spark.conf.set(key, prev)
+        assert got == want
+
 
 class TestStreamBarsOhlcLive:
     def test_equals_batch_bars(self, spark, sf_dir):
@@ -312,10 +361,9 @@ class TestJoinBloom:
         and the pass set is far smaller than the fact table (genuine
         map-side pruning — the reason to build the filter at all)."""
         from flod_spark.catalog.relational import (
-            _BLOOM_K,
-            _BLOOM_M,
             _BLOOM_NATION,
-            _bloom_pos,
+            _bloom_build_words,
+            _bloom_hit,
         )
 
         dim = (
@@ -323,30 +371,10 @@ class TestJoinBloom:
             .filter(F.col("s_nationkey") == _BLOOM_NATION)
             .select("s_suppkey")
         )
-        pos = dim.select(
-            F.explode(
-                F.array(*[_bloom_pos(F.col("s_suppkey"), i) for i in range(_BLOOM_K)])
-            ).alias("p")
-        ).distinct()
-        words = [0] * (_BLOOM_M // 64)
-        for r in pos.collect():
-            words[r["p"] // 64] |= 1 << (r["p"] % 64)
-        mask = F.array(
-            *[F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long") for w in words]
-        )
+        words = _bloom_build_words(dim, "s_suppkey")
         fact = spark.read.parquet(f"{sf001_dir}/lineitem.parquet").select("l_suppkey")
-        hit = None
-        for i in range(_BLOOM_K):
-            p = _bloom_pos(F.col("l_suppkey"), i)
-            b = (
-                F.bit_get(
-                    F.element_at(mask, (p / 64).cast("int") + 1), (p % 64).cast("int")
-                )
-                == 1
-            )
-            hit = b if hit is None else (hit & b)
         total = fact.count()
-        passed = fact.filter(hit).count()
+        passed = fact.filter(_bloom_hit(words, F.col("l_suppkey"))).count()
         true_rows = fact.join(dim, fact.l_suppkey == dim.s_suppkey, "left_semi").count()
         assert true_rows > 0, "bloom test vacuous: dim nation has no suppliers"
         assert passed >= true_rows  # no false negatives

@@ -107,12 +107,17 @@ def test_pq_adc_recall_vs_brute_force(spark, sf_dir):
     macro-averaged recall@5 >= 0.25 against exact L2 top-K (the
     M=8 x K=64 geometry measures 0.30 on this data; random selection
     would score K/n ~= 0.01)."""
+    from flod_spark.io import load
+
     exact = _exact_l2_topk(spark, sf_dir)
     approx = _topk_sets(similarity.sim_pq_adc(spark, sf_dir))
     assert set(approx) == set(exact)  # every query answered
     recall = sum(len(approx[q] & exact[q]) / len(exact[q]) for q in exact) / len(exact)
-    n = similarity.K * len(exact)  # sanity: floor is far above random
-    assert recall >= 0.25, f"PQ-ADC recall {recall:.2f} (floor 0.25, random ~{similarity.K/n:.3f})"
+    # random recall = K / corpus size (picking K of n-1 vectors at random)
+    n_corpus = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull()).count()
+    assert recall >= 0.25, (
+        f"PQ-ADC recall {recall:.2f} (floor 0.25, random ~{similarity.K / n_corpus:.3f})"
+    )
 
 
 def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
