@@ -977,6 +977,70 @@ def stream_agg_update_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cm_live_oracle() -> str:
+    from flod_spark.catalog.analytics import sketch_countmin  # noqa: F401
+
+    from flod_spark.registry import ORACLES
+
+    return ORACLES["sketch_countmin"]
+
+
+@query("stream_sketch_countmin_live", oracle=_cm_live_oracle())
+def stream_sketch_countmin_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch maintained ON THE LIVE PATH — the incremental
+    form sketch_countmin's docstring promises: counter cells are an
+    update-mode streaming aggregation over (row, position) keys, and
+    because counters only ADD, each cell's emissions increase
+    monotonically — the per-cell MAX over the accumulated memory-sink
+    rows IS the final sketch (stream_agg_update_live's determinism
+    argument, no watermark or sentinels). The estimate phase then runs
+    batch-side against the drained sketch exactly as the batch query
+    does, so the oracle is sketch_countmin's verbatim — the
+    batch/stream agreement extended to sketch state.
+
+    Scale: streaming state is the D x W counter matrix itself —
+    constant, the whole point of sketching a stream; each micro-batch
+    map-side combines to <= D*W increments before the state store. The
+    serving pattern: push the changed cells to a keyed store per
+    trigger, answer point queries from there."""
+    from flod_spark.catalog.analytics import _CM_D, _cm_pos
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts").filter(
+        F.col("user_id").isNotNull()
+    )
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_cms_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4, tiebreak=("user_id",))
+    pos_arr = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), _cm_pos(F.col("user_id"), i).alias("p"))
+            for i in range(_CM_D)
+        ]
+    )
+    cells = (
+        with_event_time(stream)
+        .select(F.explode(pos_arr).alias("ip"))
+        .groupBy(F.col("ip.i").alias("i"), F.col("ip.p").alias("p"))
+        .agg(F.count("*").alias("c"))
+    )
+    got = _drain(cells, spark, output_mode="update", cleanup=(replay_dir,))
+    sketch = got.groupBy("i", "p").agg(F.max("c").alias("c"))
+    # batch-side estimate phase: identical to sketch_countmin's tail
+    ev_b = load(spark, sf_dir, "events").select("user_id").filter(
+        F.col("user_id").isNotNull()
+    )
+    keys = ev_b.groupBy("user_id").agg(F.count("*").alias("true_cnt"))
+    kp = keys.select("user_id", "true_cnt", F.explode(pos_arr).alias("ip")).select(
+        "user_id", "true_cnt", F.col("ip.i").alias("i"), F.col("ip.p").alias("p")
+    )
+    est = (
+        kp.join(F.broadcast(sketch), ["i", "p"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cm_est"))
+    )
+    return keys.join(est, "user_id")
+
+
 def _cdc_live_oracle() -> str:
     from flod_spark.catalog.relational import _CDC_LOG_SQL
 

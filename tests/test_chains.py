@@ -182,6 +182,7 @@ ROUND6_NEW = {
     "stream_asof_enrich_live",
     "udf_grouped_agg",
     "k_anonymity_audit",
+    "stream_sketch_countmin_live",
 }
 ROUND6_CHANGED = {
     "triangle_count",        # degree-oriented wedge enumeration

@@ -146,6 +146,17 @@ class TestBM25Score:
         assert got[2] > 0.0
 
 
+class TestStreamSketchCountMinLive:
+    def test_equals_batch_sketch(self, spark, sf_dir):
+        from flod_spark.catalog.analytics import sketch_countmin
+        from flod_spark.catalog.streaming_live import stream_sketch_countmin_live
+
+        live = {tuple(r) for r in stream_sketch_countmin_live(spark, sf_dir).collect()}
+        batch = {tuple(r) for r in sketch_countmin(spark, sf_dir).collect()}
+        assert live == batch
+        assert live, "live CM test vacuous"
+
+
 class TestKAnonymityAudit:
     def test_class_sizes_partition_the_table(self, spark, sf_dir):
         from flod_spark.catalog.relational import _KANON_K, k_anonymity_audit
