@@ -966,6 +966,58 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_reset_cumsum",
+    oracle=(
+        # gaps-and-islands segmentation (30-min inactivity starts a new
+        # segment) + a DECIMAL-exact running sum restarting per segment
+        "WITH o AS (SELECT user_id, ts, value, "
+        "    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events), "
+        "m AS (SELECT *, CASE WHEN prev IS NULL "
+        "    OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM o), "
+        "s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+        "    ROWS UNBOUNDED PRECEDING) AS sid FROM m) "
+        "SELECT user_id, ts, CAST(sid AS BIGINT) AS segment_id, "
+        "  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id, sid "
+        "    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value "
+        "FROM s"
+    ),
+)
+def window_reset_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONDITIONALLY-RESTARTING running total — the trip/session
+    segmentation stat (meter that resets after 30 min of inactivity):
+    gaps-and-islands numbers each user's activity segments (the
+    stream_session oracle's pattern surfaced as a batch operator), then
+    a second window accumulates value within (user, segment) in exact
+    DECIMAL, cast once to double per row. (user_id, ts) is unique, so
+    both window orders are total and the result is deterministic.
+
+    Scale: two partitioned windows — the segment numbering shuffles on
+    user_id, the running sum on (user_id, segment); both frames are
+    running accumulators over sorted partitions, never a rescan. The
+    live twin is session_window state keyed the same way
+    (stream_session_live); at 100 TB the per-user partition is the unit
+    of parallelism, exactly like window_running."""
+    ev = load(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    us = ts_micros("ts")  # lag the micros expr (ts_micros takes a name)
+    prev_us = F.lag(us).over(wu)
+    new_s = (prev_us.isNull() | (us - prev_us > 1_800_000_000)).cast("int")
+    s = ev.select("user_id", "ts", "value", new_s.alias("new_s")).withColumn(
+        "sid",
+        F.sum("new_s").over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return s.select(
+        "user_id",
+        "ts",
+        F.col("sid").cast("long").alias("segment_id"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(ws).cast("double").alias("running_value"),
+    )
+
+
+@query(
     "window_rolling_regression",
     oracle=(
         # rolling least-squares slope from EXACT decimal moment sums

@@ -183,6 +183,7 @@ ROUND6_NEW = {
     "udf_grouped_agg",
     "k_anonymity_audit",
     "stream_sketch_countmin_live",
+    "window_reset_cumsum",
 }
 ROUND6_CHANGED = {
     "triangle_count",        # degree-oriented wedge enumeration

@@ -146,6 +146,37 @@ class TestBM25Score:
         assert got[2] > 0.0
 
 
+class TestWindowResetCumsum:
+    def test_planted_segments(self, spark, tmp_path):
+        """Three events 5 min apart, a 31-min gap, then two more: the
+        running total must reset at the gap, not carry across it."""
+        import datetime as dt
+
+        from flod_spark.catalog.relational import window_reset_cumsum
+
+        t0 = dt.datetime(2025, 6, 1, 9, 0, 0)
+        mins = [0, 5, 10, 41, 46]
+        d = str(tmp_path / "sfcum")
+        os.makedirs(d, exist_ok=True)
+        pd.DataFrame(
+            {
+                "event_id": pd.Series(range(1, 6), dtype="int64"),
+                "ts": pd.Series(
+                    [t0 + pd.Timedelta(minutes=m) for m in mins], dtype="datetime64[us]"
+                ),
+                "user_id": pd.Series([7] * 5, dtype="int64"),
+                "event_type": ["view"] * 5,
+                "value": [1.0, 2.0, 3.0, 10.0, 20.0],
+                "props": ["{}"] * 5,
+            }
+        ).to_parquet(f"{d}/events.parquet")
+        rows = sorted(
+            window_reset_cumsum(spark, d).collect(), key=lambda r: r["ts"]
+        )
+        assert [r["segment_id"] for r in rows] == [1, 1, 1, 2, 2]
+        assert [r["running_value"] for r in rows] == [1.0, 3.0, 6.0, 10.0, 30.0]
+
+
 class TestStreamSketchCountMinLive:
     def test_equals_batch_sketch(self, spark, sf_dir):
         from flod_spark.catalog.analytics import sketch_countmin
