@@ -184,6 +184,7 @@ ROUND6_NEW = {
     "k_anonymity_audit",
     "stream_sketch_countmin_live",
     "window_reset_cumsum",
+    "media_audio_rms",
 }
 ROUND6_CHANGED = {
     "triangle_count",        # degree-oriented wedge enumeration

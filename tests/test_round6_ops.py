@@ -146,6 +146,41 @@ class TestBM25Score:
         assert got[2] > 0.0
 
 
+class TestMediaAudioRms:
+    def test_energy_matches_numpy_and_frames_tile(self, spark, sf_dir):
+        import io
+        import wave
+
+        import numpy as np
+
+        from flod_spark.catalog.media import (
+            _RMS_FRAME,
+            _synth_wav_stream,
+            media_audio_rms,
+        )
+
+        rows = media_audio_rms(spark, sf_dir).collect()
+        assert rows
+        by_media: dict = {}
+        for r in rows:
+            by_media.setdefault(r["media_id"], []).append(r)
+        blobs = {
+            r["media_id"]: bytes(r["blob"])
+            for r in _synth_wav_stream(spark, sf_dir).collect()
+        }
+        for mid, frames in list(by_media.items())[:25]:
+            with wave.open(io.BytesIO(blobs[mid])) as w:
+                v = np.frombuffer(w.readframes(w.getnframes()), np.uint8).astype(int) - 128
+            frames.sort(key=lambda r: r["frame_idx"])
+            # frames tile the clip exactly: sizes sum to the sample count
+            assert sum(r["n_samples"] for r in frames) == len(v)
+            for r in frames:
+                lo = r["frame_idx"] * _RMS_FRAME
+                seg = v[lo : lo + _RMS_FRAME]
+                assert r["energy"] == int((seg * seg).sum())
+                assert abs(r["rms"] - (r["energy"] / len(seg)) ** 0.5) < 1e-12
+
+
 class TestWindowResetCumsum:
     def test_planted_segments(self, spark, tmp_path):
         """Three events 5 min apart, a 31-min gap, then two more: the
