@@ -278,6 +278,68 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_nearest",
+    oracle=(
+        # nearest click per purchase in EITHER direction; direction
+        # ties go backward (pandas merge_asof's rule); equal-t ties:
+        # backward takes the max event_id, forward the min
+        "WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), "
+        "c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), "
+        "b AS (SELECT pid, cid, cts FROM (SELECT p.event_id AS pid, c.event_id AS cid, c.ts AS cts, "
+        "    row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn "
+        "  FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts) WHERE rn = 1), "
+        "f AS (SELECT pid, cid, cts FROM (SELECT p.event_id AS pid, c.event_id AS cid, c.ts AS cts, "
+        "    row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts ASC, c.event_id ASC) AS rn "
+        "  FROM p JOIN c ON c.user_id = p.user_id AND c.ts > p.ts) WHERE rn = 1) "
+        "SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts, "
+        "  CASE WHEN f.pid IS NULL OR (b.pid IS NOT NULL "
+        "        AND epoch_us(p.ts) - epoch_us(b.cts) <= epoch_us(f.cts) - epoch_us(p.ts)) "
+        "       THEN b.cid ELSE f.cid END AS click_id, "
+        "  CASE WHEN f.pid IS NULL OR (b.pid IS NOT NULL "
+        "        AND epoch_us(p.ts) - epoch_us(b.cts) <= epoch_us(f.cts) - epoch_us(p.ts)) "
+        "       THEN b.cts ELSE f.cts END AS click_ts, "
+        "  CASE WHEN b.pid IS NULL AND f.pid IS NULL THEN NULL "
+        "       WHEN f.pid IS NULL OR (b.pid IS NOT NULL "
+        "        AND epoch_us(p.ts) - epoch_us(b.cts) <= epoch_us(f.cts) - epoch_us(p.ts)) "
+        "       THEN 'back' ELSE 'fwd' END AS direction "
+        "FROM p LEFT JOIN b ON b.pid = p.event_id LEFT JOIN f ON f.pid = p.event_id"
+    ),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join (pandas merge_asof
+    direction='nearest'): each purchase takes the click minimizing
+    |Δt| within the user, backward winning direction ties — the
+    sensor-alignment / quote-matching semantics the backward-only
+    join_asof cannot express. Implemented in operators/asof.py::
+    asof_join_nearest as ONE union + ONE window sort with two frames
+    (backward carry + forward carry) — still a single shuffle on the
+    key, no conditional-join explosion, strictly the same cost shape
+    as join_asof.
+
+    Scale: identical to join_asof — one hash exchange + per-key sorted
+    pass; the second frame reuses the same sort. Purchases with no
+    clicks at all keep NULLs (left contract)."""
+    from flod_spark.operators.asof import asof_join_nearest
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = asof_join_nearest(
+        left=purchases,
+        right=clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        left_cols={"event_id": "purchase_id", "ts": "purchase_ts"},
+        right_cols={"event_id": "click_id", "ts": "click_ts"},
+        tiebreak="event_id",
+    )
+    return out.select(
+        "purchase_id", "user_id", "purchase_ts", "click_id", "click_ts", "direction"
+    )
+
+
+@query(
     "join_range",
     oracle=(
         "SELECT e1.event_id AS eid_a, e2.event_id AS eid_b "

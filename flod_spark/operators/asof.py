@@ -73,3 +73,74 @@ def asof_join(
     left_outs = [F.col(f"_lp.{o}").alias(o) for o in left_cols.values()]
     right_outs = [F.col(f"_match.{o}").alias(o) for o in right_cols.values()]
     return out.select(F.col("_k").alias(on), *left_outs, *right_outs)
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    left_cols: dict[str, str],
+    right_cols: dict[str, str],
+    tiebreak: str,
+) -> DataFrame:
+    """pandas ``merge_asof(direction='nearest')`` semantics: for each
+    left row, the right row minimizing |right.t - left.t| within the
+    key; ties between the two directions go BACKWARD (the <= match),
+    matching merge_asof. Among equal-t right rows, backward picks the
+    max ``tiebreak`` and forward the min — both mirrored in the oracle.
+
+    Same single-shuffle shape as :func:`asof_join`: one union, one
+    window sort, and TWO frames over it — a backward carry
+    (last non-null right payload up to the current row) and a forward
+    carry (first non-null right payload after it; equal-t rights sort
+    before left rows, so the forward frame is strictly-greater t, which
+    is exactly right since equal-t already matched backward). The
+    left-outer contract keeps left rows with no right at all."""
+    ts_us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', cast({} as timestamp_ntz))"
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col(tiebreak).alias("_tb"),
+        F.struct(
+            *[F.col(c).alias(o) for c, o in right_cols.items()],
+            F.expr(ts_us.format(right_time)).alias("_tus"),
+        ).alias("_rp"),
+    )
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_tb"].dataType).alias("_tb"),
+        F.lit(None).cast(r.schema["_rp"].dataType).alias("_rp"),
+        F.struct(*[F.col(c).alias(o) for c, o in left_cols.items()]).alias("_lp"),
+    )
+    unioned = r.withColumn("_lp", F.lit(None).cast(l.schema["_lp"].dataType)).unionByName(l)
+    base = Window.partitionBy("_k").orderBy(
+        F.col("_t").asc(), F.col("_side").asc(), F.col("_tb").asc_nulls_last()
+    )
+    back = F.last("_rp", ignorenulls=True).over(
+        base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = F.first("_rp", ignorenulls=True).over(
+        base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        "_k", "_t", "_side", "_lp", back.alias("_b"), fwd.alias("_f")
+    ).filter(F.col("_side") == 1)
+    lt_us = F.expr(ts_us.format("_t"))
+    pick_back = F.col("_f").isNull() | (
+        F.col("_b").isNotNull()
+        & ((lt_us - F.col("_b._tus")) <= (F.col("_f._tus") - lt_us))
+    )
+    chosen = F.when(pick_back, F.col("_b")).otherwise(F.col("_f"))
+    direction = F.when(chosen.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(pick_back, F.lit("back")).otherwise(F.lit("fwd"))
+    )
+    left_outs = [F.col(f"_lp.{o}").alias(o) for o in left_cols.values()]
+    right_outs = [chosen[o].alias(o) for o in right_cols.values()]
+    return carried.select(
+        F.col("_k").alias(on), *left_outs, *right_outs, direction.alias("direction")
+    )

@@ -185,6 +185,7 @@ ROUND6_NEW = {
     "stream_sketch_countmin_live",
     "window_reset_cumsum",
     "media_audio_rms",
+    "join_asof_nearest",
 }
 ROUND6_CHANGED = {
     "triangle_count",        # degree-oriented wedge enumeration

@@ -146,6 +146,49 @@ class TestBM25Score:
         assert got[2] > 0.0
 
 
+class TestJoinAsofNearest:
+    def test_planted_directions(self, spark, tmp_path):
+        """Purchase with a closer forward click picks fwd; equidistant
+        picks back (merge_asof's rule); no clicks at all -> NULLs."""
+        import datetime as dt
+
+        from flod_spark.catalog.relational import join_asof_nearest
+
+        t0 = dt.datetime(2025, 7, 1, 12, 0, 0)
+        rows = [
+            # user 1: click at +0, purchase at +10, click at +12 -> fwd (2 < 10)
+            (1, 0, 1, "click"),
+            (2, 10, 1, "purchase"),
+            (3, 12, 1, "click"),
+            # user 2: clicks at +0 and +20, purchase at +10 -> back on tie
+            (4, 0, 2, "click"),
+            (5, 10, 2, "purchase"),
+            (6, 20, 2, "click"),
+            # user 3: purchase, no clicks
+            (7, 5, 3, "purchase"),
+        ]
+        d = str(tmp_path / "sfnear")
+        os.makedirs(d, exist_ok=True)
+        pd.DataFrame(
+            {
+                "event_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "ts": pd.Series(
+                    [t0 + pd.Timedelta(minutes=r[1]) for r in rows],
+                    dtype="datetime64[us]",
+                ),
+                "user_id": pd.Series([r[2] for r in rows], dtype="int64"),
+                "event_type": [r[3] for r in rows],
+                "value": [0.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(f"{d}/events.parquet")
+        got = {
+            r["purchase_id"]: (r["click_id"], r["direction"])
+            for r in join_asof_nearest(spark, d).collect()
+        }
+        assert got == {2: (3, "fwd"), 5: (4, "back"), 7: (None, None)}
+
+
 class TestMediaAudioRms:
     def test_energy_matches_numpy_and_frames_tile(self, spark, sf_dir):
         import io
