@@ -1137,3 +1137,48 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.withColumn("rk", F.row_number().over(wk).cast("long"))
         .filter(F.col("rk") <= K)
     )
+
+
+# Matryoshka truncation depths audited by embed_truncate_energy (the
+# full dimension is 64).
+_MRL_DIMS = (8, 16, 32)
+
+
+def _trunc_energy_oracle() -> str:
+    cols = ", ".join(
+        f"{_DOT.format(a=f'v[1:{d}]', b=f'v[1:{d}]')} AS e{d}" for d in _MRL_DIMS
+    )
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings "
+        "  WHERE embedding IS NOT NULL) "
+        f"SELECT vec_id, {cols}, "
+        f"{_DOT.format(a='v', b='v')} AS e_full FROM e"
+    )
+
+
+@query("embed_truncate_energy", oracle=_trunc_energy_oracle())
+def embed_truncate_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al., MRL): how much of
+    each embedding's squared norm survives truncation to the prefix
+    8/16/32 of 64 dims — the measurement behind the serve-small /
+    rerank-large pattern (a 16-dim prefix index is 4x cheaper to scan;
+    whether that is safe is exactly this energy profile, and the pytest
+    ties it to retrieval: prefix-space top-K recall vs the full space).
+    Exactness: each energy is one sequential zip-fold of IEEE doubles
+    over the prefix slice — the registry's array-reduction rule, same
+    op order in both engines.
+
+    Scale: map-only, zero exchanges — slices and folds pipeline with
+    the parquet scan; at 100 TB this is the audit you run BEFORE
+    rebuilding the ANN index at a smaller dimension, for the cost of
+    one scan."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", _as_double("embedding").alias("v"))
+    )
+    cols = [
+        _dot_spark(F.slice("v", 1, d), F.slice("v", 1, d)).alias(f"e{d}")
+        for d in _MRL_DIMS
+    ]
+    return e.select("vec_id", *cols, _dot_spark(F.col("v"), F.col("v")).alias("e_full"))

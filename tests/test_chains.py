@@ -186,6 +186,7 @@ ROUND6_NEW = {
     "window_reset_cumsum",
     "media_audio_rms",
     "join_asof_nearest",
+    "embed_truncate_energy",
 }
 ROUND6_CHANGED = {
     "triangle_count",        # degree-oriented wedge enumeration
