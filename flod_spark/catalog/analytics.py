@@ -470,6 +470,93 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.groupBy(F.col("node").alias("suppkey")).agg(F.count("*").alias("n_tri"))
 
 
+# graph_jaccard output bounds: minimum shared support, and a
+# DATA-DERIVED similarity cut (a multiple of the mean pair Jaccard —
+# triangle_count's rule, so the output stays non-vacuous at every scale
+# factor; a fixed J threshold matched nothing at sf0.01, where degrees
+# grow and every Jaccard shrinks). A float mean would be partial-agg-
+# order dependent, so each pair's Jaccard quantizes to 2^30 fixed point
+# (identical doubles -> identical floor) and the mean is an exact
+# BIGINT-sum ratio.
+_GJ_MIN_SHARED = 2
+_GJ_FACTOR = 1.1
+_GJ_Q = 1 << 30
+
+
+@query(
+    "graph_jaccard",
+    oracle=(
+        "WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem), "
+        "deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM os GROUP BY s), "
+        "pairs AS (SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS shared "
+        "  FROM os a JOIN os b ON a.o = b.o AND a.s < b.s GROUP BY 1, 2), "
+        "j AS (SELECT s1, s2, shared, "
+        "    CAST(shared AS DOUBLE) / (d1.d + d2.d - shared) AS jaccard "
+        "  FROM pairs JOIN deg d1 ON d1.s = pairs.s1 JOIN deg d2 ON d2.s = pairs.s2), "
+        f"q AS (SELECT *, CAST(floor(jaccard * {_GJ_Q}) AS BIGINT) AS jq FROM j), "
+        "m AS (SELECT CAST(SUM(jq) AS DOUBLE) / COUNT(*) AS avgjq FROM q) "
+        f"SELECT s1, s2, shared, jaccard FROM q, m "
+        f"WHERE shared >= {_GJ_MIN_SHARED} AND CAST(jq AS DOUBLE) > {_GJ_FACTOR} * avgjq"
+    ),
+)
+def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-similarity by neighborhood overlap — the 'suppliers like
+    this one' recommendation primitive: Jaccard of two suppliers'
+    distinct-order sets, J = shared / (d1 + d2 - shared), computed from
+    the co-occurrence pair counts and per-node degrees (one IEEE
+    division of exact integers). Pairs surface above a shared-support
+    and similarity cut, the usual recommendation floor.
+
+    Scale: the pair build is triangle_count's accepted shape — the
+    (order, supplier) rows are DISTINCTed first, so fan-out per order
+    is bounded by that order's supplier count, and the aggregate
+    carries counts, never order lists; degrees are a |nodes|-row
+    broadcast joined onto pairs map-side. At extreme per-key fan-out
+    the same MinHash-LSH machinery (dedup_minhash) estimates J without
+    the pair join — that is the documented handoff, not a cap this
+    exact form needs at gate scale."""
+    os_ = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = os_.groupBy("s").agg(F.count("*").alias("d"))
+    a, b = os_.alias("a"), os_.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count("*").alias("shared"))
+    )
+    j = (
+        pairs.join(
+            F.broadcast(deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))), "s1"
+        )
+        .join(
+            F.broadcast(deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))), "s2"
+        )
+        .select(
+            "s1",
+            "s2",
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / (F.col("d1") + F.col("d2") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .withColumn("jq", F.floor(F.col("jaccard") * _GJ_Q).cast("long"))
+        .localCheckpoint()  # reused by the mean pass + the final filter
+    )
+    m = j.agg((F.sum("jq").cast("double") / F.count("*")).alias("avgjq"))
+    return (
+        j.crossJoin(F.broadcast(m))
+        .filter(
+            (F.col("shared") >= _GJ_MIN_SHARED)
+            & (F.col("jq").cast("double") > F.lit(_GJ_FACTOR) * F.col("avgjq"))
+        )
+        .select("s1", "s2", "shared", "jaccard")
+    )
+
+
 # Count-Min sketch geometry: depth (independent hash rows) x width
 # (counters per row). Overestimate bound: est <= true + 2N/width per
 # row, and the MIN over depth rows makes exceeding it require a

@@ -187,6 +187,7 @@ ROUND6_NEW = {
     "media_audio_rms",
     "join_asof_nearest",
     "embed_truncate_energy",
+    "graph_jaccard",
 }
 ROUND6_CHANGED = {
     "triangle_count",        # degree-oriented wedge enumeration

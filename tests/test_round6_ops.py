@@ -146,6 +146,18 @@ class TestBM25Score:
         assert got[2] > 0.0
 
 
+class TestGraphJaccard:
+    def test_bounds_and_support(self, spark, sf001_dir):
+        from flod_spark.catalog.analytics import _GJ_MIN_SHARED, graph_jaccard
+
+        rows = graph_jaccard(spark, sf001_dir).collect()
+        assert rows, "jaccard test vacuous at gate scale"
+        for r in rows:
+            assert 0.0 < r["jaccard"] <= 1.0
+            assert r["shared"] >= _GJ_MIN_SHARED
+            assert r["s1"] < r["s2"]  # each pair surfaced once, oriented
+
+
 class TestJoinAsofNearest:
     def test_planted_directions(self, spark, tmp_path):
         """Purchase with a closer forward click picks fwd; equidistant
