@@ -98,7 +98,8 @@ def asof_join_nearest(
     before left rows, so the forward frame is strictly-greater t, which
     is exactly right since equal-t already matched backward). The
     left-outer contract keeps left rows with no right at all."""
-    ts_us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', cast({} as timestamp_ntz))"
+    from flod_spark.io import ts_micros  # the one NTZ-safe epoch bridge
+
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),
@@ -106,7 +107,7 @@ def asof_join_nearest(
         F.col(tiebreak).alias("_tb"),
         F.struct(
             *[F.col(c).alias(o) for c, o in right_cols.items()],
-            F.expr(ts_us.format(right_time)).alias("_tus"),
+            ts_micros(right_time).alias("_tus"),
         ).alias("_rp"),
     )
     l = left.select(
@@ -130,7 +131,7 @@ def asof_join_nearest(
     carried = unioned.select(
         "_k", "_t", "_side", "_lp", back.alias("_b"), fwd.alias("_f")
     ).filter(F.col("_side") == 1)
-    lt_us = F.expr(ts_us.format("_t"))
+    lt_us = ts_micros("_t")
     pick_back = F.col("_f").isNull() | (
         F.col("_b").isNotNull()
         & ((lt_us - F.col("_b._tus")) <= (F.col("_f._tus") - lt_us))

@@ -219,11 +219,15 @@ class TestMediaAudioRms:
         by_media: dict = {}
         for r in rows:
             by_media.setdefault(r["media_id"], []).append(r)
+        checked = list(by_media.items())[:25]
+        ids = [mid for mid, _ in checked]
         blobs = {
             r["media_id"]: bytes(r["blob"])
-            for r in _synth_wav_stream(spark, sf_dir).collect()
+            for r in _synth_wav_stream(spark, sf_dir)
+            .filter(F.col("media_id").isin(ids))
+            .collect()
         }
-        for mid, frames in list(by_media.items())[:25]:
+        for mid, frames in checked:
             with wave.open(io.BytesIO(blobs[mid])) as w:
                 v = np.frombuffer(w.readframes(w.getnframes()), np.uint8).astype(int) - 128
             frames.sort(key=lambda r: r["frame_idx"])
