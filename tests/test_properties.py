@@ -186,3 +186,95 @@ def test_passjoin_segment_candidates_are_lossless(a, b):
         idx_a = {(len(a), i, seg) for i, seg, _ in _pj_segments(a)}
         hit = hit or bool(_pj_probe_entries(b) & idx_a)
     assert hit, (a, b, _lev(a, b))
+
+
+@settings(max_examples=100, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+    chunk=st.integers(min_value=1, max_value=50),
+)
+def test_misra_gries_absorb_never_loses_a_heavy_key(stream, chunk):
+    """The MG lemma _mg_absorb's batch form relies on, against a pure
+    Python model: after absorbing ANY chunking of the stream, every key
+    with frequency > n/_HH_C keeps a positive counter. (Pure Python —
+    no Spark job — so the example budget is cheap.)"""
+    from collections import Counter
+
+    from flod_spark.catalog.analytics import _HH_C, _mg_absorb
+
+    counters: dict = {}
+    for i in range(0, len(stream), chunk):
+        counters = _mg_absorb(counters, Counter(stream[i : i + chunk]))
+    true = Counter(stream)
+    n = len(stream)
+    for k, c in true.items():
+        if c * _HH_C > n:
+            assert k in counters, f"heavy key {k} ({c}/{n}) evicted"
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    xs=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+        min_size=1,
+        max_size=120,
+    ),
+    data=st.data(),
+)
+def test_qe_value_df_is_exact_order_statistic(spark, xs, data):
+    """_qe_value_df == sorted(xs)[rank-1] for arbitrary floats
+    (duplicates and all), with buckets=4/leaf=6 forcing the recursive
+    path on most inputs."""
+    import pandas as pd
+
+    from flod_spark.catalog.relational import _qe_value_df
+
+    rank = data.draw(st.integers(min_value=1, max_value=len(xs)))
+    mn, mx = min(xs), max(xs)
+    srt = sorted(xs)
+    df = spark.createDataFrame(pd.DataFrame({"x": pd.Series(xs, dtype="float64")}))
+    if mn == mx:
+        return  # the gated query's all-equal branch, tested elsewhere
+    got = _qe_value_df(df, mn, mx, rank, "v", buckets=4, leaf=6).collect()[0]["v"]
+    assert got == srt[rank - 1]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    dim_keys=st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40),
+    probe_keys=st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=60),
+)
+def test_bloom_filter_has_no_false_negatives(spark, dim_keys, probe_keys):
+    """Every dim key passes its own bloom filter, for arbitrary key
+    sets — the correctness half of join_bloom (false positives are
+    allowed; the exact join removes them)."""
+    import pandas as pd
+
+    from flod_spark.catalog.relational import _bloom_build_words, _bloom_hit
+
+    dim = spark.createDataFrame(
+        pd.DataFrame({"k": pd.Series(sorted(dim_keys), dtype="int64")})
+    )
+    words = _bloom_build_words(dim, "k")
+    probes = sorted(probe_keys | dim_keys)
+    pf = spark.createDataFrame(pd.DataFrame({"k": pd.Series(probes, dtype="int64")}))
+    passed = {r["k"] for r in pf.filter(_bloom_hit(words, F.col("k"))).collect()}
+    assert dim_keys <= passed  # no false negatives, ever
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pos=st.sets(st.integers(min_value=1, max_value=300), min_size=1, max_size=60),
+)
+def test_anchor_coverage_is_exact_interval_union(spark, pos):
+    """anchor_coverage_chars == |union of [p, p+K-1]| computed by a
+    plain Python set model, for arbitrary anchor position sets."""
+    from flod_spark.catalog.text import _KR_K, anchor_coverage_chars
+
+    ps = sorted(pos)
+    df = spark.createDataFrame([(ps,)], "ps array<long>")
+    got = df.select(anchor_coverage_chars().alias("c")).collect()[0]["c"]
+    covered = set()
+    for p in ps:
+        covered.update(range(p, p + _KR_K))
+    assert got == len(covered)
