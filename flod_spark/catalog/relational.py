@@ -3056,6 +3056,45 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_time_travel",
+    oracle=(
+        # table state AS OF the data-derived version cutoff (half the
+        # max seq): apply only log entries with seq <= cutoff — the
+        # Delta/Iceberg VERSION AS OF semantics over the same change log
+        f"WITH {_CDC_LOG_SQL}, "
+        "c AS (SELECT MAX(seq) // 2 AS cutoff FROM log), "
+        "r AS (SELECT l.*, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn "
+        "  FROM log l, c WHERE seq <= c.cutoff) "
+        "SELECT k, seq AS last_seq, val FROM r WHERE rn = 1 AND op <> 'D'"
+    ),
+)
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the change log — Delta/Iceberg's `VERSION AS
+    OF` semantics without a table format: the table state at any past
+    version is cdc_apply restricted to log entries at or before the
+    cutoff (here the data-derived half-way seq, so the query is
+    non-vacuous at every scale factor). Latest-at-cutoff per key via
+    the same WindowGroupLimit rank, tombstones at the cutoff still
+    delete — reproducing yesterday's training snapshot or debugging a
+    bad merge is exactly this query.
+
+    Scale: identical to cdc_apply — the cutoff filter pushes to the
+    scan (on a real lakehouse layout, to partition pruning over the
+    commit-versioned files), then one exchange on the key; the 1-row
+    max-seq aggregate broadcasts. Nothing rescans history per key."""
+    log = _cdc_log(spark, sf_dir)
+    c = log.agg((F.floor(F.max("seq") / 2)).cast("long").alias("cutoff"))
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    return (
+        log.crossJoin(F.broadcast(c))
+        .filter(F.col("seq") <= F.col("cutoff"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("k", F.col("seq").alias("last_seq"), "val")
+    )
+
+
+@query(
     "scd2_build",
     oracle=(
         f"WITH {_CDC_LOG_SQL} "

@@ -188,6 +188,7 @@ ROUND6_NEW = {
     "join_asof_nearest",
     "embed_truncate_energy",
     "graph_jaccard",
+    "cdc_time_travel",
 }
 ROUND6_CHANGED = {
     "triangle_count",        # degree-oriented wedge enumeration

@@ -146,6 +146,38 @@ class TestBM25Score:
         assert got[2] > 0.0
 
 
+class TestCdcTimeTravel:
+    def test_as_of_state_is_a_prefix_application(self, spark, sf_dir):
+        """The time-traveled state must equal applying the log prefix in
+        Python, and differ from the full cdc_apply state (non-vacuous:
+        versions after the cutoff exist by construction)."""
+        from flod_spark.catalog.relational import (
+            _cdc_log,
+            cdc_apply,
+            cdc_time_travel,
+        )
+
+        log = _cdc_log(spark, sf_dir).collect()
+        cutoff = max(r["seq"] for r in log) // 2
+        # sequential application == latest-wins per key (seq is a total
+        # order), so the replayed dict IS the expected table state
+        state: dict = {}
+        for r in sorted(log, key=lambda r: r["seq"]):
+            if r["seq"] > cutoff:
+                continue
+            if r["op"] == "D":
+                state.pop(r["k"], None)
+            else:
+                state[r["k"]] = (r["seq"], r["val"])
+        got = {
+            r["k"]: (r["last_seq"], r["val"])
+            for r in cdc_time_travel(spark, sf_dir).collect()
+        }
+        assert got == state
+        full = {r["k"]: (r["last_seq"], r["val"]) for r in cdc_apply(spark, sf_dir).collect()}
+        assert got != full, "time travel vacuous: cutoff excludes nothing"
+
+
 class TestGraphJaccard:
     def test_bounds_and_support(self, spark, sf001_dir):
         from flod_spark.catalog.analytics import _GJ_MIN_SHARED, graph_jaccard
