@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flod_spark.functions.hashbridge import salted_mod_sql
 from flod_spark.io import load
 from flod_spark.registry import query
 
@@ -243,4 +244,92 @@ def split_groupwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("split").agg(
         F.count("*").alias("n_users"),
         F.sum("n").alias("n_events"),
+    )
+
+
+# Temperature-sampling constants: alpha = 0.5 (the exponent with an
+# EXACT cross-engine form — p^0.5 is sqrt, correctly rounded by IEEE,
+# where a general pow() is not) and the overall sampling budget as a
+# fraction of the corpus.
+TEMP_BUDGET = 0.2
+_TEMP_SCALE = float(1 << 32)  # raw 32-bit hash -> uniform in [0, 1)
+
+
+@query(
+    "sample_temperature",
+    oracle=(
+        "WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang), "
+        "t AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM c), "
+        "w AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE) / (SELECT nn FROM t)) AS wl FROM c), "
+        "s AS (SELECT list_reduce(list_sort(list(wl)), (a, b) -> a + b) AS sw FROM w), "
+        f"r AS (SELECT lang, n, LEAST(1.0, {TEMP_BUDGET} * (SELECT nn FROM t) "
+        "    * (wl / (SELECT sw FROM s)) / n) AS rate FROM w), "
+        "k AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept "
+        "  FROM documents d JOIN r USING (lang) "
+        f"  WHERE {salted_mod_sql('doc_id', 'T|', 1 << 32)} / {_TEMP_SCALE} < rate "
+        "  GROUP BY d.lang) "
+        "SELECT r.lang, r.n AS n_docs, r.rate, "
+        "  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept "
+        "FROM r LEFT JOIN k USING (lang)"
+    ),
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-based language rebalancing (the mT5/XLM-R alpha-
+    sampling standard): target share of language l ∝ p_l^alpha with
+    alpha = 1/2, flattening the head and boosting the tail so low-
+    resource languages survive the mixture. Rates are fully DATA-
+    DERIVED in-query — p_l from exact counts, p^0.5 via IEEE sqrt
+    (correctly rounded, unlike a general pow), the normalizer summed by
+    a sequential fold over the SORTED per-lang weights (a plain SUM of
+    floats would be partial-agg-order dependent), and the per-row keep
+    test compares a salted-hash fraction (exact n/2^32) against the
+    lang's rate. Output is the per-lang audit: corpus count, applied
+    rate, kept count.
+
+    Scale: one |langs|-row aggregate broadcast back over a MAP-ONLY
+    keep predicate — the deterministic-sampling story of sample_hash
+    with data-dependent rates; re-running on an appended corpus keeps
+    every previously-kept doc whose lang rate didn't move (and the
+    rate drift is the mixture telling you the corpus composition
+    changed)."""
+    from flod_spark.functions.hashbridge import salted_mod
+
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").cast("double").alias("nn"))
+    w = c.crossJoin(F.broadcast(t)).select(
+        "lang", "n", "nn", F.sqrt(F.col("n").cast("double") / F.col("nn")).alias("wl")
+    )
+    s = w.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("wl")), F.lit(0.0), lambda a, b: a + b
+        ).alias("sw")
+    )
+    r = (
+        w.crossJoin(F.broadcast(s))
+        .select(
+            "lang",
+            "n",
+            F.least(
+                F.lit(1.0),
+                F.lit(TEMP_BUDGET) * F.col("nn") * (F.col("wl") / F.col("sw")) / F.col("n"),
+            ).alias("rate"),
+        )
+        .localCheckpoint()  # reused by the keep pass and the audit join
+    )
+    frac = salted_mod(F.col("doc_id"), "T|", 1 << 32).cast("double") / _TEMP_SCALE
+    k = (
+        docs.join(F.broadcast(r), "lang")
+        .filter(frac < F.col("rate"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        r.join(k, "lang", "left")
+        .select(
+            "lang",
+            F.col("n").alias("n_docs"),
+            "rate",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
     )

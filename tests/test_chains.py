@@ -189,6 +189,7 @@ ROUND6_NEW = {
     "embed_truncate_energy",
     "graph_jaccard",
     "cdc_time_travel",
+    "sample_temperature",
 }
 ROUND6_CHANGED = {
     "triangle_count",        # degree-oriented wedge enumeration

@@ -146,6 +146,30 @@ class TestBM25Score:
         assert got[2] > 0.0
 
 
+class TestSampleTemperature:
+    def test_flattens_the_language_distribution(self, spark, sf_dir):
+        """The point of alpha-sampling: after rebalancing, the head
+        language's share of the KEPT set must shrink vs its corpus
+        share, the tail's must grow, rates obey 0 < r <= 1, and the
+        realized keep count is plausibly close to rate * n."""
+        from flod_spark.catalog.sampling import sample_temperature
+
+        rows = sample_temperature(spark, sf_dir).collect()
+        assert rows and all(0.0 < r["rate"] <= 1.0 for r in rows)
+        n_total = sum(r["n_docs"] for r in rows)
+        kept_total = sum(r["n_kept"] for r in rows)
+        assert kept_total > 0
+        head = max(rows, key=lambda r: r["n_docs"])
+        tail = min(rows, key=lambda r: r["n_docs"])
+        if head["n_docs"] != tail["n_docs"]:  # skewed corpus: check flattening
+            assert head["n_kept"] / kept_total < head["n_docs"] / n_total
+            assert tail["n_kept"] / kept_total > tail["n_docs"] / n_total
+        for r in rows:  # hash-uniformity keeps realized counts near rate*n
+            assert r["n_kept"] <= r["n_docs"]
+            if r["n_docs"] >= 50:
+                assert abs(r["n_kept"] - r["rate"] * r["n_docs"]) <= 0.35 * r["n_docs"]
+
+
 class TestCdcTimeTravel:
     def test_as_of_state_is_a_prefix_application(self, spark, sf_dir):
         """The time-traveled state must equal applying the log prefix in
