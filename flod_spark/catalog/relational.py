@@ -3025,13 +3025,29 @@ def _cdc_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the latest-non-tombstone-per-key block shared by cdc_apply and
+# cdc_time_travel — ONE source for the state semantics on both engines
+# ({src} is the log-rows relation each query scopes differently)
+_CDC_LATEST_SQL = (
+    "r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM {src}) "
+    "SELECT k, seq AS last_seq, val FROM r WHERE rn = 1 AND op <> 'D'"
+)
+
+
+def _cdc_latest(log: DataFrame) -> DataFrame:
+    """Table state from a change-log frame: each key's latest entry,
+    tombstones removed (the Spark twin of _CDC_LATEST_SQL)."""
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("k", F.col("seq").alias("last_seq"), "val")
+    )
+
+
 @query(
     "cdc_apply",
-    oracle=(
-        f"WITH {_CDC_LOG_SQL}, "
-        "r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM log) "
-        "SELECT k, seq AS last_seq, val FROM r WHERE rn = 1 AND op <> 'D'"
-    ),
+    oracle=f"WITH {_CDC_LOG_SQL}, " + _CDC_LATEST_SQL.format(src="log"),
 )
 def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC log application with TOMBSTONES — the replication-sink half
@@ -3046,13 +3062,7 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the filter; at 100 TB this runs per ingestion partition and
     the survivor set merges into the base table by key (merge_upsert's
     co-partitioned pattern)."""
-    log = _cdc_log(spark, sf_dir)
-    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
-    return (
-        log.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
-        .select("k", F.col("seq").alias("last_seq"), "val")
-    )
+    return _cdc_latest(_cdc_log(spark, sf_dir))
 
 
 @query(
@@ -3063,9 +3073,8 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Delta/Iceberg VERSION AS OF semantics over the same change log
         f"WITH {_CDC_LOG_SQL}, "
         "c AS (SELECT MAX(seq) // 2 AS cutoff FROM log), "
-        "r AS (SELECT l.*, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn "
-        "  FROM log l, c WHERE seq <= c.cutoff) "
-        "SELECT k, seq AS last_seq, val FROM r WHERE rn = 1 AND op <> 'D'"
+        "pfx AS (SELECT l.* FROM log l, c WHERE seq <= c.cutoff), "
+        + _CDC_LATEST_SQL.format(src="pfx")
     ),
 )
 def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3083,15 +3092,11 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit-versioned files), then one exchange on the key; the 1-row
     max-seq aggregate broadcasts. Nothing rescans history per key."""
     log = _cdc_log(spark, sf_dir)
-    c = log.agg((F.floor(F.max("seq") / 2)).cast("long").alias("cutoff"))
-    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
-    return (
-        log.crossJoin(F.broadcast(c))
-        .filter(F.col("seq") <= F.col("cutoff"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
-        .select("k", F.col("seq").alias("last_seq"), "val")
-    )
+    # exact integer halving (div), matching the oracle's `//` — a double
+    # division would drift once max(seq) passed 2^53
+    c = log.agg(F.expr("max(seq) div 2").alias("cutoff"))
+    prefix = log.crossJoin(F.broadcast(c)).filter(F.col("seq") <= F.col("cutoff"))
+    return _cdc_latest(prefix.drop("cutoff"))
 
 
 @query(

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flod_spark.functions.hashbridge import salted_mod_sql
+from flod_spark.functions.hashbridge import salted_mod, salted_mod_sql
 from flod_spark.io import load
 from flod_spark.registry import query
 
@@ -292,8 +292,6 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     every previously-kept doc whose lang rate didn't move (and the
     rate drift is the mixture telling you the corpus composition
     changed)."""
-    from flod_spark.functions.hashbridge import salted_mod
-
     docs = load(spark, sf_dir, "documents")
     c = docs.groupBy("lang").agg(F.count("*").alias("n"))
     t = c.agg(F.sum("n").cast("double").alias("nn"))
