@@ -25,6 +25,7 @@ for windows, and the take operator's state is one counter per key.
 
 from __future__ import annotations
 
+import glob
 import shutil
 import tempfile
 import uuid
@@ -975,6 +976,105 @@ def stream_agg_update_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "win_start", "event_type", F.col("s.n_events"), F.col("s.sum_value")
     )
+
+
+def _split_router_oracle() -> str:
+    from flod_spark.catalog.sampling import split_assign  # noqa: F401
+
+    from flod_spark.registry import ORACLES
+
+    return ORACLES["split_assign"]
+
+
+@query("stream_split_router_live", oracle=_split_router_oracle())
+def stream_split_router_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-SINK ROUTING — the foreachBatch pattern that fans one
+    stream out to several destinations: documents arrive as
+    micro-batches, each batch is split-assigned by the SAME salted-hash
+    rule as split_assign (shared constants, so a threshold change moves
+    both together), and each split's rows land in that split's own
+    parquet tree — train/val/test corpora materializing live as the
+    crawl streams in. Idempotence: every (batch, split) writes its own
+    overwrite-mode directory, so a retried trigger replaces rather than
+    double-appends (the versioned-dir half of
+    stream_foreach_upsert_live's exactly-once discipline). The audit
+    read-back unions the three trees and counts per (split, lang) —
+    equal to the batch split_assign by hash determinism, which is the
+    oracle verbatim.
+
+    Scale: routing is a map-side predicate per sink write (each batch
+    scans once per split — or once total with a partitionBy(split)
+    writer); state is zero. This is how one ingestion stream feeds
+    train/eval corpora, a quarantine tree, and a metrics sink without a
+    second pipeline."""
+    from flod_spark.catalog.sampling import (
+        TRAIN_FRAC,
+        VAL_FRAC,
+        _hash_prefix,
+        _thr,
+    )
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "ingest_ts", F.timestamp_micros(F.col("doc_id") * 1_000_000)
+    )
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_rt_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, docs, "ingest_ts", replay_dir, n_batches=4, tiebreak=("doc_id",))
+    root = tempfile.mkdtemp(prefix="flod_router_")
+    hp = _hash_prefix("p|", F.col("doc_id"))
+    split = (
+        F.when(hp < _thr(TRAIN_FRAC), "train")
+        .when(hp < _thr(TRAIN_FRAC + VAL_FRAC), "val")
+        .otherwise("test")
+    )
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        tagged = batch_df.withColumn("split", split)
+        for s in ("train", "val", "test"):
+            part = tagged.filter(F.col("split") == s).drop("split", "ingest_ts")
+            # (batch, split)-scoped overwrite dir: retries replace, never
+            # double-append; empty parts still write a dir (harmless)
+            part.write.mode("overwrite").parquet(f"{root}/{s}/b{batch_id}")
+
+    name = "rt_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix=f"flod_ckpt_{name}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # _drain's rationale
+    try:
+        q = (
+            stream.writeStream.foreachBatch(route)
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(replay_dir, ignore_errors=True)
+    outs = []
+    for s in ("train", "val", "test"):
+        if glob.glob(f"{root}/{s}/b*/part-*"):
+            outs.append(
+                spark.read.parquet(f"{root}/{s}/b*").select(
+                    F.lit(s).alias("split"), "lang"
+                )
+            )
+    if not outs:
+        return spark.createDataFrame([], "split string, lang string, n_docs bigint")
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    # materialize the audit BEFORE removing the routed trees (the
+    # returned frame must not depend on temp files)
+    import pandas as pd
+
+    counts = u.groupBy("split", "lang").agg(F.count("*").alias("n_docs")).toPandas()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(counts.astype({"n_docs": "int64"}), "split string, lang string, n_docs long")
 
 
 def _cm_live_oracle() -> str:

@@ -190,6 +190,7 @@ ROUND6_NEW = {
     "graph_jaccard",
     "cdc_time_travel",
     "sample_temperature",
+    "stream_split_router_live",
 }
 ROUND6_CHANGED = {
     "triangle_count",        # degree-oriented wedge enumeration

@@ -146,6 +146,17 @@ class TestBM25Score:
         assert got[2] > 0.0
 
 
+class TestStreamSplitRouterLive:
+    def test_routed_trees_equal_batch_assignment(self, spark, sf_dir):
+        from flod_spark.catalog.sampling import split_assign
+        from flod_spark.catalog.streaming_live import stream_split_router_live
+
+        live = {tuple(r) for r in stream_split_router_live(spark, sf_dir).collect()}
+        batch = {tuple(r) for r in split_assign(spark, sf_dir).collect()}
+        assert live == batch
+        assert live, "router test vacuous"
+
+
 class TestSampleTemperature:
     def test_flattens_the_language_distribution(self, spark, sf_dir):
         """The point of alpha-sampling: after rebalancing, the head
