@@ -1447,3 +1447,69 @@ def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = F.when(F.col(f"tf_{i}") > 0, num / den).otherwise(F.lit(0.0))
         score = c if score is None else score + c
     return j.select("doc_id", F.col("dl").alias("n_tokens"), score.alias("score"))
+
+
+# Vocabulary-coverage audit: vocab = the corpus's top-N tokens by count
+# (token-asc tiebreak — a total order, so the cut is deterministic).
+# N = 20 against the synthetic corpus's 31 distinct tokens keeps the
+# OOV signal non-vacuous at every scale factor; a real tokenizer swaps
+# in its actual vocab table and N plays no role.
+VOCAB_N = 20
+
+
+@query(
+    "vocab_coverage",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        f"    unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok FROM documents), "
+        "cnt AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok), "
+        f"v AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT {VOCAB_N}), "
+        "d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        "    CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov "
+        "  FROM t LEFT JOIN v ON t.tok = v.tok GROUP BY doc_id) "
+        "SELECT doc_id, n_tokens, n_oov, "
+        "  CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate FROM d"
+    ),
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary COVERAGE audit — the 'will my tokenizer
+    shred this corpus into bytes' check run before committing to a
+    vocab: per document, how many tokens fall outside the top-VOCAB_N
+    corpus vocabulary (token_histogram's cut made a per-doc feature).
+    High OOV rate predicts byte-fallback blowup in sequence length and
+    degraded model quality on that slice — the per-source aggregation
+    of this rate decides which sources need transliteration/cleanup.
+
+    Scale: token counts are one partial-agg shuffle; the vocab is a
+    TakeOrderedAndProject head (VOCAB_N rows) BROADCAST back, so the
+    per-doc pass is explode + broadcast left join + partial-agg count —
+    nothing token-level ever hash-shuffles twice. A real vocab (50k
+    BPE entries) still broadcasts in KB."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("tok"),
+    )
+    vocab = (
+        t.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok"))
+        .limit(VOCAB_N)
+        .select("tok", F.lit(1).alias("_in_v"))
+    )
+    d = (
+        t.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_v").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.col("n_oov").cast("long").alias("n_oov"),
+        (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+    )

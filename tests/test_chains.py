@@ -191,6 +191,7 @@ ROUND6_NEW = {
     "cdc_time_travel",
     "sample_temperature",
     "stream_split_router_live",
+    "vocab_coverage",
 }
 ROUND6_CHANGED = {
     "triangle_count",        # degree-oriented wedge enumeration

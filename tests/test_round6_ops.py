@@ -146,6 +146,24 @@ class TestBM25Score:
         assert got[2] > 0.0
 
 
+class TestVocabCoverage:
+    def test_rates_and_planted_oov(self, spark, tmp_path):
+        """A doc of only ultra-rare tokens must score oov_rate 1.0; a
+        doc of only the corpus-dominant token scores 0.0."""
+        from flod_spark.catalog.text import vocab_coverage
+
+        rows = [(i, "en", "common " * 20) for i in range(30)]  # dominant token
+        rows.append((100, "en", "zzqx wwvv qqpp"))  # rare-only doc
+        rows.append((101, "en", "common common"))
+        d = _docs_dir(tmp_path, rows)
+        got = {r["doc_id"]: r for r in vocab_coverage(spark, d).collect()}
+        assert got[100]["oov_rate"] == 1.0
+        assert got[101]["oov_rate"] == 0.0
+        for r in got.values():
+            assert 0.0 <= r["oov_rate"] <= 1.0
+            assert r["n_oov"] <= r["n_tokens"]
+
+
 class TestStreamSplitRouterLive:
     def test_routed_trees_equal_batch_assignment(self, spark, sf_dir):
         from flod_spark.catalog.sampling import split_assign
