@@ -152,7 +152,11 @@ class TestVocabCoverage:
         doc of only the corpus-dominant token scores 0.0."""
         from flod_spark.catalog.text import vocab_coverage
 
-        rows = [(i, "en", "common " * 20) for i in range(30)]  # dominant token
+        # 25 distinct frequent fillers + the dominant token: the corpus
+        # must carry MORE than VOCAB_N distinct tokens or nothing can
+        # ever be out-of-vocabulary
+        filler = " ".join(f"tok{j}" for j in range(25))
+        rows = [(i, "en", "common " + filler) for i in range(30)]
         rows.append((100, "en", "zzqx wwvv qqpp"))  # rare-only doc
         rows.append((101, "en", "common common"))
         d = _docs_dir(tmp_path, rows)
