@@ -278,3 +278,104 @@ def test_anchor_coverage_is_exact_interval_union(spark, pos):
     for p in ps:
         covered.update(range(p, p + _KR_K))
     assert got == len(covered)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=6),
+)
+def test_temperature_rates_hit_the_budget_in_expectation(spark, counts):
+    """sample_temperature's rate algebra on arbitrary language counts:
+    every rate in (0, 1], and expected kept mass sum(r_l * n_l) <= the
+    budget fraction of the corpus (equality when nothing clamps at 1;
+    clamping only ever LOWERS the expectation)."""
+    import pandas as pd
+
+    from flod_spark.catalog.sampling import TEMP_BUDGET, sample_temperature
+
+    rows = []
+    doc_id = 0
+    for li, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((doc_id, f"l{li}", "x"))
+            doc_id += 1
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="flod_temp_prop_")
+    try:
+        pd.DataFrame(rows, columns=["doc_id", "lang", "text"]).astype(
+            {"doc_id": "int64"}
+        ).to_parquet(f"{d}/documents.parquet")
+        got = sample_temperature(spark, d).collect()
+        n_total = sum(counts)
+        assert {r["lang"] for r in got} == {f"l{li}" for li in range(len(counts))}
+        exp_kept = 0.0
+        clamped = False
+        for r in got:
+            assert 0.0 < r["rate"] <= 1.0
+            clamped |= r["rate"] == 1.0
+            exp_kept += r["rate"] * r["n_docs"]
+        if not clamped:
+            assert abs(exp_kept - TEMP_BUDGET * n_total) < 1e-6 * n_total
+        else:
+            assert exp_kept <= TEMP_BUDGET * n_total + 1e-6 * n_total
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user
+            st.integers(min_value=0, max_value=5000),   # seconds offset
+            st.booleans(),                              # True = right side
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1]),  # (user, ts) unique, like events
+    ),
+)
+def test_asof_nearest_matches_python_model(spark, events):
+    """asof_join_nearest vs a brute-force Python model: nearest |dt|
+    right row per left row within the user, ties to backward, equal-t
+    backward max-id / forward excluded (matched backward already)."""
+    import datetime as dt
+
+    from flod_spark.operators.asof import asof_join_nearest
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        (i, u, t0 + dt.timedelta(seconds=s), is_r)
+        for i, (u, s, is_r) in enumerate(events)
+    ]
+    lefts = [(i, u, t) for i, u, t, is_r in rows if not is_r]
+    rights = [(i, u, t) for i, u, t, is_r in rows if is_r]
+    if not lefts:
+        return
+    ldf = spark.createDataFrame(lefts, "event_id long, user_id long, ts timestamp_ntz")
+    rdf = spark.createDataFrame(
+        rights or [], "event_id long, user_id long, ts timestamp_ntz"
+    )
+    out = asof_join_nearest(
+        left=ldf, right=rdf, on="user_id", left_time="ts", right_time="ts",
+        left_cols={"event_id": "lid", "ts": "lts"},
+        right_cols={"event_id": "rid", "ts": "rts"},
+        tiebreak="event_id",
+    )
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+    for lid, u, lt in lefts:
+        back = [(t, i) for i, uu, t in rights if uu == u and t <= lt]
+        fwd = [(t, i) for i, uu, t in rights if uu == u and t > lt]
+        b = max(back, key=lambda p: (p[0], p[1])) if back else None
+        f = min(fwd, key=lambda p: (p[0], p[1])) if fwd else None
+        if b is None and f is None:
+            want = None
+        elif f is None or (b is not None and (lt - b[0]) <= (f[0] - lt)):
+            want = b[1]
+        else:
+            want = f[1]
+        assert got.get(lid) == want, f"left {lid}: got {got.get(lid)} want {want}"
