@@ -728,3 +728,58 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") * F.lit(_HH_C) > F.col("n"))
         .select("user_id", "cnt")
     )
+
+
+@query(
+    "agg_mad",
+    oracle=(
+        # two-level exact medians: per-user median, then median absolute
+        # deviation, then the 3-MAD outlier count — quantile_cont ==
+        # Spark percentile() value-for-value (pinned by agg_percentile),
+        # and every other op is identical IEEE scalar arithmetic
+        "WITH m AS (SELECT user_id, quantile_cont(value, 0.5) AS med "
+        "  FROM events WHERE user_id IS NOT NULL GROUP BY user_id), "
+        "d AS (SELECT e.user_id, m.med, abs(e.value - m.med) AS dev "
+        "  FROM events e JOIN m USING (user_id)), "
+        "s AS (SELECT user_id, MIN(med) AS med, quantile_cont(dev, 0.5) AS mad "
+        "  FROM d GROUP BY user_id) "
+        "SELECT s.user_id, s.med, s.mad, "
+        "  CAST(SUM(CASE WHEN d.dev > 3 * s.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers "
+        "FROM d JOIN s USING (user_id) GROUP BY s.user_id, s.med, s.mad"
+    ),
+)
+def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection per user — the
+    ROBUST twin of value_zscore (one wild value drags a mean and
+    explodes a stddev; the median and MAD shrug it off, which is why
+    monitoring and fraud pipelines threshold on MADs). Three passes,
+    all exact: per-user median (percentile() — exact order statistic,
+    cross-engine pinned by agg_percentile), median of absolute
+    deviations, then the count of points beyond 3 MADs. An all-equal
+    user has MAD 0 and (correctly) zero outliers — the > comparison
+    never divides, so the degenerate case needs no guard.
+
+    Scale: every stage keys on user_id, so Catalyst reuses ONE hash
+    exchange across the median agg, the deviation join, the MAD agg,
+    and the outlier count; exact percentile buffers each user's values
+    once per agg — the per-key partition is the parallelism unit, and
+    the approx-sketch handoff (percentile_approx / KLL) is the
+    documented fallback when single keys outgrow memory."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    m = ev.groupBy("user_id").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    d = ev.join(m, "user_id").select(
+        "user_id", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    s = d.groupBy("user_id").agg(
+        F.min("med").alias("med"), F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    return (
+        d.select("user_id", "dev")
+        .join(s, "user_id")
+        .groupBy("user_id", "med", "mad")
+        .agg(
+            F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )

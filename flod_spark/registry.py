@@ -106,7 +106,7 @@ _GATE_ORDER = (
     "stream_sketch_countmin_live", "window_reset_cumsum",
     "media_audio_rms", "join_asof_nearest", "embed_truncate_energy",
     "graph_jaccard", "cdc_time_travel", "sample_temperature",
-    "stream_split_router_live", "vocab_coverage",
+    "stream_split_router_live", "vocab_coverage", "agg_mad",
     # (c) changed-implementation re-proofs
     "triangle_count", "embed_pq", "sim_pq_adc", "sim_ivfpq",
     "quantile_exact_2pass",

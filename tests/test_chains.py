@@ -192,6 +192,7 @@ ROUND6_NEW = {
     "sample_temperature",
     "stream_split_router_live",
     "vocab_coverage",
+    "agg_mad",
 }
 ROUND6_CHANGED = {
     "triangle_count",        # degree-oriented wedge enumeration

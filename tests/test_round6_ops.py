@@ -146,6 +146,36 @@ class TestBM25Score:
         assert got[2] > 0.0
 
 
+class TestAggMad:
+    def test_planted_outlier_and_degenerate_user(self, spark, tmp_path):
+        """A user with one wild spike flags exactly that point; an
+        all-equal user has MAD 0 and zero outliers (no division, no
+        NaN)."""
+        import datetime as dt
+
+        from flod_spark.catalog.analytics import agg_mad
+
+        t0 = dt.datetime(2025, 8, 1, 9, 0, 0)
+        rows = []
+        # user 1: tight cluster around 10 plus one spike at 1000
+        for i, v in enumerate([9.0, 10.0, 10.0, 11.0, 10.0, 1000.0]):
+            rows.append((i + 1, t0 + pd.Timedelta(minutes=i), 1, "view", v, "{}"))
+        # user 2: all equal
+        for i in range(5):
+            rows.append((100 + i, t0 + pd.Timedelta(minutes=i), 2, "view", 7.0, "{}"))
+        d = str(tmp_path / "sfmad")
+        os.makedirs(d, exist_ok=True)
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).astype({"event_id": "int64", "user_id": "int64", "ts": "datetime64[us]"}).to_parquet(
+            f"{d}/events.parquet"
+        )
+        got = {r["user_id"]: r for r in agg_mad(spark, d).collect()}
+        assert got[1]["med"] == 10.0
+        assert got[1]["n_outliers"] == 1  # the 1000.0 spike, nothing else
+        assert got[2]["mad"] == 0.0 and got[2]["n_outliers"] == 0
+
+
 class TestVocabCoverage:
     def test_rates_and_planted_oov(self, spark, tmp_path):
         """A doc of only ultra-rare tokens must score oov_rate 1.0; a
