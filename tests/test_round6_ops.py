@@ -146,6 +146,19 @@ class TestBM25Score:
         assert got[2] > 0.0
 
 
+class TestRound6EmptyCorpus:
+    """Every new batch op over `documents` must return an empty frame —
+    not crash — on an empty corpus (regenerated testdata insurance)."""
+
+    def test_text_and_sampling_ops_survive_empty_documents(self, spark, tmp_path):
+        from flod_spark.catalog.sampling import sample_temperature
+        from flod_spark.catalog.text import bm25_score, vocab_coverage
+
+        d = _docs_dir(tmp_path, [])
+        for fn in (bm25_score, vocab_coverage, sample_temperature):
+            assert fn(spark, d).count() == 0, fn.__name__
+
+
 class TestAggMad:
     def test_planted_outlier_and_degenerate_user(self, spark, tmp_path):
         """A user with one wild spike flags exactly that point; an
