@@ -366,18 +366,27 @@ def sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (ts, event_id) packed into one exact integer so arg_min/arg_max pick a
+# deterministic first/last arrival under ts ties. The multiplier must
+# DOMINATE every possible event_id or the packing silently reorders
+# (ADVICE r6: *1e6 broke at >=1M events) — 2^63 bounds any BIGINT id,
+# and epoch_us * 2^63 ~ 1.6e34 still fits DECIMAL(38,0)/HUGEINT exactly.
+_ORDER_KEY_MULT = 2**63
+
+
 @query(
     "bars_ohlc",
     oracle=(
         # open/close = value at the min/max (ts, event_id) arrival in
         # the bucket — the composite order packed into one exact
-        # integer key (epoch micros * 1e6 + event_id; HUGEINT in
-        # DuckDB, DECIMAL(38,0) in Spark: no overflow, no float)
+        # integer key (epoch micros * 2^63 + event_id; HUGEINT in
+        # DuckDB, DECIMAL(38,0) in Spark: no overflow, no float, and
+        # the 2^63 multiplier dominates any BIGINT event_id)
         "SELECT time_bucket(INTERVAL '1 hour', ts) AS bar_start, "
         "  CAST(COUNT(*) AS BIGINT) AS n_events, "
-        "  arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000 + event_id) AS open, "
+        f"  arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * {_ORDER_KEY_MULT} + event_id) AS open, "
         "  MAX(value) AS high, MIN(value) AS low, "
-        "  arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000 + event_id) AS close, "
+        f"  arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * {_ORDER_KEY_MULT} + event_id) AS close, "
         "  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume "
         "FROM events GROUP BY bar_start"
     ),
@@ -387,9 +396,10 @@ def bars_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     staple): per 1-hour bucket, the OPEN and CLOSE are the values at
     the first and last arrival — selected by min_by/max_by over an
     exact composite order key ((ts, event_id) packed into one
-    DECIMAL(38,0)/HUGEINT integer, since a bare ts can tie across
-    users and arg_min under ties is engine-nondeterministic) — plus
-    high/low extremes and a DECIMAL-exact volume sum.
+    DECIMAL(38,0)/HUGEINT integer with a 2^63 multiplier that dominates
+    any BIGINT event_id, since a bare ts can tie across users and
+    arg_min under ties is engine-nondeterministic) — plus high/low
+    extremes and a DECIMAL-exact volume sum.
 
     Scale: a single partial-agg groupBy — min_by/max_by carry one
     (value, key) pair of running state per bucket per task, so the
@@ -398,7 +408,10 @@ def bars_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs incrementally under update-mode streaming (min_by/max_by
     merge), making this the batch twin of a live candlestick feed."""
     ev = load(spark, sf_dir, "events")
-    key = ts_micros("ts").cast("decimal(38,0)") * 1_000_000 + F.col("event_id")
+    # the 2^63 literal exceeds LongType — route it through a string cast
+    key = ts_micros("ts").cast("decimal(38,0)") * F.lit(str(_ORDER_KEY_MULT)).cast(
+        "decimal(19,0)"
+    ) + F.col("event_id")
     return (
         ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bar_start"))
         .agg(

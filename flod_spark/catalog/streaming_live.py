@@ -1311,8 +1311,14 @@ def stream_bars_ohlc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = replay_stream(spark, ev, "ts", replay_dir, n_batches=4, tiebreak=("event_id",))
     from flod_spark.io import ts_micros
 
+    from flod_spark.catalog.streaming_batch import _ORDER_KEY_MULT
+
     s = with_event_time(stream)
-    key = ts_micros("ts").cast("decimal(38,0)") * 1_000_000 + F.col("event_id")
+    # 2^63 multiplier dominates any BIGINT event_id (ADVICE r6); the
+    # literal exceeds LongType, so route it through a string cast
+    key = ts_micros("ts").cast("decimal(38,0)") * F.lit(str(_ORDER_KEY_MULT)).cast(
+        "decimal(19,0)"
+    ) + F.col("event_id")
     agg = (
         s.groupBy(F.date_trunc("hour", F.col("ts")).alias("bar_start"))
         .agg(

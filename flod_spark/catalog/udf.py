@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -147,7 +148,12 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def exact_avg_qty(q: pd.Series) -> float:
-        cents = int((q * 100.0).round().astype("int64").sum())
+        # half-AWAY-FROM-ZERO to cents (floor(x*100+0.5), valid for the
+        # non-negative quantities here) — pandas' .round() is half-to-
+        # even, but the oracle's CAST(.. AS DECIMAL(18,2)) rounds half
+        # away from zero in DuckDB, and the two diverge on exact .5
+        # cents boundaries (ADVICE r6: 0.125 -> 12 vs 13)
+        cents = int(np.floor(q * 100.0 + 0.5).astype("int64").sum())
         return (cents / 100.0) / len(q)
 
     # Spark refuses to mix grouped-agg pandas UDFs with built-in
@@ -169,7 +175,9 @@ def _qty_share(b: pd.DataFrame) -> pd.DataFrame:
     quantity. The group total is computed EXACTLY by summing integer
     cents (l_quantity has 2 decimals), so the result is independent of
     pandas' summation order and matches the oracle's DECIMAL window sum."""
-    total = (b["l_quantity"] * 100.0).round().astype("int64").sum() / 100.0
+    # half-away-from-zero (non-negative input), matching DECIMAL casts —
+    # see exact_avg_qty for why pandas .round() (half-to-even) is wrong
+    total = np.floor(b["l_quantity"] * 100.0 + 0.5).astype("int64").sum() / 100.0
     return pd.DataFrame(
         {
             "l_orderkey": b["l_orderkey"],

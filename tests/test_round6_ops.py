@@ -592,6 +592,35 @@ class TestBarsOHLC:
         assert r["close"] == 30.0  # event_id 3
         assert (r["low"], r["high"]) == (10.0, 30.0)
 
+    def test_large_event_id_cannot_outrank_later_ts(self, spark, tmp_path):
+        """ADVICE r6 regression: with the old *1e6 packing, an event
+        with id >= 1e6 could outrank an event 1 microsecond LATER —
+        silently picking the wrong close. The 2^63 multiplier dominates
+        any BIGINT id, so ts strictly wins and id only breaks ties."""
+        import datetime as dt
+
+        from flod_spark.catalog.streaming_batch import bars_ohlc
+
+        d = str(tmp_path / "sfbigid")
+        os.makedirs(d, exist_ok=True)
+        t0 = dt.datetime(2025, 1, 1, 10, 30, 0)
+        t1 = t0 + dt.timedelta(microseconds=1)
+        # huge-id event arrives FIRST (open), tiny-id event 1µs later
+        # (close) — the old packing inverted both
+        pd.DataFrame(
+            {
+                "event_id": pd.Series([5_000_000_000, 1], dtype="int64"),
+                "ts": pd.Series([t0, t1], dtype="datetime64[us]"),
+                "user_id": pd.Series([1, 2], dtype="int64"),
+                "event_type": ["view"] * 2,
+                "value": [10.0, 20.0],
+                "props": ["{}"] * 2,
+            }
+        ).to_parquet(f"{d}/events.parquet")
+        r = bars_ohlc(spark, d).collect()[0]
+        assert r["open"] == 10.0  # earlier ts despite event_id 5e9
+        assert r["close"] == 20.0  # later ts despite event_id 1
+
 
 class TestSketchCountMin:
     def test_overestimate_only_and_mass_conservation(self, spark, sf_dir):
