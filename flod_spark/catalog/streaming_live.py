@@ -1190,12 +1190,21 @@ def stream_cdc_apply_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _asof_enrich_fn(key, pdfs, state):
     """Per-user latest-signup state machine: rows processed in strict
     (ts, event_id) order (sorted within the batch; replay guarantees
-    cross-batch order); a signup updates the 2-long state, a click
-    emits (click_id, latest signup id so far, -1 if none)."""
+    cross-batch order); a signup updates the state, a click emits
+    (click_id, latest signup id so far, -1 if none).
+
+    Vectorized (r6 verdict item 2 — this was the package's one
+    row-at-a-time Python loop): after the whole-batch sort, the latest
+    signup POSITION at each row is a running maximum over
+    (position if signup else -1), and each click reads the signup id at
+    that position — pure integer numpy, no float round-trip (an ffill
+    through NaN would silently truncate event_ids past 2^53)."""
+    import numpy as np
     import pandas as pd
 
     sid = int(state.get[0]) if state.exists else -1
-    clicks, sids = [], []
+    clicks = np.empty(0, dtype="int64")
+    sids = np.empty(0, dtype="int64")
     # ONE sort over the whole micro-batch group: a group larger than the
     # Arrow batch size arrives as several chunks, and chunk-local sorts
     # would let a later-chunk signup with an earlier ts be applied after
@@ -1203,12 +1212,15 @@ def _asof_enrich_fn(key, pdfs, state):
     chunks = list(pdfs)
     batch = pd.concat(chunks, ignore_index=True) if chunks else None
     if batch is not None and len(batch):
-        for _, row in batch.sort_values(["_us", "event_id"]).iterrows():
-            if row["event_type"] == "signup":
-                sid = int(row["event_id"])
-            else:
-                clicks.append(int(row["event_id"]))
-                sids.append(sid)
+        b = batch.sort_values(["_us", "event_id"])
+        ev_ids = b["event_id"].to_numpy("int64")
+        is_signup = b["event_type"].to_numpy() == "signup"
+        pos = np.maximum.accumulate(np.where(is_signup, np.arange(len(b)), -1))
+        # latest signup id at-or-before each row; carried state where none
+        sid_at = np.where(pos >= 0, ev_ids[np.clip(pos, 0, None)], sid)
+        clicks = ev_ids[~is_signup]
+        sids = sid_at[~is_signup].astype("int64")
+        sid = int(sid_at[-1])
     state.update((sid,))
     yield pd.DataFrame(
         {
