@@ -731,6 +731,81 @@ def stream_dedup_substring_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_minhash_live_oracle() -> str:
+    from flod_spark.catalog.dedup import _minhash_ctes
+
+    ctes, _pair_select = _minhash_ctes()
+    return (
+        # first arrival per (band, signature) = min doc_id under the
+        # replay order; a later doc failing to claim a band is near-dup
+        # evidence vs the arrival prefix — same composition trick as
+        # _dedup_substring_live_oracle, over the minhash sig CTE
+        f"WITH {ctes}, "
+        "r AS (SELECT doc_id, band, "
+        "    row_number() OVER (PARTITION BY band, bs ORDER BY doc_id) AS rn FROM sig) "
+        "SELECT doc_id, "
+        "  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_bands, "
+        "  SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) > 0 AS near_dup "
+        "FROM r GROUP BY doc_id"
+    )
+
+
+@query("stream_dedup_minhash_live", oracle=_dedup_minhash_live_oracle())
+def stream_dedup_minhash_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY (MinHash-LSH) dedup as INCREMENTAL INGESTION — the live
+    twin the fuzzy-dedup family was missing (r6 verdict item 3), and
+    the streaming complement to stream_dedup_substring_live's
+    passage-level state: each arriving document's 4 LSH band signatures
+    are computed ENTIRELY map-side (operators/minhash.py::
+    minhash_band_rows — per-row array math, no explode, no shuffle,
+    bitwise equal to the batch signatures), then per-key streaming
+    state claims each (band, signature) for its first arrival
+    (dropDuplicates — the stream_dedup_live determinism contract:
+    doc_id-ordered replay + sorted single-file batches make 'first' =
+    min doc_id). A later doc whose band fails to claim its signature is
+    near-duplicate evidence against the arrival prefix; the batch-side
+    recount anti-joins the drained claim set against deterministically
+    recomputed signatures and reports per-doc dup-band counts. Oracle:
+    the generated minhash sig CTE + a first-arrival rank — near-dups
+    vs the prefix, not the symmetric batch pair report.
+
+    Scale: stateless signature map work per micro-batch + one keyed
+    state store of (band, 4x8B signature) entries — |docs| x bands
+    state, the same unbounded-regime budget as the exact-fingerprint
+    stream_prep_live (dropDuplicatesWithinWatermark bounds it when the
+    dup horizon is known); the recount is one anti-join on (doc, band)
+    over signature-width rows. Reference: flod has no streaming engine
+    — this extends its dedup surface per SURVEY §2.5."""
+    from flod_spark.catalog.dedup import BANDS, SEEDS, SHINGLE
+    from flod_spark.operators.minhash import minhash_band_rows
+    from flod_spark.streaming.dedup import drop_duplicates_unbounded
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "ingest_ts", F.timestamp_micros(F.col("doc_id") * 1_000_000)
+    )
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_mh_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, docs, "ingest_ts", replay_dir, n_batches=4, tiebreak=("doc_id",))
+    sig_stream = minhash_band_rows(stream, shingle=SHINGLE, seeds=SEEDS, bands=BANDS)
+    claimed = drop_duplicates_unbounded(sig_stream, "band", "bs")
+    kept = _drain(claimed, spark, cleanup=(replay_dir,)).select("doc_id", "band")
+    # batch-side recount: signatures are deterministic, so recomputing
+    # over the same table reproduces the stream's rows exactly
+    sigs = minhash_band_rows(
+        load(spark, sf_dir, "documents"), shingle=SHINGLE, seeds=SEEDS, bands=BANDS
+    ).persist()
+    dup = (
+        sigs.select("doc_id", "band")
+        .join(kept, ["doc_id", "band"], "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_bands"))
+    )
+    base = sigs.select("doc_id").distinct()
+    j = base.join(dup, "doc_id", "left")
+    n_dup = F.coalesce("n_dup_bands", F.lit(0)).cast("long")
+    return j.select("doc_id", n_dup.alias("n_dup_bands"), (n_dup > 0).alias("near_dup"))
+
+
 @query(
     "stream_outer_join_live",
     oracle=(

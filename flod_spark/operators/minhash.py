@@ -129,6 +129,64 @@ def minhash_signatures(
     )
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shingle: int = 8,
+    seeds: int = 16,
+    bands: int = 4,
+    cap: int = 4000,
+) -> DataFrame:
+    """(doc, band, bs) band-signature rows computed ENTIRELY per-row —
+    no explode, no groupBy, no shuffle. The whole doc is one row, so the
+    shingle set is an array column and each seed's min-hash is an
+    array_min over a transform: the min over the shingle MULTISET equals
+    the batch path's min over the distinct set, so the signatures are
+    bitwise identical to minhash_signatures' (and to the generated
+    DuckDB oracle).
+
+    This is the STREAMING-SAFE form: stateless map work, legal on an
+    unbounded stream before a keyed dedup. Cost: seeds array traversals
+    of <= cap-shingle hashes per doc, all inside whole-stage codegen."""
+    rows_per_band = seeds // bands
+    t = normalize_text(cap=cap)
+    sh_arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (shingle - 1), F.lit(1))),
+        lambda i: t.substr(i, F.lit(shingle)),
+    )
+    h_arr = F.transform(
+        sh_arr,
+        lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long") % P,
+    )
+    hashed = df.select(id_col, h_arr.alias("_hs"))
+
+    def affine_min(a: int, b: int) -> F.Column:
+        # factory closure: a bare lambda with default args would change
+        # the arity PySpark infers for the higher-order function
+        return F.array_min(F.transform(F.col("_hs"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(P)))
+
+    mins = hashed.select(
+        id_col,
+        *[affine_min(a, b).alias(f"_m{i}") for i, (a, b) in enumerate(hash_family(seeds))],
+    )
+    band_sigs = [
+        F.concat_ws(
+            ",", *[F.col(f"_m{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        ).alias(f"_b{b}")
+        for b in range(bands)
+    ]
+    return mins.select(id_col, *band_sigs).select(
+        id_col,
+        F.expr(
+            "stack("
+            + str(bands)
+            + ", "
+            + ", ".join(f"{b}, _b{b}" for b in range(bands))
+            + ") AS (band, bs)"
+        ),
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
 ) -> DataFrame:

@@ -45,3 +45,44 @@ class TestUdfGroupedAggRounding:
         # and the A group really took the away-from-zero branch:
         # (13 + 14) cents / 2 rows, not half-to-even's (12 + 14) / 2
         assert got["A"] == (2, (27 / 100.0) / 2)
+
+
+def _docs_dir(tmp_path, rows):
+    d = str(tmp_path / "sfdocs")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(rows, columns=["doc_id", "lang", "text"]).astype(
+        {"doc_id": "int64"}
+    ).to_parquet(f"{d}/documents.parquet")
+    return d
+
+
+class TestStreamDedupMinhashLive:
+    def test_arrival_prefix_semantics_on_planted_near_dups(self, spark, tmp_path):
+        """Doc 1 arrives first and claims all its bands; doc 3 is an
+        exact copy arriving later (all 4 bands dup); doc 4 is a light
+        edit of doc 1 (high Jaccard — at least one band collides); doc
+        2 is unrelated (zero dup bands). Asymmetry is the point: the
+        EARLIER doc of a dup pair shows 0, unlike the symmetric batch
+        pair report."""
+        import random
+
+        from flod_spark.catalog.streaming_live import stream_dedup_minhash_live
+
+        rng = random.Random(7)
+        alpha = "abcdefghij "
+        base = "".join(rng.choice(alpha) for _ in range(2000))
+        other = "".join(rng.choice(alpha) for _ in range(2000))
+        near = base[:1990] + "zzzzzzzzzz"  # shared prefix, tiny tail edit
+        d = _docs_dir(
+            tmp_path,
+            [(1, "en", base), (2, "en", other), (3, "en", base), (4, "en", near)],
+        )
+        got = {
+            r["doc_id"]: (r["n_dup_bands"], r["near_dup"])
+            for r in stream_dedup_minhash_live(spark, d).collect()
+        }
+        assert got[1] == (0, False)  # first arrival claims everything
+        assert got[2] == (0, False)  # unrelated
+        assert got[3] == (4, True)  # exact copy: every band claimed earlier
+        assert got[4][0] >= 1 and got[4][1]  # near-dup: some band collides
+
