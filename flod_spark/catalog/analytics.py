@@ -557,6 +557,109 @@ def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# graph_jaccard_approx geometry: K independent salted min-hashes per
+# node; a pair's match count over the K seeds estimates its Jaccard
+# (E[n_match/K] = J, the permutation-min argument). _GJA_CAP drops
+# (seed, value) buckets bigger than the cap before the pair join — the
+# boilerplate guard (prune_frequent_shingles' judgment at the minhash
+# level); _GJA_MIN_MATCH floors the report (measured: max bucket 8 and
+# matches to 6/16 at the gate scales, so cap=200 is pure 100 TB
+# insurance and floor=2 keeps the output non-vacuous at both).
+_GJA_K = 16
+_GJA_CAP = 200
+_GJA_MIN_MATCH = 2
+
+
+def _gja_min_sql(i: int) -> str:
+    from flod_spark.functions.hashbridge import salted_int_sql
+
+    return salted_int_sql("o", f"gj{i}|")
+
+
+@query(
+    "graph_jaccard_approx",
+    oracle=(
+        "WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem), "
+        f"seeds AS (SELECT unnest(range({_GJA_K})) AS i), "
+        "sig AS (SELECT s, i, MIN(CASE i "
+        + " ".join(f"WHEN {i} THEN {_gja_min_sql(i)}" for i in range(_GJA_K))
+        + " END) AS m FROM os, seeds GROUP BY s, i), "
+        f"ok AS (SELECT i, m FROM sig GROUP BY i, m HAVING COUNT(*) <= {_GJA_CAP}), "
+        "p AS (SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS n_match "
+        "  FROM sig a JOIN ok ON ok.i = a.i AND ok.m = a.m "
+        "  JOIN sig b ON a.i = b.i AND a.m = b.m AND a.s < b.s "
+        "  GROUP BY 1, 2) "
+        f"SELECT s1, s2, n_match, CAST(n_match AS DOUBLE) / {_GJA_K} AS j_est "
+        f"FROM p WHERE n_match >= {_GJA_MIN_MATCH}"
+    ),
+)
+def graph_jaccard_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-similarity WITHOUT the pair join — the MinHash handoff
+    graph_jaccard's docstring promised (r6 verdict item 4), now
+    shipped: each supplier's distinct-order set is sketched into
+    _GJA_K salted-md5 min-hashes (hashbridge — deterministic, so the
+    DuckDB oracle computes the identical sketch), and two suppliers'
+    match count over the seeds estimates their Jaccard
+    (E[n_match/K] = J). Pairs surface by JOINING ON THE SKETCH — only
+    suppliers sharing a (seed, min-value) bucket ever meet, so the
+    quadratic co-occurrence fan-out the exact form pays per order
+    never materializes.
+
+    Scale: one exchange builds all K minima per node (partial-agg,
+    |nodes| x K x 8B crosses the shuffle — order lists never do); the
+    pair join touches only same-bucket rows, each bucket capped at
+    _GJA_CAP members (boilerplate guard: a bucket of k nodes emits k²
+    candidates, and HEAVY overlap is exactly what the exact-dup pass
+    catches anyway). Estimation quality vs the exact form is pytest-
+    pinned (planted identical sets -> j_est 1.0; detected pairs are
+    enriched in true Jaccard on the gate graph)."""
+    from flod_spark.functions.hashbridge import salted_int
+
+    os_ = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    mins = os_.groupBy("s").agg(
+        *[
+            F.min(salted_int(F.col("o"), f"gj{i}|")).alias(f"_m{i}")
+            for i in range(_GJA_K)
+        ]
+    )
+    sig = mins.select(
+        "s",
+        F.expr(
+            f"stack({_GJA_K}, "
+            + ", ".join(f"{i}, _m{i}" for i in range(_GJA_K))
+            + ") AS (i, m)"
+        ),
+    ).persist()  # reused by the bucket-size pass and both join sides
+    hot = (
+        sig.groupBy("i", "m")
+        .agg(F.count("*").alias("_k"))
+        .filter(F.col("_k") > _GJA_CAP)
+        .select("i", "m")
+    )
+    ok = sig.join(F.broadcast(hot), ["i", "m"], "left_anti")
+    a, b = ok.alias("a"), ok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.m") == F.col("b.m"))
+            & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count("*").alias("n_match"))
+    )
+    return pairs.filter(F.col("n_match") >= _GJA_MIN_MATCH).select(
+        "s1",
+        "s2",
+        "n_match",
+        (F.col("n_match").cast("double") / _GJA_K).alias("j_est"),
+    )
+
+
 # Count-Min sketch geometry: depth (independent hash rows) x width
 # (counters per row). Overestimate bound: est <= true + 2N/width per
 # row, and the MIN over depth rows makes exceeding it require a

@@ -31,3 +31,19 @@ def salted_mod_sql(expr: str, salt: str, m: int) -> str:
         f"CAST('0x' || substr(md5('{salt}' || CAST({expr} AS VARCHAR)), 1, {_HEXW}) "
         f"AS BIGINT) % {m}"
     )
+
+
+def salted_int(col, salt: str) -> F.Column:
+    """Raw 32-bit salted hash (no modulus) — the MinHash-ordering form:
+    MIN over a key set of this value is a permutation-min estimator,
+    and both engines parse the identical integer."""
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")).cast("binary"))
+    return F.conv(F.substring(h, 1, _HEXW), 16, 10).cast("long")
+
+
+def salted_int_sql(expr: str, salt: str) -> str:
+    """DuckDB side of :func:`salted_int`."""
+    return (
+        f"CAST('0x' || substr(md5('{salt}' || CAST({expr} AS VARCHAR)), 1, {_HEXW}) "
+        "AS BIGINT)"
+    )
