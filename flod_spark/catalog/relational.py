@@ -3134,6 +3134,65 @@ def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_dim",
+    oracle=(
+        # the warehouse-pattern capstone: fact rows joined to the SCD2
+        # dimension row whose validity interval contains the fact's
+        # version-time — a plain BETWEEN join (intervals tile, so each
+        # fact matches at most one version; facts before the first
+        # version, and null-key facts, keep NULL dimension columns)
+        f"WITH {_CDC_LOG_SQL}, "
+        "scd AS (SELECT k, seq AS valid_from, "
+        "    lead(seq) OVER (PARTITION BY k ORDER BY seq) AS valid_to, op, val FROM log), "
+        "f AS (SELECT event_id, user_id % 1000 AS k, event_id AS vt FROM events) "
+        "SELECT f.event_id, f.k, f.vt, s.valid_from, s.op, s.val "
+        "FROM f LEFT JOIN scd s ON s.k = f.k AND s.valid_from <= f.vt "
+        "  AND (f.vt < s.valid_to OR s.valid_to IS NULL)"
+    ),
+)
+def join_asof_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-SCD2 AS-OF enrichment — the end-to-end composition the
+    pieces already supported but no query proved (r6 verdict item 5):
+    each event (key = user_id % 1000, version-time = event_id) picks up
+    the dimension version scd2_build makes valid at that moment. The
+    oracle is the textbook interval BETWEEN join; the Spark plan is NOT
+    — it is the single-shuffle union+window as-of (operators/asof.py):
+    because SCD2 intervals TILE the timeline from the first version on,
+    'the interval containing vt' equals 'the latest version at or
+    before vt', so the O(|facts| x |versions|) conditional join
+    collapses to one windowed carry. Tombstone versions match AS
+    tombstones (op = 'D' surfaces; the fact does NOT fall back to an
+    older live version — exactly the BETWEEN semantics).
+
+    Scale: one hash exchange on the key for facts+versions together,
+    then a local monotone carry — same budget as join_asof; versions
+    per key are bounded by change history, facts are the unbounded
+    side, and neither ever cross-products. Reference: join semantics
+    per SURVEY §2.5 joins row (flod pipeline.d has no joins; this is
+    the mandated extension surface)."""
+    from flod_spark.operators.asof import asof_join
+
+    log = _cdc_log(spark, sf_dir)
+    scd = log.select("k", F.col("seq").alias("valid_from"), "op", "val")
+    f = load(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 1000).alias("k"),
+        F.col("event_id").alias("vt"),
+    )
+    return asof_join(
+        f,
+        scd,
+        on="k",
+        left_time="vt",
+        right_time="valid_from",
+        left_cols={"event_id": "event_id", "vt": "vt"},
+        right_cols={"valid_from": "valid_from", "op": "op", "val": "val"},
+        tiebreak="valid_from",
+        how="left",
+    ).select("event_id", "k", "vt", "valid_from", "op", "val")
+
+
+@query(
     "window_rolling_median",
     oracle=(
         # exact rolling median over the same microsecond range frame as

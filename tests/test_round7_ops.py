@@ -155,3 +155,46 @@ class TestGraphJaccardApprox:
             assert r["j_est"] == r["n_match"] / _GJA_K
             assert 1 <= r["n_match"] <= _GJA_K
 
+
+class TestJoinAsofDim:
+    def test_version_flip_mid_stream(self, spark, tmp_path):
+        """A key whose dimension version flips between two facts: the
+        earlier fact reads the old version's value, the later fact the
+        new one, a fact BEFORE the first version reads NULL, and a fact
+        inside a tombstone interval reads the tombstone (op 'D'), NOT
+        an older live version — the BETWEEN-join semantics the as-of
+        carry must reproduce."""
+        import datetime as dt
+
+        from flod_spark.catalog.relational import join_asof_dim
+
+        d = str(tmp_path / "sfscd")
+        os.makedirs(d, exist_ok=True)
+        # key 5 (op U by construction): versions at seq 1005 and 2005;
+        # key 9 (op D): tombstone versions at 1009 and 2009
+        pd.DataFrame(
+            {
+                "o_orderkey": pd.Series([1005, 2005, 1009, 2009], dtype="int64"),
+                "o_totalprice": [10.0, 20.0, 66.0, 77.0],
+            }
+        ).to_parquet(f"{d}/orders.parquet")
+        t = dt.datetime(2025, 1, 1)
+        pd.DataFrame(
+            {
+                "event_id": pd.Series([500, 1500, 2500, 1509], dtype="int64"),
+                "ts": pd.Series([t] * 4, dtype="datetime64[us]"),
+                "user_id": pd.Series([5, 5, 5, 9], dtype="int64"),
+                "event_type": ["view"] * 4,
+                "value": [1.0] * 4,
+                "props": ["{}"] * 4,
+            }
+        ).to_parquet(f"{d}/events.parquet")
+        got = {
+            r["event_id"]: (r["valid_from"], r["op"], r["val"])
+            for r in join_asof_dim(spark, d).collect()
+        }
+        assert got[500] == (None, None, None)  # before any version
+        assert got[1500] == (1005, "U", 10.0)  # old version
+        assert got[2500] == (2005, "U", 20.0)  # flipped version
+        assert got[1509] == (1009, "D", 66.0)  # tombstone, no fallback
+
