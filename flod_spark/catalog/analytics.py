@@ -745,6 +745,136 @@ def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keys.join(est, "user_id")
 
 
+# HyperLogLog geometry: _HLL_M md5-indexed registers; rank = leading
+# zeros + 1 over a 52-bit hash suffix (13 hex digits). alpha_m per the
+# Flajolet et al. constant for m = 64; the small-range (linear
+# counting) branch reads a PRECOMPUTED ln(m/z) table — the same Python
+# float literals injected into both engines, because engine ln()
+# implementations are not guaranteed bit-identical and the driver
+# compares doubles bitwise.
+_HLL_M = 64
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_HLL_A = _HLL_ALPHA * _HLL_M * _HLL_M
+_HLL_LC = [__import__("math").log(_HLL_M / z) for z in range(1, _HLL_M + 1)]
+
+
+@query(
+    "agg_hyperloglog_exact",
+    oracle=(
+        "WITH e AS (SELECT DISTINCT event_type, user_id FROM events "
+        "    WHERE user_id IS NOT NULL), "
+        "h AS (SELECT event_type, user_id, "
+        "    CAST('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) "
+        f"      % {_HLL_M} AS j, "
+        "    CAST('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 9, 13) AS BIGINT) AS v "
+        "  FROM e), "
+        "r AS (SELECT event_type, j, "
+        "    MAX(CASE WHEN v > 0 THEN 53 - length(bin(v)) ELSE 53 END) AS mj "
+        "  FROM h GROUP BY event_type, j), "
+        "g AS (SELECT DISTINCT event_type FROM e), "
+        f"gi AS (SELECT g.event_type, i.i AS j FROM g, range(0, {_HLL_M}) i(i)), "
+        "allr AS (SELECT gi.event_type, gi.j, COALESCE(r.mj, 0) AS mj "
+        "  FROM gi LEFT JOIN r ON r.event_type = gi.event_type AND r.j = gi.j), "
+        "s AS (SELECT event_type, MAX(mj) AS mmax, "
+        "    CAST(SUM(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros FROM allr "
+        "  GROUP BY event_type), "
+        "ss AS (SELECT allr.event_type, s.mmax, s.zeros, "
+        "    CAST(SUM(CAST(1 AS BIGINT) << (s.mmax - allr.mj)) AS BIGINT) AS ssum "
+        "  FROM allr JOIN s USING (event_type) GROUP BY allr.event_type, s.mmax, s.zeros), "
+        "t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true FROM e GROUP BY event_type), "
+        "est AS (SELECT event_type, zeros, "
+        f"    {_HLL_A!r} * CAST(CAST(1 AS BIGINT) << mmax AS DOUBLE) / CAST(ssum AS DOUBLE) AS raw "
+        "  FROM ss) "
+        "SELECT t.event_type, t.n_true, est.zeros AS n_zero_regs, "
+        f"  CASE WHEN est.raw <= {2.5 * _HLL_M!r} AND est.zeros > 0 THEN "
+        f"    {float(_HLL_M)!r} * (CASE est.zeros "
+        + " ".join(f"WHEN {z + 1} THEN {_HLL_LC[z]!r}" for z in range(_HLL_M))
+        + " END) ELSE est.raw END AS hll_est "
+        "FROM t JOIN est USING (event_type)"
+    ),
+)
+def agg_hyperloglog_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count (Flajolet et al.) with a fully EXACT
+    cross-engine oracle — the sketch_countmin discipline applied to
+    cardinality: register index and rank derive from one salted md5
+    (deterministic in both engines), registers are MAX-merged per
+    group, and the harmonic mean is computed in INTEGERS (sum of
+    2^(mmax-mj), exact BIGINT) with one closing float divide. The
+    small-range branch (raw <= 2.5m with empty registers — linear
+    counting) reads a precomputed ln table shared verbatim with the
+    oracle, because engine ln()s are not bitwise-promised. Unlike
+    agg_approx (whose HLL sketch internals are engine-private, hence
+    no-oracle by design), every bit of THIS estimator is portable —
+    the pedagogical twin with a real hash-match gate, reporting
+    est vs true per group.
+
+    Scale: the register build is a partial-agg groupBy over (group,
+    register) — MAX merges map-side, so the exchange carries at most
+    |groups| x m rows regardless of input (the constant-state sketch
+    contract); the estimate folds m rows per group. The same MAX-merge
+    runs incrementally under update-mode streaming. The exact n_true
+    pass here exists only to audit the estimate; production runs the
+    sketch alone."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    from flod_spark.functions.hashbridge import salted_mod
+
+    h16 = F.md5(F.concat(F.lit("hll|"), F.col("user_id").cast("string")).cast("binary"))
+    v = F.conv(F.substring(h16, 9, 13), 16, 10).cast("long")
+    rank = F.when(v > 0, F.lit(53) - F.length(F.conv(v.cast("string"), 10, 2))).otherwise(
+        F.lit(53)
+    )
+    h = ev.select(
+        "event_type", salted_mod(F.col("user_id"), "hll|", _HLL_M).alias("j"), rank.alias("rk")
+    )
+    regs = h.groupBy("event_type", "j").agg(F.max("rk").alias("mj"))
+    groups = ev.select("event_type").distinct()
+    allr = (
+        groups.select(
+            "event_type", F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))).alias("j")
+        )
+        .join(regs, ["event_type", "j"], "left")
+        .select("event_type", "j", F.coalesce("mj", F.lit(0)).alias("mj"))
+    )
+    s = allr.groupBy("event_type").agg(
+        F.max("mj").alias("mmax"),
+        F.sum(F.when(F.col("mj") == 0, 1).otherwise(0)).cast("long").alias("zeros"),
+    )
+    ss = (
+        allr.join(F.broadcast(s), "event_type")
+        .groupBy("event_type", "mmax", "zeros")
+        .agg(
+            F.sum(F.expr("shiftleft(cast(1 as bigint), cast(mmax - mj as int))"))
+            .cast("long")
+            .alias("ssum")
+        )
+    )
+    t = ev.groupBy("event_type").agg(F.count("*").alias("n_true"))
+    raw = (
+        F.lit(_HLL_A)
+        * F.expr("cast(shiftleft(cast(1 as bigint), cast(mmax as int)) as double)")
+        / F.col("ssum").cast("double")
+    )
+    lc_tab = F.element_at(F.array(*[F.lit(x) for x in _HLL_LC]), F.col("zeros").cast("int"))
+    est = ss.select(
+        "event_type",
+        "zeros",
+        F.when(
+            (raw <= F.lit(2.5 * _HLL_M)) & (F.col("zeros") > 0),
+            F.lit(float(_HLL_M)) * lc_tab,
+        )
+        .otherwise(raw)
+        .alias("hll_est"),
+    )
+    return t.join(est, "event_type").select(
+        "event_type", "n_true", F.col("zeros").alias("n_zero_regs"), "hll_est"
+    )
+
+
 # Heavy-hitter capacity: candidates are every key with frequency > n/_HH_C.
 _HH_C = 160
 

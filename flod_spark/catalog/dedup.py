@@ -1151,3 +1151,79 @@ def join_fuzzy_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= _PJ_TAU)
     )
+
+
+@query(
+    "dedup_semantic_text",
+    oracle=(
+        # IDF-weighted SimHash: each distinct token votes +-w where
+        # w = ilog2(N) - ilog2(df) + 1, an INTEGER log-scaled IDF
+        # (ilog2 via binary-string length — exact in both engines; a
+        # float ln() could round differently and flip a near-zero vote)
+        f"WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents), "
+        "tok AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(t, '[a-z0-9]+')) AS tk FROM norm), "
+        "df AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY tk), "
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM norm), "
+        "wt AS (SELECT tk, CAST(length(bin(nd)) - length(bin(df)) + 1 AS BIGINT) AS w "
+        "  FROM df, n), "
+        "bits AS (SELECT doc_id, p, "
+        "    SUM(CASE WHEN strpos('89abcdef', substr(md5(tk), p, 1)) > 0 THEN w ELSE -w END) AS v "
+        "  FROM tok JOIN wt USING (tk), range(1, 17) r(p) GROUP BY doc_id, p), "
+        "sig AS (SELECT doc_id, string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS simhash "
+        "  FROM bits GROUP BY doc_id) "
+        "SELECT doc_id, simhash, MIN(doc_id) OVER (PARTITION BY simhash) AS canonical_id FROM sig"
+    ),
+)
+def dedup_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-WEIGHTED SimHash — the 'semantic' text fingerprint (Charikar
+    weighting as Google's near-dup paper applies it): rare informative
+    tokens dominate the signature while boilerplate/stopwords (high
+    document frequency) barely vote, so two docs sharing their RARE
+    vocabulary collide even when their boilerplate differs — the
+    failure mode the unweighted dedup_simhash has on template-heavy
+    corpora. Weights are integer log-IDFs (ilog2 via binary-digit
+    count: exact, engine-portable; no float ln anywhere), so the vote
+    sums — and therefore the signatures — are bit-identical across
+    engines. Output matches dedup_exact's shape: doc -> signature ->
+    canonical (min doc_id per signature).
+
+    Scale: the df pass is one token-level partial-agg shuffle; the
+    weight table is |vocab| rows BROADCAST back onto the token stream
+    (a real corpus vocabulary broadcasts in MB); signatures are then
+    ONE groupBy(doc) of 16 weighted sums combining map-side — the
+    _simhash_votes budget plus a broadcast, and text never crosses an
+    exchange."""
+    docs = load(spark, sf_dir, "documents", spread=True, amplify=2000)
+    norm = docs.select("doc_id", _norm_col().alias("t"))
+    tok = norm.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.regexp_extract_all(F.col("t"), F.lit("[a-z0-9]+"), F.lit(0)))
+        ).alias("tk"),
+    ).distinct()
+    ilog2 = lambda c: F.length(F.conv(c.cast("string"), 10, 2)).cast("long")  # noqa: E731
+    nd = norm.agg(F.count("*").alias("nd"))
+    wt = (
+        tok.groupBy("tk")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .select("tk", (ilog2(F.col("nd")) - ilog2(F.col("df")) + 1).alias("w"))
+    )
+    tw = tok.join(F.broadcast(wt), "tk").select(
+        "doc_id", F.md5(F.col("tk").cast("binary")).alias("h"), "w"
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.instr(F.lit("89abcdef"), F.substring("h", p, 1)) > 0, F.col("w")
+            ).otherwise(-F.col("w"))
+        ).alias(f"v{p}")
+        for p in range(1, 17)
+    ]
+    v = tw.groupBy("doc_id").agg(*votes)
+    simhash = F.concat(
+        *[F.when(F.col(f"v{p}") >= 0, "1").otherwise("0") for p in range(1, 17)]
+    )
+    sig = v.select("doc_id", simhash.alias("simhash"))
+    w = Window.partitionBy("simhash")
+    return sig.select("doc_id", "simhash", F.min("doc_id").over(w).alias("canonical_id"))

@@ -1079,6 +1079,72 @@ def window_reset_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# window_ewma horizon: 8 trailing rows, weight 2^(7-k) at lag k — a
+# half-decay EWM truncated to a FIXED horizon so the weights are exact
+# integers and the whole estimate stays in DECIMAL until one closing
+# divide (an unbounded recursive EWMA is float-order-dependent and
+# cannot cross engines bitwise).
+_EWMA_H = 8
+_EWMA_W = [1 << (_EWMA_H - 1 - k) for k in range(_EWMA_H)]
+
+
+def _ewma_oracle() -> str:
+    lags = ", ".join(
+        f"lag(x, {k}) OVER (PARTITION BY user_id ORDER BY ts) AS x{k}"
+        for k in range(1, _EWMA_H)
+    )
+    num = f"{_EWMA_W[0]} * x + " + " + ".join(
+        f"COALESCE({_EWMA_W[k]} * x{k}, 0)" for k in range(1, _EWMA_H)
+    )
+    den = f"{_EWMA_W[0]} + " + " + ".join(
+        f"CASE WHEN x{k} IS NOT NULL THEN {_EWMA_W[k]} ELSE 0 END"
+        for k in range(1, _EWMA_H)
+    )
+    return (
+        "WITH b AS (SELECT event_id, user_id, ts, "
+        "    CAST(value AS DECIMAL(18,6)) AS x FROM events), "
+        f"l AS (SELECT event_id, user_id, ts, x, {lags} FROM b) "
+        "SELECT event_id, user_id, ts, "
+        f"  CAST({num} AS DOUBLE) / ({den}) AS ewma_8 FROM l"
+    )
+
+
+@query("window_ewma", oracle=_ewma_oracle())
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user — the smoothing
+    stat monitoring dashboards draw (recent rows dominate, old rows
+    decay by halves), truncated to a fixed _EWMA_H-row horizon so it is
+    EXACT: integer weights 2^(H-1-k) multiply DECIMAL values, the
+    numerator never leaves decimal until one closing cast, and the
+    denominator re-normalizes over the lags that actually exist (the
+    pandas ewm(adjust=True) convention), so the first rows of a user
+    are unbiased rather than damped toward zero. The recursive
+    infinite-horizon form is NOT cross-engine reproducible (every step
+    rounds in float, order-dependent) — the truncation is what buys a
+    bitwise oracle, and with weight 1/2 the dropped tail is < 1/128 of
+    the mass.
+
+    Scale: one shuffle on user_id, then H-1 lag reads over the sorted
+    partition — the same single-window budget as window_offset;
+    constant state per row, no frame rescans. (user_id, ts) is unique
+    here, so the window order is total and deterministic."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    x = F.col("value").cast("decimal(18,6)")
+    lags = [x] + [F.lag(x, k).over(w) for k in range(1, _EWMA_H)]
+    num = F.lit(_EWMA_W[0]) * lags[0]
+    den = F.lit(_EWMA_W[0]).cast("long")
+    for k in range(1, _EWMA_H):
+        num = num + F.coalesce(F.lit(_EWMA_W[k]) * lags[k], F.lit(0))
+        den = den + F.when(lags[k].isNotNull(), F.lit(_EWMA_W[k])).otherwise(0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (num.cast("double") / den).alias("ewma_8"),
+    )
+
+
 @query(
     "window_rolling_regression",
     oracle=(

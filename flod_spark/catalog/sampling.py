@@ -331,3 +331,69 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+# split_time_embargo: cut at 80% of the corpus TIME RANGE, then a
+# 30-minute embargo gap whose rows belong to NEITHER side. Pure integer
+# microsecond arithmetic (min + span*8 div 10) so both engines place
+# the cut identically; a count-quantile cut would need a global rank.
+_STE_FRAC_NUM, _STE_FRAC_DEN = 8, 10
+_STE_EMBARGO_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "split_time_embargo",
+    oracle=(
+        "WITH b AS (SELECT epoch_us(ts) AS us, ts, user_id FROM events), "
+        f"c AS (SELECT MIN(us) + (MAX(us) - MIN(us)) * {_STE_FRAC_NUM} // {_STE_FRAC_DEN} "
+        "    AS cut FROM b), "
+        "s AS (SELECT CASE WHEN us <= cut THEN 'train' "
+        f"    WHEN us <= cut + {_STE_EMBARGO_US} THEN 'embargo' ELSE 'test' END AS split, "
+        "    ts, user_id FROM b, c) "
+        "SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, "
+        "  MIN(ts) AS min_ts, MAX(ts) AS max_ts "
+        "FROM s GROUP BY split"
+    ),
+)
+def split_time_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based train/test split with an EMBARGO gap — the leakage
+    guard temporal models need that hash splits (split_assign) cannot
+    give: everything before the cut trains, everything after the cut
+    PLUS a 30-minute embargo tests, and rows inside the embargo belong
+    to neither — so a label computed over a trailing window near the
+    boundary can never see test-period data (the financial-ML purged
+    split). The cut is data-derived (80% of the corpus time range, in
+    exact integer microseconds), so the query is non-vacuous at every
+    scale factor; output is the split audit (counts, distinct users,
+    time bounds per side).
+
+    Scale: two scans — a 1-row min/max aggregate broadcast back, then
+    a map-only split predicate feeding one partial-agg groupBy over 3
+    keys. On a date-partitioned lake the predicate prunes partitions;
+    assignment is a pure function of ts, so appends never reshuffle
+    history between splits."""
+    from flod_spark.io import ts_micros
+
+    ev = load(spark, sf_dir, "events").select(
+        ts_micros("ts").alias("us"), "ts", "user_id"
+    )
+    c = ev.agg(
+        F.expr(
+            f"min(us) + ((max(us) - min(us)) * {_STE_FRAC_NUM}) div {_STE_FRAC_DEN}"
+        ).alias("cut")
+    )
+    s = ev.crossJoin(F.broadcast(c)).select(
+        F.when(F.col("us") <= F.col("cut"), "train")
+        .when(F.col("us") <= F.col("cut") + _STE_EMBARGO_US, "embargo")
+        .otherwise("test")
+        .alias("split"),
+        "ts",
+        "user_id",
+    )
+    return s.groupBy("split").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )

@@ -1513,3 +1513,82 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_oov").cast("long").alias("n_oov"),
         (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
     )
+
+
+# text_seg_dedup segment width (tokens). "Lines" in a CCNet-style
+# paragraph dedup; this corpus has no newlines, so fixed token windows
+# stand in as the exact-dedup unit. _SEG_RANGE_MAX uncorrelated-range
+# bound for the oracle (docs here cap near 100 tokens; 400 segments
+# covers 4000 — the shingle-oracle precedent).
+_SEG_W = 10
+_SEG_RANGE_MAX = 400
+
+
+@query(
+    "text_seg_dedup",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        f"    regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents), "
+        "s AS (SELECT doc_id, i AS seg_idx, "
+        f"    md5(array_to_string(list_slice(toks, i*{_SEG_W}+1, i*{_SEG_W}+{_SEG_W}), ' ')) AS h "
+        f"  FROM t, range(0, {_SEG_RANGE_MAX}) g(i) WHERE i < ceil(len(toks) / {_SEG_W}.0)), "
+        "r AS (SELECT doc_id, seg_idx, "
+        "    row_number() OVER (PARTITION BY h ORDER BY doc_id, seg_idx) AS rn FROM s), "
+        "d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs, "
+        "    CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs "
+        "  FROM r GROUP BY doc_id) "
+        "SELECT doc.doc_id, COALESCE(d.n_segs, 0) AS n_segs, "
+        "  COALESCE(d.n_dup_segs, 0) AS n_dup_segs, "
+        "  CAST(COALESCE(d.n_dup_segs, 0) AS DOUBLE) / NULLIF(COALESCE(d.n_segs, 0), 0) "
+        "    AS dup_frac "
+        "FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id"
+    ),
+)
+def text_seg_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style EXACT segment dedup across the corpus: each doc's
+    token stream splits into fixed _SEG_W-token segments (the stand-in
+    for paragraphs/lines — this corpus has none), each segment is
+    hashed, and the FIRST occurrence corpus-wide (min (doc_id,
+    seg_idx)) keeps it; every later occurrence is a dropped duplicate.
+    Per-doc report: segments, dropped segments, dup fraction — the
+    boilerplate-removal audit that runs before fuzzy dedup (exact
+    segment hits are the cheap 80% of near-dup mass; dedup_substring's
+    winnow anchors catch the shifted/edited rest).
+
+    Scale: segmentation is per-row array math inside the scan (no
+    explode until the hash rows, which carry 16-byte hashes + two
+    ints); the only exchanges are the rank on the segment hash and the
+    per-doc recount — both partial-agg friendly. The rank-on-hash is
+    dedup_exact's budget applied at segment granularity: |segments|
+    rows, never text."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))
+    n_segs = F.ceil(F.size(toks) / F.lit(float(_SEG_W))).cast("int")
+    segs = F.when(
+        n_segs > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.array_join(F.slice(toks, i * _SEG_W + 1, _SEG_W), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    s = docs.select("doc_id", F.posexplode_outer(segs).alias("seg_idx", "seg")).select(
+        "doc_id", "seg_idx", F.md5(F.col("seg").cast("binary")).alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "seg_idx")
+    r = s.filter(F.col("seg_idx").isNotNull()).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    d = r.groupBy("doc_id").agg(
+        F.count("*").alias("n_segs"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup_segs"),
+    )
+    base = docs.select("doc_id")
+    j = base.join(d, "doc_id", "left")
+    ns = F.coalesce("n_segs", F.lit(0)).cast("long")
+    nd = F.coalesce("n_dup_segs", F.lit(0)).cast("long")
+    return j.select(
+        "doc_id",
+        ns.alias("n_segs"),
+        nd.alias("n_dup_segs"),
+        (nd.cast("double") / F.nullif(ns, F.lit(0))).alias("dup_frac"),
+    )

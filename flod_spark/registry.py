@@ -72,56 +72,57 @@ def ensure_shipped(spark: SparkSession) -> None:
     spark.sparkContext.addPyFile(zpath)
     spark._flod_spark_shipped = True
 
+# The latest CORRECTNESS round the current gate window was planned from.
+# The rotation tests clamp driver_rounds() to this, so the driver dropping
+# CORRECTNESS_r{N+1}.json into the tree after the builder's final commit
+# cannot flip a committed-green pytest (round-6 verdict, top finding).
+_PLANNED_FROM_ROUND = 6
+
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). _GATE_ORDER makes the window explicit, and ROTATES each
 # round so every registered query earns at least one driver CORRECTNESS
 # row across rounds (round-2 verdict item 4). Rotation planning reads
 # COVERAGE.md (tools/coverage_table.py — per-qkey driver rounds +
 # staleness from CORRECTNESS_r*.json); tests/test_chains.py pins this
-# window against the same data so they cannot drift. Round-6 window =
-#   (a) every never-driver-gated qkey: the 5 late-round-5 registrations
-#       (cdc_apply, scd2_build, stream_heavy_hitters_live, udf_arrow,
-#       window_rolling_median — all parity-green since r5),
-#   (b) the new round-6 registrations (first driver row),
-#   (c) changed-implementation re-proofs (the simhash_pairs precedent):
-#       triangle_count (degree-oriented wedge enumeration), embed_pq /
-#       sim_pq_adc / sim_ivfpq (PQ geometry widened to M=8 x K=64 for
-#       the recall gate), quantile_exact_2pass (recursive refinement),
-#   (d) round-robin re-proofs of the STALEST driver rows (last proven
-#       round 2, registration order; COVERAGE.md's tail) filling to 50.
-#       New round-6 registrations displace (d) slots, never (a)-(c) —
-#       the (d) list below is the FULL 44-key r2-stale backlog, so the
-#       window self-adjusts: whatever (b) doesn't claim goes to the
-#       oldest re-proofs, and the overflow is round 7's (d).
+# window against the same data, clamped to _PLANNED_FROM_ROUND, so the
+# two cannot drift and later driver artifacts cannot break it.
+# Round-7 window =
+#   (b) the new round-7 registrations (first driver row) — they have no
+#       recorded row at _PLANNED_FROM_ROUND, so the membership test
+#       auto-derives them as must-gate,
+#   (c) changed-implementation re-proofs: stream_asof_enrich_live
+#       (iterrows loop vectorized to sorted-ffill, r6 verdict item 2),
+#       bars_ohlc + stream_bars_ohlc_live (open/close order key widened
+#       per ADVICE r6 — (ts, id) packing now dominates any event_id),
+#       udf_grouped_agg (half-away-from-zero cents rounding, ADVICE r6),
+#   (d) the FULL 26-key r2-stale backlog (r6 verdict "What's missing"
+#       item 2 — every remaining last-proven-r2 row re-proves this
+#       round), then the oldest r3-tier rows in registration order
+#       filling to 50. New round-7 registrations displace the r3 fill
+#       tail automatically (the window is the first 50 listed keys),
+#       never (c)/(d)-r2 slots; the r3 overflow is round 8's (d).
 # Keys not listed here sort after listed ones, in registration order.
 _GATE_ORDER = (
-    # (a) never driver-gated
-    "cdc_apply", "scd2_build", "stream_heavy_hitters_live", "udf_arrow",
-    "window_rolling_median",
-    # (b) new round-6 registrations
-    "stream_dedup_substring_live", "join_bloom", "sketch_countmin",
-    "bars_ohlc", "stream_cdc_apply_live", "bm25_score",
-    "window_rolling_regression", "stream_bars_ohlc_live",
-    "stream_asof_enrich_live", "udf_grouped_agg", "k_anonymity_audit",
-    "stream_sketch_countmin_live", "window_reset_cumsum",
-    "media_audio_rms", "join_asof_nearest", "embed_truncate_energy",
-    "graph_jaccard", "cdc_time_travel", "sample_temperature",
-    "stream_split_router_live", "vocab_coverage", "agg_mad",
+    # (b) new round-7 registrations
+    "stream_dedup_minhash_live", "graph_jaccard_approx", "join_asof_dim",
+    "dedup_semantic_text", "window_ewma", "agg_hyperloglog_exact",
+    "text_seg_dedup", "split_time_embargo",
     # (c) changed-implementation re-proofs
-    "triangle_count", "embed_pq", "sim_pq_adc", "sim_ivfpq",
-    "quantile_exact_2pass",
-    # (d) stalest-row re-proofs (last driver-proven round 2), filling
-    # to the 50-cap in registration order — overflow rolls to round 7
-    "scan_queue", "take_limit", "by_line", "by_chunk", "by_chunk_arrays",
-    "by_element", "adapter_noop", "sink_collect", "sink_discard",
-    "sink_file", "sink_copy", "scan_binary", "agg_group", "agg_distinct",
-    "join_equi", "join_anti", "join_asof", "join_range", "window_rank",
-    "sort_topk", "set_union", "set_except", "scalar_fns", "tpch_q6",
-    "tpch_q3", "stream_window", "stream_sliding", "stream_dedup",
-    "text_stats", "lang_id", "doc_quality", "json_extract", "dedup_exact",
-    "dedup_minhash", "dedup_simhash", "dedup_ngram", "sim_topk", "sim_lsh",
-    "embed_dedup", "media_meta", "udf_stage", "codec_gzip", "sample_hash",
-    "sample_stratified",
+    "stream_asof_enrich_live", "bars_ohlc", "stream_bars_ohlc_live",
+    "udf_grouped_agg",
+    # (d) stalest re-proofs: the full r2 tier (26 keys) ...
+    "codec_gzip", "dedup_exact", "dedup_minhash", "dedup_ngram",
+    "dedup_simhash", "doc_quality", "embed_dedup", "json_extract",
+    "lang_id", "media_meta", "sample_hash", "sample_stratified",
+    "scalar_fns", "set_except", "set_union", "sim_lsh", "sim_topk",
+    "sort_topk", "stream_dedup", "stream_sliding", "stream_window",
+    "text_stats", "tpch_q3", "tpch_q6", "udf_stage", "window_rank",
+    # ... then the oldest r3 tier in registration order, to the 50-cap
+    "by_line_sep", "tag_roundtrip", "agg_approx", "agg_rollup",
+    "agg_cube", "join_outer", "join_semi", "window_running",
+    "set_intersect", "agg_pivot", "agg_percentile", "agg_collect",
+    "tpch_q5", "array_fns", "join_salted", "agg_grouping_sets",
+    "window_range_frame", "tpch_q10", "tpch_q14", "tpch_q18",
 )
 
 

@@ -168,57 +168,35 @@ def test_take_stress_reference_scale(spark):
         assert got.m == (k - 1 if k else None)
 
 
-# Round-6 registrations (first driver row) and changed-implementation
-# re-proofs — the (b)/(c) classes the staleness data can't derive.
-ROUND6_NEW = {
-    "stream_dedup_substring_live",
-    "join_bloom",
-    "sketch_countmin",
-    "bars_ohlc",
-    "stream_cdc_apply_live",
-    "bm25_score",
-    "window_rolling_regression",
-    "stream_bars_ohlc_live",
-    "stream_asof_enrich_live",
-    "udf_grouped_agg",
-    "k_anonymity_audit",
-    "stream_sketch_countmin_live",
-    "window_reset_cumsum",
-    "media_audio_rms",
-    "join_asof_nearest",
-    "embed_truncate_energy",
-    "graph_jaccard",
-    "cdc_time_travel",
-    "sample_temperature",
-    "stream_split_router_live",
-    "vocab_coverage",
-    "agg_mad",
-}
-ROUND6_CHANGED = {
-    "triangle_count",        # degree-oriented wedge enumeration
-    "embed_pq", "sim_pq_adc", "sim_ivfpq",  # PQ geometry 8x64
-    "quantile_exact_2pass",  # recursive bucket refinement
+# Changed-implementation re-proofs for the CURRENT round — the (c) class
+# the staleness data can't derive. New registrations need no list: under
+# the _PLANNED_FROM_ROUND clamp they have no driver row, so the
+# membership test auto-derives them as must-gate.
+ROUND7_CHANGED = {
+    "stream_asof_enrich_live",  # iterrows loop vectorized (r6 verdict #2)
+    "bars_ohlc", "stream_bars_ohlc_live",  # open/close key packing widened
+    "udf_grouped_agg",          # half-away-from-zero cents rounding
 }
 
 
-def test_gate_window_round6_membership():
+def test_gate_window_membership():
     """The driver checks only the FIRST 50 queries() entries. Pin the
-    round-6 rotation against the RECORDED driver rows (COVERAGE.md's
-    source, tools/coverage_table.py::driver_rounds): every
-    never-driver-gated qkey, every round-6 registration, and every
-    changed-implementation re-proof must sit inside the window, and the
-    remaining slots must go to the stalest recorded rows — a silent
-    reorder or a new registration that forgets the rotation breaks the
-    every-query-gets-gated-once invariant here, not in the verdict."""
+    current rotation against the driver rows AS OF PLANNING TIME
+    (driver_rounds clamped to registry._PLANNED_FROM_ROUND): every qkey
+    with no driver row at planning time (= every new registration this
+    round), every changed-implementation re-proof, and every stalest-
+    tier row must sit inside the window. The clamp makes this test
+    immune to the driver dropping CORRECTNESS_r{N+1}.json into the tree
+    after the builder's final commit (the round-6 verdict's top finding:
+    the unclamped r6 tests broke the moment that artifact landed)."""
     import __spark_entry__ as e
+    from flod_spark import registry
     from tools.coverage_table import driver_rounds
 
     window = list(e.queries())[:50]
-    rows, latest = driver_rounds()
+    rows, latest = driver_rounds(max_round=registry._PLANNED_FROM_ROUND)
     never = {q for q, rs in rows.items() if not rs}
-    # every registration without a driver row must be in-window — this
-    # auto-covers round-6 additions (they have no CORRECTNESS row yet)
-    must_gate = never | ROUND6_NEW | ROUND6_CHANGED
+    must_gate = never | ROUND7_CHANGED
     missing = must_gate - set(window)
     assert not missing, f"rotated out of the 50-entry gate window: {missing}"
     assert len(window) == 50
@@ -238,23 +216,46 @@ def test_gate_window_round6_membership():
     assert no_oracle == {"agg_approx"}
     # gate_order() silently ignores unknown keys, so a typo'd entry in
     # _GATE_ORDER would silently drop a must-gate query — catch it here
-    from flod_spark import registry
-
     unknown = set(registry._GATE_ORDER) - set(e.queries())
     assert not unknown, f"_GATE_ORDER names unregistered queries: {unknown}"
+
+
+def test_planned_round_is_current():
+    """_PLANNED_FROM_ROUND must equal the latest CORRECTNESS round the
+    BUILDER could see when rotating the window. If the builder forgets
+    to bump it after a new driver round lands mid-round, the rotation
+    plans from stale staleness. Tolerate exactly one round of driver
+    lag (the artifact the driver drops after the final commit)."""
+    from flod_spark import registry
+    from tools.coverage_table import driver_rounds
+
+    _, latest = driver_rounds()
+    assert registry._PLANNED_FROM_ROUND in (latest, latest - 1), (
+        f"_PLANNED_FROM_ROUND={registry._PLANNED_FROM_ROUND} but the tree "
+        f"has CORRECTNESS rows through r{latest} — rotate the window and "
+        "bump the constant"
+    )
 
 
 def test_coverage_md_is_fresh():
     """COVERAGE.md is the rotation-planning artifact the registry
     comment points at — a registration that forgets to regenerate it
-    ships a stale never-gated list and silently misplans round 7.
-    Regenerate with `python tools/coverage_table.py`."""
+    ships a stale never-gated list and silently misplans the next
+    round. Regenerate with `python tools/coverage_table.py`. The
+    comparison clamps regeneration to the round recorded in the
+    committed file's header, so a NEWER driver artifact landing after
+    the final commit cannot make this fail (round-6 verdict, top
+    finding) — only forgetting to regenerate after registering can."""
     import pathlib
+    import re
 
     from tools.coverage_table import build_coverage_md
 
     committed = pathlib.Path(__file__).resolve().parents[1] / "COVERAGE.md"
-    assert committed.read_text() == build_coverage_md(), (
+    text = committed.read_text()
+    m = re.search(r"latest recorded round: r(\d+)", text)
+    assert m, "COVERAGE.md header lost its 'latest recorded round' marker"
+    assert text == build_coverage_md(max_round=int(m.group(1))), (
         "COVERAGE.md is stale — run `python tools/coverage_table.py`"
     )
 

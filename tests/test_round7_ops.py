@@ -198,3 +198,142 @@ class TestJoinAsofDim:
         assert got[2500] == (2005, "U", 20.0)  # flipped version
         assert got[1509] == (1009, "D", 66.0)  # tombstone, no fallback
 
+
+class TestTextSegDedup:
+    def test_first_occurrence_keeps_later_drops(self, spark, tmp_path):
+        """Doc 1 owns its segments; doc 2 repeats doc 1's first 10
+        tokens (one dup segment) plus 10 unique tokens; doc 3 repeats
+        its OWN first segment (self-dup counts too — the second copy
+        is dropped)."""
+        from flod_spark.catalog.text import text_seg_dedup
+
+        seg_a = " ".join(f"alpha{i}" for i in range(10))
+        seg_b = " ".join(f"beta{i}" for i in range(10))
+        seg_c = " ".join(f"gamma{i}" for i in range(10))
+        seg_d = " ".join(f"delta{i}" for i in range(10))
+        d = _docs_dir(
+            tmp_path,
+            [
+                (1, "en", seg_a + " " + seg_b),
+                (2, "en", seg_a + " " + seg_c),
+                (3, "en", seg_d + " " + seg_d),
+            ],
+        )
+        got = {
+            r["doc_id"]: (r["n_segs"], r["n_dup_segs"])
+            for r in text_seg_dedup(spark, d).collect()
+        }
+        assert got[1] == (2, 0)  # first occurrences of both segments
+        assert got[2] == (2, 1)  # seg_a already claimed by doc 1
+        assert got[3] == (2, 1)  # second copy of its own segment
+
+
+class TestDedupSemanticText:
+    def test_rare_tokens_dominate_boilerplate(self, spark, tmp_path):
+        """Two docs share rare vocabulary but differ in corpus-wide
+        boilerplate -> SAME signature (the weighted win). The
+        boilerplate tokens appear in every doc (weight ~1) while the
+        shared rare tokens (df=1-2, weight ~ilog2(N)) dominate the
+        votes. Sanity: a doc with disjoint rare vocabulary gets a
+        different signature."""
+        from flod_spark.catalog.dedup import dedup_semantic_text
+
+        # 4 boilerplate tokens/doc, appearing in EVERY doc (df = N ->
+        # weight 1, so |boiler vote| <= 4 per bit) vs 5 shared rare
+        # tokens (df = 2; with N = 43 docs, weight = ilog2(43) -
+        # ilog2(2) + 1 = 5, and an ODD count keeps the rare margin >=
+        # 5 per bit) — rare vocabulary dominates STRICTLY, so the
+        # collision is deterministic, not a lucky vote
+        boiler_a = "the quick brown fox"
+        boiler_b = "some fast red wolf"
+        rare1 = "zyxwvut qponmlk jihgfed tsrqpon mlkjihg"
+        rare2 = "aabbccdd eeffgghh iijjkkll mmnnoopp qqrrsstt"
+        rows = [
+            (1, "en", boiler_a + " " + rare1),
+            (2, "en", boiler_b + " " + rare1),
+            (3, "en", boiler_a + " " + rare2),
+        ]
+        # pad the corpus so boilerplate df is maximal (weight 1)
+        for i in range(4, 44):
+            rows.append((i, "en", boiler_a + " " + boiler_b + f" filler{i}"))
+        d = _docs_dir(tmp_path, rows)
+        got = {
+            r["doc_id"]: (r["simhash"], r["canonical_id"])
+            for r in dedup_semantic_text(spark, d).collect()
+        }
+        assert got[1][0] == got[2][0], "shared rare vocab must collide"
+        assert got[2][1] == 1  # canonical = min doc_id of the pair
+        assert got[3][0] != got[1][0], "disjoint rare vocab must differ"
+
+
+class TestWindowEwma:
+    def test_matches_python_model(self, spark, tmp_path):
+        """Closed-form check against a plain Python model of the
+        truncated adjusted EWM (weights 2^(H-1-k) over existing lags),
+        including the short-prefix renormalization."""
+        import datetime as dt
+
+        from flod_spark.catalog.relational import _EWMA_H, _EWMA_W, window_ewma
+
+        t0 = dt.datetime(2025, 1, 1)
+        vals = [1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0, 256.0, 512.0]
+        d = str(tmp_path / "sfewma")
+        os.makedirs(d, exist_ok=True)
+        pd.DataFrame(
+            {
+                "event_id": pd.Series(range(1, len(vals) + 1), dtype="int64"),
+                "ts": pd.Series(
+                    [t0 + dt.timedelta(minutes=i) for i in range(len(vals))],
+                    dtype="datetime64[us]",
+                ),
+                "user_id": pd.Series([1] * len(vals), dtype="int64"),
+                "event_type": ["view"] * len(vals),
+                "value": vals,
+                "props": ["{}"] * len(vals),
+            }
+        ).to_parquet(f"{d}/events.parquet")
+        got = {
+            r["event_id"]: r["ewma_8"] for r in window_ewma(spark, d).collect()
+        }
+        for t in range(len(vals)):
+            ks = range(min(t + 1, _EWMA_H))
+            num = sum(_EWMA_W[k] * vals[t - k] for k in ks)
+            den = sum(_EWMA_W[k] for k in ks)
+            assert got[t + 1] == num / den, t
+
+
+class TestAggHyperloglogExact:
+    def test_estimate_within_sketch_error(self, spark, sf_dir):
+        """HLL with m=64 registers carries ~13% standard error (linear
+        counting tightens the small range); pin a 3-sigma-ish 35%
+        relative-error ceiling per group, plus estimator sanity."""
+        from flod_spark.catalog.analytics import agg_hyperloglog_exact
+
+        rows = agg_hyperloglog_exact(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            rel = abs(r["hll_est"] - r["n_true"]) / r["n_true"]
+            assert rel < 0.35, (r["event_type"], r["n_true"], r["hll_est"])
+            assert 0 <= r["n_zero_regs"] <= 64
+
+
+class TestSplitTimeEmbargo:
+    def test_partition_and_gap_invariants(self, spark, sf_dir):
+        """The three sides partition the corpus, the embargo really
+        separates them: max train ts + embargo < min test ts, and no
+        event is lost or double-counted."""
+        import duckdb
+
+        from flod_spark.catalog.sampling import _STE_EMBARGO_US, split_time_embargo
+
+        got = {r["split"]: r for r in split_time_embargo(spark, sf_dir).collect()}
+        total = duckdb.sql(
+            f"SELECT COUNT(*) FROM '{sf_dir}/events.parquet'"
+        ).fetchone()[0]
+        assert sum(r["n_events"] for r in got.values()) == total
+        assert got["train"]["n_events"] > 0 and got["test"]["n_events"] > 0
+        gap_us = (
+            got["test"]["min_ts"] - got["train"]["max_ts"]
+        ).total_seconds() * 1e6
+        assert gap_us > _STE_EMBARGO_US
+
