@@ -90,11 +90,20 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--non-gated"]
+    non_gated = "--non-gated" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as e
+
+    if non_gated:
+        # the complement sweep: every registered query OUTSIDE the
+        # driver's 50-entry gate window (the per-round staleness SLA in
+        # COVERAGE.md's header — the driver re-proves the window, this
+        # sweep re-proves the rest)
+        only = set(list(e.queries())[50:])
     if os.environ.get("PARITY_BARE"):
         # exact driver replica: a vanilla session, none of our confs
         from pyspark.sql import SparkSession
