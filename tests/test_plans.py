@@ -349,6 +349,14 @@ HEADLINE_PINS = {
     "entity_resolve": (5, 1),
     "sim_ivfpq": (6, 1),
     "quantile_exact_2pass": (0, 0),
+    # round-7 additions (fingerprinted at sf0.001 at introduction)
+    "graph_jaccard_approx": (7, 0),
+    "dedup_semantic_text": (5, 0),
+    "join_asof_dim": (1, 0),
+    "text_seg_dedup": (2, 0),
+    "window_ewma": (1, 0),
+    "split_time_embargo": (2, 0),
+    "agg_hyperloglog_exact": (6, 0),
 }
 
 
