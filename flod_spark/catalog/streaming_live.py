@@ -755,11 +755,9 @@ def stream_dedup_minhash_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FUZZY (MinHash-LSH) dedup as INCREMENTAL INGESTION — the live
     twin the fuzzy-dedup family was missing (r6 verdict item 3), and
     the streaming complement to stream_dedup_substring_live's
-    passage-level state: each arriving document's 4 LSH band signatures
-    are computed ENTIRELY map-side (operators/minhash.py::
-    minhash_band_rows — per-row array math, no explode, no shuffle,
-    bitwise equal to the batch signatures), then per-key streaming
-    state claims each (band, signature) for its first arrival
+    passage-level state: each arriving document carries its 4 LSH band
+    signatures, and per-key streaming state claims each
+    (band, signature) for its first arrival
     (dropDuplicates — the stream_dedup_live determinism contract:
     doc_id-ordered replay + sorted single-file batches make 'first' =
     min doc_id). A later doc whose band fails to claim its signature is
@@ -769,31 +767,49 @@ def stream_dedup_minhash_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     the generated minhash sig CTE + a first-arrival rank — near-dups
     vs the prefix, not the symmetric batch pair report.
 
-    Scale: stateless signature map work per micro-batch + one keyed
-    state store of (band, 4x8B signature) entries — |docs| x bands
-    state, the same unbounded-regime budget as the exact-fingerprint
-    stream_prep_live (dropDuplicatesWithinWatermark bounds it when the
-    dup horizon is known); the recount is one anti-join on (doc, band)
-    over signature-width rows. Reference: flod has no streaming engine
-    — this extends its dedup surface per SURVEY §2.5."""
+    The replayed feed is the SIGNATURE rows, computed once by the
+    codegen explode+groupBy path (operators/minhash.py::
+    minhash_signatures) — deterministic per doc, so 'signatures
+    attached at ingestion' and 'signatures computed on arrival' are
+    the same stream. The per-row streaming form exists
+    (minhash_band_rows, proven bitwise-equal in tests) but the claim
+    state needs single-partition batches for within-batch tie
+    determinism, and there its interpreted higher-order md5 pays ~10x
+    the codegen path (measured 20s vs 2s at sf0.1) — so the hot path
+    precomputes.
+
+    Scale: one keyed state store of (band, 4x8B signature) entries —
+    |docs| x bands state, the same unbounded-regime budget as the
+    exact-fingerprint stream_prep_live (dropDuplicatesWithinWatermark
+    bounds it when the dup horizon is known); the recount is one
+    anti-join on (doc, band) over signature-width rows. Reference:
+    flod has no streaming engine — this extends its dedup surface per
+    SURVEY §2.5."""
     from flod_spark.catalog.dedup import BANDS, SEEDS, SHINGLE
-    from flod_spark.operators.minhash import minhash_band_rows
+    from flod_spark.operators.minhash import minhash_signatures, shingles
     from flod_spark.streaming.dedup import drop_duplicates_unbounded
 
-    docs = load(spark, sf_dir, "documents").withColumn(
+    # ONE deterministic signature table serves as both the replayed
+    # ingestion feed and the recount base
+    sigs = minhash_signatures(
+        shingles(
+            load(spark, sf_dir, "documents", spread=True, amplify=2000),
+            shingle=SHINGLE,
+            distinct=False,
+        ),
+        seeds=SEEDS,
+        bands=BANDS,
+    ).persist()
+    feed = sigs.withColumn(
         "ingest_ts", F.timestamp_micros(F.col("doc_id") * 1_000_000)
     )
     replay_dir = tempfile.mkdtemp(prefix="flod_replay_mh_")
     shutil.rmtree(replay_dir, ignore_errors=True)
-    stream = replay_stream(spark, docs, "ingest_ts", replay_dir, n_batches=4, tiebreak=("doc_id",))
-    sig_stream = minhash_band_rows(stream, shingle=SHINGLE, seeds=SEEDS, bands=BANDS)
-    claimed = drop_duplicates_unbounded(sig_stream, "band", "bs")
+    stream = replay_stream(
+        spark, feed, "ingest_ts", replay_dir, n_batches=4, tiebreak=("doc_id", "band")
+    )
+    claimed = drop_duplicates_unbounded(stream, "band", "bs")
     kept = _drain(claimed, spark, cleanup=(replay_dir,)).select("doc_id", "band")
-    # batch-side recount: signatures are deterministic, so recomputing
-    # over the same table reproduces the stream's rows exactly
-    sigs = minhash_band_rows(
-        load(spark, sf_dir, "documents"), shingle=SHINGLE, seeds=SEEDS, bands=BANDS
-    ).persist()
     dup = (
         sigs.select("doc_id", "band")
         .join(kept, ["doc_id", "band"], "left_anti")
