@@ -91,6 +91,23 @@ HEADLINE = [
     # late round-6: stateful enrichment (the O(1)-per-probe temporal
     # join — regression here means state-op overhead crept up)
     "stream_asof_enrich_live",
+    # round-7 bench hygiene (r6 verdict item 6): the remaining round-6
+    # live queries + their batch twins, so every streaming code path has
+    # regression visibility
+    "stream_cdc_apply_live",
+    "stream_bars_ohlc_live",
+    "stream_sketch_countmin_live",
+    "stream_split_router_live",
+    "sketch_countmin",
+    "bars_ohlc",
+    # round-7 flagships: the streaming fuzzy dedup (map-only band
+    # signatures + keyed claim state), the sketch node-similarity (the
+    # no-pair-join path), and the weighted semantic fingerprint (token
+    # shuffle + broadcast weight join)
+    "stream_dedup_minhash_live",
+    "graph_jaccard_approx",
+    "dedup_semantic_text",
+    "join_asof_dim",
 ]
 
 

@@ -821,6 +821,17 @@ def agg_hyperloglog_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "user_id")
         .distinct()
     )
+    regs = _hll_register_rows(ev).groupBy("event_type", "j").agg(
+        F.max("rk").alias("mj")
+    )
+    return _hll_finalize(regs, ev)
+
+
+def _hll_register_rows(ev: DataFrame) -> DataFrame:
+    """(event_type, register index j, rank rk) per input row — the
+    map-side half of the HLL build, shared with the live twin (rank =
+    leading zeros + 1 over the 52-bit md5 suffix; MAX-merge downstream
+    is idempotent, so upstream duplicates are harmless)."""
     from flod_spark.functions.hashbridge import salted_mod
 
     h16 = F.md5(F.concat(F.lit("hll|"), F.col("user_id").cast("string")).cast("binary"))
@@ -828,10 +839,16 @@ def agg_hyperloglog_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank = F.when(v > 0, F.lit(53) - F.length(F.conv(v.cast("string"), 10, 2))).otherwise(
         F.lit(53)
     )
-    h = ev.select(
+    return ev.select(
         "event_type", salted_mod(F.col("user_id"), "hll|", _HLL_M).alias("j"), rank.alias("rk")
     )
-    regs = h.groupBy("event_type", "j").agg(F.max("rk").alias("mj"))
+
+
+def _hll_finalize(regs: DataFrame, ev: DataFrame) -> DataFrame:
+    """Estimate phase from MAX-merged registers: densify to all m
+    registers, integer harmonic sum, one float divide, linear-counting
+    branch from the shared ln table; audited against the exact distinct
+    count from ``ev`` (a DISTINCT (event_type, user_id) frame)."""
     groups = ev.select("event_type").distinct()
     allr = (
         groups.select(
@@ -1016,3 +1033,93 @@ def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers")
         )
     )
+
+
+# graph_kcore: peel rounds (fixed, unrolled in the oracle) and the
+# data-derived core threshold k = ceil(mean degree) — at the gate
+# scales 5 rounds reach the true k-core fixpoint (pytest-pinned), while
+# the bound keeps the oracle expressible as plain unrolled SQL.
+_KCORE_ROUNDS = 5
+
+
+def _kcore_oracle() -> str:
+    ctes = [
+        "e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a, "
+        "    's' || CAST(l_suppkey AS VARCHAR) AS b "
+        "  FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        "sym0 AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0)",
+        # k = floor(mean degree / 2), pure integers — measured: full
+        # mean-degree k collapses this near-regular bipartite graph to
+        # nothing within the peel rounds, half of it peels the sparse
+        # fringe and keeps a real core at every gate scale
+        "kk AS (SELECT CAST(COUNT(*) AS BIGINT) "
+        "    // (2 * COUNT(DISTINCT a)) AS k FROM sym0)",
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        p = r - 1
+        ctes.append(
+            f"n{r} AS (SELECT a FROM (SELECT a, COUNT(*) AS d FROM sym{p} GROUP BY a), kk "
+            "  WHERE d >= k)"
+        )
+        ctes.append(
+            f"sym{r} AS (SELECT s.a, s.b FROM sym{p} s "
+            f"  JOIN n{r} x ON s.a = x.a JOIN n{r} y ON s.b = y.a)"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree "
+        f"FROM sym{_KCORE_ROUNDS} GROUP BY a"
+    )
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-CORE decomposition (bounded peel) over the customer-supplier
+    bipartite graph — the density-core extraction that finds the
+    'always-trading' kernel (and, run on a similarity graph, the dense
+    duplicate communities): repeatedly delete every node whose degree
+    fell below k, where k = floor(mean degree / 2) is data-derived so
+    the peel both removes a real fringe and keeps a non-empty core at
+    every scale factor. _KCORE_ROUNDS rounds are
+    unrolled — the oracle is the same peel as plain SQL stages, and the
+    fixpoint test pins that the bound suffices at gate scale (a full
+    k-core is this loop to quiescence).
+
+    Scale: pagerank_iter's iterative-template rules — the symmetric
+    edge table is built once and localCheckpointed, each round is ONE
+    degree aggregate (partial-agg on the node key) + two semi-joins of
+    the edge table against the shrinking survivor set (broadcast once
+    survivors fit, AQE decides), and checkpointing between rounds keeps
+    round r's plan O(1) instead of O(r) (the unrolled-lineage trap).
+    Peeling only shrinks data, so later rounds get cheaper — the
+    classic iterative-graph cost profile."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    sym = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    kk = sym.agg(
+        F.expr("cast(count(*) as bigint) div (2 * count(distinct a))").alias("k")
+    )
+    k = kk.first()["k"]  # 1-row aggregate; the peel threshold is a scalar
+    for _ in range(_KCORE_ROUNDS):
+        surv = (
+            sym.groupBy("a")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= k)
+            .select("a")
+        )
+        sym = (
+            sym.join(surv, "a", "left_semi")
+            .join(surv.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint()
+        )
+    return sym.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("degree"))

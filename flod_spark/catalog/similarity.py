@@ -1182,3 +1182,52 @@ def embed_truncate_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d in _MRL_DIMS
     ]
     return e.select("vec_id", *cols, _dot_spark(F.col("v"), F.col("v")).alias("e_full"))
+
+
+@query(
+    "sim_mips",
+    oracle=(
+        "WITH " + _QVEC_SQL.format(nq=NQ) + ", "
+        "c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings), "
+        "s AS (SELECT query_id, neighbor_id, "
+        f"    {_DOT.format(a='qv', b='cv')} AS ip "
+        "  FROM q, c WHERE query_id <> neighbor_id), "
+        "r AS (SELECT query_id, neighbor_id, ip, "
+        "    row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS rk FROM s) "
+        f"SELECT query_id, neighbor_id, ip AS inner_product, CAST(rk AS BIGINT) AS rk "
+        f"FROM r WHERE rk <= {K}"
+    ),
+)
+def sim_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-INNER-PRODUCT top-k (MIPS) — the recommendation-serving
+    retrieval next to sim_topk's cosine: user x item scoring ranks by
+    raw dot product, where a long (popular/confident) item vector
+    legitimately outranks a nearer-by-angle short one — the semantics
+    two-tower recommenders and rerankers actually serve, NOT nearest-
+    neighbor (cosine deliberately divides that norm signal away). Same
+    sequential-fold dot product as the whole similarity family, so the
+    scores are bit-identical across engines; ties break on neighbor_id.
+
+    Scale: queries broadcast, corpus scanned once, per-query top-k via
+    the window on the tiny query partition count — sim_topk's budget.
+    The classic scale path is the norm-augmentation reduction
+    (append sqrt(M^2 - |v|^2) to each item, unit-query cosine ANN over
+    the lifted space) feeding the existing sim_lsh/sim_ivf machinery —
+    documented handoff, same as sim_topk's."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = (
+        emb.orderBy("vec_id")
+        .limit(NQ)
+        .select(F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv"))
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("cv"))
+    crossed = c.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = crossed.select(
+        "query_id", "neighbor_id", _dot_spark(F.col("qv"), F.col("cv")).alias("ip")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("ip").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= K)
+        .select("query_id", "neighbor_id", F.col("ip").alias("inner_product"), "rk")
+    )

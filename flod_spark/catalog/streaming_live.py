@@ -1232,6 +1232,60 @@ def stream_sketch_countmin_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keys.join(est, "user_id")
 
 
+def _hll_live_oracle() -> str:
+    from flod_spark.catalog.analytics import agg_hyperloglog_exact  # noqa: F401
+
+    from flod_spark.registry import ORACLES
+
+    return ORACLES["agg_hyperloglog_exact"]
+
+
+@query("stream_hll_live", oracle=_hll_live_oracle())
+def stream_hll_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog registers maintained ON THE LIVE PATH — streaming
+    cardinality, the classic 'distinct users right now' dashboard
+    metric: each event maps to its (group, register, rank) row
+    map-side (the exact batch construction — MAX-merge is idempotent,
+    so no distinct pass is needed on a stream), and registers are an
+    update-mode MAX aggregation. A register's value only GROWS, so its
+    emissions are monotone and the per-(group, register) max over the
+    accumulated memory-sink rows IS the final register state —
+    stream_agg_update_live's determinism argument, the same as the
+    Count-Min twin. The estimate phase then runs batch-side on the
+    drained registers, so the oracle is agg_hyperloglog_exact's
+    verbatim.
+
+    Scale: streaming state is |groups| x m registers — constant in the
+    stream length, the entire point of sketching cardinality (a
+    streaming COUNT(DISTINCT) would hold every key in state); each
+    micro-batch MAX-combines map-side to at most |groups| x m rows
+    before the state store."""
+    from flod_spark.catalog.analytics import _hll_finalize, _hll_register_rows
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "user_id", "ts", "event_id"
+    ).filter(F.col("user_id").isNotNull())
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_hll_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(
+        spark, ev, "ts", replay_dir, n_batches=4, tiebreak=("event_id",)
+    )
+    cells = (
+        _hll_register_rows(with_event_time(stream))
+        .groupBy("event_type", "j")
+        .agg(F.max("rk").alias("rk"))
+    )
+    got = _drain(cells, spark, output_mode="update", cleanup=(replay_dir,))
+    regs = got.groupBy("event_type", "j").agg(F.max("rk").alias("mj"))
+    ev_b = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    return _hll_finalize(regs, ev_b)
+
+
 def _cdc_live_oracle() -> str:
     from flod_spark.catalog.relational import _CDC_LOG_SQL
 

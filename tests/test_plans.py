@@ -357,6 +357,10 @@ HEADLINE_PINS = {
     "window_ewma": (1, 0),
     "split_time_embargo": (2, 0),
     "agg_hyperloglog_exact": (6, 0),
+    # localCheckpoint truncates the peel lineage, so only the final
+    # degree aggregate shows — the O(1)-plan-per-round property itself
+    "graph_kcore": (1, 0),
+    "sim_mips": (1, 0),
 }
 
 

@@ -317,6 +317,84 @@ class TestAggHyperloglogExact:
             assert 0 <= r["n_zero_regs"] <= 64
 
 
+class TestStreamHllLive:
+    def test_rows_identical_to_batch(self, spark, sf_dir):
+        """The live register build MAX-merges the same (group, register,
+        rank) rows the batch build aggregates, so the drained estimate
+        must be ROW-IDENTICAL to agg_hyperloglog_exact — the
+        batch/stream agreement extended to cardinality sketches."""
+        from flod_spark.catalog.analytics import agg_hyperloglog_exact
+        from flod_spark.catalog.streaming_live import stream_hll_live
+
+        live = {tuple(r) for r in stream_hll_live(spark, sf_dir).collect()}
+        batch = {tuple(r) for r in agg_hyperloglog_exact(spark, sf_dir).collect()}
+        assert live == batch and live
+
+
+class TestGraphKcore:
+    def test_fixpoint_and_core_property(self, spark, sf_dir):
+        """The bounded peel must have CONVERGED at gate scale (one more
+        peel changes nothing) — then the output really is the k-core:
+        every surviving node's degree within the core is >= k."""
+        from flod_spark.catalog.analytics import graph_kcore
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        e0 = (
+            o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .select(
+                F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+                F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+            )
+            .distinct()
+        )
+        sym = e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        k = sym.agg(
+            F.expr("cast(count(*) as bigint) div (2 * count(distinct a))")
+        ).first()[0]
+        got = {r["node"]: r["degree"] for r in graph_kcore(spark, sf_dir).collect()}
+        assert got, "peel emptied the graph — k is miscalibrated"
+        assert min(got.values()) >= k  # converged: nobody left to peel
+        # and it peeled SOMETHING (non-vacuous at gate scale)
+        n_nodes = sym.select("a").distinct().count()
+        assert len(got) < n_nodes
+
+
+class TestSimMips:
+    def test_norm_wins_over_angle(self, spark, tmp_path):
+        """The MIPS-vs-cosine separation, planted: the query's nearest
+        neighbor BY ANGLE is a short vector, but a longer vector at a
+        wider angle carries a bigger inner product — MIPS must rank the
+        long one first (cosine would invert it)."""
+        import numpy as np
+
+        from flod_spark.catalog.similarity import DIM, sim_mips
+
+        d = str(tmp_path / "sfmips")
+        os.makedirs(d, exist_ok=True)
+        q = np.zeros(DIM, dtype="float32"); q[0] = 1.0
+        same_dir_short = q * 0.5                      # cos 1.0, ip 0.5
+        wide_long = np.zeros(DIM, dtype="float32")
+        wide_long[0] = 2.0; wide_long[1] = 2.0        # cos 0.707, ip 2.0
+        filler = np.zeros(DIM, dtype="float32"); filler[2] = 0.1
+        rows = [(0, q), (1, same_dir_short), (2, wide_long), (3, filler)]
+        # sim_mips takes the first NQ vec_ids as queries; only query 0
+        # matters here, the rest pad determinism
+        pd.DataFrame(
+            {
+                "vec_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "embedding": [r[1].tolist() for r in rows],
+                "label": pd.Series([0] * len(rows), dtype="int32"),
+            }
+        ).to_parquet(f"{d}/embeddings.parquet")
+        got = {
+            (r["query_id"], r["rk"]): r["neighbor_id"]
+            for r in sim_mips(spark, d).collect()
+        }
+        assert got[(0, 1)] == 2  # the long wide vector wins on ip
+        assert got[(0, 2)] == 1  # the short aligned one is second
+
+
 class TestSplitTimeEmbargo:
     def test_partition_and_gap_invariants(self, spark, sf_dir):
         """The three sides partition the corpus, the embargo really
