@@ -1107,9 +1107,18 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint()
     kk = sym.agg(
-        F.expr("cast(count(*) as bigint) div (2 * count(distinct a))").alias("k")
+        # NULL (not an ANSI divide-by-zero) on an empty graph
+        F.expr(
+            "case when count(distinct a) = 0 then null "
+            "else cast(count(*) as bigint) div (2 * count(distinct a)) end"
+        ).alias("k")
     )
-    k = kk.first()["k"]  # 1-row aggregate; the peel threshold is a scalar
+    # 1-row aggregate; the peel threshold is a scalar. An empty graph
+    # yields NULL (0 div 0) — return the empty core rather than peel
+    # against a NULL comparison.
+    k = kk.first()["k"]
+    if k is None:
+        return sym.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("degree"))
     for _ in range(_KCORE_ROUNDS):
         surv = (
             sym.groupBy("a")

@@ -395,6 +395,73 @@ class TestSimMips:
         assert got[(0, 2)] == 1  # the short aligned one is second
 
 
+class TestRound7EmptyInputs:
+    """Every new batch op must return an empty (or degenerate-correct)
+    frame — not crash — on empty inputs (regenerated testdata
+    insurance, the r6 convention)."""
+
+    def test_doc_ops_survive_empty_documents(self, spark, tmp_path):
+        from flod_spark.catalog.dedup import dedup_semantic_text
+        from flod_spark.catalog.text import text_seg_dedup
+
+        d = _docs_dir(tmp_path, [])
+        for fn in (dedup_semantic_text, text_seg_dedup):
+            assert fn(spark, d).count() == 0, fn.__name__
+
+    def test_event_ops_survive_empty_events(self, spark, tmp_path):
+        from flod_spark.catalog.analytics import agg_hyperloglog_exact
+        from flod_spark.catalog.relational import window_ewma
+        from flod_spark.catalog.sampling import split_time_embargo
+
+        d = str(tmp_path / "sfempty")
+        os.makedirs(d, exist_ok=True)
+        pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "user_id": pd.Series([], dtype="int64"),
+                "event_type": pd.Series([], dtype="object"),
+                "value": pd.Series([], dtype="float64"),
+                "props": pd.Series([], dtype="object"),
+            }
+        ).to_parquet(f"{d}/events.parquet")
+        for fn in (agg_hyperloglog_exact, window_ewma, split_time_embargo):
+            assert fn(spark, d).count() == 0, fn.__name__
+
+    def test_graph_ops_survive_empty_lineitem(self, spark, tmp_path):
+        from flod_spark.catalog.analytics import graph_jaccard_approx, graph_kcore
+
+        d = str(tmp_path / "sfemptyli")
+        os.makedirs(d, exist_ok=True)
+        pd.DataFrame(
+            {
+                "l_orderkey": pd.Series([], dtype="int64"),
+                "l_suppkey": pd.Series([], dtype="int64"),
+            }
+        ).to_parquet(f"{d}/lineitem.parquet")
+        pd.DataFrame(
+            {
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "o_custkey": pd.Series([], dtype="int64"),
+            }
+        ).to_parquet(f"{d}/orders.parquet")
+        assert graph_jaccard_approx(spark, d).count() == 0
+        assert graph_kcore(spark, d).count() == 0  # NULL-k guard path
+
+    def test_seg_dedup_empty_text_doc(self, spark, tmp_path):
+        """A present-but-empty document reports (0, 0, NULL) — zero
+        segments, not a crash and not a phantom empty-string segment."""
+        from flod_spark.catalog.text import text_seg_dedup
+
+        d = _docs_dir(tmp_path, [(1, "en", ""), (2, "en", "alpha beta")])
+        got = {
+            r["doc_id"]: (r["n_segs"], r["n_dup_segs"], r["dup_frac"])
+            for r in text_seg_dedup(spark, d).collect()
+        }
+        assert got[1] == (0, 0, None)
+        assert got[2] == (1, 0, 0.0)
+
+
 class TestSplitTimeEmbargo:
     def test_partition_and_gap_invariants(self, spark, sf_dir):
         """The three sides partition the corpus, the embargo really
