@@ -379,3 +379,101 @@ def test_asof_nearest_matches_python_model(spark, events):
         else:
             want = f[1]
         assert got.get(lid) == want, f"left {lid}: got {got.get(lid)} want {want}"
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.015625, max_value=500, width=32),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_window_ewma_matches_python_model(spark, tmp_path_factory, vals):
+    """window_ewma == the plain-Python truncated adjusted EWM (integer
+    2^k weights over existing lags, decimal-exact numerator) for
+    arbitrary single-user series — including prefixes shorter than the
+    horizon, where the denominator renormalizes."""
+    import datetime as dt
+    import os
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from flod_spark.catalog.relational import _EWMA_H, _EWMA_W, window_ewma
+
+    d = str(tmp_path_factory.mktemp("sfewmaprop"))
+    os.makedirs(d, exist_ok=True)
+    t0 = dt.datetime(2025, 1, 1)
+    pd.DataFrame(
+        {
+            "event_id": pd.Series(range(1, len(vals) + 1), dtype="int64"),
+            "ts": pd.Series(
+                [t0 + dt.timedelta(seconds=i) for i in range(len(vals))],
+                dtype="datetime64[us]",
+            ),
+            "user_id": pd.Series([1] * len(vals), dtype="int64"),
+            "event_type": ["view"] * len(vals),
+            "value": vals,
+            "props": ["{}"] * len(vals),
+        }
+    ).to_parquet(f"{d}/events.parquet")
+    got = {r["event_id"]: r["ewma_8"] for r in window_ewma(spark, d).collect()}
+    # model: quantize to DECIMAL(18,6) exactly as the engines do, weight
+    # in exact integers, one closing float division
+    q = [Decimal(str(float(v))).quantize(Decimal("0.000001")) for v in vals]
+    for t in range(len(vals)):
+        ks = range(min(t + 1, _EWMA_H))
+        num = sum(_EWMA_W[k] * q[t - k] for k in ks)
+        den = sum(_EWMA_W[k] for k in ks)
+        assert got[t + 1] == float(num) / den, (t, vals)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=25
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_text_seg_dedup_matches_python_model(spark, tmp_path_factory, docs):
+    """text_seg_dedup == the plain-Python first-occurrence segment model
+    over a tiny token alphabet (dense duplicate segments, incl. within
+    one doc and across docs)."""
+    import os
+
+    import pandas as pd
+
+    from flod_spark.catalog.text import _SEG_W, text_seg_dedup
+
+    d = str(tmp_path_factory.mktemp("sfsegprop"))
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": pd.Series(range(1, len(docs) + 1), dtype="int64"),
+            "lang": ["en"] * len(docs),
+            "text": docs,
+        }
+    ).to_parquet(f"{d}/documents.parquet")
+    seen: set[str] = set()
+    expect = {}
+    for i, t in enumerate(docs, 1):
+        toks = [w for w in t.split() if w]
+        segs = [
+            " ".join(toks[j : j + _SEG_W]) for j in range(0, len(toks), _SEG_W)
+        ]
+        dup = 0
+        for s in segs:
+            if s in seen:
+                dup += 1
+            else:
+                seen.add(s)
+        expect[i] = (len(segs), dup)
+    got = {
+        r["doc_id"]: (r["n_segs"], r["n_dup_segs"])
+        for r in text_seg_dedup(spark, d).collect()
+    }
+    assert got == expect, docs
