@@ -108,6 +108,11 @@ HEADLINE = [
     "graph_jaccard_approx",
     "dedup_semantic_text",
     "join_asof_dim",
+    # late round-7: streaming cardinality, the iterative k-core peel,
+    # and MIPS retrieval
+    "stream_hll_live",
+    "graph_kcore",
+    "sim_mips",
 ]
 
 
