@@ -1593,3 +1593,55 @@ def stream_heavy_hitters_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") * F.lit(_HH_C) > F.col("n"))
         .select("user_id", "cnt")
     )
+
+
+def _bitmap_live_oracle() -> str:
+    from flod_spark.catalog.analytics import agg_bitmap_distinct  # noqa: F401
+
+    from flod_spark.registry import ORACLES
+
+    return ORACLES["agg_bitmap_distinct"]
+
+
+@query("stream_bitmap_distinct_live", oracle=_bitmap_live_oracle())
+def stream_bitmap_distinct_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT streaming distinct counts by bitmap state — the live twin
+    of agg_bitmap_distinct and the exact counterpart to
+    stream_hll_live's approximation: per-(group, word) bitmap words are
+    an update-mode BIT_OR aggregation, and since OR only SETS bits a
+    word's integer value is non-decreasing across emissions — the
+    per-key max over the accumulated memory-sink rows IS the final
+    bitmap (the Count-Min/HLL monotone-emission argument, third
+    instance). popcount over the drained words is the exact distinct
+    count at any moment — the 'exactly how many distinct users today'
+    dashboard without a nightly batch recount.
+
+    Scale: state is |groups| x |key-space|/32 words — bounded by the
+    KEY SPACE, not the stream (dense surrogate keys: 8B per 32 ids);
+    each micro-batch OR-combines map-side before the state store. The
+    sparse/huge key space is where the HLL twin or a roaring encoding
+    takes over — same handoff as the batch form."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "user_id", "ts", "event_id"
+    ).filter(F.col("user_id").isNotNull())
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_bm_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(
+        spark, ev, "ts", replay_dir, n_batches=4, tiebreak=("event_id",)
+    )
+    words = (
+        with_event_time(stream)
+        .select(
+            "event_type",
+            F.expr("user_id div 32").alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), cast(user_id % 32 as int))").alias("mask"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.bit_or("mask").alias("bm"))
+    )
+    got = _drain(words, spark, output_mode="update", cleanup=(replay_dir,))
+    final = got.groupBy("event_type", "word").agg(F.max("bm").alias("bm"))
+    return final.groupBy("event_type").agg(
+        F.sum(F.bit_count("bm")).cast("long").alias("n_distinct"),
+        F.count("*").alias("n_words"),
+    )

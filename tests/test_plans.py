@@ -361,6 +361,7 @@ HEADLINE_PINS = {
     # degree aggregate shows — the O(1)-plan-per-round property itself
     "graph_kcore": (1, 0),
     "sim_mips": (1, 0),
+    "agg_bitmap_distinct": (2, 0),
 }
 
 

@@ -331,6 +331,32 @@ class TestStreamHllLive:
         assert live == batch and live
 
 
+class TestAggBitmapDistinct:
+    def test_exact_equals_count_distinct(self, spark, sf_dir):
+        """The bitmap count is EXACT — it must equal COUNT(DISTINCT)
+        per group, bit for bit, and the live twin must be row-identical
+        to the batch form (OR-monotone emission argument)."""
+        from flod_spark.catalog.analytics import agg_bitmap_distinct
+        from flod_spark.catalog.streaming_live import stream_bitmap_distinct_live
+
+        got = {
+            r["event_type"]: r["n_distinct"]
+            for r in agg_bitmap_distinct(spark, sf_dir).collect()
+        }
+        truth = {
+            r["event_type"]: r["n"]
+            for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+            .filter(F.col("user_id").isNotNull())
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        assert got == truth and got
+        live = {tuple(r) for r in stream_bitmap_distinct_live(spark, sf_dir).collect()}
+        batch = {tuple(r) for r in agg_bitmap_distinct(spark, sf_dir).collect()}
+        assert live == batch
+
+
 class TestGraphKcore:
     def test_fixpoint_and_core_property(self, spark, sf_dir):
         """The bounded peel must have CONVERGED at gate scale (one more
