@@ -397,3 +397,46 @@ def split_time_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
     )
+
+
+SAMPLE_GROUP_K = 20
+
+
+@query(
+    "sample_group_k",
+    oracle=(
+        # exactly-k PER GROUP: rank docs within each lang by a salted
+        # hash (doc_id tiebreak), keep the first k — sample_exact_k's
+        # guarantee made per-stratum
+        f"WITH h AS (SELECT doc_id, lang, source, "
+        f"    {_sql_hash_prefix('gk|', 'doc_id')} AS rk FROM documents), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id) AS rn "
+        "  FROM h) "
+        f"SELECT doc_id, lang, source, rk FROM r WHERE rn <= {SAMPLE_GROUP_K}"
+    ),
+)
+def sample_group_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-k-PER-GROUP sample — the per-language eval-set builder
+    (sample_exact_k gives a global k; per-stratum k is what ' twenty
+    docs from every language' actually needs, and a rate-based
+    stratified sample cannot hit the size exactly on small strata).
+    Hash-ranked like the whole sampling family: membership is a pure
+    function of doc_id, so a grown corpus only rotates members at the
+    k-th-rank boundary per group, and re-runs are reproducible across
+    engines and cluster sizes.
+
+    Scale: one shuffle on the group key; the rank rewrites to
+    WindowGroupLimit, so each task keeps a k-row heap per group BEFORE
+    the exchange — per-group TakeOrderedAndProject, never a full sort.
+    Group count is unbounded (unlike the global LIMIT form, nothing
+    funnels through the driver)."""
+    docs = load(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "lang", "source", _hash_prefix("gk|", F.col("doc_id")).alias("rk")
+    )
+    w = Window.partitionBy("lang").orderBy("rk", "doc_id")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_GROUP_K)
+        .drop("rn")
+    )

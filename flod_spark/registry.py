@@ -108,7 +108,7 @@ _GATE_ORDER = (
     "dedup_semantic_text", "window_ewma", "agg_hyperloglog_exact",
     "text_seg_dedup", "split_time_embargo", "stream_hll_live",
     "graph_kcore", "sim_mips", "agg_bitmap_distinct",
-    "stream_bitmap_distinct_live",
+    "stream_bitmap_distinct_live", "orders_market_basket", "sample_group_k",
     # (c) changed-implementation re-proofs
     "stream_asof_enrich_live", "bars_ohlc", "stream_bars_ohlc_live",
     "udf_grouped_agg",

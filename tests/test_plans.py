@@ -362,6 +362,9 @@ HEADLINE_PINS = {
     "graph_kcore": (1, 0),
     "sim_mips": (1, 0),
     "agg_bitmap_distinct": (2, 0),
+    # basket build localCheckpointed; pair + part counts remain
+    "orders_market_basket": (3, 0),
+    "sample_group_k": (1, 0),
 }
 
 

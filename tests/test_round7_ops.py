@@ -421,6 +421,46 @@ class TestSimMips:
         assert got[(0, 2)] == 1  # the short aligned one is second
 
 
+class TestOrdersMarketBasket:
+    def test_planted_baskets_support_and_lift(self, spark, tmp_path):
+        """Three orders: parts (1,2) co-occur twice (kept, support 2),
+        (1,3) once (dropped by the floor). Lift checked against the
+        hand-computed P(1,2)/(P(1)P(2))."""
+        from flod_spark.catalog.analytics import orders_market_basket
+
+        d = str(tmp_path / "sfmb")
+        os.makedirs(d, exist_ok=True)
+        rows = [(10, 1), (10, 2), (20, 1), (20, 2), (30, 1), (30, 3)]
+        pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).astype(
+            "int64"
+        ).to_parquet(f"{d}/lineitem.parquet")
+        got = {
+            (r["p1"], r["p2"]): (r["support"], r["lift"])
+            for r in orders_market_basket(spark, d).collect()
+        }
+        # N=3 orders; c(1)=3, c(2)=2, c(3)=1; support(1,2)=2
+        assert got == {(1, 2): (2, (2 * 3) / (3 * 2))}
+
+
+class TestSampleGroupK:
+    def test_exactly_k_per_group_and_small_group_whole(self, spark, tmp_path):
+        """A group larger than k yields exactly k rows; a group smaller
+        than k yields all of itself — the per-stratum guarantee a rate
+        sample cannot give."""
+        from flod_spark.catalog.sampling import SAMPLE_GROUP_K, sample_group_k
+
+        rows = [(i, "en", "t", "web") for i in range(100)]
+        rows += [(1000 + i, "fi", "t", "web") for i in range(3)]
+        d = str(tmp_path / "sfgk")
+        os.makedirs(d, exist_ok=True)
+        pd.DataFrame(
+            rows, columns=["doc_id", "lang", "text", "source"]
+        ).astype({"doc_id": "int64"}).to_parquet(f"{d}/documents.parquet")
+        got = sample_group_k(spark, d).groupBy("lang").count().collect()
+        sizes = {r["lang"]: r["count"] for r in got}
+        assert sizes == {"en": SAMPLE_GROUP_K, "fi": 3}
+
+
 class TestRound7EmptyInputs:
     """Every new batch op must return an empty (or degenerate-correct)
     frame — not crash — on empty inputs (regenerated testdata
