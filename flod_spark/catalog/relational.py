@@ -3297,3 +3297,54 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.expr("percentile(value, 0.5)").over(w).alias("rolling_median_1h"),
     )
+
+
+# 2-D heatmap geometry: value axis re-uses the fixed-width bin rule
+# (clamped last bin, degenerate span -> bin 0); time axis is the hour
+# of day — the canonical load/size-by-time-of-day dashboard tile.
+_HM_BINS = 10
+
+
+@query(
+    "histogram_heatmap",
+    oracle=(
+        "WITH s AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events), "
+        "b AS (SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day, "
+        "    CASE WHEN mx = mn THEN 0 ELSE "
+        f"      LEAST(CAST(floor((value - mn) * {_HM_BINS} / (mx - mn)) AS BIGINT), "
+        f"      {_HM_BINS - 1}) END AS vbin "
+        "  FROM events, s) "
+        "SELECT hour_of_day, vbin, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM b GROUP BY hour_of_day, vbin"
+    ),
+)
+def histogram_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D density heatmap (hour-of-day x value bin) — the joint-
+    distribution tile behind 'when do the big events happen'
+    dashboards, histogram_bins lifted to two axes: the value axis uses
+    the same clamped fixed-width rule against the broadcast (min, max)
+    pair (identical IEEE op order both engines; degenerate span -> one
+    bin), the time axis is the hour extracted from the naive event
+    time (both engines agree on NTZ hour).
+
+    Scale: a 1-row min/max aggregate broadcast back, then a map-only
+    bin assignment feeding one partial-agg groupBy of at most
+    24 x _HM_BINS cells — the exchange carries the heatmap itself, not
+    events; at any corpus size this is two scans and constant output,
+    the cheapest possible profile shape."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    vbin = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("mn")) * _HM_BINS / (F.col("mx") - F.col("mn"))
+            ).cast("long"),
+            F.lit(_HM_BINS - 1),
+        )
+    )
+    return (
+        ev.crossJoin(F.broadcast(s))
+        .select(F.hour("ts").cast("long").alias("hour_of_day"), vbin.alias("vbin"))
+        .groupBy("hour_of_day", "vbin")
+        .agg(F.count("*").alias("n"))
+    )

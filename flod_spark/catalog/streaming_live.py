@@ -1645,3 +1645,83 @@ def stream_bitmap_distinct_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("bm")).cast("long").alias("n_distinct"),
         F.count("*").alias("n_words"),
     )
+
+
+def _mb_live_oracle() -> str:
+    from flod_spark.catalog.analytics import orders_market_basket  # noqa: F401
+
+    from flod_spark.registry import ORACLES
+
+    return ORACLES["orders_market_basket"]
+
+
+@query("stream_market_basket_live", oracle=_mb_live_oracle())
+def stream_market_basket_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Frequently bought together' maintained LIVE — completed baskets
+    arrive as a stream (replayed in order-key order, one row per
+    basket with its sorted part array), pairs expand MAP-SIDE from
+    each basket exactly as the batch form does, and pair supports are
+    an update-mode COUNT aggregation: counts only ADD, so emissions
+    are monotone and max-over-emissions is the final support table
+    (the Count-Min/HLL/bitmap monotone argument, fourth instance).
+    The lift phase runs batch-side on the drained supports, so the
+    oracle is orders_market_basket's verbatim.
+
+    Scale: streaming state is one counter per OBSERVED co-occurring
+    pair — the quadratic is bounded per basket by physical basket
+    size, and the support floor applies downstream (state can also be
+    floored by TTL/eviction in production); each micro-batch combines
+    pair counts map-side before the state store."""
+    from flod_spark.catalog.analytics import _MB_MIN_SUP
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    baskets = li.groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps"))
+    feed = baskets.withColumn(
+        "ingest_ts", F.timestamp_micros(F.col("o") * 1_000_000)
+    )
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_mbl_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, feed, "ingest_ts", replay_dir, n_batches=4, tiebreak=("o",))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.greatest(F.size("ps") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+    sup = (
+        with_event_time(stream, "ingest_ts")
+        .select(F.explode(pair_arr).alias("pr"))
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .agg(F.count("*").alias("support"))
+    )
+    got = _drain(sup, spark, output_mode="update", cleanup=(replay_dir,))
+    pairs = (
+        got.groupBy("p1", "p2")
+        .agg(F.max("support").alias("support"))
+        .filter(F.col("support") >= _MB_MIN_SUP)
+    )
+    # batch-side lift phase, identical to orders_market_basket's tail
+    baskets_b = li.groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps")).localCheckpoint()
+    n = baskets_b.agg(F.count("*").alias("n_orders"))
+    cnt = baskets_b.select(F.explode("ps").alias("p")).groupBy("p").agg(
+        F.count("*").alias("c")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .join(F.broadcast(cnt.select(F.col("p").alias("p1"), F.col("c").alias("c1"))), "p1")
+        .join(F.broadcast(cnt.select(F.col("p").alias("p2"), F.col("c").alias("c2"))), "p2")
+        .select(
+            "p1",
+            "p2",
+            "support",
+            (
+                (F.col("support") * F.col("n_orders")).cast("double")
+                / (F.col("c1") * F.col("c2"))
+            ).alias("lift"),
+        )
+    )

@@ -365,6 +365,7 @@ HEADLINE_PINS = {
     # basket build localCheckpointed; pair + part counts remain
     "orders_market_basket": (3, 0),
     "sample_group_k": (1, 0),
+    "histogram_heatmap": (1, 0),
 }
 
 

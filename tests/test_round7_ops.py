@@ -442,6 +442,33 @@ class TestOrdersMarketBasket:
         assert got == {(1, 2): (2, (2 * 3) / (3 * 2))}
 
 
+class TestStreamMarketBasketLive:
+    def test_rows_identical_to_batch(self, spark, sf001_dir):
+        """Pair supports are add-monotone, so the drained live support
+        table (plus the shared lift phase) must be ROW-IDENTICAL to
+        the batch mining."""
+        from flod_spark.catalog.analytics import orders_market_basket
+        from flod_spark.catalog.streaming_live import stream_market_basket_live
+
+        live = {tuple(r) for r in stream_market_basket_live(spark, sf001_dir).collect()}
+        batch = {tuple(r) for r in orders_market_basket(spark, sf001_dir).collect()}
+        assert live == batch and live
+
+
+class TestHistogramHeatmap:
+    def test_mass_conservation_and_bounds(self, spark, sf_dir):
+        """Cell counts sum to the event count, hours are 0-23, value
+        bins 0..B-1 — the invariants any 2-D profile must keep."""
+        from flod_spark.catalog.relational import _HM_BINS, histogram_heatmap
+
+        rows = histogram_heatmap(spark, sf_dir).collect()
+        total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        assert sum(r["n"] for r in rows) == total
+        for r in rows:
+            assert 0 <= r["hour_of_day"] <= 23
+            assert 0 <= r["vbin"] < _HM_BINS
+
+
 class TestSampleGroupK:
     def test_exactly_k_per_group_and_small_group_whole(self, spark, tmp_path):
         """A group larger than k yields exactly k rows; a group smaller
