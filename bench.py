@@ -113,6 +113,14 @@ HEADLINE = [
     "stream_hll_live",
     "graph_kcore",
     "sim_mips",
+    # closing round-7: exact bitmap distinct (batch + live), basket
+    # mining (batch + live), per-group sampling, the 2-D heatmap
+    "agg_bitmap_distinct",
+    "stream_bitmap_distinct_live",
+    "orders_market_basket",
+    "stream_market_basket_live",
+    "sample_group_k",
+    "histogram_heatmap",
 ]
 
 
