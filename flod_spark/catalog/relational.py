@@ -3348,3 +3348,35 @@ def histogram_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour_of_day", "vbin")
         .agg(F.count("*").alias("n"))
     )
+
+
+# lateral top-N: one identical ANSI statement on both engines (the
+# sql_direct discipline applied to correlated LATERAL subqueries).
+_LATERAL_TOPN_SQL = (
+    "SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice "
+    "FROM customer c, "
+    "LATERAL (SELECT o_orderkey, o_totalprice FROM orders "
+    "         WHERE o_custkey = c.c_custkey "
+    "         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o"
+)
+
+
+@query("join_lateral_topn", oracle=_LATERAL_TOPN_SQL)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — the 'top 3 orders per customer'
+    written the way SQL-first users write it (a per-row dependent
+    subquery with ORDER BY ... LIMIT), handed verbatim to BOTH engines
+    (sql_direct's zero-translation discipline; the string IS the
+    oracle). The interesting part is what Catalyst does with it:
+    DecorrelateInnerQuery rewrites the per-customer subquery into a
+    JOIN + per-key rank — the same physical shape window_rank/agg_mode
+    reach explicitly — so the 'run a query per row' surface costs one
+    join, not |customers| query executions. Customers without orders
+    disappear (inner lateral), ties break on o_orderkey.
+
+    Scale: post-decorrelation this is a broadcast/hash join on
+    custkey + a per-key top-3 — no per-row subquery execution exists
+    at any scale; the LIMIT prunes per key before anything global."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_TOPN_SQL)

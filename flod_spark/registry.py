@@ -109,7 +109,7 @@ _GATE_ORDER = (
     "text_seg_dedup", "split_time_embargo", "stream_hll_live",
     "graph_kcore", "sim_mips", "agg_bitmap_distinct",
     "stream_bitmap_distinct_live", "orders_market_basket", "sample_group_k",
-    "histogram_heatmap", "stream_market_basket_live",
+    "histogram_heatmap", "stream_market_basket_live", "join_lateral_topn",
     # (c) changed-implementation re-proofs
     "stream_asof_enrich_live", "bars_ohlc", "stream_bars_ohlc_live",
     "udf_grouped_agg",

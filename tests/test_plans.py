@@ -366,6 +366,8 @@ HEADLINE_PINS = {
     "orders_market_basket": (3, 0),
     "sample_group_k": (1, 0),
     "histogram_heatmap": (1, 0),
+    # Catalyst decorrelates the LATERAL subquery into join + WindowGroupLimit
+    "join_lateral_topn": (1, 0),
 }
 
 

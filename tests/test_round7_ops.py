@@ -575,3 +575,26 @@ class TestSplitTimeEmbargo:
         ).total_seconds() * 1e6
         assert gap_us > _STE_EMBARGO_US
 
+
+
+class TestJoinLateralTopn:
+    def test_per_customer_cap_and_order(self, spark, sf001_dir):
+        """Every customer yields at most 3 rows, descending by price
+        (o_orderkey tiebreak), and only customers WITH orders appear
+        (inner lateral semantics)."""
+        from flod_spark.catalog.relational import join_lateral_topn
+
+        rows = join_lateral_topn(spark, sf001_dir).collect()
+        assert rows
+        by_c: dict = {}
+        for r in rows:
+            by_c.setdefault(r["c_custkey"], []).append(
+                (r["o_totalprice"], r["o_orderkey"])
+            )
+        o = spark.read.parquet(f"{sf001_dir}/orders.parquet")
+        with_orders = {r[0] for r in o.select("o_custkey").distinct().collect()}
+        assert set(by_c) <= with_orders
+        for c, lst in by_c.items():
+            assert len(lst) <= 3
+            ranked = sorted(lst, key=lambda t: (-t[0], t[1]))
+            assert lst == ranked or sorted(lst) == sorted(ranked)
