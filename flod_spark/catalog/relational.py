@@ -3380,3 +3380,79 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_LATERAL_TOPN_SQL)
+
+
+@query(
+    "agg_skewness",
+    oracle=(
+        # third-moment statistics from EXACT decimal power sums
+        # (agg_corr's discipline): DuckDB keeps the operand WIDTH on
+        # multiply, so x casts to DECIMAL(38,6) and x^3 lands at
+        # (38,18) exactly; sums exit through VARCHAR (the registry's
+        # >2^53-unscaled rule), then the closing moment algebra is the
+        # identical IEEE op sequence both engines. m2 = 0 (all-equal
+        # group) yields NULL, not NaN.
+        "WITH b AS (SELECT event_type, CAST(value AS DECIMAL(38,6)) AS x FROM events), "
+        "s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "    SUM(x) AS ds1, SUM(x*x) AS ds2, SUM(x*x*x) AS ds3 "
+        "  FROM b GROUP BY event_type), "
+        "c AS (SELECT event_type, n, "
+        "    CAST(CAST(ds1 AS VARCHAR) AS DOUBLE) AS s1, "
+        "    CAST(CAST(ds2 AS VARCHAR) AS DOUBLE) AS s2, "
+        "    CAST(CAST(ds3 AS VARCHAR) AS DOUBLE) AS s3 FROM s), "
+        "m AS (SELECT event_type, n, s1 / n AS mean, "
+        "    s2 / n - (s1 / n) * (s1 / n) AS m2, "
+        "    s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * ((s1 / n) * (s1 / n) * (s1 / n)) AS m3 "
+        "  FROM c) "
+        "SELECT event_type, n, mean, "
+        "  CASE WHEN m2 = 0 THEN NULL ELSE m3 / (m2 * sqrt(m2)) END AS skewness "
+        "FROM m"
+    ),
+)
+def agg_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution SKEWNESS per group — the asymmetry profile next to
+    agg_corr's covariance and agg_mad's robust spread, exact by the
+    same discipline: the three power sums Σx, Σx², Σx³ accumulate in
+    DECIMAL (Spark grows (12,6) -> (25,12) -> (38,18) without loss;
+    DuckDB keeps width from a (38,6) cast — both land the identical
+    exact integers), each converts to a correctly-rounded double once,
+    and the moment algebra m3/m2^1.5 is the same written IEEE op
+    order on both engines (sqrt is correctly rounded; no pow). An
+    all-equal group has m2 = 0 EXACTLY and reports NULL.
+
+    Scale: one partial-agg shuffle carrying three decimals + a count
+    per group — the same single-exchange budget as any sum; no second
+    pass, no window (the textbook E[x³] expansion, not the
+    subtract-the-mean form that needs the mean first)."""
+    ev = load(spark, sf_dir, "events")
+    # (12,6) -> x*x (25,12) -> x*x*x (38,18): every step exact in
+    # Spark's precision-growth rules (a wider start would trip the
+    # 38-cap scale reduction and silently round)
+    x = F.col("value").cast("decimal(12,6)")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("ds1"),
+        F.sum(x * x).alias("ds2"),
+        F.sum(x * x * x).alias("ds3"),
+    )
+    c = s.select(
+        "event_type",
+        "n",
+        F.col("ds1").cast("double").alias("s1"),
+        F.col("ds2").cast("double").alias("s2"),
+        F.col("ds3").cast("double").alias("s3"),
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n
+    m2 = F.col("s2") / n - mean * mean
+    m3 = F.col("s3") / n - F.lit(3) * mean * (F.col("s2") / n) + F.lit(2) * (
+        mean * mean * mean
+    )
+    return c.select(
+        "event_type",
+        "n",
+        mean.alias("mean"),
+        F.when(m2 == 0, F.lit(None).cast("double"))
+        .otherwise(m3 / (m2 * F.sqrt(m2)))
+        .alias("skewness"),
+    )

@@ -110,6 +110,7 @@ _GATE_ORDER = (
     "graph_kcore", "sim_mips", "agg_bitmap_distinct",
     "stream_bitmap_distinct_live", "orders_market_basket", "sample_group_k",
     "histogram_heatmap", "stream_market_basket_live", "join_lateral_topn",
+    "agg_skewness",  # 20 new + 4 changed + 26 r2-stale = exactly 50
     # (c) changed-implementation re-proofs
     "stream_asof_enrich_live", "bars_ohlc", "stream_bars_ohlc_live",
     "udf_grouped_agg",

@@ -368,6 +368,7 @@ HEADLINE_PINS = {
     "histogram_heatmap": (1, 0),
     # Catalyst decorrelates the LATERAL subquery into join + WindowGroupLimit
     "join_lateral_topn": (1, 0),
+    "agg_skewness": (1, 0),
 }
 
 

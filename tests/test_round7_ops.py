@@ -598,3 +598,34 @@ class TestJoinLateralTopn:
             assert len(lst) <= 3
             ranked = sorted(lst, key=lambda t: (-t[0], t[1]))
             assert lst == ranked or sorted(lst) == sorted(ranked)
+
+
+class TestAggSkewness:
+    def test_symmetric_zero_skewed_positive_allequal_null(self, spark, tmp_path):
+        """A symmetric group has m3 = 0 in exact arithmetic -> skewness
+        0.0; a right-skewed group is positive; an all-equal group has
+        m2 = 0 exactly -> NULL (not NaN)."""
+        import datetime as dt
+
+        from flod_spark.catalog.relational import agg_skewness
+
+        t0 = dt.datetime(2025, 1, 1)
+        rows = []
+        for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 5.0]):  # symmetric
+            rows.append((i, t0, 1, "sym", v, "{}"))
+        for i, v in enumerate([1.0, 1.0, 1.0, 10.0]):  # right tail
+            rows.append((100 + i, t0, 1, "skew", v, "{}"))
+        for i in range(4):  # all equal
+            rows.append((200 + i, t0, 1, "flat", 7.0, "{}"))
+        d = str(tmp_path / "sfskew")
+        os.makedirs(d, exist_ok=True)
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).astype(
+            {"event_id": "int64", "user_id": "int64", "ts": "datetime64[us]"}
+        ).to_parquet(f"{d}/events.parquet")
+        got = {r["event_type"]: r for r in agg_skewness(spark, d).collect()}
+        assert got["sym"]["skewness"] == 0.0
+        assert got["skew"]["skewness"] > 1.0
+        assert got["flat"]["skewness"] is None
+        assert got["flat"]["mean"] == 7.0
