@@ -121,6 +121,8 @@ HEADLINE = [
     "stream_market_basket_live",
     "sample_group_k",
     "histogram_heatmap",
+    "join_lateral_topn",
+    "agg_skewness",
 ]
 
 
