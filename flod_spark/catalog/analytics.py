@@ -1211,8 +1211,12 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the guard is on basket size, never catalog size), so the only
     exchanges are the basket build, the pair count, and the part
     frequencies; the naive distinct + self-join form measured 8
-    exchanges, this one 4. Part frequencies and the 1-row order count
-    join back BROADCAST."""
+    exchanges, this one 4. The 1-row order count joins back broadcast;
+    the part-frequency table is CATALOG-cardinality (one row per
+    distinct part ever sold — can exceed any broadcast threshold at
+    100 TB), so its join carries NO hint: AQE broadcasts it when it
+    measures small and falls back to a hash-shuffle join when it
+    doesn't, instead of a forced hint driving the driver OOM."""
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
@@ -1242,8 +1246,8 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.crossJoin(F.broadcast(n))
-        .join(F.broadcast(cnt.select(F.col("p").alias("p1"), F.col("c").alias("c1"))), "p1")
-        .join(F.broadcast(cnt.select(F.col("p").alias("p2"), F.col("c").alias("c2"))), "p2")
+        .join(cnt.select(F.col("p").alias("p1"), F.col("c").alias("c1")), "p1")
+        .join(cnt.select(F.col("p").alias("p2"), F.col("c").alias("c2")), "p2")
         .select(
             "p1",
             "p2",

@@ -1188,11 +1188,15 @@ def dedup_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical (min doc_id per signature).
 
     Scale: the df pass is one token-level partial-agg shuffle; the
-    weight table is |vocab| rows BROADCAST back onto the token stream
-    (a real corpus vocabulary broadcasts in MB); signatures are then
-    ONE groupBy(doc) of 16 weighted sums combining map-side — the
-    _simhash_votes budget plus a broadcast, and text never crosses an
-    exchange."""
+    weight table is VOCABULARY-cardinality — web-scale [a-z0-9]+
+    tokenization (typos, numbers, hex ids) runs to hundreds of
+    millions of distinct tokens, i.e. GBs, far past any broadcast
+    threshold — so its join back onto the token stream carries NO
+    hint: AQE broadcasts when the measured build side fits and
+    shuffle-joins otherwise (both sides are already hashed on tk from
+    the df pass, so the fallback reuses that partitioning). Signatures
+    are then ONE groupBy(doc) of 16 weighted sums combining map-side,
+    and text never crosses an exchange."""
     docs = load(spark, sf_dir, "documents", spread=True, amplify=2000)
     norm = docs.select("doc_id", _norm_col().alias("t"))
     tok = norm.select(
@@ -1209,7 +1213,7 @@ def dedup_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nd))
         .select("tk", (ilog2(F.col("nd")) - ilog2(F.col("df")) + 1).alias("w"))
     )
-    tw = tok.join(F.broadcast(wt), "tk").select(
+    tw = tok.join(wt, "tk").select(
         "doc_id", F.md5(F.col("tk").cast("binary")).alias("h"), "w"
     )
     votes = [

@@ -32,6 +32,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from flod_spark.catalog.analytics import _HH_C
 from flod_spark.io import load
@@ -1647,6 +1648,73 @@ def stream_bitmap_distinct_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_market_basket_bounded(
+    spark: SparkSession, sf_dir: str, emissions: bool = False
+) -> DataFrame:
+    """BOUNDED-STATE market basket — the eviction handoff the registered
+    stream_market_basket_live's Scale: note points at, for streams whose
+    observed-pair space outgrows the state store. Same replayed basket
+    stream and map-side pair expansion, but pair supports run through
+    the sharded lossy counter (streaming/lossy.py, Manku–Motwani with
+    the micro-batch as the bucket): every bucket boundary EVICTS pairs
+    whose count + delta cannot exceed the bucket index, so state tracks
+    the heavy tail, never the ever-seen pair set. Final answer per pair
+    = its max-bucket emission, with the classic guarantees — any pair
+    with true support > B (total buckets) survives, and
+    c <= true support <= c + d for every survivor (pinned in
+    tests/test_round8_ops.py). Not registered: the lossy counts are
+    deliberately lower bounds, so the exact-support oracle belongs to
+    the unbounded twin.
+
+    Scale: per-shard state is the lossy-counting bound
+    O((1/eps)·log(eps·N)) — independent of distinct-pair count; shard
+    count tracks executor count. ``emissions=True`` returns the raw
+    drained emission stream (shard, k, c, d, bucket) for state-size
+    audits."""
+    from flod_spark.streaming.lossy import lossy_count
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    baskets = li.groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps"))
+    feed = baskets.withColumn(
+        "ingest_ts", F.timestamp_micros(F.col("o") * 1_000_000)
+    )
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_mbb_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, feed, "ingest_ts", replay_dir, n_batches=4, tiebreak=("o",))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.greatest(F.size("ps") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+    pairs = (
+        with_event_time(stream, "ingest_ts")
+        .select(F.explode(pair_arr).alias("pr"))
+        .select(F.concat_ws("|", "pr.p1", "pr.p2").alias("k"))
+    )
+    got = _drain(lossy_count(pairs), spark, output_mode="update", cleanup=(replay_dir,))
+    if emissions:
+        return got
+    # survivors = each shard's FINAL-bucket emission (an entry evicted in
+    # the last bucket is absent there; earlier emissions must not
+    # resurrect it, so a plain per-key max-bucket pick would be wrong)
+    last = Window.partitionBy("shard")
+    final = got.withColumn("maxb", F.max("bucket").over(last)).filter(
+        F.col("bucket") == F.col("maxb")
+    )
+    return final.select(
+        F.split_part("k", F.lit("|"), F.lit(1)).cast("long").alias("p1"),
+        F.split_part("k", F.lit("|"), F.lit(2)).cast("long").alias("p2"),
+        "c",
+        "d",
+    )
+
+
 def _mb_live_oracle() -> str:
     from flod_spark.catalog.analytics import orders_market_basket  # noqa: F401
 
@@ -1669,9 +1737,14 @@ def stream_market_basket_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: streaming state is one counter per OBSERVED co-occurring
     pair — the quadratic is bounded per basket by physical basket
-    size, and the support floor applies downstream (state can also be
-    floored by TTL/eviction in production); each micro-batch combines
-    pair counts map-side before the state store."""
+    size, and the support floor applies downstream; each micro-batch
+    combines pair counts map-side before the state store. When the
+    observed-pair space itself must be bounded, the lossy-counting
+    variant (stream_market_basket_bounded below) evicts sub-floor
+    pairs per bucket with the Manku–Motwani guarantee. The lift
+    phase's part-frequency table is catalog-cardinality, so its join
+    carries NO broadcast hint (AQE decides); only the 1-row order
+    count is hint-broadcast."""
     from flod_spark.catalog.analytics import _MB_MIN_SUP
 
     li = load(spark, sf_dir, "lineitem").select(
@@ -1713,8 +1786,8 @@ def stream_market_basket_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.crossJoin(F.broadcast(n))
-        .join(F.broadcast(cnt.select(F.col("p").alias("p1"), F.col("c").alias("c1"))), "p1")
-        .join(F.broadcast(cnt.select(F.col("p").alias("p2"), F.col("c").alias("c2"))), "p2")
+        .join(cnt.select(F.col("p").alias("p1"), F.col("c").alias("c1")), "p1")
+        .join(cnt.select(F.col("p").alias("p2"), F.col("c").alias("c2")), "p2")
         .select(
             "p1",
             "p2",

@@ -1,0 +1,101 @@
+"""Lossy counting (Manku–Motwani, VLDB'02) as a bounded-state streaming
+operator — the support-floor state EVICTION the live market-basket
+docstring promises: pair-support state cannot grow with the number of
+ever-observed pairs, only with 1/epsilon.
+
+Shape: items shard by key hash into a fixed number of state partitions
+(the stream_heavy_hitters_live sharding lemma: every occurrence of a key
+lands in ONE shard, so per-shard guarantees are global guarantees). Each
+shard runs classic lossy counting with the micro-batch as the bucket:
+
+- absorb the batch's per-key counts: existing entry -> c += batch_c;
+  new entry -> c = batch_c, delta = bucket - 1 (the maximum count it
+  could have accrued in the buckets before it was first tracked),
+- bucket advance: evict every entry with c + delta <= bucket.
+
+Guarantees (the pytest pins all three on a replayed basket stream):
+- NO FALSE DISMISSALS above the bucket count: an evicted entry's true
+  count is <= the bucket index at eviction <= B (total buckets), so any
+  key with true count > B is present in the final state.
+- BOUNDED UNDERCOUNT: for every surviving entry,
+  c <= true count <= c + delta (delta <= B).
+- BOUNDED STATE: entries with c + delta <= bucket are removed every
+  bucket — state tracks the heavy tail, not the ever-seen key set.
+
+The registered stream_market_basket_live keeps EXACT update-mode counts
+(its oracle is exact); this module is the production state-bounding
+handoff its Scale: note points at, for streams whose observed-pair space
+outgrows the state store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_SHARDS = 8
+
+
+def _lossy_shard_fn(key, pdfs, state):
+    """Per-shard lossy counter. State = parallel arrays (keys, counts,
+    deltas) + the shard's bucket index; one micro-batch = one bucket.
+    Emits the CURRENT surviving entries every trigger as
+    (shard, k, c, d, bucket) — the final answer per key is its row at
+    the maximum bucket (later emissions supersede earlier ones)."""
+    import pandas as pd
+
+    if state.exists:
+        ks, cs, ds, bucket = state.get
+        entries = {k: [c, d] for k, c, d in zip(ks, cs, ds)}
+    else:
+        entries, bucket = {}, 0
+    bucket += 1
+    for pdf in pdfs:
+        for k, c in pdf.groupby("k")["c"].sum().items():
+            e = entries.get(k)
+            if e is None:
+                entries[k] = [int(c), bucket - 1]
+            else:
+                e[0] += int(c)
+    # bucket-boundary eviction: the Manku–Motwani sub-floor drop
+    entries = {k: e for k, e in entries.items() if e[0] + e[1] > bucket}
+    state.update((
+        list(entries),
+        [e[0] for e in entries.values()],
+        [e[1] for e in entries.values()],
+        bucket,
+    ))
+    yield pd.DataFrame(
+        {
+            "shard": pd.Series([int(key[0])] * len(entries), dtype="int64"),
+            "k": pd.Series(list(entries), dtype="object"),
+            "c": pd.Series([e[0] for e in entries.values()], dtype="int64"),
+            "d": pd.Series([e[1] for e in entries.values()], dtype="int64"),
+            "bucket": pd.Series([bucket] * len(entries), dtype="int64"),
+        }
+    )
+
+
+def lossy_count(src: DataFrame, key_col: str = "k") -> DataFrame:
+    """Attach the sharded lossy counter to a streaming DataFrame with a
+    string key column ``key_col``. Returns the update-mode emission
+    stream (shard, k, c, d, bucket); the caller drains it and keeps
+    each key's max-bucket row.
+
+    Scale: state per shard is the lossy-counting bound O((1/eps)·log(eps·N))
+    — independent of the distinct-key count; shard count tracks executor
+    count (more shards, same per-shard lemma)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = src.select(
+        F.pmod(F.xxhash64(key_col), F.lit(N_SHARDS)).alias("shard"),
+        F.col(key_col).alias("k"),
+        F.lit(1).cast("long").alias("c"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _lossy_shard_fn,
+        outputStructType="shard long, k string, c long, d long, bucket long",
+        stateStructType="ks array<string>, cs array<long>, ds array<long>, bucket long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
