@@ -1082,8 +1082,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the peel both removes a real fringe and keeps a non-empty core at
     every scale factor. _KCORE_ROUNDS rounds are
     unrolled — the oracle is the same peel as plain SQL stages, and the
-    fixpoint test pins that the bound suffices at gate scale (a full
-    k-core is this loop to quiescence).
+    fixpoint test pins that the bound suffices at gate scale. The TRUE
+    k-core semantics (peel until no node drops, count-flat detection)
+    ship as operators/graph.py::kcore_converged — same per-round plan,
+    driver convergence loop — with a forced-continuation pytest on a
+    peel-cascade graph the 5-round prefix provably cannot finish.
 
     Scale: pagerank_iter's iterative-template rules — the symmetric
     edge table is built once and localCheckpointed, each round is ONE
@@ -1134,6 +1137,60 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sym.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("degree"))
 
 
+# bitmap-vs-HLL routing floor: a bitmap word covers 32 ids in 8 bytes,
+# so once fewer than 1 in 32 ids in the [min, max] span is present, the
+# word table stops beating the key set and the constant-state HLL wins.
+_BITMAP_DENSITY_FLOOR = 1.0 / 32
+
+
+def distinct_count_auto(
+    df: DataFrame, group_col: str, key_col: str
+) -> tuple[str, DataFrame]:
+    """Distinct-count ROUTER — enforces agg_bitmap_distinct's dense-key
+    precondition instead of assuming it. One cheap 1-row aggregate
+    measures key density = approx_count_distinct / (max - min + 1); at
+    or above _BITMAP_DENSITY_FLOOR the exact bitmap plan runs
+    ((group, n_distinct, n_words), agg_bitmap_distinct's shape), below
+    it the key space is sparse — per-id bitmap words would dwarf the
+    key set itself — and the HLL twin takes over ((group, n_true,
+    n_zero_regs, hll_est), agg_hyperloglog_exact's shape). Returns
+    (chosen path, DataFrame); the planted-sparse-key pytest pins the
+    routing both ways.
+
+    Scale: the probe is one partial-agg 1-row aggregate (approx
+    distinct is itself HLL, constant state); both routed plans keep
+    their documented exchange budgets. Density is measured over the
+    observed [min, max] span, so dense surrogate keys offset from zero
+    still route to the bitmap."""
+    nn = df.filter(F.col(key_col).isNotNull())
+    st = nn.agg(
+        F.approx_count_distinct(key_col).alias("nd"),
+        F.min(key_col).alias("lo"),
+        F.max(key_col).alias("hi"),
+    ).first()
+    span = (st.hi - st.lo + 1) if st.nd else 1
+    if st.nd and st.nd / span < _BITMAP_DENSITY_FLOOR:
+        ev = nn.select(
+            F.col(group_col).alias("event_type"), F.col(key_col).alias("user_id")
+        ).distinct()
+        regs = _hll_register_rows(ev).groupBy("event_type", "j").agg(
+            F.max("rk").alias("mj")
+        )
+        out = _hll_finalize(regs, ev)
+        return "hll", out.withColumnRenamed("event_type", group_col)
+    w = nn.select(
+        F.col(group_col).alias("g"),
+        F.expr(f"{key_col} div 32").alias("word"),
+        F.expr(f"shiftleft(cast(1 as bigint), cast({key_col} % 32 as int))").alias("mask"),
+    )
+    m = w.groupBy("g", "word").agg(F.bit_or("mask").alias("bm"))
+    out = m.groupBy("g").agg(
+        F.sum(F.bit_count("bm")).cast("long").alias("n_distinct"),
+        F.count("*").alias("n_words"),
+    )
+    return "bitmap", out.withColumnRenamed("g", group_col)
+
+
 @query(
     "agg_bitmap_distinct",
     oracle=(
@@ -1160,19 +1217,16 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     — for dense surrogate keys that is 64x smaller than shuffling the
     keys themselves, and map-side bit_or combine collapses each task
     first. This is also the segment-local form columnar stores push to
-    the scan; sparse/huge key spaces are where the compressed roaring
-    encoding (or the HLL twin) takes over — documented handoff."""
+    the scan. The dense-key precondition is ENFORCED, not assumed:
+    distinct_count_auto measures key density with one 1-row probe and
+    routes sparse key spaces (density < 1/32 of the observed span) to
+    the HLL twin instead — the planted-sparse-key pytest pins both
+    routes; events user_ids are fully dense at every gate scale, so
+    this row always takes the bitmap path its oracle expresses."""
     ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    w = ev.select(
-        "event_type",
-        F.expr("user_id div 32").alias("word"),
-        F.expr("shiftleft(cast(1 as bigint), cast(user_id % 32 as int))").alias("mask"),
-    )
-    m = w.groupBy("event_type", "word").agg(F.bit_or("mask").alias("bm"))
-    return m.groupBy("event_type").agg(
-        F.sum(F.bit_count("bm")).cast("long").alias("n_distinct"),
-        F.count("*").alias("n_words"),
-    )
+    path, out = distinct_count_auto(ev, "event_type", "user_id")
+    assert path == "bitmap", f"dense events keys routed to {path}"
+    return out
 
 
 # market-basket support floor: pairs co-purchased at least twice (one

@@ -121,3 +121,41 @@ def connected_components(
         .select("u", F.col("u").alias("component"))
     )
     return members.union(roots).select(F.col("u").alias("node"), "component")
+
+
+def kcore_converged(sym: DataFrame, k: int) -> DataFrame:
+    """k-core peel RUN TO QUIESCENCE — the full fixpoint the registered
+    graph_kcore's bounded unrolled form (catalog/analytics.py, 5 rounds;
+    fixpoint at gate scale by test) is the oracle-expressible prefix of.
+    Repeatedly deletes every node with degree < k from the SYMMETRIC
+    edge table ``sym(a, b)`` until a round removes nothing, detected by
+    the edge count going flat (peeling is monotone — the edge set only
+    shrinks, so an unchanged count IS quiescence, no content hash
+    needed). Returns the surviving edges; degree-per-node is one
+    aggregate away (the connected_components convergence-loop template,
+    same localCheckpoint-per-round lineage truncation).
+
+    Scale: identical per-round cost to the bounded form — one
+    partial-agg degree count + two semi-joins of the shrinking edge
+    table against the survivor set (AQE broadcasts survivors when they
+    fit); the driver-side loop adds one O(1) count per round, and round
+    count is bounded by graph structure (a peel cascade removes >= 1
+    node per round, worst-case O(|V|), in practice a handful).
+    """
+    e = sym.localCheckpoint(eager=True)
+    prev = e.count()
+    while True:
+        surv = (
+            e.groupBy("a").agg(F.count("*").alias("d")).filter(F.col("d") >= k).select("a")
+        )
+        e2 = (
+            e.join(surv, "a", "left_semi")
+            .join(surv.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n = e2.count()
+        e.unpersist()
+        e = e2
+        if n == prev:
+            return e
+        prev = n

@@ -97,3 +97,107 @@ def test_lossy_shard_fn_eviction_unit():
     assert final["hot"] == (4, 0)  # tracked from bucket 1, exact
     assert final["late2"] == (2, 2)  # recurred within bucket 3, delta = 2
     assert set(out["k"]) == {"hot", "late2"}
+
+
+def _peel_cascade(spark):
+    """Triangle + an 8-node chain hanging off it: k=2 peeling removes
+    exactly one chain node per round (each removal exposes the next),
+    so quiescence needs 8 rounds — the 5-round unrolled prefix of the
+    registered graph_kcore provably cannot finish this graph."""
+    tri = [("t1", "t2"), ("t2", "t3"), ("t3", "t1")]
+    chain = [(f"c{i}", f"c{i+1}") for i in range(1, 8)] + [("c8", "t1")]
+    e = spark.createDataFrame(tri + chain, "a string, b string")
+    return e.union(e.select(e.b.alias("a"), e.a.alias("b")))
+
+
+def test_kcore_converged_forced_continuation(spark):
+    from flod_spark.catalog.analytics import _KCORE_ROUNDS
+    from flod_spark.operators.graph import kcore_converged
+
+    sym = _peel_cascade(spark)
+    core = kcore_converged(sym, k=2)
+    nodes = {r.a for r in core.select("a").distinct().collect()}
+    assert nodes == {"t1", "t2", "t3"}  # the triangle, nothing else
+    assert core.count() == 6  # its 3 edges, symmetric
+    # the forced-continuation premise: the bounded 5-round prefix leaves
+    # chain remnants on this graph (otherwise this test proves nothing)
+    e = sym.localCheckpoint()
+    for _ in range(_KCORE_ROUNDS):
+        surv = (
+            e.groupBy("a").agg(F.count("*").alias("d")).filter(F.col("d") >= 2).select("a")
+        )
+        e = (
+            e.join(surv, "a", "left_semi")
+            .join(surv.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint()
+        )
+    bounded_nodes = {r.a for r in e.select("a").distinct().collect()}
+    assert bounded_nodes > nodes  # strictly more than the true core
+
+
+def test_kcore_converged_matches_bounded_at_gate_scale(spark, sf_dir):
+    """At gate scale the registered 5-round peel IS the fixpoint, so the
+    converged operator must reproduce graph_kcore exactly."""
+    import __spark_entry__ as entry
+    from flod_spark.operators.graph import kcore_converged
+
+    bounded = {
+        (r.node, r.degree)
+        for r in entry.queries()["graph_kcore"](spark, sf_dir).collect()
+    }
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e0 = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    sym = e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    n = sym.select("a").distinct().count()
+    k = sym.count() // (2 * n)
+    core = kcore_converged(sym, k=k)
+    got = {
+        (r.a, r.degree)
+        for r in core.groupBy("a").agg(F.count("*").alias("degree")).collect()
+    }
+    assert got == bounded
+
+
+def test_distinct_auto_routing(spark, sf_dir):
+    """The planted-key routing pin for distinct_count_auto: dense
+    surrogate keys take the exact bitmap path, a sparse key space
+    (1 in ~1e6 of the span) takes the HLL twin — the enforced form of
+    agg_bitmap_distinct's dense-key precondition."""
+    from flod_spark.catalog.analytics import _HLL_M, distinct_count_auto
+
+    dense = spark.range(2000).select(
+        (F.col("id") % 2).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    path, out = distinct_count_auto(dense, "g", "k")
+    assert path == "bitmap"
+    got = {r.g: r.n_distinct for r in out.collect()}
+    assert got == {"0": 1000, "1": 1000}  # exact, per group
+
+    sparse = spark.range(2000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") * 1_000_003).alias("k"),
+    )
+    path, out = distinct_count_auto(sparse, "g", "k")
+    assert path == "hll"
+    rows = {r.g: r for r in out.collect()}
+    assert set(rows) == {"0", "1"}
+    for r in rows.values():
+        assert r.n_true == 1000
+        # m=64 registers: standard error ~1.04/sqrt(64) = 13%; 3-sigma
+        assert abs(r.hll_est - r.n_true) / r.n_true < 0.4
+
+    # the registered query's own guard holds on the gate data
+    import __spark_entry__ as entry
+
+    df = entry.queries()["agg_bitmap_distinct"](spark, sf_dir)
+    assert {c for c in df.columns} == {"event_type", "n_distinct", "n_words"}
