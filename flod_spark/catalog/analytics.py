@@ -1312,3 +1312,140 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "orders_pareto_abc",
+    oracle=(
+        # all-integer Pareto: revenue in exact micros (BIGINT), running
+        # + total sums per brand, class cuts by cross-multiplied integer
+        # comparisons (cum*5 <= total*4 <=> share <= 80%) — no decimal
+        # -> double cast ever reaches a comparison, so the A/B/C labels
+        # cannot flip on a rounding ulp in either engine.
+        "WITH rev AS (SELECT l_partkey AS p, "
+        "    CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) "
+        "      * 1000000 AS BIGINT)) AS BIGINT) AS rev_us "
+        "  FROM lineitem GROUP BY l_partkey), "
+        "b AS (SELECT p, p_brand, rev_us FROM rev JOIN part ON p = p_partkey), "
+        "w AS (SELECT p, p_brand, rev_us, "
+        "    SUM(rev_us) OVER (PARTITION BY p_brand ORDER BY rev_us DESC, p) AS cum, "
+        "    SUM(rev_us) OVER (PARTITION BY p_brand) AS total FROM b) "
+        "SELECT p AS p_partkey, p_brand, "
+        "  CAST(rev_us AS DOUBLE) / 1000000.0 AS revenue, "
+        "  CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share, "
+        "  CASE WHEN cum * 5 <= total * 4 THEN 'A' "
+        "       WHEN cum * 20 <= total * 19 THEN 'B' ELSE 'C' END AS abc_class "
+        "FROM w"
+    ),
+)
+def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO / ABC classification per brand — the 80/15/5 revenue-
+    concentration cut inventory planners run (A: parts covering the
+    first 80% of brand revenue, B: to 95%, C: the tail): rank parts by
+    revenue inside each brand, running share decides the class. All
+    arithmetic is EXACT integers: revenue quantizes to micros (the
+    per-row double product casts to DECIMAL(28,6), scale-shifts by
+    1e6, and sums as BIGINT — ~1e15 at sf0.1, far under 2^63), and the
+    class cuts compare cross-multiplied integers (cum*5 <= total*4),
+    so no float rounding can flip a label; the two report doubles are
+    single IEEE divisions of exact integers.
+
+    Scale: one partial-agg shuffle builds per-part revenue (64x-ish
+    smaller than lineitem), the part-dim join carries NO broadcast
+    hint (the catalog-cardinality lesson: AQE broadcasts when it
+    fits), and the cumulative window is PARTITIONED by brand — the
+    within-category form retailers actually use, and the form that
+    scales (a global Pareto needs the distributed prefix-sum pattern;
+    the per-brand one is a plain partitioned window). Running + whole-
+    partition frames share one sort."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    term = (
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+        .cast("decimal(28,6)")
+        * F.lit(1000000)
+    ).cast("long")
+    rev = li.groupBy(F.col("l_partkey").alias("p")).agg(F.sum(term).alias("rev_us"))
+    b = rev.join(part, rev.p == part.p_partkey).select("p", "p_brand", "rev_us")
+    wrun = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("rev_us").desc(), "p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("p_brand")
+    w = b.withColumn("cum", F.sum("rev_us").over(wrun)).withColumn(
+        "total", F.sum("rev_us").over(wall)
+    )
+    cls = (
+        F.when(F.col("cum") * 5 <= F.col("total") * 4, "A")
+        .when(F.col("cum") * 20 <= F.col("total") * 19, "B")
+        .otherwise("C")
+    )
+    return w.select(
+        F.col("p").alias("p_partkey"),
+        "p_brand",
+        (F.col("rev_us").cast("double") / F.lit(1000000.0)).alias("revenue"),
+        (F.col("cum").cast("double") / F.col("total").cast("double")).alias("cum_share"),
+        cls.alias("abc_class"),
+    )
+
+
+def _hll_rollup_oracle() -> str:
+    """The agg_hyperloglog_exact oracle re-pointed at the union of the
+    per-type key sets and the '__all__' total — the SQL statement of
+    'merged registers == registers of the union' (register index and
+    rank are functions of user_id alone, MAX is associative)."""
+    from flod_spark.registry import ORACLES
+
+    base = ORACLES["agg_hyperloglog_exact"]
+    pre = (
+        "WITH e AS (SELECT DISTINCT event_type, user_id FROM events "
+        "    WHERE user_id IS NOT NULL), "
+    )
+    assert base.startswith(pre), "agg_hyperloglog_exact oracle prefix moved"
+    repl = (
+        "WITH eb AS (SELECT DISTINCT event_type, user_id FROM events "
+        "    WHERE user_id IS NOT NULL), "
+        "e AS (SELECT event_type, user_id FROM eb UNION ALL "
+        "  SELECT '__all__' AS event_type, user_id "
+        "  FROM (SELECT DISTINCT user_id FROM eb)), "
+    )
+    return repl + base[len(pre):]
+
+
+@query("agg_hll_rollup", oracle=_hll_rollup_oracle())
+def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH MERGEABILITY, demonstrated — the property that makes
+    sketches the 100 TB cube primitive: the '__all__' total row is
+    computed by MAX-MERGING the per-type HLL registers (NOT by
+    re-scanning events), exactly how a pre-aggregated daily sketch
+    table rolls up to monthly/any-grouping without touching raw data.
+    Correct because register index and rank are functions of user_id
+    alone and MAX is associative — merged per-type registers equal the
+    registers of the union, which is what the oracle states in SQL;
+    the estimate phase is agg_hyperloglog_exact's verbatim (integer
+    harmonic sum, shared ln table, bit-portable).
+
+    Scale: the merge aggregates |types| x m register rows down to m —
+    the whole point: rolling up costs O(m) per output group forever
+    after the one register build; the exact n_true audit column exists
+    for the gate and would be absent in production."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    regs_t = _hll_register_rows(ev).groupBy("event_type", "j").agg(
+        F.max("rk").alias("mj")
+    )
+    # THE ROLLUP: global registers from the per-type registers alone
+    regs_all = regs_t.groupBy("j").agg(F.max("mj").alias("mj")).select(
+        F.lit("__all__").alias("event_type"), "j", "mj"
+    )
+    ev_all = ev.select("user_id").distinct().select(
+        F.lit("__all__").alias("event_type"), "user_id"
+    )
+    return _hll_finalize(
+        regs_t.unionByName(regs_all), ev.unionByName(ev_all)
+    )

@@ -3456,3 +3456,217 @@ def agg_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(m3 / (m2 * F.sqrt(m2)))
         .alias("skewness"),
     )
+
+
+@query(
+    "agg_diversity",
+    oracle=(
+        # concentration/diversity indices from EXACT integer counts:
+        # Simpson = sum(c^2)/N^2 and Gini impurity = 1 - Simpson are
+        # each ONE IEEE division of exact BIGINTs (all far under 2^53
+        # at any gate scale), so they cross engines bitwise — no float
+        # ln anywhere (Shannon entropy is deliberately NOT offered in
+        # the oracle-gated surface: engine ln() is not bit-promised).
+        "WITH c AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c "
+        "  FROM events WHERE user_id IS NOT NULL GROUP BY event_type, user_id), "
+        "g AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n, "
+        "    CAST(COUNT(*) AS BIGINT) AS richness, "
+        "    CAST(SUM(c * c) AS BIGINT) AS ss, CAST(MAX(c) AS BIGINT) AS cmax "
+        "  FROM c GROUP BY event_type) "
+        "SELECT event_type, n, richness, "
+        "  CAST(ss AS DOUBLE) / (n * n) AS simpson, "
+        "  1.0 - CAST(ss AS DOUBLE) / (n * n) AS gini_impurity, "
+        "  CAST(cmax AS DOUBLE) / n AS berger_parker "
+        "FROM g"
+    ),
+)
+def agg_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIVERSITY / CONCENTRATION indices per group — who dominates each
+    event type: Simpson index (= Herfindahl-Hirschman, the probability
+    two random events share a user), its Gini-impurity complement, the
+    Berger-Parker dominance (top user's share), and richness (distinct
+    users). The market-concentration / class-imbalance audit a training
+    pipeline runs on its source mix. Exactness: every index is exact
+    BIGINT sums (c, sum c^2, max c — all < 2^53) closed by one IEEE
+    division, so values cross engines bitwise; Shannon entropy is
+    deliberately excluded from the oracled surface because engine ln()
+    carries no bitwise promise (the HLL family's precomputed-ln-table
+    rule).
+
+    Scale: two chained partial aggregations — (group, key) counts then
+    per-group moments — both combine map-side; the exchange carries one
+    row per observed (group, key), never raw events, and the second agg
+    is |groups| rows. The same two-level shape rolls up: per-day index
+    tables re-aggregate to monthly by re-summing c and c^2."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    c = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("c"))
+    g = c.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("richness"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.max("c").alias("cmax"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        "richness",
+        (F.col("ss").cast("double") / (F.col("n") * F.col("n"))).alias("simpson"),
+        (F.lit(1.0) - F.col("ss").cast("double") / (F.col("n") * F.col("n"))).alias(
+            "gini_impurity"
+        ),
+        (F.col("cmax").cast("double") / F.col("n")).alias("berger_parker"),
+    )
+
+
+@query(
+    "agg_argminmax",
+    oracle=(
+        # arg-extremes via rank-1 windows (DuckDB's arg_max has no
+        # documented tiebreak; an explicit (value DESC, key DESC) /
+        # (value ASC, key ASC) total order does)
+        "WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice, "
+        "    row_number() OVER (PARTITION BY o_orderpriority "
+        "      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax, "
+        "    row_number() OVER (PARTITION BY o_orderpriority "
+        "      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin "
+        "  FROM orders) "
+        "SELECT o_orderpriority AS priority, "
+        "  MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS max_order, "
+        "  MAX(CASE WHEN rmax = 1 THEN o_totalprice END) AS max_price, "
+        "  MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS min_order, "
+        "  MAX(CASE WHEN rmin = 1 THEN o_totalprice END) AS min_price "
+        "FROM r GROUP BY o_orderpriority"
+    ),
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARG-extreme aggregation (max_by / min_by): per order priority,
+    WHICH order carries the highest and lowest total price — the
+    'who/what was the extreme' lookup that otherwise costs a self-join
+    back onto the aggregate. Ties on price break on the order key
+    (largest key for max, smallest for min), making the answer a total
+    order both engines agree on; the oracle spells the same tiebreak as
+    rank-1 windows because DuckDB's arg_max documents no tie rule.
+
+    Scale: ONE partial aggregation — max_by/min_by carry a single
+    (value, key) struct per group through the map-side combine, so the
+    exchange is |groups| rows with no sort and no window (the window in
+    the ORACLE is DuckDB-only); contrast join_lateral_topn, which pays
+    a per-group sort to return the top N > 1."""
+    o = load(spark, sf_dir, "orders")
+    kmax = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    kmin = F.struct(
+        F.col("o_totalprice").alias("p"), (-F.col("o_orderkey")).alias("negk")
+    )
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.max_by("o_orderkey", kmax).alias("max_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min_by("o_orderkey", kmin).alias("min_order"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
+# window_cusum drift threshold: the one-sided CUSUM accumulates
+# (value - _CUSUM_K) and clamps at zero; alarms read S > h downstream.
+# Exactness: value quantizes to DECIMAL(18,6) (the bars_ohlc rounding
+# contract), so prefix sums and the running min are exact decimals and
+# the clamp identity is exact algebra, not float folding.
+_CUSUM_K = "0.5"
+
+
+@query(
+    "window_cusum",
+    oracle=(
+        "WITH b AS (SELECT event_id, user_id, ts, "
+        f"    CAST(value AS DECIMAL(18,6)) - CAST({_CUSUM_K} AS DECIMAL(18,6)) AS d "
+        "  FROM events), "
+        "p AS (SELECT event_id, user_id, ts, "
+        "    SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pf "
+        "  FROM b), "
+        # the zero-clamp is a CASE, not LEAST: DuckDB's LEAST silently
+        # promotes DECIMAL(38,6) operands to DOUBLE, which folds the
+        # subtraction in float and drifts an ulp off Spark's exact path
+        "m AS (SELECT event_id, user_id, ts, pf, "
+        "    MIN(pf) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS mn "
+        "  FROM p) "
+        "SELECT event_id, user_id, ts, "
+        "  CAST(pf - (CASE WHEN mn > 0 THEN CAST(0 AS DECIMAL(38,6)) ELSE mn END) "
+        "    AS DOUBLE) AS cusum "
+        "FROM m"
+    ),
+)
+def window_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift statistic per user — the changepoint /
+    drift detector (Page 1954) monitoring pipelines run on metric
+    streams: S_i = max(0, S_{i-1} + x_i - k). The recurrence is NOT a
+    window aggregate, but the classic identity S_i = P_i - min(0,
+    min_{j<=i} P_j) (prefix sum minus clamped running minimum) turns it
+    into TWO running windows over the same sort — no recursion, no UDF,
+    no per-row Python. Exact: x quantizes to DECIMAL(18,6), so both
+    windows fold exact decimals and only the final report casts to
+    double (correctly rounded from an exact value in both engines).
+
+    Scale: one shuffle on user_id, then two running frames over the
+    single sorted partition pass — running aggregates keep O(1) state
+    per row (no frame re-scan), identical budget to window_running;
+    (user_id, ts) is unique so the order is total. At 100 TB this is
+    the per-entity drift scan: the shuffle is the only exchange, and
+    alarming (S > h) is a free map afterward."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = F.col("value").cast("decimal(18,6)") - F.lit(_CUSUM_K).cast("decimal(18,6)")
+    p = ev.select("event_id", "user_id", "ts", d.alias("d")).withColumn(
+        "pf", F.sum("d").over(run)
+    )
+    mn = F.min("pf").over(run)
+    lo = F.when(mn > 0, F.lit(0).cast("decimal(38,6)")).otherwise(mn)
+    return p.select(
+        "event_id", "user_id", "ts",
+        (F.col("pf") - lo).cast("double").alias("cusum"),
+    )
+
+
+@query(
+    "window_drawdown",
+    oracle=(
+        "WITH b AS (SELECT event_id, user_id, ts, "
+        "    CAST(value AS DECIMAL(18,6)) AS x FROM events), "
+        "p AS (SELECT event_id, user_id, ts, x, "
+        "    MAX(x) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS peak "
+        "  FROM b), "
+        "d AS (SELECT event_id, user_id, ts, CAST(peak - x AS DOUBLE) AS drawdown, "
+        "    MAX(peak - x) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS mdd "
+        "  FROM p) "
+        "SELECT event_id, user_id, ts, drawdown, CAST(mdd AS DOUBLE) AS max_drawdown "
+        "FROM d"
+    ),
+)
+def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DRAWDOWN per user — distance below the running peak, and
+    the running MAXIMUM drawdown (the risk metric every portfolio /
+    SLA dashboard draws; on a metric stream it reads 'how far below
+    the best-so-far are we, and how bad has it ever gotten'). Two
+    chained running aggregates over one sort: running max of x gives
+    the peak, running max of (peak - x) gives the max drawdown to
+    date. Exact: values quantize to DECIMAL(18,6); MAX is selection
+    (no folding error at any width) and the subtraction is exact
+    decimal algebra — only the report columns cast to double.
+
+    Scale: window_cusum's exact budget — one shuffle on user_id, one
+    sorted partition pass, O(1) running-aggregate state per row, no
+    frame re-scans; the second running max chains onto the same sort
+    with zero extra exchanges."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    x = F.col("value").cast("decimal(18,6)")
+    p = ev.select("event_id", "user_id", "ts", x.alias("x")).withColumn(
+        "peak", F.max("x").over(run)
+    )
+    dd = F.col("peak") - F.col("x")
+    d = p.withColumn("dd", dd)
+    return d.select(
+        "event_id", "user_id", "ts",
+        F.col("dd").cast("double").alias("drawdown"),
+        F.max("dd").over(run).cast("double").alias("max_drawdown"),
+    )

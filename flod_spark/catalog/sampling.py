@@ -440,3 +440,120 @@ def sample_group_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= SAMPLE_GROUP_K)
         .drop("rn")
     )
+
+
+# priority sampling: k kept items; weight = n_chars (the doc's cost —
+# the practical 'sample long docs proportionally more' policy)
+_PRI_K = 50
+
+
+@query(
+    "sample_weighted_k",
+    oracle=(
+        # priority sampling (Duffield-Lund-Thorup, JACM'07): priority
+        # q = w / u with u uniform from the hash. u = (h32 + 1) / 2^32
+        # is an EXACT double (32-bit int over a power of two), so q is
+        # ONE IEEE division of exact operands — bit-identical across
+        # engines, unlike Efraimidis-Spirakis' u^(1/w) whose pow/ln
+        # carries no cross-engine bit promise.
+        "WITH h AS (SELECT doc_id, n_chars, "
+        "    CAST('0x' || substr(md5('pri|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h32 "
+        "  FROM documents), "
+        "p AS (SELECT doc_id, n_chars, "
+        "    CAST(n_chars AS DOUBLE) / ((h32 + 1) / 4294967296.0) AS priority FROM h), "
+        "r AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn FROM p) "
+        f"SELECT doc_id, n_chars, priority FROM r WHERE rn <= {_PRI_K}"
+    ),
+)
+def sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED k-sample without replacement by PRIORITY SAMPLING
+    (Duffield-Lund-Thorup): each doc draws priority q = weight / u
+    (weight = n_chars, u hash-uniform) and the k highest priorities
+    win — long docs win proportionally more, every doc keeps a nonzero
+    chance, and the scheme supports unbiased subset-sum estimation
+    downstream (w-hat = max(w, tau) with tau the (k+1)-th priority).
+    Chosen over Efraimidis-Spirakis' u^(1/w) keys deliberately: that
+    needs pow/ln, which carries no cross-engine bitwise promise, while
+    q here is one IEEE division of exact operands (u = (h32+1)/2^32 is
+    an exact double). Hash-deterministic like the whole family — no
+    RNG plumbing, stable under retries.
+
+    Scale: priorities are map-only expressions pipelined with the
+    scan; the global top-k is TakeOrderedAndProject (per-task k-row
+    heaps, k rows cross to the driver-side merge — never a sort of the
+    corpus). The weighted analog of sample_exact_k."""
+    docs = load(spark, sf_dir, "documents")
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("pri|"), F.col("doc_id").cast("string")).cast("binary")),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    p = docs.select(
+        "doc_id",
+        "n_chars",
+        (
+            F.col("n_chars").cast("double")
+            / ((h32 + F.lit(1)) / F.lit(4294967296.0))
+        ).alias("priority"),
+    )
+    return p.orderBy(F.col("priority").desc(), "doc_id").limit(_PRI_K)
+
+
+# per-language token budget for the mixture carve (documents average
+# ~60 word tokens at the gate scales; 1500 keeps a real prefix per lang
+# while leaving most docs outside the budget)
+_TOK_BUDGET = 1500
+
+
+@query(
+    "sample_token_budget",
+    oracle=(
+        "WITH t AS (SELECT doc_id, lang, "
+        "    CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok, "
+        "    substr(md5('tb|' || CAST(doc_id AS VARCHAR)), 1, 8) AS rk "
+        "  FROM documents), "
+        "c AS (SELECT doc_id, lang, n_tok, rk, "
+        "    SUM(n_tok) OVER (PARTITION BY lang ORDER BY rk, doc_id) AS cum "
+        "  FROM t) "
+        f"SELECT doc_id, lang, n_tok, CAST(cum AS BIGINT) AS cum_tokens "
+        f"FROM c WHERE cum - n_tok < {_TOK_BUDGET}"
+    ),
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET carve per language — the unit data mixtures are
+    actually priced in: take docs (in deterministic salted-hash order)
+    until each language's cumulative TOKEN count reaches the budget,
+    admitting the doc that crosses the line (cum - n_tok < B). Doc
+    counts lie about mixture weight when doc lengths differ by 100x
+    between languages; token budgeting is how ' 30% code, 20% wiki'
+    directives are really enforced. Hash order makes the carve a pure
+    function of doc_id: a re-run, a different cluster, or a grown
+    corpus reproduces the same prefix (new docs only displace at the
+    boundary). All-integer cumsum — exact in both engines.
+
+    Scale: one shuffle on lang, one running SUM over each sorted
+    partition (O(1) state, no frame re-scan). Skewed languages are the
+    real hazard: a 90%-English corpus funnels into one partition — the
+    production form first splits the budget across salted sub-strata
+    (budget/S per shard), the sample_hot_cells pattern, which this
+    operator's per-lang window composes with unchanged."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_tok"),
+        _hash_prefix("tb|", F.col("doc_id")).alias("rk"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("rk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    return c.filter(F.col("cum") - F.col("n_tok") < _TOK_BUDGET).select(
+        "doc_id", "lang", "n_tok", F.col("cum").alias("cum_tokens")
+    )

@@ -1798,3 +1798,100 @@ def stream_market_basket_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+def _ewma_live_fn(key, pdfs, state):
+    """Per-user EWMA state fold: state = the last H-1 quantized values
+    (micros-scaled longs), each arriving event emits its truncated-
+    horizon weighted sum as EXACT Python integers (num, den) — the
+    float division happens once, batch-side after the drain, in the
+    same op order as window_ewma's, so values match the batch oracle
+    bitwise. Rows are sorted by event time inside the batch; the
+    replay contract delivers per-key batches in time order."""
+    import pandas as pd
+
+    from flod_spark.catalog.relational import _EWMA_H, _EWMA_W
+
+    hist = list(state.get[0]) if state.exists else []
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("us")
+    eids, uss, nums, dens = [], [], [], []
+    for eid, us, xq in zip(pdf["event_id"], pdf["us"], pdf["xq"]):
+        lags = [int(xq)] + hist[::-1]
+        num = den = 0
+        for k in range(min(len(lags), _EWMA_H)):
+            num += _EWMA_W[k] * lags[k]
+            den += _EWMA_W[k]
+        eids.append(int(eid))
+        uss.append(int(us))
+        nums.append(num)
+        dens.append(den)
+        hist.append(int(xq))
+        hist = hist[-(_EWMA_H - 1):]
+    state.update((hist,))
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([int(key[0])] * len(eids), dtype="int64"),
+            "event_id": pd.Series(eids, dtype="int64"),
+            "us": pd.Series(uss, dtype="int64"),
+            "num": pd.Series(nums, dtype="int64"),
+            "den": pd.Series(dens, dtype="int64"),
+        }
+    )
+
+
+def _ewma_live_oracle() -> str:
+    from flod_spark.catalog.relational import window_ewma  # noqa: F401
+
+    from flod_spark.registry import ORACLES
+
+    return ORACLES["window_ewma"]
+
+
+@query("stream_ewma_live", oracle=_ewma_live_oracle())
+def stream_ewma_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EWMA smoothing LIVE — window_ewma as a keyed stateful
+    operator, the dashboard form that stamps every arriving event with
+    its smoothed value at arrival: state per user is the last H-1
+    quantized values (micros-scaled longs), each event emits its
+    truncated-horizon weighted sum as exact integers, and the one
+    float division runs batch-side after the drain in window_ewma's
+    exact op order — so the oracle is the batch window query VERBATIM,
+    bitwise (num < 2^53 guarantees the long->double cast is exact;
+    the integer state is why no float ever folds inside the stream).
+    Each event is emitted exactly once (it arrives in exactly one
+    micro-batch), so the drained sink needs no monotone-max pick.
+
+    Scale: state is H-1 = 7 longs per user — a bounded online feature
+    table sharded by key hash; each event costs O(H) integer ops
+    against local state, no join, no window, no shuffle beyond the
+    key partitioning every stateful operator pays. The same operator
+    seeded from a snapshot is the production warm-start."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from flod_spark.io import ts_micros
+
+    ev = load(spark, sf_dir, "events")
+    xq = (F.col("value").cast("decimal(18,6)") * F.lit(1000000)).cast("long")
+    feed = ev.select("event_id", "user_id", "ts", xq.alias("xq"))
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_ew_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, feed, "ts", replay_dir, n_batches=4, tiebreak=("event_id",))
+    src = (
+        with_event_time(stream)
+        .withWatermark("ts", _WATERMARK)
+        .select("user_id", "event_id", ts_micros("ts").alias("us"), "xq")
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _ewma_live_fn,
+        outputStructType="user_id long, event_id long, us long, num long, den long",
+        stateStructType="h array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    got = _drain(out, spark, output_mode="update", cleanup=(replay_dir,))
+    return got.select(
+        "event_id",
+        "user_id",
+        as_naive(F.timestamp_micros(F.col("us"))).alias("ts"),
+        (F.col("num").cast("double") / F.lit(1000000.0) / F.col("den")).alias("ewma_8"),
+    )
