@@ -76,7 +76,7 @@ def ensure_shipped(spark: SparkSession) -> None:
 # The rotation tests clamp driver_rounds() to this, so the driver dropping
 # CORRECTNESS_r{N+1}.json into the tree after the builder's final commit
 # cannot flip a committed-green pytest (round-6 verdict, top finding).
-_PLANNED_FROM_ROUND = 6
+_PLANNED_FROM_ROUND = 7
 
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). _GATE_ORDER makes the window explicit, and ROTATES each
@@ -86,47 +86,46 @@ _PLANNED_FROM_ROUND = 6
 # staleness from CORRECTNESS_r*.json); tests/test_chains.py pins this
 # window against the same data, clamped to _PLANNED_FROM_ROUND, so the
 # two cannot drift and later driver artifacts cannot break it.
-# Round-7 window =
-#   (b) the new round-7 registrations (first driver row) — they have no
-#       recorded row at _PLANNED_FROM_ROUND, so the membership test
+# Round-8 window =
+#   (b) the 10 new round-8 registrations (first driver row) — they have
+#       no recorded row at _PLANNED_FROM_ROUND, so the membership test
 #       auto-derives them as must-gate,
-#   (c) changed-implementation re-proofs: stream_asof_enrich_live
-#       (iterrows loop vectorized to sorted-ffill, r6 verdict item 2),
-#       bars_ohlc + stream_bars_ohlc_live (open/close order key widened
-#       per ADVICE r6 — (ts, id) packing now dominates any event_id),
-#       udf_grouped_agg (half-away-from-zero cents rounding, ADVICE r6),
-#   (d) the FULL 26-key r2-stale backlog (r6 verdict "What's missing"
-#       item 2 — every remaining last-proven-r2 row re-proves this
-#       round), then the oldest r3-tier rows in registration order
-#       filling to 50. New round-7 registrations displace the r3 fill
-#       tail automatically (the window is the first 50 listed keys),
-#       never (c)/(d)-r2 slots; the r3 overflow is round 8's (d).
+#   (c) changed-implementation re-proofs: orders_market_basket +
+#       stream_market_basket_live (forced part-frequency broadcast
+#       dropped — AQE decides; r7 verdict weak #1), dedup_semantic_text
+#       (forced vocab-table broadcast dropped; r7 verdict weak #2),
+#       agg_bitmap_distinct (now routed through distinct_count_auto's
+#       dense-key guard; r7 verdict next #6),
+#   (d) the 19-key r3-tier overflow displaced from the r7 window (r7
+#       verdict "What's missing" item 1 — tag_roundtrip .. tpch_q18),
+#       then the next r3-tier rows in registration order to the 50-cap
+#       (13 r3-tier keys remain for round 9: stream_session_live,
+#       stream_take_live, stream_join_live, stream_queue_live,
+#       sample_mixture, split_assign, sink_csv, sink_json,
+#       sink_partitioned, join_bucketed, pack_sequences,
+#       sample_shuffle, prep_pipeline).
 # Keys not listed here sort after listed ones, in registration order.
 _GATE_ORDER = (
-    # (b) new round-7 registrations
-    "stream_dedup_minhash_live", "graph_jaccard_approx", "join_asof_dim",
-    "dedup_semantic_text", "window_ewma", "agg_hyperloglog_exact",
-    "text_seg_dedup", "split_time_embargo", "stream_hll_live",
-    "graph_kcore", "sim_mips", "agg_bitmap_distinct",
-    "stream_bitmap_distinct_live", "orders_market_basket", "sample_group_k",
-    "histogram_heatmap", "stream_market_basket_live", "join_lateral_topn",
-    "agg_skewness",  # 20 new + 4 changed + 26 r2-stale = exactly 50
-    # (c) changed-implementation re-proofs
-    "stream_asof_enrich_live", "bars_ohlc", "stream_bars_ohlc_live",
-    "udf_grouped_agg",
-    # (d) stalest re-proofs: the full r2 tier (26 keys) ...
-    "codec_gzip", "dedup_exact", "dedup_minhash", "dedup_ngram",
-    "dedup_simhash", "doc_quality", "embed_dedup", "json_extract",
-    "lang_id", "media_meta", "sample_hash", "sample_stratified",
-    "scalar_fns", "set_except", "set_union", "sim_lsh", "sim_topk",
-    "sort_topk", "stream_dedup", "stream_sliding", "stream_window",
-    "text_stats", "tpch_q3", "tpch_q6", "udf_stage", "window_rank",
-    # ... then the oldest r3 tier in registration order, to the 50-cap
-    "by_line_sep", "tag_roundtrip", "agg_approx", "agg_rollup",
-    "agg_cube", "join_outer", "join_semi", "window_running",
-    "set_intersect", "agg_pivot", "agg_percentile", "agg_collect",
-    "tpch_q5", "array_fns", "join_salted", "agg_grouping_sets",
+    # (b) new round-8 registrations — 10 keys
+    "sim_mips_ann", "agg_diversity", "agg_argminmax", "window_cusum",
+    "window_drawdown", "sample_weighted_k", "sample_token_budget",
+    "orders_pareto_abc", "agg_hll_rollup", "stream_ewma_live",
+    # (c) changed-implementation re-proofs — 4 keys
+    "orders_market_basket", "stream_market_basket_live",
+    "dedup_semantic_text", "agg_bitmap_distinct",
+    # (d) stalest re-proofs — the 19-key r3 overflow named in the r7
+    # verdict, in registration order ...
+    "tag_roundtrip", "agg_approx", "agg_rollup", "agg_cube",
+    "join_outer", "join_semi", "window_running", "set_intersect",
+    "agg_pivot", "agg_percentile", "agg_collect", "tpch_q5",
+    "array_fns", "join_salted", "agg_grouping_sets",
     "window_range_frame", "tpch_q10", "tpch_q14", "tpch_q18",
+    # ... then the next r3-tier rows in registration order, to the cap
+    "stream_session", "resample_gapfill", "token_count", "fingerprint",
+    "text_clean", "token_histogram", "doc_repetition", "dedup_cluster",
+    "dedup_apply", "decontaminate", "sim_ivf", "embed_centroids",
+    "semdedup", "kmeans_iter", "udf_scalar", "udf_grouped",
+    "stream_window_live",
 )
 
 
