@@ -123,6 +123,20 @@ HEADLINE = [
     "histogram_heatmap",
     "join_lateral_topn",
     "agg_skewness",
+    # round-8 additions: the ten new registrations (ANN-backed MIPS,
+    # concentration indices, arg-extremes, the two running-window
+    # detectors, priority/budget sampling, per-brand Pareto, the HLL
+    # register rollup, and the stateful live EWMA)
+    "sim_mips_ann",
+    "agg_diversity",
+    "agg_argminmax",
+    "window_cusum",
+    "window_drawdown",
+    "sample_weighted_k",
+    "sample_token_budget",
+    "orders_pareto_abc",
+    "agg_hll_rollup",
+    "stream_ewma_live",
 ]
 
 

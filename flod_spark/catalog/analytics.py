@@ -1430,14 +1430,23 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole point: rolling up costs O(m) per output group forever
     after the one register build; the exact n_true audit column exists
     for the gate and would be absent in production."""
+    # localCheckpoint both shared frames: ev feeds four consumers
+    # (register build, the '__all__' key set, the group list, the
+    # n_true audit) and regs_t two (its own estimate + the merge) —
+    # without truncation each consumer re-derives the distinct pass
+    # (measured: 15 exchanges vs 8)
     ev = (
         load(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
         .select("event_type", "user_id")
         .distinct()
+        .localCheckpoint()
     )
-    regs_t = _hll_register_rows(ev).groupBy("event_type", "j").agg(
-        F.max("rk").alias("mj")
+    regs_t = (
+        _hll_register_rows(ev)
+        .groupBy("event_type", "j")
+        .agg(F.max("rk").alias("mj"))
+        .localCheckpoint()
     )
     # THE ROLLUP: global registers from the per-type registers alone
     regs_all = regs_t.groupBy("j").agg(F.max("mj").alias("mj")).select(

@@ -369,6 +369,20 @@ HEADLINE_PINS = {
     # Catalyst decorrelates the LATERAL subquery into join + WindowGroupLimit
     "join_lateral_topn": (1, 0),
     "agg_skewness": (1, 0),
+    # round-8 additions (fingerprinted at sf0.001 at introduction)
+    "sim_mips_ann": (2, 0),
+    "agg_diversity": (2, 0),
+    "agg_argminmax": (1, 0),
+    "window_cusum": (1, 0),
+    "window_drawdown": (1, 0),
+    # priorities are map-only; the top-k is TakeOrderedAndProject
+    "sample_weighted_k": (0, 0),
+    "sample_token_budget": (1, 0),
+    "orders_pareto_abc": (2, 0),
+    # ev + regs_t localCheckpointed (shared frames); the union of the
+    # per-type and rolled-up estimate paths costs the extra exchanges
+    # over agg_hyperloglog_exact's 6
+    "agg_hll_rollup": (8, 0),
 }
 
 
