@@ -137,6 +137,11 @@ HEADLINE = [
     "orders_pareto_abc",
     "agg_hll_rollup",
     "stream_ewma_live",
+    # late round-8: the integer-state live detectors + the mergeable
+    # streaming weighted reservoir
+    "stream_cusum_live",
+    "stream_drawdown_live",
+    "stream_weighted_sample_live",
 ]
 
 

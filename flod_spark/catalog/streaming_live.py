@@ -1895,3 +1895,293 @@ def stream_ewma_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_naive(F.timestamp_micros(F.col("us"))).alias("ts"),
         (F.col("num").cast("double") / F.lit(1000000.0) / F.col("den")).alias("ewma_8"),
     )
+
+
+def _cusum_live_fn(key, pdfs, state):
+    """Per-user CUSUM fold in EXACT integers: state = (prefix sum,
+    running min of prefix) in micros units; cusum_i = pf_i - min(0,
+    runmin_i) — the same clamp identity window_cusum's two running
+    frames compute, so the drained values equal the batch oracle after
+    one shared float division."""
+    import pandas as pd
+
+    if state.exists:
+        pf, mn = state.get
+    else:
+        pf, mn = 0, None
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("us")
+    eids, uss, cs = [], [], []
+    for eid, us, dq in zip(pdf["event_id"], pdf["us"], pdf["dq"]):
+        pf += int(dq)
+        mn = pf if mn is None else min(mn, pf)
+        lo = mn if mn < 0 else 0
+        eids.append(int(eid))
+        uss.append(int(us))
+        cs.append(pf - lo)
+    state.update((pf, mn))
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([int(key[0])] * len(eids), dtype="int64"),
+            "event_id": pd.Series(eids, dtype="int64"),
+            "us": pd.Series(uss, dtype="int64"),
+            "cusum_us": pd.Series(cs, dtype="int64"),
+        }
+    )
+
+
+def _cusum_live_oracle() -> str:
+    from flod_spark.catalog.relational import window_cusum  # noqa: F401
+
+    from flod_spark.registry import ORACLES
+
+    return ORACLES["window_cusum"]
+
+
+@query("stream_cusum_live", oracle=_cusum_live_oracle())
+def stream_cusum_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIFT DETECTION LIVE — window_cusum as a keyed stateful
+    operator, the alert-at-arrival form: state per user is TWO longs
+    (micros-scaled prefix sum + its running minimum), each event emits
+    its clamped statistic as an exact integer, and the single float
+    division runs batch-side — so the oracle is the batch window query
+    VERBATIM, bitwise (stream_ewma_live's integer-state discipline
+    applied to the clamp identity S = P - min(0, min P)). Each event
+    is emitted exactly once; no monotone-max pick needed.
+
+    Scale: O(1) state per user — 16 bytes, the cheapest online
+    detector there is; no join, no window, no shuffle beyond the key
+    partitioning. The production alarm (S > h) is a map on the
+    emission stream."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from flod_spark.catalog.relational import _CUSUM_K
+    from flod_spark.io import ts_micros
+
+    ev = load(spark, sf_dir, "events")
+    dq = (
+        (F.col("value").cast("decimal(18,6)") - F.lit(_CUSUM_K).cast("decimal(18,6)"))
+        * F.lit(1000000)
+    ).cast("long")
+    feed = ev.select("event_id", "user_id", "ts", dq.alias("dq"))
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_cu_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, feed, "ts", replay_dir, n_batches=4, tiebreak=("event_id",))
+    src = (
+        with_event_time(stream)
+        .withWatermark("ts", _WATERMARK)
+        .select("user_id", "event_id", ts_micros("ts").alias("us"), "dq")
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _cusum_live_fn,
+        outputStructType="user_id long, event_id long, us long, cusum_us long",
+        stateStructType="pf long, mn long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    got = _drain(out, spark, output_mode="update", cleanup=(replay_dir,))
+    return got.select(
+        "event_id",
+        "user_id",
+        as_naive(F.timestamp_micros(F.col("us"))).alias("ts"),
+        (F.col("cusum_us").cast("double") / F.lit(1000000.0)).alias("cusum"),
+    )
+
+
+def _drawdown_live_fn(key, pdfs, state):
+    """Per-user drawdown fold in EXACT integers: state = (running peak,
+    running max drawdown) in micros units."""
+    import pandas as pd
+
+    if state.exists:
+        peak, mdd = state.get
+    else:
+        peak, mdd = None, 0
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("us")
+    eids, uss, ds, ms = [], [], [], []
+    for eid, us, xq in zip(pdf["event_id"], pdf["us"], pdf["xq"]):
+        x = int(xq)
+        peak = x if peak is None else max(peak, x)
+        dd = peak - x
+        mdd = max(mdd, dd)
+        eids.append(int(eid))
+        uss.append(int(us))
+        ds.append(dd)
+        ms.append(mdd)
+    state.update((peak, mdd))
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([int(key[0])] * len(eids), dtype="int64"),
+            "event_id": pd.Series(eids, dtype="int64"),
+            "us": pd.Series(uss, dtype="int64"),
+            "dd_us": pd.Series(ds, dtype="int64"),
+            "mdd_us": pd.Series(ms, dtype="int64"),
+        }
+    )
+
+
+def _drawdown_live_oracle() -> str:
+    from flod_spark.catalog.relational import window_drawdown  # noqa: F401
+
+    from flod_spark.registry import ORACLES
+
+    return ORACLES["window_drawdown"]
+
+
+@query("stream_drawdown_live", oracle=_drawdown_live_oracle())
+def stream_drawdown_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRAWDOWN LIVE — window_drawdown as a keyed stateful operator:
+    state per user is TWO longs (running peak + running max drawdown,
+    micros-scaled), each event stamps its distance-below-peak and the
+    worst-so-far at arrival; integers throughout, float division
+    batch-side, oracle = the batch window query VERBATIM bitwise (the
+    stream_ewma_live discipline; MAX is selection, so the integer
+    state IS the decimal the batch computes).
+
+    Scale: O(1) state per user, no join, no window — the live risk
+    ticker next to stream_cusum_live's drift alarm."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from flod_spark.io import ts_micros
+
+    ev = load(spark, sf_dir, "events")
+    xq = (F.col("value").cast("decimal(18,6)") * F.lit(1000000)).cast("long")
+    feed = ev.select("event_id", "user_id", "ts", xq.alias("xq"))
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_dd_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, feed, "ts", replay_dir, n_batches=4, tiebreak=("event_id",))
+    src = (
+        with_event_time(stream)
+        .withWatermark("ts", _WATERMARK)
+        .select("user_id", "event_id", ts_micros("ts").alias("us"), "xq")
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _drawdown_live_fn,
+        outputStructType="user_id long, event_id long, us long, dd_us long, mdd_us long",
+        stateStructType="peak long, mdd long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    got = _drain(out, spark, output_mode="update", cleanup=(replay_dir,))
+    return got.select(
+        "event_id",
+        "user_id",
+        as_naive(F.timestamp_micros(F.col("us"))).alias("ts"),
+        (F.col("dd_us").cast("double") / F.lit(1000000.0)).alias("drawdown"),
+        (F.col("mdd_us").cast("double") / F.lit(1000000.0)).alias("max_drawdown"),
+    )
+
+
+def _wsample_shard_fn(key, pdfs, state):
+    """Per-shard top-k priority heap (k = sampling._PRI_K): state is
+    the shard's current best (priority, doc_id, n_chars) triples.
+    Priorities are computed ONCE, batch-side, before the replay — the
+    Python here only COMPARES them (no float arithmetic), so the
+    retained doubles pass through bit-exact."""
+    import pandas as pd
+
+    from flod_spark.catalog.sampling import _PRI_K
+
+    if state.exists:
+        ids, ws, ps = state.get
+        entries = list(zip(ps, ids, ws))
+    else:
+        entries = []
+    for pdf in pdfs:
+        entries.extend(
+            zip(pdf["priority"], pdf["doc_id"], pdf["n_chars"])
+        )
+    # sort: priority DESC, doc_id ASC — the batch form's exact order
+    entries = sorted(entries, key=lambda e: (-e[0], e[1]))[:_PRI_K]
+    state.update((
+        [int(e[1]) for e in entries],
+        [int(e[2]) for e in entries],
+        [float(e[0]) for e in entries],
+    ))
+    yield pd.DataFrame(
+        {
+            "shard": pd.Series([int(key[0])] * len(entries), dtype="int64"),
+            "doc_id": pd.Series([int(e[1]) for e in entries], dtype="int64"),
+            "n_chars": pd.Series([int(e[2]) for e in entries], dtype="int64"),
+            "priority": pd.Series([float(e[0]) for e in entries], dtype="float64"),
+        }
+    )
+
+
+def _wsample_live_oracle() -> str:
+    from flod_spark.catalog.sampling import sample_weighted_k  # noqa: F401
+
+    from flod_spark.registry import ORACLES
+
+    return ORACLES["sample_weighted_k"]
+
+
+@query("stream_weighted_sample_live", oracle=_wsample_live_oracle())
+def stream_weighted_sample_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED RESERVOIR on the live path — sample_weighted_k
+    maintained incrementally, which is priority sampling's designed
+    use (the priority order statistic is mergeable): docs stream in
+    (replayed in doc_id order), each shard keeps its top-k priorities
+    as bounded state, every trigger snapshots the shard heads, and the
+    batch tail takes the global top-k over the union of all snapshots
+    — a provable superset argument: a doc outside its shard's top-k at
+    arrival sits below k same-shard priorities, so it cannot be in the
+    global top-k, while every true global-top-k doc is in its shard's
+    top-k at every trigger (priorities are per-doc constants, so the
+    union needs no snapshot bookkeeping, just a per-doc max).
+    Priorities are computed batch-side before the replay; the state
+    function only compares, so the drained doubles are the batch
+    form's bit-for-bit and the oracle is sample_weighted_k's VERBATIM.
+
+    Scale: state = k triples per shard (shard count tracks executor
+    count); emissions are |shards| x k rows per trigger; the merge is
+    a k x |shards|-row sort. The always-fresh 'weighted sample of
+    everything seen so far' a labeling pipeline polls."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from flod_spark.catalog.sampling import _PRI_K
+
+    docs = load(spark, sf_dir, "documents")
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("pri|"), F.col("doc_id").cast("string")).cast("binary")),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    feed = docs.select(
+        "doc_id",
+        "n_chars",
+        (
+            F.col("n_chars").cast("double")
+            / ((h32 + F.lit(1)) / F.lit(4294967296.0))
+        ).alias("priority"),
+        F.timestamp_micros(F.col("doc_id") * 1_000_000).alias("ingest_ts"),
+    )
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_ws_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(
+        spark, feed, "ingest_ts", replay_dir, n_batches=4, tiebreak=("doc_id",)
+    )
+    src = with_event_time(stream, "ingest_ts").select(
+        F.pmod(F.xxhash64("doc_id"), F.lit(8)).alias("shard"),
+        "doc_id",
+        "n_chars",
+        "priority",
+    )
+    snaps = src.groupBy("shard").applyInPandasWithState(
+        _wsample_shard_fn,
+        outputStructType="shard long, doc_id long, n_chars long, priority double",
+        stateStructType="ids array<long>, ws array<long>, ps array<double>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    got = _drain(snaps, spark, output_mode="update", cleanup=(replay_dir,))
+    # the FINAL top-k per doc survives every later snapshot of its
+    # shard, so the max-priority row per doc over all emissions equals
+    # its final-snapshot row; global top-k merges the dedup'd union
+    cand = got.groupBy("doc_id").agg(
+        F.max("priority").alias("priority"), F.max("n_chars").alias("n_chars")
+    )
+    return cand.orderBy(F.col("priority").desc(), "doc_id").limit(_PRI_K).select(
+        "doc_id", "n_chars", "priority"
+    )
