@@ -1330,11 +1330,15 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w AS (SELECT p, p_brand, rev_us, "
         "    SUM(rev_us) OVER (PARTITION BY p_brand ORDER BY rev_us DESC, p) AS cum, "
         "    SUM(rev_us) OVER (PARTITION BY p_brand) AS total FROM b) "
+        # class by the share BEFORE the item (cum - rev): the item that
+        # CROSSES the 80% line is still an A (the top part of a brand
+        # must be A even at a 90% share — classifying on the inclusive
+        # cum would skip A entirely for dominant items)
         "SELECT p AS p_partkey, p_brand, "
         "  CAST(rev_us AS DOUBLE) / 1000000.0 AS revenue, "
         "  CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share, "
-        "  CASE WHEN cum * 5 <= total * 4 THEN 'A' "
-        "       WHEN cum * 20 <= total * 19 THEN 'B' ELSE 'C' END AS abc_class "
+        "  CASE WHEN (cum - rev_us) * 5 < total * 4 THEN 'A' "
+        "       WHEN (cum - rev_us) * 20 < total * 19 THEN 'B' ELSE 'C' END AS abc_class "
         "FROM w"
     ),
 )
@@ -1342,13 +1346,16 @@ def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARETO / ABC classification per brand — the 80/15/5 revenue-
     concentration cut inventory planners run (A: parts covering the
     first 80% of brand revenue, B: to 95%, C: the tail): rank parts by
-    revenue inside each brand, running share decides the class. All
-    arithmetic is EXACT integers: revenue quantizes to micros (the
-    per-row double product casts to DECIMAL(28,6), scale-shifts by
-    1e6, and sums as BIGINT — ~1e15 at sf0.1, far under 2^63), and the
-    class cuts compare cross-multiplied integers (cum*5 <= total*4),
-    so no float rounding can flip a label; the two report doubles are
-    single IEEE divisions of exact integers.
+    revenue inside each brand, running share decides the class — on
+    the share BEFORE each item, so the part that CROSSES a line still
+    belongs to the class it closes (a 90%-share top part is an A, not
+    a C). All arithmetic is EXACT integers: revenue quantizes to
+    micros (the per-row double product casts to DECIMAL(28,6),
+    scale-shifts by 1e6, and sums as BIGINT — ~1e15 at sf0.1, far
+    under 2^63), and the class cuts compare cross-multiplied integers
+    ((cum - rev)*5 < total*4), so no float rounding can flip a label;
+    the two report doubles are single IEEE divisions of exact
+    integers.
 
     Scale: one partial-agg shuffle builds per-part revenue (64x-ish
     smaller than lineitem), the part-dim join carries NO broadcast
@@ -1376,9 +1383,12 @@ def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = b.withColumn("cum", F.sum("rev_us").over(wrun)).withColumn(
         "total", F.sum("rev_us").over(wall)
     )
+    # classify on the share BEFORE the item: the 80%-crossing part is
+    # still an A (see the oracle comment)
+    before = F.col("cum") - F.col("rev_us")
     cls = (
-        F.when(F.col("cum") * 5 <= F.col("total") * 4, "A")
-        .when(F.col("cum") * 20 <= F.col("total") * 19, "B")
+        F.when(before * 5 < F.col("total") * 4, "A")
+        .when(before * 20 < F.col("total") * 19, "B")
         .otherwise("C")
     )
     return w.select(

@@ -245,3 +245,95 @@ def test_sim_mips_ann_lift_preserves_order(spark):
     by_ip = sorted(vecs, key=lambda i: -ip[i])
     by_cos = sorted(vecs, key=lambda i: -cos(lq, lifted[i]))
     assert by_ip == by_cos == [1, 2, 3]  # long #1 beats closer-angle #2
+
+
+def test_pareto_abc_properties(spark, sf_dir):
+    """Structural pins for the per-brand ABC cut: classes are ordered
+    A..C along the revenue rank (share-before-item is monotone), every
+    brand's top-ranked part is an A (even a dominant one — the
+    crossing rule), and the A set is minimal: dropping a brand's last
+    A leaves the remainder strictly under the 80% line."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["orders_pareto_abc"](spark, sf_dir).collect()
+    by_brand = {}
+    for r in rows:
+        by_brand.setdefault(r.p_brand, []).append(r)
+    assert len(by_brand) > 1
+    order = {"A": 0, "B": 1, "C": 2}
+    for brand, rs in by_brand.items():
+        rs.sort(key=lambda r: (-r.revenue, r.p_partkey))
+        assert rs[0].abc_class == "A", brand
+        labels = [order[r.abc_class] for r in rs]
+        assert labels == sorted(labels), brand  # never back to a better class
+        a = [r for r in rs if r.abc_class == "A"]
+        # share covered by all A-items but the last is < 80%
+        total = sum(r.revenue for r in rs)
+        before_last_a = sum(r.revenue for r in a[:-1])
+        assert before_last_a / total < 0.8 + 1e-12, brand
+        assert abs(rs[-1].cum_share - 1.0) < 1e-9, brand
+
+
+def test_cusum_and_drawdown_properties(spark, sf_dir):
+    """CUSUM is a clamped non-negative statistic; drawdown is
+    non-negative and its running max is monotone per user."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    cs = qs["window_cusum"](spark, sf_dir).collect()
+    assert cs and all(r.cusum >= 0 for r in cs)
+    dd = qs["window_drawdown"](spark, sf_dir).collect()
+    assert dd and all(r.drawdown >= 0 for r in dd)
+    per_user = {}
+    for r in sorted(dd, key=lambda r: (r.user_id, r.ts)):
+        prev = per_user.get(r.user_id, 0.0)
+        assert r.max_drawdown >= prev - 1e-12
+        assert r.max_drawdown >= r.drawdown - 1e-12
+        per_user[r.user_id] = r.max_drawdown
+
+
+def test_diversity_bounds(spark, sf_dir):
+    """Simpson lies in [1/richness, 1] (equality at uniform /
+    single-key); gini = 1 - simpson; berger_parker in [1/richness, 1]
+    and <= sqrt(simpson) never... just the standard dominance bound
+    berger_parker^2 <= simpson <= berger_parker."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["agg_diversity"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1.0 / r.richness - 1e-12 <= r.simpson <= 1.0
+        assert abs(r.gini_impurity - (1.0 - r.simpson)) < 1e-12
+        assert r.berger_parker ** 2 - 1e-12 <= r.simpson <= r.berger_parker + 1e-12
+
+
+def test_weighted_sample_estimator_unbiased_shape(spark, sf_dir):
+    """Priority sampling's defining property on the gate data: the
+    subset-sum estimator w-hat = max(w, tau) (tau = the (k+1)-th
+    priority) over the k kept docs lands within 30% of the true total
+    n_chars — loose, but it catches a broken priority formula or a
+    wrong tail cut outright."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from flod_spark.catalog.sampling import _PRI_K
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("pri|"), F.col("doc_id").cast("string")).cast("binary")),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    allp = docs.select(
+        "doc_id", "n_chars",
+        (F.col("n_chars").cast("double") / ((h32 + F.lit(1)) / F.lit(4294967296.0))).alias("q"),
+    ).orderBy(F.col("q").desc(), "doc_id").collect()
+    kept = allp[:_PRI_K]
+    tau = float(allp[_PRI_K].q)
+    est = sum(max(float(r.n_chars), tau) for r in kept)
+    true = sum(r.n_chars for r in allp)
+    assert abs(est - true) / true < 0.30
+    got = {r.doc_id for r in entry.queries()["sample_weighted_k"](spark, sf_dir).collect()}
+    assert got == {r.doc_id for r in kept}
