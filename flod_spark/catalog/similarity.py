@@ -106,24 +106,32 @@ _PLANE_SQL = (
 
 
 def _plane_spark(p: int, salt: str = "", dim: int = DIM):
-    """±1 plane p as array<double> (salt distinguishes independent LSH
-    tables for OR-amplification — '' is table 0, the oracle's table;
-    ``dim`` covers the norm-augmented 65-dim space in sim_mips_ann).
-    NOTE: the lambda must take exactly ONE parameter — PySpark treats a
-    2-parameter lambda (even via a default arg) as the (element, index)
-    form, silently rebinding the second name."""
-    prefix = F.lit(f"{salt}{p}_")
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(dim)),
-        lambda d: F.when(
-            F.instr(
-                F.lit("89abcdef"),
-                F.substring(F.md5(F.concat(prefix, d.cast("string")).cast("binary")), 1, 1),
-            )
-            > 0,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0)),
-    )
+    """±1 plane p as a LITERAL array<double> (salt distinguishes
+    independent LSH tables for OR-amplification — '' is table 0, the
+    oracle's table; ``dim`` covers the norm-augmented 65-dim space in
+    sim_mips_ann). The components are md5('{salt}{p}_{d}') bits — a
+    row-independent constant, so they are computed ONCE driver-side
+    with hashlib (identical bytes, identical md5, identical ±1.0
+    doubles as the oracle's SQL expression) and ship as a folded array
+    literal instead of a per-row transform(sequence, md5(...)) tree.
+    The genuinely hot path (sim_mips_ann's 8-table signatures) skips
+    expression folds entirely — see _mips_bucket_kernel."""
+    import hashlib
+
+    return F.array(*[F.lit(c) for c in _plane_comps(p, salt, dim)])
+
+
+def _plane_comps(p: int, salt: str = "", dim: int = DIM) -> list[float]:
+    """The ±1.0 components of plane p as plain Python floats (driver-
+    side hashlib md5 over the same ASCII bytes the oracle hashes)."""
+    import hashlib
+
+    return [
+        1.0
+        if hashlib.md5(f"{salt}{p}_{d}".encode()).hexdigest()[0] in "89abcdef"
+        else -1.0
+        for d in range(1, dim + 1)
+    ]
 
 
 def _bucket_spark(v, salt: str = ""):
@@ -1247,16 +1255,51 @@ _MIPS_TABLES = ("ma", "mb", "mc", "md", "me", "mf", "mg", "mh")
 _LDIM = DIM + 1
 
 
-def _lift_bucket_spark(lv, salt: str):
-    bits = []
-    for p in range(_MIPS_PLANES):
-        dot = F.aggregate(
-            F.zip_with(_plane_spark(p, salt, dim=_LDIM), lv, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda a, x: a + x,
+def _mips_bucket_kernel(it):
+    """All 8 tables' lifted-space SRP buckets in ONE Arrow pass —
+    vectorized over rows, SEQUENTIAL over dimensions: acc starts at
+    0.0 and adds c_d * lv[:, d] one dimension at a time, which is the
+    oracle fold's exact IEEE op order applied to every row at once, so
+    the dots — and the signs — are bit-identical to the SQL
+    list_reduce. Why Python at all: 8 tables x 5 planes x 65 dims =
+    2,600 per-row steps, which Catalyst evaluates interpreted as a
+    higher-order-function fold (measured ~5 s/2k rows at sf0.1) and
+    cannot codegen unrolled (a 2,600-node projection built 7 MiB task
+    binaries and ran 5x SLOWER); here the same arithmetic is 2,600
+    numpy vector ops per Arrow batch (~0.5 s). In: (id, lv); out: one
+    (id, t, bucket) row per table."""
+    import numpy as np
+    import pandas as pd
+
+    mats = {
+        s: [_plane_comps(p, s, _LDIM) for p in range(_MIPS_PLANES)]
+        for s in _MIPS_TABLES
+    }
+    for pdf in it:
+        if not len(pdf):
+            continue
+        lv = np.array(pdf["lv"].tolist(), dtype=np.float64)
+        ids = pdf["id"].to_numpy()
+        n = len(ids)
+        out_id, out_t, out_b = [], [], []
+        for s in _MIPS_TABLES:
+            bits = []
+            for p in range(_MIPS_PLANES):
+                acc = np.zeros(n)
+                row = mats[s][p]
+                for d in range(_LDIM):
+                    acc += row[d] * lv[:, d]
+                bits.append(np.where(acc >= 0.0, "1", "0"))
+            out_id.append(ids)
+            out_t.extend([s] * n)
+            out_b.extend("".join(t) for t in zip(*bits))
+        yield pd.DataFrame(
+            {
+                "id": pd.Series(np.concatenate(out_id), dtype="int64"),
+                "t": pd.Series(out_t, dtype="object"),
+                "bucket": pd.Series(out_b, dtype="object"),
+            }
         )
-        bits.append(F.when(dot >= 0, "1").otherwise("0"))
-    return F.concat(*bits)
 
 
 def _lift_bucket_sql(vec: str, salt: str) -> str:
@@ -1321,12 +1364,15 @@ def sim_mips_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~0.47), the hard regime for any LSH, so the pinned floor is the
     measured 2x-over-random-scan lift, not a clustered-data 0.9.
 
-    Scale: bucketing is map-only against broadcast derived planes (the
-    M^2 scalar is a 1-row broadcast); the candidate join shuffles
-    (table, bucket, id) — never vectors against vectors all-pairs; the
-    rerank touches ~|tables| / 2^planes of the corpus per query. More
-    planes shrink candidates, more tables raise recall — the standard
-    LSH dials, identical to sim_lsh's."""
+    Scale: bucketing is ONE map-only Arrow stage per side (all 8
+    tables' signatures per batch, numpy-vectorized over rows with the
+    fold's exact dimension order — see _mips_bucket_kernel for why the
+    HOF-expression form loses 10x here); the M^2 scalar is a 1-row
+    broadcast; the candidate join shuffles (table, bucket, id) — never
+    vectors against vectors all-pairs; the rerank touches ~|tables| /
+    2^planes of the corpus per query. More planes shrink candidates,
+    more tables raise recall — the standard LSH dials, identical to
+    sim_lsh's."""
     emb = load(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", _as_double("embedding").alias("v"))
     m2 = e.agg(F.max(_dot_spark(F.col("v"), F.col("v"))).alias("m2"))
@@ -1336,18 +1382,10 @@ def sim_mips_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v", F.array(F.sqrt(F.col("m2") - _dot_spark(F.col("v"), F.col("v"))))
         ).alias("lv"),
     )
-    tb = lambda lv: F.explode(  # noqa: E731
-        F.array(
-            *[
-                F.struct(
-                    F.lit(s).alias("t"), _lift_bucket_spark(lv, s).alias("bucket")
-                )
-                for s in _MIPS_TABLES
-            ]
-        )
-    )
-    cb = le.select("vec_id", tb(F.col("lv")).alias("tbk")).select(
-        "vec_id", F.col("tbk.t").alias("t"), F.col("tbk.bucket").alias("bucket")
+    cb = (
+        le.select(F.col("vec_id").alias("id"), "lv")
+        .mapInPandas(_mips_bucket_kernel, "id long, t string, bucket string")
+        .withColumnRenamed("id", "vec_id")
     )
     q = (
         e.orderBy("vec_id")
@@ -1357,8 +1395,10 @@ def sim_mips_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     lq = q.select(
         "query_id", F.concat("qv", F.array(F.lit(0.0))).alias("lv")
     )
-    qb = lq.select("query_id", tb(F.col("lv")).alias("tbk")).select(
-        "query_id", F.col("tbk.t").alias("t"), F.col("tbk.bucket").alias("bucket")
+    qb = (
+        lq.select(F.col("query_id").alias("id"), "lv")
+        .mapInPandas(_mips_bucket_kernel, "id long, t string, bucket string")
+        .withColumnRenamed("id", "query_id")
     )
     cand = (
         qb.join(cb, ["t", "bucket"])
