@@ -138,10 +138,11 @@ HEADLINE = [
     "agg_hll_rollup",
     "stream_ewma_live",
     # late round-8: the integer-state live detectors + the mergeable
-    # streaming weighted reservoir
+    # streaming weighted reservoir + iterative BPE tokenizer training
     "stream_cusum_live",
     "stream_drawdown_live",
     "stream_weighted_sample_live",
+    "bpe_train_iter",
 ]
 
 

@@ -1592,3 +1592,110 @@ def text_seg_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd.alias("n_dup_segs"),
         (nd.cast("double") / F.nullif(ns, F.lit(0))).alias("dup_frac"),
     )
+
+
+# BPE merge rounds (unrolled in the oracle, kmeans_iter-style driver
+# loop in the operator). 5 rounds keeps the oracle readable; real
+# tokenizer training runs the same loop to vocab-size quiescence.
+_BPE_ROUNDS = 5
+
+
+def _bpe_oracle() -> str:
+    ctes = [
+        "wrd AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)",
+        "v0 AS (SELECT array_to_string(regexp_split_to_array(w, ''), ' ') || ' </w>' AS s, "
+        "    CAST(COUNT(*) AS BIGINT) AS freq FROM wrd GROUP BY 1)",
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        p = r - 1
+        ctes.append(
+            f"p{r} AS (SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt FROM ("
+            f"  SELECT freq, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS pr "
+            f"  FROM (SELECT string_split(s, ' ') AS a, freq FROM v{p})) GROUP BY pr)"
+        )
+        ctes.append(
+            f"m{r} AS (SELECT pr AS pair, cnt FROM p{r} ORDER BY cnt DESC, pr LIMIT 1)"
+        )
+        if r < _BPE_ROUNDS:
+            ctes.append(
+                f"v{r} AS (SELECT trim(replace(' ' || s || ' ', "
+                f"    ' ' || (SELECT pair FROM m{r}) || ' ', "
+                f"    ' ' || (SELECT replace(pair, ' ', '') FROM m{r}) || ' ')) AS s, freq FROM v{p})"
+            )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, pair, cnt FROM m{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return "WITH " + ", ".join(ctes) + " " + sel
+
+
+@query("bpe_train_iter", oracle=_bpe_oracle())
+def bpe_train_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZER TRAINING (Sennrich et al.) — the iterative merge
+    loop bpe_pairs is the single-round statistic of: words become
+    space-joined symbol strings ('l o w </w>') weighted by corpus
+    frequency, and each round (a) counts adjacent symbol pairs
+    weighted by word freq, (b) picks the most frequent pair
+    (count DESC, pair ASC — a total order both engines agree on), and
+    (c) merges every left-to-right non-overlapping occurrence via
+    delimited string replace (' a b ' -> ' ab ' on the padded string —
+    both engines' replace() scans left to right and resumes after the
+    replacement, which IS the reference BPE merge order). The output
+    is the learned merge table, the artifact a tokenizer ships. The
+    oracle unrolls the _BPE_ROUNDS rounds as CTE stages (the
+    graph_kcore discipline for iterative algorithms).
+
+    Scale: the vocab table (one row per distinct word) is the ONLY
+    distributed state — exactly how corpus-scale BPE trains: per
+    round, one partial-agg pair count + a 1-row driver read (the
+    argmax merge — the kmeans_iter scalar-per-round pattern) + a
+    map-only replace, with localCheckpoint truncating the lineage so
+    round r's plan stays O(1). Raw text is touched ONCE (the word
+    count); every later round runs over the compressed vocab."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.concat(F.concat_ws(" ", F.split("w", "")), F.lit(" </w>")).alias("s"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        sym = F.split("s", " ")
+        pair_arr = F.transform(
+            F.sequence(F.lit(1), F.size(sym) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(sym, i), F.element_at(sym, i + 1)
+            ),
+        )
+        best = (
+            vocab.select("freq", F.explode(pair_arr).alias("pr"))
+            .groupBy("pr")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pr")
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((r, best.pr, int(best.cnt)))
+        if r < _BPE_ROUNDS:
+            vocab = vocab.select(
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
+                        F.lit(f" {best.pr} "),
+                        F.lit(" " + best.pr.replace(" ", "") + " "),
+                    )
+                ).alias("s"),
+                "freq",
+            ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "round bigint, pair string, cnt bigint"
+    )

@@ -337,3 +337,39 @@ def test_weighted_sample_estimator_unbiased_shape(spark, sf_dir):
     assert abs(est - true) / true < 0.30
     got = {r.doc_id for r in entry.queries()["sample_weighted_k"](spark, sf_dir).collect()}
     assert got == {r.doc_id for r in kept}
+
+
+def test_bpe_train_matches_reference_model(spark, sf_dir):
+    """The distributed BPE loop equals a 15-line reference
+    implementation of Sennrich BPE run driver-side on the same
+    word-frequency table — merge pairs AND weighted counts, all
+    _BPE_ROUNDS rounds."""
+    import __spark_entry__ as entry
+    from flod_spark.catalog.text import _BPE_ROUNDS
+
+    import re as _re
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    freq = {}
+    for r in docs:
+        for w in _re.findall(r"[a-z]+", (r.text or "").lower()):
+            freq[w] = freq.get(w, 0) + 1
+    vocab = {" ".join(list(w)) + " </w>": c for w, c in freq.items()}
+    expect = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pairs = {}
+        for s, c in vocab.items():
+            syms = s.split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pairs[f"{a} {b}"] = pairs.get(f"{a} {b}", 0) + c
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rnd, best[0], best[1]))
+        pat, tgt = f" {best[0]} ", " " + best[0].replace(" ", "") + " "
+        vocab = {
+            (" " + s + " ").replace(pat, tgt).strip(): c for s, c in vocab.items()
+        }
+    got = [
+        (r.round, r.pair, r.cnt)
+        for r in entry.queries()["bpe_train_iter"](spark, sf_dir).collect()
+    ]
+    assert sorted(got) == expect
