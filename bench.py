@@ -143,6 +143,7 @@ HEADLINE = [
     "stream_drawdown_live",
     "stream_weighted_sample_live",
     "bpe_train_iter",
+    "bpe_apply",
 ]
 
 

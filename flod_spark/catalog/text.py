@@ -1600,7 +1600,7 @@ def text_seg_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 5
 
 
-def _bpe_oracle() -> str:
+def _bpe_train_ctes() -> list[str]:
     ctes = [
         "wrd AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)",
         "v0 AS (SELECT array_to_string(regexp_split_to_array(w, ''), ' ') || ' </w>' AS s, "
@@ -1622,11 +1622,15 @@ def _bpe_oracle() -> str:
                 f"    ' ' || (SELECT pair FROM m{r}) || ' ', "
                 f"    ' ' || (SELECT replace(pair, ' ', '') FROM m{r}) || ' ')) AS s, freq FROM v{p})"
             )
+    return ctes
+
+
+def _bpe_oracle() -> str:
     sel = " UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS round, pair, cnt FROM m{r}"
         for r in range(1, _BPE_ROUNDS + 1)
     )
-    return "WITH " + ", ".join(ctes) + " " + sel
+    return "WITH " + ", ".join(_bpe_train_ctes()) + " " + sel
 
 
 @query("bpe_train_iter", oracle=_bpe_oracle())
@@ -1652,6 +1656,15 @@ def bpe_train_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only replace, with localCheckpoint truncating the lineage so
     round r's plan stays O(1). Raw text is touched ONCE (the word
     count); every later round runs over the compressed vocab."""
+    return spark.createDataFrame(
+        _bpe_merge_list(spark, sf_dir), "round bigint, pair string, cnt bigint"
+    )
+
+
+def _bpe_merge_list(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, int]]:
+    """The distributed BPE training loop (shared by bpe_train_iter and
+    bpe_apply): returns [(round, pair, weighted count)] after
+    _BPE_ROUNDS rounds over the corpus word-frequency vocab."""
     docs = load(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(
@@ -1696,6 +1709,82 @@ def bpe_train_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("s"),
                 "freq",
             ).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "round bigint, pair string, cnt bigint"
+    return merges
+
+
+def _bpe_apply_oracle() -> str:
+    # the train chain (v0..m5, on (s, freq)) + a parallel APPLY chain
+    # keyed by the original word (a0..a5 — note round _BPE_ROUNDS's
+    # merge IS applied here, unlike the train chain which stops
+    # rewriting after its last count), then docs join the tokenized
+    # vocab and sum symbol counts.
+    apply_ctes = [
+        "a0 AS (SELECT w, array_to_string(regexp_split_to_array(w, ''), ' ') || ' </w>' AS s "
+        "  FROM (SELECT DISTINCT w FROM wrd))",
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        apply_ctes.append(
+            f"a{r} AS (SELECT w, trim(replace(' ' || s || ' ', "
+            f"    ' ' || (SELECT pair FROM m{r}) || ' ', "
+            f"    ' ' || (SELECT replace(pair, ' ', '') FROM m{r}) || ' ')) AS s FROM a{r - 1})"
+        )
+    return (
+        "WITH " + ", ".join(_bpe_train_ctes() + apply_ctes) + ", "
+        "tok AS (SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_syms "
+        f"  FROM a{_BPE_ROUNDS}), "
+        "d AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w "
+        "  FROM documents) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, "
+        "  CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens "
+        "FROM d JOIN tok USING (w) GROUP BY doc_id"
+    )
+
+
+@query("bpe_apply", oracle=_bpe_apply_oracle())
+def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZE with the learned merges — the inference half of the
+    tokenizer story (bpe_train_iter learns the merge table, this
+    applies it): each merge rewrites the vocabulary in training order
+    (all _BPE_ROUNDS of them), and every document's BPE token count is
+    the sum of its words' post-merge symbol counts — the statistic
+    that prices a corpus in model tokens rather than words (compare
+    token_count's regex proxy). Merges apply to the DISTINCT
+    vocabulary, never to token instances: |vocab| rows get 5 map-only
+    replaces, then documents join the tokenized vocab by word.
+
+    Scale: the train loop's budget (it re-runs here; production reads
+    the shipped merge table instead) + 5 map-only rewrites over the
+    vocab + one explode-join-aggregate: the join keys on the word with
+    NO broadcast hint (vocabulary cardinality — the
+    dedup_semantic_text lesson; AQE broadcasts when it measures
+    small), and the per-doc sum combines map-side."""
+    merges = _bpe_merge_list(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("w"),
+    )
+    vocab = d.select("w").distinct().select(
+        "w",
+        F.concat(F.concat_ws(" ", F.split("w", "")), F.lit(" </w>")).alias("s"),
+    )
+    s = F.col("s")
+    for _, pair, _cnt in merges:
+        s = F.trim(
+            F.replace(
+                F.concat(F.lit(" "), s, F.lit(" ")),
+                F.lit(f" {pair} "),
+                F.lit(" " + pair.replace(" ", "") + " "),
+            )
+        )
+    tok = vocab.select("w", F.size(F.split(s, " ")).cast("long").alias("n_syms"))
+    return (
+        d.join(tok, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
     )
