@@ -3553,14 +3553,14 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ORACLE is DuckDB-only); contrast join_lateral_topn, which pays
     a per-group sort to return the top N > 1."""
     o = load(spark, sf_dir, "orders")
-    kmax = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
-    kmin = F.struct(
-        F.col("o_totalprice").alias("p"), (-F.col("o_orderkey")).alias("negk")
-    )
+    # ONE struct key serves both: max_by((p, k)) ties on p -> largest k
+    # (the oracle's price DESC, key DESC), min_by((p, k)) ties on p ->
+    # smallest k (price ASC, key ASC)
+    key = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
     return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.max_by("o_orderkey", kmax).alias("max_order"),
+        F.max_by("o_orderkey", key).alias("max_order"),
         F.max("o_totalprice").alias("max_price"),
-        F.min_by("o_orderkey", kmin).alias("min_order"),
+        F.min_by("o_orderkey", key).alias("min_order"),
         F.min("o_totalprice").alias("min_price"),
     )
 

@@ -373,3 +373,21 @@ def test_bpe_train_matches_reference_model(spark, sf_dir):
         for r in entry.queries()["bpe_train_iter"](spark, sf_dir).collect()
     ]
     assert sorted(got) == expect
+
+
+def test_argminmax_tiebreak_planted(spark):
+    """Price ties resolve exactly as the oracle's rank-1 windows:
+    max side takes the LARGEST key, min side the SMALLEST — one struct
+    key serves both (a (p, -k) min-key would silently invert the min
+    side's tie rule; no gate-scale data has ties, so only this planted
+    frame guards it)."""
+    o = spark.createDataFrame(
+        [(1, "P", 10.0), (2, "P", 10.0), (3, "P", 1.0), (4, "P", 1.0)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    key = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    r = o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", key).alias("mx"),
+        F.min_by("o_orderkey", key).alias("mn"),
+    ).first()
+    assert (r.mx, r.mn) == (2, 3)
