@@ -144,6 +144,7 @@ HEADLINE = [
     "stream_weighted_sample_live",
     "bpe_train_iter",
     "bpe_apply",
+    "media_frame_sample",
 ]
 
 

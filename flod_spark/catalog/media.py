@@ -465,3 +465,134 @@ def _synth_png_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1) + (F.col("doc_id") * 7) % 16).cast("int").alias("h"),
     )
     return params.mapInPandas(_synth_png_batches, schema="media_id long, blob binary")
+
+
+# ---- video frame sampling (the mandate's frame-sample stage) ----------
+# Deterministic fake container "FVID1" (no stdlib video codec exists;
+# the brief's deterministic-fake rule): 16-byte header
+# struct('<4sHHII': magic, w, h, n_frames, fps) + n_frames grayscale
+# frames of w*h bytes. Pixel (frame f, x, y) of media m is
+# 32 + (m + 7f + 3x + 5y) % 64 — printable ASCII, so the oracle can
+# chr()-assemble a frame and sha256 exactly the bytes the kernel slices.
+_VID_W, _VID_H = 8, 6
+_VID_STRIDE = 3  # keep every 3rd frame
+
+
+def _synth_video_batches(batches):
+    """mapInPandas stage: pack the closed-form frames into FVID1 blobs
+    — the ONE source of the synthetic-video formula media_frame_sample's
+    oracle mirrors."""
+    import struct as _struct
+
+    import pandas as pd
+
+    for pdf in batches:
+        ids, blobs = [], []
+        for mid, nf, fps in zip(pdf["media_id"], pdf["n_frames"], pdf["fps"]):
+            mid, nf, fps = int(mid), int(nf), int(fps)
+            frames = b"".join(
+                bytes(
+                    32 + (mid + 7 * f + 3 * x + 5 * y) % 64
+                    for y in range(_VID_H)
+                    for x in range(_VID_W)
+                )
+                for f in range(nf)
+            )
+            blobs.append(
+                _struct.pack("<4sHHII", b"FVID", _VID_W, _VID_H, nf, fps) + frames
+            )
+            ids.append(mid)
+        yield pd.DataFrame(
+            {"media_id": pd.Series(ids, dtype="int64"), "blob": blobs}
+        )
+
+
+def _frame_sample_kernel(batches):
+    """Arrow stage: parse the FVID1 header, STRIDE-SLICE every
+    _VID_STRIDE-th frame without touching the rest (the entire point of
+    frame sampling: unsampled frames are never decoded — here never
+    even copied out of the blob), and report per sampled frame the
+    exact integer pixel sum plus the sha256 prefix of its raw bytes."""
+    import hashlib as _hashlib
+    import struct as _struct
+
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        mids, fidx, nfs, sums, shas = [], [], [], [], []
+        for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+            raw = bytes(blob)
+            magic, w, h, nf, _fps = _struct.unpack_from("<4sHHII", raw, 0)
+            assert magic == b"FVID", "not an FVID1 container"
+            fsz = w * h
+            for f in range(0, nf, _VID_STRIDE):
+                frame = raw[16 + f * fsz : 16 + (f + 1) * fsz]
+                v = np.frombuffer(frame, np.uint8)
+                mids.append(int(mid))
+                fidx.append(f)
+                nfs.append(nf)
+                sums.append(int(v.sum()))
+                shas.append(_hashlib.sha256(frame).hexdigest()[:16])
+        yield pd.DataFrame(
+            {
+                "media_id": pd.Series(mids, dtype="int64"),
+                "frame_idx": pd.Series(fidx, dtype="int64"),
+                "n_frames": pd.Series(nfs, dtype="int64"),
+                "px_sum": pd.Series(sums, dtype="int64"),
+                "frame_sha": pd.Series(shas, dtype="object"),
+            }
+        )
+
+
+@query(
+    "media_frame_sample",
+    oracle=(
+        # closed-form twin: sampled frame indices are range(0, n, 3);
+        # each frame's bytes reassemble as chr(32 + (m + 7f + 3x + 5y)
+        # % 64) in row-major order (printable ASCII -> 1-byte UTF-8),
+        # so sha256 hashes EXACTLY the bytes the kernel slices and the
+        # pixel sum is pure integer arithmetic
+        "WITH p AS (SELECT doc_id AS media_id, 4 + doc_id % 12 AS nf FROM documents), "
+        f"fr AS (SELECT media_id, nf, unnest(range(0, nf, {_VID_STRIDE})) AS f FROM p), "
+        "px AS (SELECT media_id, nf, f, "
+        f"    list_transform(range(0, {_VID_W * _VID_H}), "
+        f"      j -> 32 + (media_id + 7 * f + 3 * (j % {_VID_W}) + 5 * (j // {_VID_W})) % 64) AS vals "
+        "  FROM fr) "
+        "SELECT media_id, CAST(f AS BIGINT) AS frame_idx, CAST(nf AS BIGINT) AS n_frames, "
+        "  CAST(list_sum(vals) AS BIGINT) AS px_sum, "
+        "  substr(sha256(array_to_string(list_transform(vals, x -> chr(CAST(x AS INT))), '')), 1, 16) "
+        "    AS frame_sha "
+        "FROM px"
+    ),
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO FRAME SAMPLING — the mandate's frame-sample stage: opaque
+    video blobs (deterministic FVID1 container; no stdlib video codec
+    exists, so the container is the brief's deterministic fake while
+    the Spark plumbing — schema, Arrow batches, stride slicing — is
+    real) parse their header and keep every _VID_STRIDE-th frame
+    WITHOUT decoding the rest: unsampled frames are never copied out
+    of the blob, which is the whole economics of frame sampling (a
+    30 fps corpus read at 1 fps costs 1/30th of the decode). Each
+    sampled frame reports its exact integer pixel sum and the sha256
+    prefix of its raw bytes, so the oracle proves every sampled byte
+    (the media_decode_png discipline) and would catch an off-by-one
+    stride or header-offset slip outright.
+
+    Scale: two Arrow-batched map-only stages (pack -> sample); blobs
+    die inside the kernel and only ~n_frames/stride feature rows
+    survive. A real corpus swaps the pack stage for a binaryFile scan
+    + a keyframe-index seek (the same stride logic against container
+    byte offsets); the sampling kernel is unchanged."""
+    docs = load(spark, sf_dir, "documents")
+    params = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(4) + F.col("doc_id") % 12).cast("int").alias("n_frames"),
+        F.lit(24).cast("int").alias("fps"),
+    )
+    packed = params.mapInPandas(_synth_video_batches, "media_id long, blob binary")
+    return packed.mapInPandas(
+        _frame_sample_kernel,
+        "media_id long, frame_idx long, n_frames long, px_sum long, frame_sha string",
+    )
