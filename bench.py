@@ -145,6 +145,7 @@ HEADLINE = [
     "bpe_train_iter",
     "bpe_apply",
     "media_frame_sample",
+    "window_rsi",
 ]
 
 

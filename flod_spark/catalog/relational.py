@@ -3670,3 +3670,75 @@ def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dd").cast("double").alias("drawdown"),
         F.max("dd").over(run).cast("double").alias("max_drawdown"),
     )
+
+
+# RSI lookback (trailing rows per frame, the classic 14)
+_RSI_N = 14
+
+
+@query(
+    "window_rsi",
+    oracle=(
+        "WITH b AS (SELECT event_id, user_id, ts, "
+        "    CAST(value AS DECIMAL(18,6)) AS x FROM events), "
+        "d AS (SELECT event_id, user_id, ts, "
+        "    x - lag(x) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS df "
+        "  FROM b), "
+        "g AS (SELECT event_id, user_id, ts, "
+        "    SUM(CASE WHEN df > 0 THEN df END) OVER fr AS gain, "
+        "    SUM(CASE WHEN df < 0 THEN -df END) OVER fr AS loss, "
+        "    SUM(CASE WHEN df IS NOT NULL THEN df * 0 END) OVER fr AS anydiff "
+        "  FROM d WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id "
+        f"    ROWS BETWEEN {_RSI_N - 1} PRECEDING AND CURRENT ROW)) "
+        "SELECT event_id, user_id, ts, "
+        "  CASE WHEN anydiff IS NULL THEN NULL ELSE "
+        "    CAST(100 * COALESCE(gain, 0) AS DOUBLE) "
+        "      / NULLIF(CAST(COALESCE(gain, 0) + COALESCE(loss, 0) AS DOUBLE), 0) "
+        "  END AS rsi_14 "
+        "FROM g"
+    ),
+)
+def window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIVE STRENGTH INDEX (Cutler's SMA form) per user — the
+    momentum oscillator next to bars/cusum/drawdown: RSI = 100 *
+    sum(gains) / (sum(gains) + sum(losses)) over the trailing
+    _RSI_N-row frame. The SMA variant is chosen DELIBERATELY over
+    Wilder's original: Wilder smoothing is an unbounded float
+    recursion (every step rounds, order-dependent — the window_ewma
+    docstring's argument), while Cutler's is two exact DECIMAL frame
+    sums closed by one IEEE division, so it crosses engines bitwise.
+    Rows before any diff exists (each user's first) yield NULL; a
+    fully flat window (gains = losses = 0) yields NULL via NULLIF,
+    not NaN.
+
+    Scale: one shuffle on user_id, one sorted pass — the lag and both
+    frame sums share the sort; trailing-ROWS running aggregates keep
+    O(1) state per row (no frame re-scan). window_cusum's exact
+    budget with one extra lag read."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fr = w.rowsBetween(-(_RSI_N - 1), Window.currentRow)
+    x = F.col("value").cast("decimal(18,6)")
+    d = ev.select("event_id", "user_id", "ts", (x - F.lag(x).over(w)).alias("df"))
+    gain = F.sum(F.when(F.col("df") > 0, F.col("df"))).over(fr)
+    loss = F.sum(F.when(F.col("df") < 0, -F.col("df"))).over(fr)
+    anydiff = F.sum(F.when(F.col("df").isNotNull(), F.col("df") * 0)).over(fr)
+    g = d.select("event_id", "user_id", "ts", gain.alias("gain"),
+                 loss.alias("loss"), anydiff.alias("anydiff"))
+    rsi = (
+        (F.lit(100) * F.coalesce(F.col("gain"), F.lit(0).cast("decimal(18,6)")))
+        .cast("double")
+        / F.nullif(
+            (
+                F.coalesce(F.col("gain"), F.lit(0).cast("decimal(18,6)"))
+                + F.coalesce(F.col("loss"), F.lit(0).cast("decimal(18,6)"))
+            ).cast("double"),
+            F.lit(0.0),
+        )
+    )
+    return g.select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("anydiff").isNull(), F.lit(None).cast("double"))
+        .otherwise(rsi)
+        .alias("rsi_14"),
+    )
