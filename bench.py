@@ -146,6 +146,8 @@ HEADLINE = [
     "bpe_apply",
     "media_frame_sample",
     "window_rsi",
+    "stream_rsi_live",
+    "orders_cohort_ltv",
 ]
 
 

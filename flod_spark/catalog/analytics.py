@@ -1473,3 +1473,72 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hll_finalize(
         regs_t.unionByName(regs_all), ev.unionByName(ev_all)
     )
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle=(
+        # cohort = month of a customer's FIRST order; age = exact
+        # integer month offset (year*12 + month, pure int arithmetic);
+        # LTV = running total cohort revenue (exact micros) over age,
+        # divided by cohort size in ONE IEEE division
+        "WITH f AS (SELECT o_custkey, MIN(o_orderdate) AS first_dt "
+        "    FROM orders GROUP BY o_custkey), "
+        "c AS (SELECT o_custkey, "
+        "    CAST(year(first_dt) * 12 + month(first_dt) AS BIGINT) AS cm FROM f), "
+        "sz AS (SELECT cm, CAST(COUNT(*) AS BIGINT) AS n_custs FROM c GROUP BY cm), "
+        "r AS (SELECT c.cm, "
+        "    CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT) - c.cm AS age, "
+        "    CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(28,6)) * 1000000 AS BIGINT)) "
+        "      AS BIGINT) AS rev_us, "
+        "    CAST(COUNT(*) AS BIGINT) AS n_orders "
+        "  FROM orders o JOIN c ON o.o_custkey = c.o_custkey GROUP BY c.cm, age), "
+        "w AS (SELECT cm, age, n_orders, "
+        "    SUM(rev_us) OVER (PARTITION BY cm ORDER BY age) AS cum_us FROM r) "
+        "SELECT w.cm AS cohort_month, w.age, w.n_orders, "
+        "  CAST(w.cum_us AS DOUBLE) / (1000000.0 * sz.n_custs) AS ltv_per_cust "
+        "FROM w JOIN sz ON w.cm = sz.cm"
+    ),
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LIFETIME VALUE — cohort_retention's revenue twin and the
+    growth metric subscription/retail planners actually steer by: each
+    customer joins the cohort of their FIRST order month, and every
+    cohort reports its cumulative revenue per customer by age (months
+    since joining) — read along a row it is the LTV curve, read down a
+    column it compares cohort quality at equal age. Exactness: cohort
+    month and age are pure integer month indices (year*12 + month),
+    revenue quantizes to integer micros (the orders_pareto_abc
+    discipline), the cumulative sum runs over exact BIGINTs, and the
+    per-customer division is ONE IEEE op of exact operands.
+
+    Scale: two partial-agg shuffles build first-order cohorts and the
+    (cohort, age) revenue cells (both exchanges carry aggregates, not
+    orders); the cumulative window is PARTITIONED by cohort (ages per
+    cohort are bounded by the corpus time span), and the cohort-size
+    join carries no hint — cohort count is time-bounded, so AQE
+    broadcasts it. The same shape rolls forward incrementally: a new
+    month appends one age cell per cohort."""
+    o = load(spark, sf_dir, "orders")
+    mi = lambda c: (F.year(c) * 12 + F.month(c)).cast("long")  # noqa: E731
+    c = o.groupBy("o_custkey").agg(mi(F.min("o_orderdate")).alias("cm"))
+    sz = c.groupBy("cm").agg(F.count("*").alias("n_custs"))
+    rev_us = F.sum(
+        (F.col("o_totalprice").cast("decimal(28,6)") * F.lit(1000000)).cast("long")
+    ).alias("rev_us")
+    r = (
+        o.join(c, "o_custkey")
+        .groupBy("cm", (mi(F.col("o_orderdate")) - F.col("cm")).alias("age"))
+        .agg(rev_us, F.count("*").alias("n_orders"))
+    )
+    w = Window.partitionBy("cm").orderBy("age")
+    cum = r.withColumn("cum_us", F.sum("rev_us").over(w))
+    return cum.join(sz, "cm").select(
+        F.col("cm").alias("cohort_month"),
+        "age",
+        "n_orders",
+        (
+            F.col("cum_us").cast("double")
+            / (F.lit(1000000.0) * F.col("n_custs"))
+        ).alias("ltv_per_cust"),
+    )

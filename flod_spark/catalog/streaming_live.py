@@ -2185,3 +2185,106 @@ def stream_weighted_sample_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.orderBy(F.col("priority").desc(), "doc_id").limit(_PRI_K).select(
         "doc_id", "n_chars", "priority"
     )
+
+
+def _rsi_live_fn(key, pdfs, state):
+    """Per-user RSI fold in EXACT integers: state = (previous quantized
+    value, the last _RSI_N - 1 diffs). Each event's trailing frame is
+    its own diff plus the stored 13, matching the batch form's 14-ROW
+    window (whose rows each contribute their OWN diff); gain/loss sums
+    stay integer micros, division batch-side."""
+    import pandas as pd
+
+    from flod_spark.catalog.relational import _RSI_N
+
+    if state.exists:
+        prev, hist = state.get
+        hist = list(hist)
+    else:
+        prev, hist = None, []
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("us")
+    eids, uss, gains, losses, nds = [], [], [], [], []
+    for eid, us, xq in zip(pdf["event_id"], pdf["us"], pdf["xq"]):
+        x = int(xq)
+        frame = hist if prev is None else (hist + [x - prev])[-_RSI_N:]
+        eids.append(int(eid))
+        uss.append(int(us))
+        gains.append(sum(d for d in frame if d > 0))
+        losses.append(sum(-d for d in frame if d < 0))
+        nds.append(len(frame))
+        if prev is not None:
+            hist = (hist + [x - prev])[-(_RSI_N - 1):]
+        prev = x
+    state.update((prev, hist))
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([int(key[0])] * len(eids), dtype="int64"),
+            "event_id": pd.Series(eids, dtype="int64"),
+            "us": pd.Series(uss, dtype="int64"),
+            "gain": pd.Series(gains, dtype="int64"),
+            "loss": pd.Series(losses, dtype="int64"),
+            "nd": pd.Series(nds, dtype="int64"),
+        }
+    )
+
+
+def _rsi_live_oracle() -> str:
+    from flod_spark.catalog.relational import window_rsi  # noqa: F401
+
+    from flod_spark.registry import ORACLES
+
+    return ORACLES["window_rsi"]
+
+
+@query("stream_rsi_live", oracle=_rsi_live_oracle())
+def stream_rsi_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI LIVE — the momentum oscillator at arrival, completing the
+    live detector family (EWMA smoothing, CUSUM drift, drawdown risk,
+    RSI momentum — one integer-state discipline across all four):
+    state per user is the previous quantized value plus the last 13
+    diffs, each event emits its trailing-frame gain/loss sums as exact
+    integer micros, and the single float division runs batch-side in
+    window_rsi's exact op order — the oracle is the batch window query
+    VERBATIM, bitwise. Events before any diff exists emit nd = 0 and
+    surface as NULL, the batch form's exact NULL contract.
+
+    Scale: O(_RSI_N) longs of state per user; no join, no window, no
+    shuffle beyond the key partitioning — the alert path a trading /
+    SLO dashboard actually serves."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from flod_spark.io import ts_micros
+
+    ev = load(spark, sf_dir, "events")
+    xq = (F.col("value").cast("decimal(18,6)") * F.lit(1000000)).cast("long")
+    feed = ev.select("event_id", "user_id", "ts", xq.alias("xq"))
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_rsi_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, feed, "ts", replay_dir, n_batches=4, tiebreak=("event_id",))
+    src = (
+        with_event_time(stream)
+        .withWatermark("ts", _WATERMARK)
+        .select("user_id", "event_id", ts_micros("ts").alias("us"), "xq")
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _rsi_live_fn,
+        outputStructType="user_id long, event_id long, us long, gain long, loss long, nd long",
+        stateStructType="prev long, hist array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    got = _drain(out, spark, output_mode="update", cleanup=(replay_dir,))
+    rsi = (
+        (F.lit(100) * F.col("gain")).cast("double")
+        / F.lit(1000000.0)
+        / F.nullif(
+            (F.col("gain") + F.col("loss")).cast("double") / F.lit(1000000.0),
+            F.lit(0.0),
+        )
+    )
+    return got.select(
+        "event_id",
+        "user_id",
+        as_naive(F.timestamp_micros(F.col("us"))).alias("ts"),
+        F.when(F.col("nd") == 0, F.lit(None).cast("double")).otherwise(rsi).alias("rsi_14"),
+    )

@@ -99,21 +99,23 @@ _PLANNED_FROM_ROUND = 7
 #   (d) the 19-key r3-tier overflow displaced from the r7 window (r7
 #       verdict "What's missing" item 1 — tag_roundtrip .. tpch_q18),
 #       then the next r3-tier rows in registration order to the 50-cap
-#       (20 r3-tier keys remain for round 9: sim_ivf, embed_centroids,
-#       semdedup, kmeans_iter, udf_scalar, udf_grouped, stream_window_live,
-#       stream_session_live, stream_take_live, stream_join_live,
-#       stream_queue_live, sample_mixture, split_assign, sink_csv,
-#       sink_json, sink_partitioned, join_bucketed, pack_sequences,
+#       (22 r3-tier keys remain for round 9: dedup_apply, decontaminate,
+#       sim_ivf, embed_centroids, semdedup, kmeans_iter, udf_scalar,
+#       udf_grouped, stream_window_live, stream_session_live,
+#       stream_take_live, stream_join_live, stream_queue_live,
+#       sample_mixture, split_assign, sink_csv, sink_json,
+#       sink_partitioned, join_bucketed, pack_sequences,
 #       sample_shuffle, prep_pipeline).
 # Keys not listed here sort after listed ones, in registration order.
 _GATE_ORDER = (
-    # (b) new round-8 registrations — 17 keys
+    # (b) new round-8 registrations — 19 keys
     "sim_mips_ann", "agg_diversity", "agg_argminmax", "window_cusum",
     "window_drawdown", "sample_weighted_k", "sample_token_budget",
     "orders_pareto_abc", "agg_hll_rollup", "stream_ewma_live",
     "stream_cusum_live", "stream_drawdown_live",
     "stream_weighted_sample_live", "bpe_train_iter", "bpe_apply",
-    "media_frame_sample", "window_rsi",
+    "media_frame_sample", "window_rsi", "stream_rsi_live",
+    "orders_cohort_ltv",
     # (c) changed-implementation re-proofs — 4 keys
     "orders_market_basket", "stream_market_basket_live",
     "dedup_semantic_text", "agg_bitmap_distinct",
@@ -127,7 +129,6 @@ _GATE_ORDER = (
     # ... then the next r3-tier rows in registration order, to the cap
     "stream_session", "resample_gapfill", "token_count", "fingerprint",
     "text_clean", "token_histogram", "doc_repetition", "dedup_cluster",
-    "dedup_apply", "decontaminate",
 )
 
 
