@@ -383,6 +383,15 @@ HEADLINE_PINS = {
     # per-type and rolled-up estimate paths costs the extra exchanges
     # over agg_hyperloglog_exact's 6
     "agg_hll_rollup": (8, 0),
+    # late round-8 additions
+    "window_rsi": (1, 0),
+    # cohort table localCheckpointed (size count + fact join share it)
+    "orders_cohort_ltv": (3, 0),
+    "media_frame_sample": (0, 0),
+    "bpe_apply": (2, 0),
+    # the merge-table result is a local frame; the loop's per-round
+    # plans are driver-iterated (kmeans_iter precedent)
+    "bpe_train_iter": (0, 0),
 }
 
 
