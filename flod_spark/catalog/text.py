@@ -1600,6 +1600,29 @@ def text_seg_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 5
 
 
+def _bpe_merge_sql(m_cte: str) -> tuple[str, str]:
+    """SQL fragment: Sennrich leftmost non-overlapping merge of the pair
+    in 1-row CTE ``m_cte`` over symbol string column s, as a list_reduce
+    fold. The accumulator is the output symbol list encoded as a
+    chr(31)-joined string (symbols are [a-z]+ merges or '</w>' — the
+    unit separator cannot occur); the last element equals the pair's
+    LEFT symbol iff acc ends with chr(31)||ma (or IS ma, single-element
+    case), and the merge appends mb directly (acc || mb turns the
+    trailing 'ma' element into 'mamb'). A merged token is strictly
+    longer than ma, so it can never re-match as the left symbol — the
+    fold resumes after the replacement exactly like Sennrich's scan.
+    This is the construct a naive delimited replace(' a b ',' ab ')
+    gets WRONG on consecutive occurrences ('b a n a n a' must merge to
+    'b an an a', not 'b an a n a')."""
+    return (
+        "replace(list_reduce(string_split(s, ' '), "
+        "(acc, x) -> CASE WHEN x = mb AND (acc = ma OR right(acc, 1 + len(ma)) = chr(31) || ma) "
+        "THEN acc || mb ELSE acc || chr(31) || x END), chr(31), ' ')"
+    ), (
+        f"(SELECT split_part(pair, ' ', 1) AS ma, split_part(pair, ' ', 2) AS mb FROM {m_cte})"
+    )
+
+
 def _bpe_train_ctes() -> list[str]:
     ctes = [
         "wrd AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)",
@@ -1617,11 +1640,8 @@ def _bpe_train_ctes() -> list[str]:
             f"m{r} AS (SELECT pr AS pair, cnt FROM p{r} ORDER BY cnt DESC, pr LIMIT 1)"
         )
         if r < _BPE_ROUNDS:
-            ctes.append(
-                f"v{r} AS (SELECT trim(replace(' ' || s || ' ', "
-                f"    ' ' || (SELECT pair FROM m{r}) || ' ', "
-                f"    ' ' || (SELECT replace(pair, ' ', '') FROM m{r}) || ' ')) AS s, freq FROM v{p})"
-            )
+            fold, mrow = _bpe_merge_sql(f"m{r}")
+            ctes.append(f"v{r} AS (SELECT {fold} AS s, freq FROM v{p}, {mrow})")
     return ctes
 
 
@@ -1641,13 +1661,21 @@ def bpe_train_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency, and each round (a) counts adjacent symbol pairs
     weighted by word freq, (b) picks the most frequent pair
     (count DESC, pair ASC — a total order both engines agree on), and
-    (c) merges every left-to-right non-overlapping occurrence via
-    delimited string replace (' a b ' -> ' ab ' on the padded string —
-    both engines' replace() scans left to right and resumes after the
-    replacement, which IS the reference BPE merge order). The output
-    is the learned merge table, the artifact a tokenizer ships. The
-    oracle unrolls the _BPE_ROUNDS rounds as CTE stages (the
-    graph_kcore discipline for iterative algorithms).
+    (c) merges every LEFTMOST NON-OVERLAPPING occurrence as a fold
+    over the symbol list: if the accumulator's last symbol is the
+    pair's left and the incoming symbol is its right, the two fuse;
+    the fused token is strictly longer than the left symbol, so it
+    can never re-match — the fold resumes after the replacement,
+    which is Sennrich's scan exactly, INCLUDING on consecutive
+    repeats ('b a n a n a' -> 'b an an a', where a delimited string
+    replace would skip the second occurrence because the shared
+    delimiter is consumed by the first — the round-8 defect this
+    form fixes). Spark expresses the fold as an aggregate() HOF over
+    the split symbols; the oracle as DuckDB list_reduce with a
+    chr(31)-encoded accumulator (_bpe_merge_sql). The output is the
+    learned merge table, the artifact a tokenizer ships. The oracle
+    unrolls the _BPE_ROUNDS rounds as CTE stages (the graph_kcore
+    discipline for iterative algorithms).
 
     Scale: the vocab table (one row per distinct word) is the ONLY
     distributed state — exactly how corpus-scale BPE trains: per
@@ -1658,6 +1686,28 @@ def bpe_train_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     count); every later round runs over the compressed vocab."""
     return spark.createDataFrame(
         _bpe_merge_list(spark, sf_dir), "round bigint, pair string, cnt bigint"
+    )
+
+
+def _bpe_merge_fold(sym, a: str, b: str):
+    """Column: Sennrich leftmost non-overlapping merge of pair (a, b)
+    over symbol-array column ``sym`` — the aggregate() HOF twin of the
+    oracle's list_reduce fold (_bpe_merge_sql). try_element_at(acc, -1)
+    is NULL on the empty accumulator (condition falls through under
+    ANSI), and the fused token a||b is strictly longer than a, so it
+    never re-matches as the pair's left symbol — scan resumes after
+    each replacement, Sennrich's exact order."""
+    merged = a + b
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - F.lit(1)),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
     )
 
 
@@ -1699,14 +1749,9 @@ def _bpe_merge_list(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, in
         )
         merges.append((r, best.pr, int(best.cnt)))
         if r < _BPE_ROUNDS:
+            a, b = best.pr.split(" ")
             vocab = vocab.select(
-                F.trim(
-                    F.replace(
-                        F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
-                        F.lit(f" {best.pr} "),
-                        F.lit(" " + best.pr.replace(" ", "") + " "),
-                    )
-                ).alias("s"),
+                F.array_join(_bpe_merge_fold(sym, a, b), " ").alias("s"),
                 "freq",
             ).localCheckpoint()
     return merges
@@ -1723,10 +1768,9 @@ def _bpe_apply_oracle() -> str:
         "  FROM (SELECT DISTINCT w FROM wrd))",
     ]
     for r in range(1, _BPE_ROUNDS + 1):
+        fold, mrow = _bpe_merge_sql(f"m{r}")
         apply_ctes.append(
-            f"a{r} AS (SELECT w, trim(replace(' ' || s || ' ', "
-            f"    ' ' || (SELECT pair FROM m{r}) || ' ', "
-            f"    ' ' || (SELECT replace(pair, ' ', '') FROM m{r}) || ' ')) AS s FROM a{r - 1})"
+            f"a{r} AS (SELECT w, {fold} AS s FROM a{r - 1}, {mrow})"
         )
     return (
         "WITH " + ", ".join(_bpe_train_ctes() + apply_ctes) + ", "
@@ -1750,7 +1794,9 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     that prices a corpus in model tokens rather than words (compare
     token_count's regex proxy). Merges apply to the DISTINCT
     vocabulary, never to token instances: |vocab| rows get 5 map-only
-    replaces, then documents join the tokenized vocab by word.
+    Sennrich merge folds (_bpe_merge_fold — leftmost non-overlapping,
+    correct on consecutive repeats), then documents join the
+    tokenized vocab by word.
 
     Scale: the train loop's budget (it re-runs here; production reads
     the shipped merge table instead) + 5 map-only rewrites over the
@@ -1770,16 +1816,11 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         F.concat(F.concat_ws(" ", F.split("w", "")), F.lit(" </w>")).alias("s"),
     )
-    s = F.col("s")
+    sym = F.split("s", " ")
     for _, pair, _cnt in merges:
-        s = F.trim(
-            F.replace(
-                F.concat(F.lit(" "), s, F.lit(" ")),
-                F.lit(f" {pair} "),
-                F.lit(" " + pair.replace(" ", "") + " "),
-            )
-        )
-    tok = vocab.select("w", F.size(F.split(s, " ")).cast("long").alias("n_syms"))
+        a, b = pair.split(" ")
+        sym = _bpe_merge_fold(sym, a, b)
+    tok = vocab.select("w", F.size(sym).cast("long").alias("n_syms"))
     return (
         d.join(tok, "w")
         .groupBy("doc_id")

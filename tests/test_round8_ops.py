@@ -339,8 +339,47 @@ def test_weighted_sample_estimator_unbiased_shape(spark, sf_dir):
     assert got == {r.doc_id for r in kept}
 
 
+def _sennrich_merge(syms, a, b):
+    """INDEPENDENT reference merge: explicit index scan over the symbol
+    list, leftmost non-overlapping — Sennrich et al.'s learn_bpe step,
+    deliberately NOT the fold/replace construct the operator or oracle
+    uses (the round-8 reference reimplemented the operator's delimited
+    replace, so it could not catch the consecutive-repeat defect)."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _sennrich_train(freq, rounds):
+    """Driver-side Sennrich BPE train loop over a word->count dict.
+    Returns ([(round, 'a b', cnt)], final vocab as {word: symbol list})."""
+    vocab = {w: list(w) + ["</w>"] for w in freq}
+    merges = []
+    for rnd in range(1, rounds + 1):
+        pairs = {}
+        for w, syms in vocab.items():
+            c = freq[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        merges.append((rnd, f"{a} {b}", cnt))
+        if rnd < rounds:
+            vocab = {w: _sennrich_merge(s, a, b) for w, s in vocab.items()}
+    # apply the LAST merge too — bpe_apply's contract (train stops
+    # rewriting after its final count; apply uses all merges)
+    a, b = merges[-1][1].split(" ")
+    vocab = {w: _sennrich_merge(s, a, b) for w, s in vocab.items()}
+    return merges, vocab
+
+
 def test_bpe_train_matches_reference_model(spark, sf_dir):
-    """The distributed BPE loop equals a 15-line reference
+    """The distributed BPE loop equals an independent index-scan
     implementation of Sennrich BPE run driver-side on the same
     word-frequency table — merge pairs AND weighted counts, all
     _BPE_ROUNDS rounds."""
@@ -354,25 +393,111 @@ def test_bpe_train_matches_reference_model(spark, sf_dir):
     for r in docs:
         for w in _re.findall(r"[a-z]+", (r.text or "").lower()):
             freq[w] = freq.get(w, 0) + 1
-    vocab = {" ".join(list(w)) + " </w>": c for w, c in freq.items()}
-    expect = []
-    for rnd in range(1, _BPE_ROUNDS + 1):
-        pairs = {}
-        for s, c in vocab.items():
-            syms = s.split(" ")
-            for a, b in zip(syms, syms[1:]):
-                pairs[f"{a} {b}"] = pairs.get(f"{a} {b}", 0) + c
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        expect.append((rnd, best[0], best[1]))
-        pat, tgt = f" {best[0]} ", " " + best[0].replace(" ", "") + " "
-        vocab = {
-            (" " + s + " ").replace(pat, tgt).strip(): c for s, c in vocab.items()
-        }
+    expect, _ = _sennrich_train(freq, _BPE_ROUNDS)
     got = [
         (r.round, r.pair, r.cnt)
         for r in entry.queries()["bpe_train_iter"](spark, sf_dir).collect()
     ]
     assert sorted(got) == expect
+
+
+def test_bpe_consecutive_repeat_words_planted(spark, tmp_path):
+    """The round-8 defect's exact trigger, planted: words where the
+    learned pair occurs CONSECUTIVELY ('banana' -> 'b an an a </w>',
+    'nanana' -> 'n an an a </w>', 'aaaa' with merge 'a a' ->
+    'aa aa </w>'). A delimited replace(' a b ',' ab ') skips the
+    second occurrence (its shared delimiter space is consumed by the
+    first match), so this corpus separates Sennrich BPE from the
+    replace trick — in the OPERATOR, the DUCKDB ORACLE, and the
+    per-doc bpe_apply token counts, all three checked against the
+    independent index-scan reference."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from flod_spark.catalog.text import _BPE_ROUNDS
+    from flod_spark.registry import ORACLES
+
+    words = [
+        "banana", "banana", "banana", "banana",
+        "nanana", "nanana", "nanana",
+        "anan", "anan",
+        "aaaa", "aaaa", "aaaa",
+        "aaa",
+        "papaya", "papaya",
+        "mississippi",
+    ]
+    texts = [
+        " ".join(words[:6]), " ".join(words[6:11]), " ".join(words[11:]),
+    ]
+    pdir = tmp_path / "planted"
+    pdir.mkdir()
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(pdir / "documents.parquet"))
+
+    freq = {}
+    for t in texts:
+        for w in t.split(" "):
+            freq[w] = freq.get(w, 0) + 1
+    expect, vocab = _sennrich_train(freq, _BPE_ROUNDS)
+    # the corpus only separates the semantics if the round-8 delimited
+    # replace would actually produce something DIFFERENT on it — rerun
+    # the defective model and assert divergence (the plant is live)
+    rvocab = {w: " ".join(list(w)) + " </w>" for w in freq}
+    rmerges = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pairs = {}
+        for s, fw in ((s, freq[w]) for w, s in rvocab.items()):
+            syms = s.split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pairs[f"{a} {b}"] = pairs.get(f"{a} {b}", 0) + fw
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        rmerges.append((rnd, best[0], best[1]))
+        pat, tgt = f" {best[0]} ", " " + best[0].replace(" ", "") + " "
+        rvocab = {
+            w: (" " + s + " ").replace(pat, tgt).strip()
+            for w, s in rvocab.items()
+        }
+    a, b = rmerges[-1][1].split(" ")
+    rvocab = {
+        w: (" " + s + " ").replace(f" {a} {b} ", f" {a}{b} ").strip()
+        for w, s in rvocab.items()
+    }
+    assert rmerges != expect or any(
+        rvocab[w].split(" ") != vocab[w] for w in freq
+    ), "planted corpus no longer separates Sennrich from the replace trick"
+
+    got = [
+        (r.round, r.pair, r.cnt)
+        for r in entry.queries()["bpe_train_iter"](spark, str(pdir)).collect()
+    ]
+    assert sorted(got) == expect
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pdir}/documents.parquet/*.parquet')"
+    )
+    oracle_got = [
+        (int(r[0]), r[1], int(r[2]))
+        for r in con.sql(ORACLES["bpe_train_iter"]).fetchall()
+    ]
+    assert sorted(oracle_got) == expect
+
+    # bpe_apply: per-doc token counts under ALL merges (train + last)
+    exp_tok = {
+        i: (len(t.split(" ")), sum(len(vocab[w]) for w in t.split(" ")))
+        for i, t in enumerate(texts)
+    }
+    apply_got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in entry.queries()["bpe_apply"](spark, str(pdir)).collect()
+    }
+    assert apply_got == exp_tok
+    oracle_apply = {
+        int(r[0]): (int(r[1]), int(r[2]))
+        for r in con.sql(ORACLES["bpe_apply"]).fetchall()
+    }
+    assert oracle_apply == exp_tok
 
 
 def test_argminmax_tiebreak_planted(spark):
