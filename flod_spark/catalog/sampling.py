@@ -536,9 +536,9 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on lang, one running SUM over each sorted
     partition (O(1) state, no frame re-scan). Skewed languages are the
     real hazard: a 90%-English corpus funnels into one partition — the
-    production form first splits the budget across salted sub-strata
-    (budget/S per shard), the sample_hot_cells pattern, which this
-    operator's per-lang window composes with unchanged."""
+    SHIPPED skew path is sample_token_budget_sharded below: the budget
+    splits across salted sub-strata (budget/S per shard), S-way
+    parallel per language, composing to the same per-lang budget."""
     docs = load(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
@@ -557,3 +557,63 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.filter(F.col("cum") - F.col("n_tok") < _TOK_BUDGET).select(
         "doc_id", "lang", "n_tok", F.col("cum").alias("cum_tokens")
     )
+
+
+# sub-strata for the skew-sharded carve: the budget splits evenly, so
+# S must divide _TOK_BUDGET for the composition to be exact integers
+_TOK_SHARDS = 4
+
+
+@query(
+    "sample_token_budget_sharded",
+    oracle=(
+        "WITH t AS (SELECT doc_id, lang, "
+        "    CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok, "
+        "    substr(md5('tb|' || CAST(doc_id AS VARCHAR)), 1, 8) AS rk, "
+        f"    {salted_mod_sql('doc_id', 'tbs|', _TOK_SHARDS)} AS shard "
+        "  FROM documents), "
+        "c AS (SELECT doc_id, lang, shard, n_tok, "
+        "    SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY rk, doc_id) AS cum "
+        "  FROM t) "
+        f"SELECT doc_id, lang, shard, n_tok, CAST(cum AS BIGINT) AS cum_tokens "
+        f"FROM c WHERE cum - n_tok < {_TOK_BUDGET // _TOK_SHARDS}"
+    ),
+)
+def sample_token_budget_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET carve, SKEW-SHARDED — sample_token_budget's
+    documented hazard made code (the split_hot_cells discipline: a
+    caveat becomes the shipped path): a 90%-English corpus funnels the
+    plain per-lang carve into ONE sorted partition, so the budget
+    first splits across S salted sub-strata — each (lang, shard) runs
+    the same hash-ordered integer cumsum against budget/S, and the
+    union composes to the per-lang budget: every shard admits its
+    crossing doc, so the per-lang total lands in
+    [budget, budget + S * max_doc_tokens) whenever supply suffices
+    (pinned on a planted dominant-lang corpus in tests/test_sampling.py).
+    The shard hash is salted independently of the order hash, so
+    within-shard order statistics stay unbiased.
+
+    Scale: the window partitions by (lang, shard) — S-way parallelism
+    inside the dominant language, which is exactly the axis the plain
+    form cannot scale on; still one shuffle + one running SUM with O(1)
+    state. S tracks the skew ratio (dominant share * parallelism
+    target), a config knob, not data-dependent."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_tok"),
+        _hash_prefix("tb|", F.col("doc_id")).alias("rk"),
+        salted_mod(F.col("doc_id"), "tbs|", _TOK_SHARDS).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("rk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    return c.filter(
+        F.col("cum") - F.col("n_tok") < _TOK_BUDGET // _TOK_SHARDS
+    ).select("doc_id", "lang", "shard", "n_tok", F.col("cum").alias("cum_tokens"))

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from flod_spark.catalog.analytics import _HH_C
+from flod_spark.functions.hashbridge import salted_mod, salted_mod_sql
 from flod_spark.io import load
 from flod_spark.registry import query
 from flod_spark.streaming import replay_stream, streaming_take_per_key, tumbling_counts
@@ -1648,41 +1649,101 @@ def stream_bitmap_distinct_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MBB_BATCHES = 4
+_mbb_shard_sql = salted_mod_sql(
+    "CAST(a.p AS VARCHAR) || '|' || CAST(b.p AS VARCHAR)", "", 8
+)
+
+
+def _mb_bounded_oracle() -> str:
+    """Unrolled per-bucket CTE replay of the sharded lossy counter (the
+    bpe_train_iter/graph_kcore discipline for iterative state): batch
+    membership is the pure column function o % _MBB_BATCHES, the shard
+    is an md5-derived hash both engines compute identically, and each
+    round t (a) FULL-JOINs the carried state with the shard's bucket-t
+    counts (new entries get delta = t - 1, the max count they could
+    have accrued untracked), then (b) evicts entries with
+    c + d <= min(t, shard's max bucket) — the LEAST guard keeps shards
+    whose replay ended early (no bucket-t rows anywhere) from
+    over-evicting. dense_rank turns physical batch ids into per-shard
+    bucket indexes, exactly _lossy_shard_fn's 'bucket advances only
+    when the shard receives data' contract."""
+    n = _MBB_BATCHES
+    ctes = [
+        "op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)",
+        "pc AS (SELECT "
+        f"    {_mbb_shard_sql} AS shard, "
+        f"    a.o % {n} + 1 AS b, "
+        "    CAST(a.p AS VARCHAR) || '|' || CAST(b.p AS VARCHAR) AS k, "
+        "    CAST(COUNT(*) AS BIGINT) AS c "
+        "  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2, 3)",
+        "nb AS (SELECT shard, b, CAST(dense_rank() OVER (PARTITION BY shard ORDER BY b) AS BIGINT) AS t "
+        "  FROM (SELECT DISTINCT shard, b FROM pc))",
+        "mt AS (SELECT shard, MAX(t) AS maxt FROM nb GROUP BY shard)",
+        "pt AS (SELECT pc.shard, nb.t, pc.k, pc.c FROM pc JOIN nb USING (shard, b))",
+        "s0 AS (SELECT shard, k, c, CAST(0 AS BIGINT) AS d FROM pt WHERE FALSE)",
+    ]
+    for t in range(1, n + 1):
+        ctes.append(
+            f"s{t} AS (SELECT shard, k, c, d FROM ("
+            f"  SELECT COALESCE(p.shard, q.shard) AS shard, COALESCE(p.k, q.k) AS k, "
+            f"    COALESCE(p.c, 0) + COALESCE(q.c, 0) AS c, "
+            f"    COALESCE(p.d, {t - 1}) AS d "
+            f"  FROM s{t - 1} p FULL JOIN (SELECT shard, k, c FROM pt WHERE t = {t}) q "
+            f"    ON p.shard = q.shard AND p.k = q.k) u "
+            f"  JOIN mt USING (shard) WHERE c + d > LEAST({t}, maxt))"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT CAST(split_part(k, '|', 1) AS BIGINT) AS p1, "
+        "  CAST(split_part(k, '|', 2) AS BIGINT) AS p2, c, d "
+        f"FROM s{n}"
+    )
+
+
+@query("stream_market_basket_bounded", oracle=_mb_bounded_oracle())
 def stream_market_basket_bounded(
     spark: SparkSession, sf_dir: str, emissions: bool = False
 ) -> DataFrame:
     """BOUNDED-STATE market basket — the eviction handoff the registered
     stream_market_basket_live's Scale: note points at, for streams whose
-    observed-pair space outgrows the state store. Same replayed basket
-    stream and map-side pair expansion, but pair supports run through
-    the sharded lossy counter (streaming/lossy.py, Manku–Motwani with
-    the micro-batch as the bucket): every bucket boundary EVICTS pairs
-    whose count + delta cannot exceed the bucket index, so state tracks
-    the heavy tail, never the ever-seen pair set. Final answer per pair
-    = its max-bucket emission, with the classic guarantees — any pair
-    with true support > B (total buckets) survives, and
-    c <= true support <= c + d for every survivor (pinned in
-    tests/test_round8_ops.py). Not registered: the lossy counts are
-    deliberately lower bounds, so the exact-support oracle belongs to
-    the unbounded twin.
+    observed-pair space outgrows the state store. Same map-side pair
+    expansion, but pair supports run through the sharded lossy counter
+    (streaming/lossy.py, Manku–Motwani with the micro-batch as the
+    bucket): every bucket boundary EVICTS pairs whose count + delta
+    cannot exceed the bucket index, so state tracks the heavy tail,
+    never the ever-seen pair set. Final answer per pair = its max-bucket
+    emission, with the classic guarantees — any pair with true support
+    > B (total buckets) survives, and c <= true support <= c + d for
+    every survivor (pinned in tests/test_round8_ops.py).
 
-    Scale: per-shard state is the lossy-counting bound
-    O((1/eps)·log(eps·N)) — independent of distinct-pair count; shard
-    count tracks executor count. ``emissions=True`` returns the raw
-    drained emission stream (shard, k, c, d, bucket) for state-size
-    audits."""
+    ORACLE-GATED (round 9; previously pytest-only): the replay is
+    deterministic once batch membership is a pure column function —
+    replay_buckets splits on o % _MBB_BATCHES instead of approx-quantile
+    time ranges, the shard is an md5 hash both engines compute, and the
+    final state is then a pure function of the input that the oracle
+    unrolls bucket-by-bucket (_mb_bounded_oracle). Production keeps
+    replay-source batching and the cheaper xxhash64 shard; the
+    guarantees are bucketing-agnostic (the pytests pin them on the
+    sf0.1 replay).
+
+    Scale: per-shard state is pruned at every bucket boundary — bounded
+    by the heavy tail per bucket, never the distinct-pair count (the
+    classic 1/eps bound corresponds to fixed-width sub-buckets; see
+    streaming/lossy.py); shard count tracks executor count.
+    ``emissions=True`` returns the raw drained emission stream
+    (shard, k, c, d, bucket) for state-size audits."""
     from flod_spark.streaming.lossy import lossy_count
+    from flod_spark.streaming.replay import replay_buckets
 
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
     baskets = li.groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps"))
-    feed = baskets.withColumn(
-        "ingest_ts", F.timestamp_micros(F.col("o") * 1_000_000)
-    )
+    feed = baskets.withColumn("bkt", (F.col("o") % _MBB_BATCHES).cast("int"))
     replay_dir = tempfile.mkdtemp(prefix="flod_replay_mbb_")
     shutil.rmtree(replay_dir, ignore_errors=True)
-    stream = replay_stream(spark, feed, "ingest_ts", replay_dir, n_batches=4, tiebreak=("o",))
+    stream = replay_buckets(spark, feed.select("ps", "bkt"), "bkt", replay_dir)
     pair_arr = F.flatten(
         F.transform(
             F.col("ps"),
@@ -1692,12 +1753,16 @@ def stream_market_basket_bounded(
             ),
         )
     )
-    pairs = (
-        with_event_time(stream, "ingest_ts")
-        .select(F.explode(pair_arr).alias("pr"))
-        .select(F.concat_ws("|", "pr.p1", "pr.p2").alias("k"))
+    pairs = stream.select(F.explode(pair_arr).alias("pr")).select(
+        F.concat_ws("|", "pr.p1", "pr.p2").alias("k")
     )
-    got = _drain(lossy_count(pairs), spark, output_mode="update", cleanup=(replay_dir,))
+    # md5-derived shard: the oracle's exact expression (sharding lemma
+    # holds for any key-deterministic function; production uses xxhash64)
+    shard = salted_mod(F.col("k"), "", 8)
+    got = _drain(
+        lossy_count(pairs, shard=shard), spark, output_mode="update",
+        cleanup=(replay_dir,),
+    )
     if emissions:
         return got
     # survivors = each shard's FINAL-bucket emission (an entry evicted in
@@ -1803,38 +1868,40 @@ def stream_market_basket_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ewma_live_fn(key, pdfs, state):
     """Per-user EWMA state fold: state = the last H-1 quantized values
     (micros-scaled longs), each arriving event emits its truncated-
-    horizon weighted sum as EXACT Python integers (num, den) — the
-    float division happens once, batch-side after the drain, in the
-    same op order as window_ewma's, so values match the batch oracle
-    bitwise. Rows are sorted by event time inside the batch; the
-    replay contract delivers per-key batches in time order."""
+    horizon weighted sum as EXACT int64 (num, den) — the float
+    division happens once, batch-side after the drain, in the same op
+    order as window_ewma's, so values match the batch oracle bitwise.
+    Batch rows sort by (us, event_id) — the oracle's ORDER BY.
+
+    VECTORIZED (round-9; the r6 _asof_enrich_fn precedent): the frame
+    sum over [carried history ++ batch values] is one integer
+    np.convolve with the weight kernel — out[j] = sum_k W[k]*x[j-k],
+    exactly the per-event truncated-horizon dot product (zero padding
+    contributes W[k]*0 to short frames, and den counts only the REAL
+    lags via cumsum(W) clamped at the frame length) — no per-event
+    Python loop; all ops int64, so the bit contract is untouched."""
+    import numpy as np
     import pandas as pd
 
     from flod_spark.catalog.relational import _EWMA_H, _EWMA_W
 
     hist = list(state.get[0]) if state.exists else []
-    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("us")
-    eids, uss, nums, dens = [], [], [], []
-    for eid, us, xq in zip(pdf["event_id"], pdf["us"], pdf["xq"]):
-        lags = [int(xq)] + hist[::-1]
-        num = den = 0
-        for k in range(min(len(lags), _EWMA_H)):
-            num += _EWMA_W[k] * lags[k]
-            den += _EWMA_W[k]
-        eids.append(int(eid))
-        uss.append(int(us))
-        nums.append(num)
-        dens.append(den)
-        hist.append(int(xq))
-        hist = hist[-(_EWMA_H - 1):]
-    state.update((hist,))
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(["us", "event_id"])
+    x = pdf["xq"].to_numpy(dtype="int64")
+    full = np.concatenate([np.asarray(hist, dtype="int64"), x])
+    w = np.asarray(_EWMA_W, dtype="int64")
+    # num_j = sum_k w[k] * full[j-k] for the batch's global positions
+    j = np.arange(len(hist), len(full))
+    num = np.convolve(full, w)[j] if len(full) else np.zeros(0, dtype="int64")
+    den = np.cumsum(w)[np.minimum(j, _EWMA_H - 1)]
+    state.update((full[-(_EWMA_H - 1):].tolist(),))
     yield pd.DataFrame(
         {
-            "user_id": pd.Series([int(key[0])] * len(eids), dtype="int64"),
-            "event_id": pd.Series(eids, dtype="int64"),
-            "us": pd.Series(uss, dtype="int64"),
-            "num": pd.Series(nums, dtype="int64"),
-            "den": pd.Series(dens, dtype="int64"),
+            "user_id": pd.Series([int(key[0])] * len(x), dtype="int64"),
+            "event_id": pdf["event_id"].to_numpy(dtype="int64"),
+            "us": pdf["us"].to_numpy(dtype="int64"),
+            "num": num.astype("int64"),
+            "den": den.astype("int64"),
         }
     )
 
@@ -1903,28 +1970,30 @@ def _cusum_live_fn(key, pdfs, state):
     runmin_i) — the same clamp identity window_cusum's two running
     frames compute, so the drained values equal the batch oracle after
     one shared float division."""
+    import numpy as np
     import pandas as pd
 
     if state.exists:
         pf, mn = state.get
     else:
         pf, mn = 0, None
-    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("us")
-    eids, uss, cs = [], [], []
-    for eid, us, dq in zip(pdf["event_id"], pdf["us"], pdf["dq"]):
-        pf += int(dq)
-        mn = pf if mn is None else min(mn, pf)
-        lo = mn if mn < 0 else 0
-        eids.append(int(eid))
-        uss.append(int(us))
-        cs.append(pf - lo)
-    state.update((pf, mn))
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(["us", "event_id"])
+    dq = pdf["dq"].to_numpy(dtype="int64")
+    # VECTORIZED (round-9): prefix sums seeded with the carried state,
+    # running min via np.minimum.accumulate — exact int64 throughout
+    pfs = pf + np.cumsum(dq)
+    mns = np.minimum.accumulate(pfs)
+    if mn is not None:
+        mns = np.minimum(mns, mn)
+    cs = pfs - np.minimum(mns, 0)
+    state.update((int(pfs[-1]) if len(pfs) else pf,
+                  int(mns[-1]) if len(mns) else mn))
     yield pd.DataFrame(
         {
-            "user_id": pd.Series([int(key[0])] * len(eids), dtype="int64"),
-            "event_id": pd.Series(eids, dtype="int64"),
-            "us": pd.Series(uss, dtype="int64"),
-            "cusum_us": pd.Series(cs, dtype="int64"),
+            "user_id": pd.Series([int(key[0])] * len(dq), dtype="int64"),
+            "event_id": pdf["event_id"].to_numpy(dtype="int64"),
+            "us": pdf["us"].to_numpy(dtype="int64"),
+            "cusum_us": cs.astype("int64"),
         }
     )
 
@@ -1990,31 +2059,33 @@ def stream_cusum_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _drawdown_live_fn(key, pdfs, state):
     """Per-user drawdown fold in EXACT integers: state = (running peak,
     running max drawdown) in micros units."""
+    import numpy as np
     import pandas as pd
 
     if state.exists:
         peak, mdd = state.get
     else:
         peak, mdd = None, 0
-    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("us")
-    eids, uss, ds, ms = [], [], [], []
-    for eid, us, xq in zip(pdf["event_id"], pdf["us"], pdf["xq"]):
-        x = int(xq)
-        peak = x if peak is None else max(peak, x)
-        dd = peak - x
-        mdd = max(mdd, dd)
-        eids.append(int(eid))
-        uss.append(int(us))
-        ds.append(dd)
-        ms.append(mdd)
-    state.update((peak, mdd))
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(["us", "event_id"])
+    x = pdf["xq"].to_numpy(dtype="int64")
+    # VECTORIZED (round-9): two np.maximum.accumulate passes seeded
+    # with the carried (peak, mdd) — exact int64 throughout
+    peaks = np.maximum.accumulate(x)
+    if peak is not None:
+        peaks = np.maximum(peaks, peak)
+    dd = peaks - x
+    mdds = np.maximum.accumulate(dd)
+    if mdd:
+        mdds = np.maximum(mdds, mdd)
+    state.update((int(peaks[-1]) if len(x) else peak,
+                  int(mdds[-1]) if len(x) else mdd))
     yield pd.DataFrame(
         {
-            "user_id": pd.Series([int(key[0])] * len(eids), dtype="int64"),
-            "event_id": pd.Series(eids, dtype="int64"),
-            "us": pd.Series(uss, dtype="int64"),
-            "dd_us": pd.Series(ds, dtype="int64"),
-            "mdd_us": pd.Series(ms, dtype="int64"),
+            "user_id": pd.Series([int(key[0])] * len(x), dtype="int64"),
+            "event_id": pdf["event_id"].to_numpy(dtype="int64"),
+            "us": pdf["us"].to_numpy(dtype="int64"),
+            "dd_us": dd.astype("int64"),
+            "mdd_us": mdds.astype("int64"),
         }
     )
 
@@ -2193,6 +2264,7 @@ def _rsi_live_fn(key, pdfs, state):
     its own diff plus the stored 13, matching the batch form's 14-ROW
     window (whose rows each contribute their OWN diff); gain/loss sums
     stay integer micros, division batch-side."""
+    import numpy as np
     import pandas as pd
 
     from flod_spark.catalog.relational import _RSI_N
@@ -2202,28 +2274,42 @@ def _rsi_live_fn(key, pdfs, state):
         hist = list(hist)
     else:
         prev, hist = None, []
-    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("us")
-    eids, uss, gains, losses, nds = [], [], [], [], []
-    for eid, us, xq in zip(pdf["event_id"], pdf["us"], pdf["xq"]):
-        x = int(xq)
-        frame = hist if prev is None else (hist + [x - prev])[-_RSI_N:]
-        eids.append(int(eid))
-        uss.append(int(us))
-        gains.append(sum(d for d in frame if d > 0))
-        losses.append(sum(-d for d in frame if d < 0))
-        nds.append(len(frame))
-        if prev is not None:
-            hist = (hist + [x - prev])[-(_RSI_N - 1):]
-        prev = x
-    state.update((prev, hist))
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(["us", "event_id"])
+    x = pdf["xq"].to_numpy(dtype="int64")
+    # VECTORIZED (round-9): the per-event trailing frame of the last
+    # min(avail, N) diffs is a shifted-cumsum difference over
+    # [carried diffs ++ batch diffs] — positives and negatives summed
+    # through separate exclusive prefix arrays, exact int64. prev is
+    # None only on a key's very first batch (then hist is empty and
+    # its first event contributes no diff — nd = 0, the NULL contract).
+    hist_a = np.asarray(hist, dtype="int64")
+    if prev is None:
+        d = np.diff(x)
+        first_off = 0  # event 0 has no diff of its own
+    else:
+        d = np.diff(np.concatenate([[prev], x]))
+        first_off = 1
+    full_d = np.concatenate([hist_a, d])
+    pos = np.concatenate([[0], np.cumsum(np.maximum(full_d, 0))])
+    neg = np.concatenate([[0], np.cumsum(np.minimum(full_d, 0))])
+    # event i's frame ends at exclusive index e_i into full_d
+    e = len(hist_a) + np.arange(len(x)) + first_off
+    s = np.maximum(e - _RSI_N, 0)
+    gains = pos[e] - pos[s]
+    losses = -(neg[e] - neg[s])
+    nds = e - s
+    if len(x):
+        state.update((int(x[-1]), full_d[-(_RSI_N - 1):].tolist()))
+    else:
+        state.update((prev, hist))
     yield pd.DataFrame(
         {
-            "user_id": pd.Series([int(key[0])] * len(eids), dtype="int64"),
-            "event_id": pd.Series(eids, dtype="int64"),
-            "us": pd.Series(uss, dtype="int64"),
-            "gain": pd.Series(gains, dtype="int64"),
-            "loss": pd.Series(losses, dtype="int64"),
-            "nd": pd.Series(nds, dtype="int64"),
+            "user_id": pd.Series([int(key[0])] * len(x), dtype="int64"),
+            "event_id": pdf["event_id"].to_numpy(dtype="int64"),
+            "us": pdf["us"].to_numpy(dtype="int64"),
+            "gain": gains.astype("int64"),
+            "loss": losses.astype("int64"),
+            "nd": nds.astype("int64"),
         }
     )
 

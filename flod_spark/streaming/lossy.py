@@ -1,7 +1,13 @@
 """Lossy counting (Manku–Motwani, VLDB'02) as a bounded-state streaming
 operator — the support-floor state EVICTION the live market-basket
-docstring promises: pair-support state cannot grow with the number of
-ever-observed pairs, only with 1/epsilon.
+docstring promises: pair-support state is pruned at every bucket
+boundary, so it tracks the heavy tail relative to bucket size instead
+of the ever-observed pair set. With the micro-batch as the bucket the
+bound is PER-BUCKET-RELATIVE (any key occurring >= 2 times inside one
+bucket survives that boundary); the classic Manku–Motwani
+O((1/eps)·log(eps·N)) bound additionally requires fixed-width
+w = ceil(1/eps) sub-buckets, which a caller gets by sizing
+micro-batches (or pre-splitting them) to w items.
 
 Shape: items shard by key hash into a fixed number of state partitions
 (the stream_heavy_hitters_live sharding lemma: every occurrence of a key
@@ -76,19 +82,33 @@ def _lossy_shard_fn(key, pdfs, state):
     )
 
 
-def lossy_count(src: DataFrame, key_col: str = "k") -> DataFrame:
+def lossy_count(src: DataFrame, key_col: str = "k", shard=None) -> DataFrame:
     """Attach the sharded lossy counter to a streaming DataFrame with a
     string key column ``key_col``. Returns the update-mode emission
     stream (shard, k, c, d, bucket); the caller drains it and keeps
     each key's max-bucket row.
 
-    Scale: state per shard is the lossy-counting bound O((1/eps)·log(eps·N))
-    — independent of the distinct-key count; shard count tracks executor
-    count (more shards, same per-shard lemma)."""
+    ``shard`` overrides the default xxhash64 shard assignment with any
+    key-deterministic long Column (every occurrence of a key must land
+    in ONE shard — the sharding lemma). The oracle-gated caller passes
+    an md5-derived shard both engines can compute; production keeps the
+    cheaper xxhash64 default.
+
+    Scale: state per shard is bounded by the eviction floor — every
+    bucket boundary drops entries whose count + delta cannot exceed the
+    bucket index, so state tracks the heavy tail relative to bucket
+    size, never the ever-seen key set (with micro-batch buckets the
+    bound is per-bucket-relative: a key occurring twice in one bucket
+    survives it; the classic O((1/eps)·log(eps·N)) form needs
+    fixed-width w = ceil(1/eps) sub-buckets). Shard count tracks
+    executor count (more shards, same per-shard lemma)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     keyed = src.select(
-        F.pmod(F.xxhash64(key_col), F.lit(N_SHARDS)).alias("shard"),
+        (
+            shard if shard is not None
+            else F.pmod(F.xxhash64(key_col), F.lit(N_SHARDS))
+        ).alias("shard"),
         F.col(key_col).alias("k"),
         F.lit(1).cast("long").alias("c"),
     )

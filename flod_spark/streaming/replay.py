@@ -119,6 +119,43 @@ def replay_stream(
     )
 
 
+def replay_buckets(
+    spark: SparkSession, df: DataFrame, bucket_col: str, out_dir: str
+) -> DataFrame:
+    """Write one parquet file per DISTINCT value of ``bucket_col``
+    (ascending) and return a file stream replaying them one per
+    trigger — the EXPLICIT, SQL-expressible twin of replay_stream for
+    operators whose FINAL STATE depends on micro-batch membership
+    (lossy counting's bucket-boundary eviction): batch assignment is a
+    pure column function both engines compute identically, not an
+    approx-quantile split a DuckDB oracle cannot reproduce. Files are
+    written sequentially so mod-times ascend in bucket order, the
+    order the file source replays them in (replay_stream's contract).
+
+    Scale: the only driver-side collect is the distinct bucket VALUES
+    (micro-batch count, a test-harness constant — never rows); each
+    write is one pushdown-filtered scan of the persisted input."""
+    from pyspark import StorageLevel
+
+    dfp = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        buckets = sorted(
+            r[0] for r in dfp.select(bucket_col).distinct().collect()
+        )
+        for b in buckets:
+            dfp.filter(F.col(bucket_col) == b).drop(bucket_col).coalesce(
+                1
+            ).write.mode("append").parquet(out_dir)
+    finally:
+        dfp.unpersist()
+    os.makedirs(out_dir, exist_ok=True)
+    return (
+        spark.readStream.schema(df.drop(bucket_col).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out_dir)
+    )
+
+
 def append_sentinel_batches(spark, out_dir: str, rows, schema) -> None:
     """Append each row as its OWN single-file micro-batch replayed AFTER
     every existing file (strictly increasing pinned mod times — the file
