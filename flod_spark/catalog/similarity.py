@@ -116,8 +116,6 @@ def _plane_spark(p: int, salt: str = "", dim: int = DIM):
     literal instead of a per-row transform(sequence, md5(...)) tree.
     The genuinely hot path (sim_mips_ann's 8-table signatures) skips
     expression folds entirely — see _mips_bucket_kernel."""
-    import hashlib
-
     return F.array(*[F.lit(c) for c in _plane_comps(p, salt, dim)])
 
 
