@@ -3742,3 +3742,87 @@ def window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(rsi)
         .alias("rsi_14"),
     )
+
+
+# Bollinger lookback (trailing rows per frame, the classic 20)
+_BOLL_W = 20
+
+
+@query(
+    "window_bollinger",
+    oracle=(
+        "WITH b AS (SELECT event_id, user_id, ts, "
+        "    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xq FROM events), "
+        "s AS (SELECT event_id, user_id, ts, "
+        "    SUM(xq) OVER fr AS sx, "
+        "    SUM(CAST(xq AS DECIMAL(19,0)) * CAST(xq AS DECIMAL(19,0))) OVER fr AS ssq, "
+        "    COUNT(xq) OVER fr AS n "
+        "  FROM b WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id "
+        f"    ROWS BETWEEN {_BOLL_W - 1} PRECEDING AND CURRENT ROW)), "
+        "v AS (SELECT event_id, user_id, ts, sx, n, "
+        "    CAST(n AS DECIMAL(3,0)) * CAST(ssq AS DECIMAL(30,0)) "
+        "      - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS var_num "
+        "  FROM s), "
+        # the VARCHAR round-trip is the registry's second-moment rule:
+        # var_num's unscaled value exceeds 2^53, and DuckDB's direct
+        # decimal->double double-rounds
+        "r AS (SELECT event_id, user_id, ts, "
+        "    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mid, "
+        "    sqrt(CAST(CAST(var_num AS VARCHAR) AS DOUBLE)) / CAST(n AS DOUBLE) / 1000000.0 AS sigma "
+        "  FROM v) "
+        "SELECT event_id, user_id, ts, mid AS mid_20, sigma AS sigma_20, "
+        "  mid + 2.0 * sigma AS upper_20, mid - 2.0 * sigma AS lower_20 FROM r"
+    ),
+)
+def window_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOLLINGER BANDS per user — trailing mean +- 2 sigma over the
+    classic 20-row frame, completing the detector family (EWMA
+    smoothing, CUSUM drift, drawdown risk, RSI momentum, Bollinger
+    volatility). The variance uses the EXACT-integer identity
+    n*sum(x^2) - (sum(x))^2 over micros-quantized values: both frame
+    sums are exact decimals (the squares channel widens its operands
+    to DECIMAL(19,0) — int128 storage in both engines — so no one
+    rounds anywhere), and only the REPORT converts — one double cast, one
+    correctly-rounded sqrt, two divisions and the +-2 sigma adds, in
+    a fixed order both engines execute identically. Population sigma
+    (divide by n) — each frame is the whole window, not a sample.
+    Short head frames (n < 20) use their true n, so early rows carry
+    honest wide/narrow bands instead of NULL padding.
+
+    Scale: window_cusum's exact budget — one shuffle on user_id, one
+    sorted partition pass; trailing-ROWS frames keep O(1) running
+    state per row (Spark's sliding frame ADDs the entering row and
+    REMOVEs the leaving one — sums, not re-scans). The decimal widths
+    hold to |value| ~1e8 — far above any metric feed; beyond that,
+    widen the channel, the identity survives any width."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fr = w.rowsBetween(-(_BOLL_W - 1), Window.currentRow)
+    xq = (F.col("value").cast("decimal(18,6)") * F.lit(1000000)).cast("long")
+    b = ev.select("event_id", "user_id", "ts", xq.alias("xq"))
+    xq_d = F.col("xq").cast("decimal(19,0)")
+    s = b.select(
+        "event_id", "user_id", "ts",
+        F.sum("xq").over(fr).alias("sx"),
+        F.sum(xq_d * xq_d).over(fr).alias("ssq"),
+        F.count("xq").over(fr).alias("n"),
+    )
+    var_num = (
+        F.col("n").cast("decimal(3,0)") * F.col("ssq").cast("decimal(30,0)")
+        - F.col("sx").cast("decimal(19,0)") * F.col("sx").cast("decimal(19,0)")
+    )
+    v = s.select("event_id", "user_id", "ts", "sx", "n", var_num.alias("var_num"))
+    mid = F.col("sx").cast("double") / F.col("n").cast("double") / F.lit(1000000.0)
+    sigma = (
+        F.sqrt(F.col("var_num").cast("double"))
+        / F.col("n").cast("double")
+        / F.lit(1000000.0)
+    )
+    r = v.select("event_id", "user_id", "ts", mid.alias("mid"), sigma.alias("sigma"))
+    return r.select(
+        "event_id", "user_id", "ts",
+        F.col("mid").alias("mid_20"),
+        F.col("sigma").alias("sigma_20"),
+        (F.col("mid") + F.lit(2.0) * F.col("sigma")).alias("upper_20"),
+        (F.col("mid") - F.lit(2.0) * F.col("sigma")).alias("lower_20"),
+    )

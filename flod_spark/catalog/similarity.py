@@ -1415,3 +1415,102 @@ def sim_mips_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= K)
         .select("query_id", "neighbor_id", F.col("ip").alias("inner_product"), "rk")
     )
+
+
+# Power-iteration rounds for the top spectral direction (unrolled in
+# the oracle, kmeans_iter-style driver loop in the operator)
+_PCA_ROUNDS = 3
+_PCA_V0 = 0.125  # 1/8 — exact in binary, so round 1 starts bit-equal
+_PCA_Q = 1 << 40  # fixed-point scale for the per-dim accumulation
+
+
+def _pca_oracle() -> str:
+    """Unrolled power iteration: per round, (a) per-row dot s = <x, v>
+    (sequential IEEE fold — the registry dot rule), (b) per-dim sums
+    of each term QUANTIZED to 2^-40 fixed point — floor(x_d * s * 2^40)
+    as BIGINT. The power-of-two scale is exact in double and floor is
+    the same function in both engines, so the integer sum is immune to
+    partial-aggregation order (a DECIMAL(38,18) cast is NOT enough
+    here: the two engines round double->decimal through different
+    paths and drift an ulp); (c) norm + scale in a fixed double op
+    order."""
+    v0 = "[" + ", ".join([str(_PCA_V0)] * DIM) + "]"
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings)",
+        f"v0 AS (SELECT {v0}::DOUBLE[] AS vv)",
+    ]
+    for r in range(1, _PCA_ROUNDS + 1):
+        p = r - 1
+        ctes.append(
+            f"s{r} AS (SELECT vec_id, x, "
+            "  list_reduce(list_transform(list_zip(x, vv), t -> t[1] * t[2]), (a, b) -> a + b) AS s "
+            f"  FROM e, v{p})"
+        )
+        ctes.append(
+            f"w{r} AS (SELECT d, SUM(CAST(floor(xd * s * {_PCA_Q}.0) AS BIGINT)) AS w FROM ("
+            f"  SELECT unnest(x) AS xd, unnest(range(len(x))) AS d, s FROM s{r}) GROUP BY d)"
+        )
+        ctes.append(
+            f"u{r} AS (SELECT d, CAST(w AS DOUBLE) / {_PCA_Q}.0 AS wd FROM w{r})"
+        )
+        ctes.append(
+            f"n{r} AS (SELECT sqrt(list_reduce(list_prepend(0.0, list(wd ORDER BY d)), "
+            f"  (a, b) -> a + b * b)) AS nm FROM u{r})"
+        )
+        ctes.append(
+            f"v{r} AS (SELECT list(wd / nm ORDER BY d) AS vv FROM u{r}, n{r})"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT CAST(d AS BIGINT) AS dim, wd / nm AS comp, nm AS lam "
+        f"FROM u{_PCA_ROUNDS}, n{_PCA_ROUNDS}"
+    )
+
+
+@query("embed_pca_power_iter", oracle=_pca_oracle())
+def embed_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP PRINCIPAL DIRECTION of the embedding table by POWER
+    ITERATION — the spectral probe behind whitening, anisotropy
+    audits ('is the embedding space collapsing to one direction?'),
+    and ABTT-style dominant-direction removal. Each round multiplies
+    the second-moment matrix A = sum_rows x x^T by the current vector
+    WITHOUT materializing A: per row one dot s = <x, v> (sequential
+    IEEE fold, the registry rule), then per dimension an exact
+    INTEGER sum of the terms quantized to 2^-40 fixed point (floor of
+    an exact power-of-two scale — the only double->fixed edge both
+    engines compute identically) — 64 cells cross the exchange, never
+    a 64x64 matrix, never a row. The 64 sums collect driver-side
+    (kmeans_iter's scalar-per-round pattern), normalize in a fixed
+    float op order, and re-enter round r+1 as literals; the oracle
+    unrolls the rounds as CTE stages. Returns (dim, comp, lam): the
+    unit top direction and its Rayleigh estimate ||A v|| — converged
+    enough at _PCA_ROUNDS for audit use; production runs the same
+    loop to tolerance.
+
+    Scale: each round is ONE scan + ONE partial-agg exchange carrying
+    DIM decimal cells per task (map-side combine); driver state is 64
+    doubles. At 100 TB this is exactly how distributed power iteration
+    / randomized SVD sketches run their matvec — the vector broadcasts
+    as literals, the matrix never exists."""
+    import math
+
+    e = load(spark, sf_dir, "embeddings").select(_as_double("embedding").alias("x"))
+    v = [_PCA_V0] * DIM
+    lam = 0.0
+    for _r in range(_PCA_ROUNDS):
+        vlit = F.array(*[F.lit(c) for c in v])
+        s = _dot_spark(F.col("x"), vlit)
+        rows = e.select(F.posexplode("x").alias("d", "xd"), s.alias("s"))
+        w = rows.groupBy("d").agg(
+            F.sum(F.floor(F.col("xd") * F.col("s") * F.lit(float(_PCA_Q)))).alias("w")
+        )
+        ws = {int(r["d"]): int(r["w"]) for r in w.collect()}
+        wd = [float(ws[d]) / float(_PCA_Q) for d in range(DIM)]
+        nm2 = 0.0
+        for c in wd:
+            nm2 = nm2 + c * c
+        lam = math.sqrt(nm2)
+        v = [c / lam for c in wd]
+    return spark.createDataFrame(
+        [(d, v[d], lam) for d in range(DIM)], "dim bigint, comp double, lam double"
+    )

@@ -2374,3 +2374,227 @@ def stream_rsi_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_naive(F.timestamp_micros(F.col("us"))).alias("ts"),
         F.when(F.col("nd") == 0, F.lit(None).cast("double")).otherwise(rsi).alias("rsi_14"),
     )
+
+
+def _boll_live_fn(key, pdfs, state):
+    """Per-user Bollinger fold in EXACT integers: state = (events seen,
+    the last W-1 quantized values). Each event emits its trailing-frame
+    (n, sum, sum-of-squares) as int64 — the decimal variance identity
+    and the one sqrt/divisions run batch-side in window_bollinger's
+    exact op order, so the drained values equal the batch oracle
+    bitwise. VECTORIZED: both trailing sums are sliding_window_view
+    row-sums over [carried history ++ batch] (window sums, not
+    unbounded cumsums, so the squares channel peaks at W * max(xq^2)
+    — the asserted int64 headroom), no per-event Python loop."""
+    import numpy as np
+    import pandas as pd
+
+    from flod_spark.catalog.relational import _BOLL_W
+
+    if state.exists:
+        seen, hist = state.get
+        hist = list(hist)
+    else:
+        seen, hist = 0, []
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(["us", "event_id"])
+    x = pdf["xq"].to_numpy(dtype="int64")
+    full = np.concatenate([np.asarray(hist, dtype="int64"), x])
+    # int64 headroom: the W-row square sum must stay below 2^63
+    assert len(full) == 0 or np.abs(full).max() <= 679_000_000, (
+        "micros-scaled square channel caps |value| <= ~679 at W=20 — "
+        "widen to a split-channel state beyond"
+    )
+    pad = np.concatenate([np.zeros(_BOLL_W - 1, dtype="int64"), full])
+    sw = np.lib.stride_tricks.sliding_window_view(pad, _BOLL_W)
+    idx = len(hist) + np.arange(len(x))
+    sx = sw[idx].sum(axis=1)
+    padq = np.concatenate([np.zeros(_BOLL_W - 1, dtype="int64"), full * full])
+    swq = np.lib.stride_tricks.sliding_window_view(padq, _BOLL_W)
+    ssq = swq[idx].sum(axis=1)
+    n = np.minimum(seen + 1 + np.arange(len(x)), _BOLL_W)
+    state.update((int(seen + len(x)), full[-(_BOLL_W - 1):].tolist()))
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([int(key[0])] * len(x), dtype="int64"),
+            "event_id": pdf["event_id"].to_numpy(dtype="int64"),
+            "us": pdf["us"].to_numpy(dtype="int64"),
+            "n": n.astype("int64"),
+            "sx": sx.astype("int64"),
+            "ssq": ssq.astype("int64"),
+        }
+    )
+
+
+def _boll_live_oracle() -> str:
+    from flod_spark.catalog.relational import window_bollinger  # noqa: F401
+
+    from flod_spark.registry import ORACLES
+
+    return ORACLES["window_bollinger"]
+
+
+@query("stream_bollinger_live", oracle=_boll_live_oracle())
+def stream_bollinger_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOLLINGER BANDS LIVE — the volatility envelope at arrival,
+    closing the live detector family (EWMA, CUSUM, drawdown, RSI,
+    Bollinger — one integer-state discipline): state per user is the
+    last W-1 quantized values plus a seen-count, each event emits its
+    trailing-frame (n, sum, sum-of-squares) as exact int64, and the
+    variance identity n*ssq - sx^2 folds batch-side in exact DECIMALs
+    before window_bollinger's one sqrt and fixed-order divisions — so
+    the oracle is the batch window query VERBATIM, bitwise. Each event
+    is emitted exactly once; no monotone-max pick needed.
+
+    Scale: O(W) longs of state per user, no join, no window, no
+    shuffle beyond the key partitioning; the per-batch work is two
+    sliding-window row-sums (numpy, zero Python loops). The live
+    'price outside the band' alert is a map on the emission stream."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from flod_spark.io import ts_micros
+
+    ev = load(spark, sf_dir, "events")
+    xq = (F.col("value").cast("decimal(18,6)") * F.lit(1000000)).cast("long")
+    feed = ev.select("event_id", "user_id", "ts", xq.alias("xq"))
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_bo_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(spark, feed, "ts", replay_dir, n_batches=4, tiebreak=("event_id",))
+    src = (
+        with_event_time(stream)
+        .withWatermark("ts", _WATERMARK)
+        .select("user_id", "event_id", ts_micros("ts").alias("us"), "xq")
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _boll_live_fn,
+        outputStructType="user_id long, event_id long, us long, n long, sx long, ssq long",
+        stateStructType="seen long, h array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    got = _drain(out, spark, output_mode="update", cleanup=(replay_dir,))
+    var_num = (
+        F.col("n").cast("decimal(3,0)") * F.col("ssq").cast("decimal(30,0)")
+        - F.col("sx").cast("decimal(19,0)") * F.col("sx").cast("decimal(19,0)")
+    )
+    mid = F.col("sx").cast("double") / F.col("n").cast("double") / F.lit(1000000.0)
+    sigma = (
+        F.sqrt(var_num.cast("double"))
+        / F.col("n").cast("double")
+        / F.lit(1000000.0)
+    )
+    r = got.select(
+        "event_id", "user_id", "us", mid.alias("mid"), sigma.alias("sigma")
+    )
+    return r.select(
+        "event_id",
+        "user_id",
+        as_naive(F.timestamp_micros(F.col("us"))).alias("ts"),
+        F.col("mid").alias("mid_20"),
+        F.col("sigma").alias("sigma_20"),
+        (F.col("mid") + F.lit(2.0) * F.col("sigma")).alias("upper_20"),
+        (F.col("mid") - F.lit(2.0) * F.col("sigma")).alias("lower_20"),
+    )
+
+
+def _tok_budget_live_fn(key, pdfs, state):
+    """Per-(lang, shard) admission fold: state is ONE long — the
+    stratum's running token total. Arriving docs (already in the
+    carve's hash order — the replay feeds them that way) admit while
+    cum - n_tok < budget/S; only ADMITTED rows are emitted, so the
+    drained union is the carve with no final pick. All-integer
+    (np.cumsum), so the batch oracle matches bitwise."""
+    import numpy as np
+    import pandas as pd
+
+    from flod_spark.catalog.sampling import _TOK_BUDGET, _TOK_SHARDS
+
+    cum0 = state.get[0] if state.exists else 0
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("us")
+    nt = pdf["n_tok"].to_numpy(dtype="int64")
+    cum = cum0 + np.cumsum(nt)
+    keep = (cum - nt) < (_TOK_BUDGET // _TOK_SHARDS)
+    state.update((int(cum[-1]) if len(cum) else cum0,))
+    yield pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"].to_numpy(dtype="int64")[keep],
+            "lang": pdf["lang"].to_numpy(dtype="object")[keep],
+            "shard": pd.Series(
+                [int(key[1])] * int(keep.sum()), dtype="int64"
+            ),
+            "n_tok": nt[keep],
+            "cum_tokens": cum[keep].astype("int64"),
+        }
+    )
+
+
+def _tok_budget_live_oracle() -> str:
+    from flod_spark.catalog.sampling import sample_token_budget_sharded  # noqa: F401
+
+    from flod_spark.registry import ORACLES
+
+    return ORACLES["sample_token_budget_sharded"]
+
+
+@query("stream_token_budget_live", oracle=_tok_budget_live_oracle())
+def stream_token_budget_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET ADMISSION LIVE — sample_token_budget_sharded as an
+    ingestion-time controller, the form a training pipeline actually
+    runs: docs stream in, each (lang, shard) stratum keeps ONE long of
+    state (its running token total), every arriving doc is admitted or
+    refused AT ARRIVAL, and once a stratum's budget fills it never
+    admits again. The carve is order-dependent, so the replay delivers
+    docs in the batch form's exact hash order (rk, doc_id) — the
+    stream_ewma_live discipline of replaying in the oracle's ORDER BY
+    — and admission emits each doc at most once, in exactly one
+    micro-batch: the drained union IS the carve, and the oracle is
+    sample_token_budget_sharded's VERBATIM (all-integer cumsum, no
+    float anywhere).
+
+    Scale: state is 8 bytes per (lang, shard) stratum — thousands of
+    strata cost a page; per-event work is one integer add/compare
+    (vectorized per batch). The production form points the admitted
+    stream at the training-shard writer; refused docs need no state
+    at all. Orderly arrival is the contract the batch carve's
+    determinism already requires — out-of-order ingestion composes by
+    buffering on the same (rk, doc_id) key upstream."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from flod_spark.catalog.sampling import _TOK_SHARDS, _hash_prefix
+
+    docs = load(spark, sf_dir, "documents")
+    rk_int = F.conv(_hash_prefix("tb|", F.col("doc_id")), 16, 10).cast("long")
+    feed = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_tok"),
+        salted_mod(F.col("doc_id"), "tbs|", _TOK_SHARDS).alias("shard"),
+        # unique, (rk, doc_id)-ordered arrival time: rk is 32 bits, so
+        # rk * 1e6 + doc_id stays ordered while doc_id < 1e6 (testdata
+        # caps at 5e3; a real feed orders the queue key directly)
+        F.timestamp_micros(
+            rk_int * F.lit(1_000_000) + F.pmod(F.col("doc_id"), F.lit(1_000_000))
+        ).alias("ingest_ts"),
+    )
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_tb_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(
+        spark, feed, "ingest_ts", replay_dir, n_batches=4, tiebreak=("doc_id",)
+    )
+    src = with_event_time(stream, "ingest_ts").select(
+        "lang",
+        "shard",
+        "doc_id",
+        "n_tok",
+        F.unix_micros(F.col("ingest_ts")).alias("us"),
+    )
+    out = src.groupBy("lang", "shard").applyInPandasWithState(
+        _tok_budget_live_fn,
+        outputStructType="doc_id long, lang string, shard long, n_tok long, cum_tokens long",
+        stateStructType="cum long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    got = _drain(out, spark, output_mode="update", cleanup=(replay_dir,))
+    return got.select("doc_id", "lang", "shard", "n_tok", "cum_tokens")
