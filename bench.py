@@ -158,6 +158,19 @@ HEADLINE = [
     "window_rsi",
     "stream_rsi_live",
     "orders_cohort_ltv",
+    # round-9 additions: the oracle-gated bounded market basket, the
+    # Bollinger family (batch + live), live token-budget admission,
+    # spectral power iteration, n-gram novelty, association rules,
+    # mixture reweighting, and the skew-sharded budget carve
+    "stream_market_basket_bounded",
+    "window_bollinger",
+    "stream_bollinger_live",
+    "stream_token_budget_live",
+    "embed_pca_power_iter",
+    "ngram_novelty",
+    "orders_assoc_rules",
+    "sample_importance_reweight",
+    "sample_token_budget_sharded",
 ]
 
 

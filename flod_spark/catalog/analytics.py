@@ -1547,3 +1547,76 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(1000000.0) * F.col("n_custs"))
         ).alias("ltv_per_cust"),
     )
+
+
+@query(
+    "orders_assoc_rules",
+    oracle=(
+        "WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), "
+        "cnt AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM op GROUP BY p), "
+        "pairs AS (SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS s "
+        "  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 "
+        f"  HAVING COUNT(*) >= {_MB_MIN_SUP}), "
+        "r AS (SELECT p1 AS antecedent, p2 AS consequent, s FROM pairs "
+        "  UNION ALL SELECT p2, p1, s FROM pairs) "
+        "SELECT antecedent, consequent, s AS support, "
+        "  CAST(s AS DOUBLE) / c.c AS confidence "
+        "FROM r JOIN cnt c ON c.p = r.antecedent"
+    ),
+)
+def orders_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASSOCIATION RULES from the market-basket supports — the
+    DIRECTIONAL statistic orders_market_basket's symmetric lift
+    cannot express: confidence(a -> c) = support(a, c) / support(a)
+    answers 'given a in the basket, how often does c follow?', and
+    a -> c can be strong while c -> a is noise (the classic
+    beer -> diapers asymmetry). Each surviving pair emits both
+    directions; confidence is one integer-over-integer IEEE division,
+    so both engines agree bitwise.
+
+    Scale: orders_market_basket's exact budget — pair expansion
+    bounded by basket size, support floor applied in the aggregate
+    (map-side partial first), and the antecedent-frequency join
+    carries NO broadcast hint (part-catalog cardinality — AQE
+    decides). The rule table is the recommender / cross-sell feed;
+    ranking by confidence is a free sort downstream."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    baskets = (
+        li.groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps")).localCheckpoint()
+    )
+    cnt = baskets.select(F.explode("ps").alias("p")).groupBy("p").agg(
+        F.count("*").alias("c")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.greatest(F.size("ps") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_arr).alias("pr"))
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= _MB_MIN_SUP)
+    )
+    rules = pairs.select(
+        F.col("p1").alias("antecedent"), F.col("p2").alias("consequent"), "s"
+    ).unionAll(
+        pairs.select(
+            F.col("p2").alias("antecedent"), F.col("p1").alias("consequent"), "s"
+        )
+    )
+    return (
+        rules.join(cnt.withColumnRenamed("p", "antecedent"), "antecedent")
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("s").alias("support"),
+            (F.col("s").cast("double") / F.col("c")).alias("confidence"),
+        )
+    )

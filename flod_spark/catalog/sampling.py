@@ -617,3 +617,75 @@ def sample_token_budget_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.filter(
         F.col("cum") - F.col("n_tok") < _TOK_BUDGET // _TOK_SHARDS
     ).select("doc_id", "lang", "shard", "n_tok", F.col("cum").alias("cum_tokens"))
+
+
+def _mix_rate_dec_sql() -> str:
+    """DuckDB: the MIX_RATES target rate as an EXACT DECIMAL(3,2) per
+    source (the importance-reweight numerator — decimal so the total
+    over sources sums exactly, immune to fold order)."""
+    cases = " ".join(
+        f"WHEN TRY_CAST(substr(source, 4, 16) AS INTEGER) % 3 = {k} "
+        f"THEN CAST({r} AS DECIMAL(3,2))"
+        for k, r in MIX_RATES.items()
+    )
+    return f"CASE {cases} END"
+
+
+def _mix_rate_dec_col() -> F.Column:
+    suffix = F.substring(F.col("source"), 4, 16).cast("int") % 3
+    out = None
+    for k, r in MIX_RATES.items():
+        lit = F.lit(str(r)).cast("decimal(3,2)")
+        out = F.when(suffix == k, lit) if out is None else out.when(suffix == k, lit)
+    return out
+
+
+@query(
+    "sample_importance_reweight",
+    oracle=(
+        "WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        f"    {_mix_rate_dec_sql()} AS rate "
+        "  FROM documents GROUP BY source), "
+        "t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_n, SUM(rate) AS tot_rate FROM s) "
+        "SELECT source, n_docs, "
+        "  CAST(n_docs AS DOUBLE) / tot_n AS actual_share, "
+        "  CAST(rate AS DOUBLE) / CAST(tot_rate AS DOUBLE) AS target_share, "
+        "  (CAST(rate AS DOUBLE) / CAST(tot_rate AS DOUBLE)) "
+        "    / (CAST(n_docs AS DOUBLE) / tot_n) AS weight "
+        "FROM s, t"
+    ),
+)
+def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMPORTANCE REWEIGHTING for mixture shift — the per-source
+    sampling weight that moves the corpus from its ACTUAL source
+    shares to the TARGET mixture (MIX_RATES normalized over observed
+    sources): weight = target_share / actual_share. This is the
+    static DoReMi-style correction a loss-weighted or epoch-sampled
+    training run applies when re-filtering the corpus is too
+    expensive — weight > 1 upsamples a source, < 1 downsamples.
+    Exactness: target rates are DECIMAL(3,2) so their total sums
+    exactly in any aggregation order (a double-rate sum would drift
+    by fold order); the three report divisions run in one fixed IEEE
+    order.
+
+    Scale: one partial-agg count by source (|sources| rows cross the
+    exchange) + a 1-row totals broadcast — the same budget as
+    sample_mixture's audit. The per-DOC application is a broadcast
+    join of this table onto the corpus, a free map downstream."""
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.first(_mix_rate_dec_col(), ignorenulls=False).alias("rate"),
+    )
+    t = s.agg(
+        F.sum("n_docs").alias("tot_n"), F.sum("rate").alias("tot_rate")
+    )
+    act = F.col("n_docs").cast("double") / F.col("tot_n")
+    tgt = F.col("rate").cast("double") / F.col("tot_rate").cast("double")
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        act.alias("actual_share"),
+        tgt.alias("target_share"),
+        (tgt / act).alias("weight"),
+    )

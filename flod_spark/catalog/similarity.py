@@ -1483,9 +1483,14 @@ def embed_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (kmeans_iter's scalar-per-round pattern), normalize in a fixed
     float op order, and re-enter round r+1 as literals; the oracle
     unrolls the rounds as CTE stages. Returns (dim, comp, lam): the
-    unit top direction and its Rayleigh estimate ||A v|| — converged
-    enough at _PCA_ROUNDS for audit use; production runs the same
-    loop to tolerance.
+    unit iterate after _PCA_ROUNDS rounds and its estimate
+    ||A v|| <= lambda_1 (a certified LOWER bound on the spectral
+    norm). Per-round contraction is lambda_2/lambda_1 — on a strongly
+    anisotropic table a handful of rounds converge; the synthetic
+    gate corpus is nearly isotropic (ratio ~0.93), so this registers
+    the PRIMITIVE at fixed depth and production runs the same loop to
+    tolerance (tests/test_round9_ops.py pins the iterate against an
+    independent numpy power iteration and the lambda_1 bound).
 
     Scale: each round is ONE scan + ONE partial-agg exchange carrying
     DIM decimal cells per task (map-side combine); driver state is 64

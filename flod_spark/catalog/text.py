@@ -1829,3 +1829,79 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_syms").alias("n_bpe_tokens"),
         )
     )
+
+
+@query(
+    "ngram_novelty",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS a "
+        "  FROM documents), "
+        "g AS (SELECT DISTINCT doc_id, "
+        "    md5(a[i] || ' ' || a[i+1] || ' ' || a[i+2]) AS h "
+        "  FROM (SELECT doc_id, a, unnest(range(1, len(a) - 1)) AS i FROM toks) "
+        "  WHERE len(a) >= 3), "
+        "f AS (SELECT h, MIN(doc_id) AS first_doc FROM g GROUP BY h), "
+        "d AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+        "    CAST(SUM(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel "
+        "  FROM g JOIN f USING (h) GROUP BY g.doc_id) "
+        "SELECT doc_id, COALESCE(n_grams, 0) AS n_grams, COALESCE(n_novel, 0) AS n_novel, "
+        "  CAST(n_novel AS DOUBLE) / NULLIF(n_grams, 0) AS novelty_frac "
+        "FROM documents LEFT JOIN d USING (doc_id)"
+    ),
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM NOVELTY per document — what fraction of a doc's distinct
+    word trigrams appear for the FIRST time in the corpus (by doc_id
+    order)? The diversity audit a curation pipeline runs before
+    admitting a new crawl slice: low novelty = the slice restates what
+    the corpus already has (dedup won't catch it — no single document
+    matches), high novelty = genuinely new text. First-occurrence
+    attribution is a MIN over the gram's claimants, so the statistic
+    is exact and insertion-order independent given the doc_id order.
+
+    Scale: grams cross the exchange as 16-byte md5 hashes, never text
+    (the dedup_exact budget at trigram granularity); MIN(doc_id)
+    partial-aggregates map-side, the claim join is hash-on-hash, and
+    the per-doc recount shuffles |distinct gram instances| compact
+    rows. Frequent-gram skew is capped by DISTINCT-per-doc (a gram
+    costs one row per CONTAINING DOC, never per occurrence)."""
+    docs = load(spark, sf_dir, "documents")
+    a = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+    grams = F.when(
+        F.size(a) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(a) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(a, i),
+                F.element_at(a, i + 1),
+                F.element_at(a, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = (
+        docs.select("doc_id", F.explode(grams).alias("gr"))
+        .select("doc_id", F.md5(F.col("gr").cast("binary")).alias("h"))
+        .distinct()
+    )
+    f = g.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    d = (
+        g.join(f, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    base = docs.select("doc_id")
+    j = base.join(d, "doc_id", "left")
+    ng = F.coalesce("n_grams", F.lit(0)).cast("long")
+    nv = F.coalesce("n_novel", F.lit(0)).cast("long")
+    return j.select(
+        "doc_id",
+        ng.alias("n_grams"),
+        nv.alias("n_novel"),
+        (nv.cast("double") / F.nullif(ng, F.lit(0))).alias("novelty_frac"),
+    )

@@ -392,6 +392,17 @@ HEADLINE_PINS = {
     # the merge-table result is a local frame; the loop's per-round
     # plans are driver-iterated (kmeans_iter precedent)
     "bpe_train_iter": (0, 0),
+    # round-9 additions (fingerprinted at sf0.001 at introduction)
+    "window_bollinger": (1, 0),
+    # gram-hash claim + per-doc recount + the doc_id base join
+    "ngram_novelty": (3, 0),
+    # basket build localCheckpointed (cnt + pair paths share it)
+    "orders_assoc_rules": (3, 0),
+    "sample_importance_reweight": (2, 0),
+    "sample_token_budget_sharded": (1, 0),
+    # the power-iteration result is a local frame; per-round plans are
+    # driver-iterated (kmeans_iter / bpe_train_iter precedent)
+    "embed_pca_power_iter": (0, 0),
 }
 
 
