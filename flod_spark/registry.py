@@ -76,7 +76,7 @@ def ensure_shipped(spark: SparkSession) -> None:
 # The rotation tests clamp driver_rounds() to this, so the driver dropping
 # CORRECTNESS_r{N+1}.json into the tree after the builder's final commit
 # cannot flip a committed-green pytest (round-6 verdict, top finding).
-_PLANNED_FROM_ROUND = 7
+_PLANNED_FROM_ROUND = 8
 
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). _GATE_ORDER makes the window explicit, and ROTATES each
@@ -86,49 +86,46 @@ _PLANNED_FROM_ROUND = 7
 # staleness from CORRECTNESS_r*.json); tests/test_chains.py pins this
 # window against the same data, clamped to _PLANNED_FROM_ROUND, so the
 # two cannot drift and later driver artifacts cannot break it.
-# Round-8 window =
-#   (b) the 10 new round-8 registrations (first driver row) — they have
+# Round-9 window = 9 + 6 + 22 + 13 = 50:
+#   (b) the 9 new round-9 registrations (first driver row) — they have
 #       no recorded row at _PLANNED_FROM_ROUND, so the membership test
 #       auto-derives them as must-gate,
-#   (c) changed-implementation re-proofs: orders_market_basket +
-#       stream_market_basket_live (forced part-frequency broadcast
-#       dropped — AQE decides; r7 verdict weak #1), dedup_semantic_text
-#       (forced vocab-table broadcast dropped; r7 verdict weak #2),
-#       agg_bitmap_distinct (now routed through distinct_count_auto's
-#       dense-key guard; r7 verdict next #6),
-#   (d) the 19-key r3-tier overflow displaced from the r7 window (r7
-#       verdict "What's missing" item 1 — tag_roundtrip .. tpch_q18),
-#       then the next r3-tier rows in registration order to the 50-cap
-#       (22 r3-tier keys remain for round 9: dedup_apply, decontaminate,
-#       sim_ivf, embed_centroids, semdedup, kmeans_iter, udf_scalar,
-#       udf_grouped, stream_window_live, stream_session_live,
-#       stream_take_live, stream_join_live, stream_queue_live,
-#       sample_mixture, split_assign, sink_csv, sink_json,
-#       sink_partitioned, join_bucketed, pack_sequences,
-#       sample_shuffle, prep_pipeline).
+#   (c) changed-implementation re-proofs: bpe_train_iter + bpe_apply
+#       (delimited-replace merge replaced by the true Sennrich
+#       leftmost non-overlapping fold — r8 verdict weak #1) and the
+#       four live detector state functions vectorized to exact-int64
+#       numpy forms (r8 verdict weak #2): stream_ewma_live,
+#       stream_cusum_live, stream_drawdown_live, stream_rsi_live,
+#   (d) the 22-key r3-tier remainder displaced from the r8 window
+#       (r8 verdict "What's missing" item 1 — dedup_apply ..
+#       prep_pipeline), then the stalest r4-tier rows in registration
+#       order to the 50-cap (36 r4-tier keys remain for round 10,
+#       starting datetime_fns, tpch_q4, tpch_q13, ... in registration
+#       order — see COVERAGE.md).
 # Keys not listed here sort after listed ones, in registration order.
 _GATE_ORDER = (
-    # (b) new round-8 registrations — 19 keys
-    "sim_mips_ann", "agg_diversity", "agg_argminmax", "window_cusum",
-    "window_drawdown", "sample_weighted_k", "sample_token_budget",
-    "orders_pareto_abc", "agg_hll_rollup", "stream_ewma_live",
-    "stream_cusum_live", "stream_drawdown_live",
-    "stream_weighted_sample_live", "bpe_train_iter", "bpe_apply",
-    "media_frame_sample", "window_rsi", "stream_rsi_live",
-    "orders_cohort_ltv",
-    # (c) changed-implementation re-proofs — 4 keys
-    "orders_market_basket", "stream_market_basket_live",
-    "dedup_semantic_text", "agg_bitmap_distinct",
-    # (d) stalest re-proofs — the 19-key r3 overflow named in the r7
-    # verdict, in registration order ...
-    "tag_roundtrip", "agg_approx", "agg_rollup", "agg_cube",
-    "join_outer", "join_semi", "window_running", "set_intersect",
-    "agg_pivot", "agg_percentile", "agg_collect", "tpch_q5",
-    "array_fns", "join_salted", "agg_grouping_sets",
-    "window_range_frame", "tpch_q10", "tpch_q14", "tpch_q18",
-    # ... then the next r3-tier rows in registration order, to the cap
-    "stream_session", "resample_gapfill", "token_count", "fingerprint",
-    "text_clean", "token_histogram", "doc_repetition", "dedup_cluster",
+    # (b) new round-9 registrations — 9 keys
+    "stream_market_basket_bounded", "sample_token_budget_sharded",
+    "window_bollinger", "stream_bollinger_live",
+    "stream_token_budget_live", "embed_pca_power_iter",
+    "ngram_novelty", "orders_assoc_rules", "sample_importance_reweight",
+    # (c) changed-implementation re-proofs — 6 keys
+    "bpe_train_iter", "bpe_apply", "stream_ewma_live",
+    "stream_cusum_live", "stream_drawdown_live", "stream_rsi_live",
+    # (d) stalest re-proofs — the 22-key r3-tier remainder named in the
+    # r8 verdict, in registration order ...
+    "dedup_apply", "decontaminate", "sim_ivf", "embed_centroids",
+    "semdedup", "kmeans_iter", "udf_scalar", "udf_grouped",
+    "stream_window_live", "stream_session_live", "stream_take_live",
+    "stream_join_live", "stream_queue_live", "sample_mixture",
+    "split_assign", "sink_csv", "sink_json", "sink_partitioned",
+    "join_bucketed", "pack_sequences", "sample_shuffle",
+    "prep_pipeline",
+    # ... then the stalest r4-tier rows in registration order, to the cap
+    "by_line_wide", "scan_pysource", "tpch_q1", "merge_upsert",
+    "quality_buckets", "key_skew_stats", "tpch_q7", "tpch_q8",
+    "tpch_q17", "null_semantics", "window_dist", "value_zscore",
+    "join_asof_tol",
 )
 
 

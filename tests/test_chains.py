@@ -172,11 +172,13 @@ def test_take_stress_reference_scale(spark):
 # the staleness data can't derive. New registrations need no list: under
 # the _PLANNED_FROM_ROUND clamp they have no driver row, so the
 # membership test auto-derives them as must-gate.
-ROUND8_CHANGED = {
-    # forced part-frequency broadcasts dropped (r7 verdict weak #1)
-    "orders_market_basket", "stream_market_basket_live",
-    "dedup_semantic_text",   # forced vocab broadcast dropped (weak #2)
-    "agg_bitmap_distinct",   # routed through the dense-key guard (#6)
+ROUND9_CHANGED = {
+    # delimited-replace merge -> true Sennrich leftmost non-overlapping
+    # fold, in the operator AND the oracle (r8 verdict weak #1)
+    "bpe_train_iter", "bpe_apply",
+    # per-row Python state loops -> exact-int64 numpy folds (weak #2)
+    "stream_ewma_live", "stream_cusum_live",
+    "stream_drawdown_live", "stream_rsi_live",
 }
 
 
@@ -197,7 +199,7 @@ def test_gate_window_membership():
     window = list(e.queries())[:50]
     rows, latest = driver_rounds(max_round=registry._PLANNED_FROM_ROUND)
     never = {q for q, rs in rows.items() if not rs}
-    must_gate = never | ROUND8_CHANGED
+    must_gate = never | ROUND9_CHANGED
     missing = must_gate - set(window)
     assert not missing, f"rotated out of the 50-entry gate window: {missing}"
     assert len(window) == 50
