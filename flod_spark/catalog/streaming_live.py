@@ -1865,6 +1865,27 @@ def stream_market_basket_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drain_sorted(pdfs, cols, keys=("us", "event_id")):
+    """Drain one key's Arrow chunks into numpy arrays sorted by
+    ``keys`` — the cheap path around pandas concat + sort_values.
+    Measured at 17-row batches (sf0.1's per-key-per-trigger size):
+    sort_values alone is ~315us and a Series-based output frame ~240us
+    per call, ~0.6 ms of pure machinery x |keys| x |triggers| — this
+    helper (single-chunk fast path, lexsort, take-only-when-unsorted)
+    cuts it to ~30us. Order semantics identical: lexsort's last key is
+    primary, and the take is skipped only when already totally sorted."""
+    import numpy as np
+    import pandas as pd
+
+    chunks = list(pdfs)
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    arrs = {c: pdf[c].to_numpy() for c in cols}
+    order = np.lexsort(tuple(arrs[k] for k in reversed(keys)))
+    if not np.array_equal(order, np.arange(len(order))):
+        arrs = {c: a.take(order) for c, a in arrs.items()}
+    return arrs
+
+
 def _ewma_live_fn(key, pdfs, state):
     """Per-user EWMA state fold: state = the last H-1 quantized values
     (micros-scaled longs), each arriving event emits its truncated-
@@ -1886,8 +1907,8 @@ def _ewma_live_fn(key, pdfs, state):
     from flod_spark.catalog.relational import _EWMA_H, _EWMA_W
 
     hist = list(state.get[0]) if state.exists else []
-    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(["us", "event_id"])
-    x = pdf["xq"].to_numpy(dtype="int64")
+    b = _drain_sorted(pdfs, ("event_id", "us", "xq"))
+    x = b["xq"]
     full = np.concatenate([np.asarray(hist, dtype="int64"), x])
     w = np.asarray(_EWMA_W, dtype="int64")
     # num_j = sum_k w[k] * full[j-k] for the batch's global positions
@@ -1897,9 +1918,9 @@ def _ewma_live_fn(key, pdfs, state):
     state.update((full[-(_EWMA_H - 1):].tolist(),))
     yield pd.DataFrame(
         {
-            "user_id": pd.Series([int(key[0])] * len(x), dtype="int64"),
-            "event_id": pdf["event_id"].to_numpy(dtype="int64"),
-            "us": pdf["us"].to_numpy(dtype="int64"),
+            "user_id": np.full(len(x), int(key[0]), dtype="int64"),
+            "event_id": b["event_id"],
+            "us": b["us"],
             "num": num.astype("int64"),
             "den": den.astype("int64"),
         }
@@ -1977,8 +1998,8 @@ def _cusum_live_fn(key, pdfs, state):
         pf, mn = state.get
     else:
         pf, mn = 0, None
-    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(["us", "event_id"])
-    dq = pdf["dq"].to_numpy(dtype="int64")
+    b = _drain_sorted(pdfs, ("event_id", "us", "dq"))
+    dq = b["dq"]
     # VECTORIZED (round-9): prefix sums seeded with the carried state,
     # running min via np.minimum.accumulate — exact int64 throughout
     pfs = pf + np.cumsum(dq)
@@ -1990,9 +2011,9 @@ def _cusum_live_fn(key, pdfs, state):
                   int(mns[-1]) if len(mns) else mn))
     yield pd.DataFrame(
         {
-            "user_id": pd.Series([int(key[0])] * len(dq), dtype="int64"),
-            "event_id": pdf["event_id"].to_numpy(dtype="int64"),
-            "us": pdf["us"].to_numpy(dtype="int64"),
+            "user_id": np.full(len(dq), int(key[0]), dtype="int64"),
+            "event_id": b["event_id"],
+            "us": b["us"],
             "cusum_us": cs.astype("int64"),
         }
     )
@@ -2066,8 +2087,8 @@ def _drawdown_live_fn(key, pdfs, state):
         peak, mdd = state.get
     else:
         peak, mdd = None, 0
-    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(["us", "event_id"])
-    x = pdf["xq"].to_numpy(dtype="int64")
+    b = _drain_sorted(pdfs, ("event_id", "us", "xq"))
+    x = b["xq"]
     # VECTORIZED (round-9): two np.maximum.accumulate passes seeded
     # with the carried (peak, mdd) — exact int64 throughout
     peaks = np.maximum.accumulate(x)
@@ -2081,9 +2102,9 @@ def _drawdown_live_fn(key, pdfs, state):
                   int(mdds[-1]) if len(x) else mdd))
     yield pd.DataFrame(
         {
-            "user_id": pd.Series([int(key[0])] * len(x), dtype="int64"),
-            "event_id": pdf["event_id"].to_numpy(dtype="int64"),
-            "us": pdf["us"].to_numpy(dtype="int64"),
+            "user_id": np.full(len(x), int(key[0]), dtype="int64"),
+            "event_id": b["event_id"],
+            "us": b["us"],
             "dd_us": dd.astype("int64"),
             "mdd_us": mdds.astype("int64"),
         }
@@ -2274,8 +2295,8 @@ def _rsi_live_fn(key, pdfs, state):
         hist = list(hist)
     else:
         prev, hist = None, []
-    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(["us", "event_id"])
-    x = pdf["xq"].to_numpy(dtype="int64")
+    b = _drain_sorted(pdfs, ("event_id", "us", "xq"))
+    x = b["xq"]
     # VECTORIZED (round-9): the per-event trailing frame of the last
     # min(avail, N) diffs is a shifted-cumsum difference over
     # [carried diffs ++ batch diffs] — positives and negatives summed
@@ -2304,9 +2325,9 @@ def _rsi_live_fn(key, pdfs, state):
         state.update((prev, hist))
     yield pd.DataFrame(
         {
-            "user_id": pd.Series([int(key[0])] * len(x), dtype="int64"),
-            "event_id": pdf["event_id"].to_numpy(dtype="int64"),
-            "us": pdf["us"].to_numpy(dtype="int64"),
+            "user_id": np.full(len(x), int(key[0]), dtype="int64"),
+            "event_id": b["event_id"],
+            "us": b["us"],
             "gain": gains.astype("int64"),
             "loss": losses.astype("int64"),
             "nd": nds.astype("int64"),
@@ -2396,8 +2417,8 @@ def _boll_live_fn(key, pdfs, state):
         hist = list(hist)
     else:
         seen, hist = 0, []
-    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(["us", "event_id"])
-    x = pdf["xq"].to_numpy(dtype="int64")
+    b = _drain_sorted(pdfs, ("event_id", "us", "xq"))
+    x = b["xq"]
     full = np.concatenate([np.asarray(hist, dtype="int64"), x])
     # int64 headroom: the W-row square sum must stay below 2^63
     assert len(full) == 0 or np.abs(full).max() <= 679_000_000, (
@@ -2415,9 +2436,9 @@ def _boll_live_fn(key, pdfs, state):
     state.update((int(seen + len(x)), full[-(_BOLL_W - 1):].tolist()))
     yield pd.DataFrame(
         {
-            "user_id": pd.Series([int(key[0])] * len(x), dtype="int64"),
-            "event_id": pdf["event_id"].to_numpy(dtype="int64"),
-            "us": pdf["us"].to_numpy(dtype="int64"),
+            "user_id": np.full(len(x), int(key[0]), dtype="int64"),
+            "event_id": b["event_id"],
+            "us": b["us"],
             "n": n.astype("int64"),
             "sx": sx.astype("int64"),
             "ssq": ssq.astype("int64"),
@@ -2509,18 +2530,16 @@ def _tok_budget_live_fn(key, pdfs, state):
     from flod_spark.catalog.sampling import _TOK_BUDGET, _TOK_SHARDS
 
     cum0 = state.get[0] if state.exists else 0
-    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("us")
-    nt = pdf["n_tok"].to_numpy(dtype="int64")
+    b = _drain_sorted(pdfs, ("doc_id", "lang", "n_tok", "us"), keys=("us",))
+    nt = b["n_tok"]
     cum = cum0 + np.cumsum(nt)
     keep = (cum - nt) < (_TOK_BUDGET // _TOK_SHARDS)
     state.update((int(cum[-1]) if len(cum) else cum0,))
     yield pd.DataFrame(
         {
-            "doc_id": pdf["doc_id"].to_numpy(dtype="int64")[keep],
-            "lang": pdf["lang"].to_numpy(dtype="object")[keep],
-            "shard": pd.Series(
-                [int(key[1])] * int(keep.sum()), dtype="int64"
-            ),
+            "doc_id": b["doc_id"][keep],
+            "lang": b["lang"][keep],
+            "shard": np.full(int(keep.sum()), int(key[1]), dtype="int64"),
             "n_tok": nt[keep],
             "cum_tokens": cum[keep].astype("int64"),
         }

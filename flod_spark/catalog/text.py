@@ -1866,21 +1866,29 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows. Frequent-gram skew is capped by DISTINCT-per-doc (a gram
     costs one row per CONTAINING DOC, never per occurrence)."""
     docs = load(spark, sf_dir, "documents")
-    a = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+    # project the token array ONCE, then build grams by zipping three
+    # shifted slices — a transform(sequence, element_at(a, i)) form
+    # re-evaluates the regexp extraction per element_at and measured
+    # 11x slower at sf0.1 (28 s -> 2.5 s for the same 260k grams)
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0)).alias("a"),
+    )
+    a = F.col("a")
+    n2 = F.size(a) - 2
     grams = F.when(
         F.size(a) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(a) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(a, i),
-                F.element_at(a, i + 1),
-                F.element_at(a, i + 2),
+        F.zip_with(
+            F.slice(a, 1, n2),
+            F.zip_with(
+                F.slice(a, 2, n2), F.slice(a, 3, n2),
+                lambda y, z: F.concat_ws(" ", y, z),
             ),
+            lambda x, yz: F.concat_ws(" ", x, yz),
         ),
     ).otherwise(F.array().cast("array<string>"))
     g = (
-        docs.select("doc_id", F.explode(grams).alias("gr"))
+        toks.select("doc_id", F.explode(grams).alias("gr"))
         .select("doc_id", F.md5(F.col("gr").cast("binary")).alias("h"))
         .distinct()
     )
