@@ -263,6 +263,12 @@ def main() -> None:
         "sf": sf,
         "metric": "headline_queries_total",
         "unit": "sec",
+        # the r1-baseline cross-round comparators, precomputed so the
+        # recorded tail is self-sufficient (min-of-N and median-of-N)
+        "baseline17_total": round(sum(timings[k] for k in base), 3),
+        "baseline17_total_median": round(
+            sum(medians[k] for k in base if k in medians), 3
+        ),
         "value": total,
     }
     if errors:
