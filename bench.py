@@ -248,31 +248,41 @@ def main() -> None:
     }
     if errors:
         detail["errors"] = errors
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-        "w",
-    ) as f:
-        json.dump(detail, f, indent=1)
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+            ),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # read-only tree / full disk must not cost the stdout line
     base = [k for k in _BASELINE_17 if k in timings]
     ordered = {k: v for k, v in timings.items() if k not in set(base)}
     ordered.update({k: timings[k] for k in base})
-    out = {
-        "queries": ordered,
-        "runs_per_query": runs,
-        "detail": "BENCH_DETAIL.json",
-        "sf": sf,
-        "metric": "headline_queries_total",
-        "unit": "sec",
-        # the r1-baseline cross-round comparators, precomputed so the
-        # recorded tail is self-sufficient (min-of-N and median-of-N)
-        "baseline17_total": round(sum(timings[k] for k in base), 3),
-        "baseline17_total_median": round(
-            sum(medians[k] for k in base if k in medians), 3
-        ),
-        "value": total,
-    }
+    out = {"queries": ordered}
     if errors:
+        # errors print BEFORE the tail-ordered comparators: appended
+        # last they would evict baseline17/value from the recorded
+        # 2000-char tail in exactly the failing runs that matter
         out["errors"] = errors
+    out.update(
+        {
+            "runs_per_query": runs,
+            "detail": "BENCH_DETAIL.json",
+            "sf": sf,
+            "metric": "headline_queries_total",
+            "unit": "sec",
+            # the r1-baseline cross-round comparators, precomputed so
+            # the recorded tail is self-sufficient (min and median of N)
+            "baseline17_total": round(sum(timings[k] for k in base), 3),
+            "baseline17_total_median": round(
+                sum(medians[k] for k in base if k in medians), 3
+            ),
+            "value": total,
+        }
+    )
     print(json.dumps(out, separators=(",", ":")))
 
 

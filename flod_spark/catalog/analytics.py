@@ -1240,6 +1240,25 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MB_MIN_SUP = 2
 
 
+def basket_pair_structs(ps_col):
+    """All ordered pairs (p1 < p2) from a SORTED basket array, as
+    struct(p1, p2) — the market-basket map-side pair expansion, in ONE
+    place (the hashbridge discipline): orders_market_basket,
+    orders_assoc_rules, stream_market_basket_live and
+    stream_market_basket_bounded all expand baskets through this
+    expression, so a semantics fix moves every consumer AND its oracle
+    twin together."""
+    return F.flatten(
+        F.transform(
+            ps_col,
+            lambda x, i: F.transform(
+                F.slice(ps_col, i + 2, F.greatest(F.size(ps_col) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+
+
 @query(
     "orders_market_basket",
     oracle=(
@@ -1288,15 +1307,7 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = baskets.select(F.explode("ps").alias("p")).groupBy("p").agg(
         F.count("*").alias("c")
     )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ps"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ps"), i + 2, F.greatest(F.size("ps") - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
-            ),
-        )
-    )
+    pair_arr = basket_pair_structs(F.col("ps"))
     pairs = (
         baskets.select(F.explode(pair_arr).alias("pr"))
         .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
@@ -1589,15 +1600,7 @@ def orders_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = baskets.select(F.explode("ps").alias("p")).groupBy("p").agg(
         F.count("*").alias("c")
     )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ps"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ps"), i + 2, F.greatest(F.size("ps") - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
-            ),
-        )
-    )
+    pair_arr = basket_pair_structs(F.col("ps"))
     pairs = (
         baskets.select(F.explode(pair_arr).alias("pr"))
         .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))

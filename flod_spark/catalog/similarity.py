@@ -1447,7 +1447,7 @@ def _pca_oracle() -> str:
             f"  FROM e, v{p})"
         )
         ctes.append(
-            f"w{r} AS (SELECT d, SUM(CAST(floor(xd * s * {_PCA_Q}.0) AS BIGINT)) AS w FROM ("
+            f"w{r} AS (SELECT d, SUM(CAST(floor(xd * s * {_PCA_Q}.0) AS DECIMAL(28,0))) AS w FROM ("
             f"  SELECT unnest(x) AS xd, unnest(range(len(x))) AS d, s FROM s{r}) GROUP BY d)"
         )
         ctes.append(
@@ -1507,7 +1507,14 @@ def embed_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = _dot_spark(F.col("x"), vlit)
         rows = e.select(F.posexplode("x").alias("d", "xd"), s.alias("s"))
         w = rows.groupBy("d").agg(
-            F.sum(F.floor(F.col("xd") * F.col("s") * F.lit(float(_PCA_Q)))).alias("w")
+            # decimal accumulator: a LONG sum would wrap silently past
+            # 2^63 (~1e8 rows at these term magnitudes) while the
+            # DuckDB oracle widens to int128 — the decimal sum keeps
+            # both engines exact at any corpus size
+            F.sum(
+                F.floor(F.col("xd") * F.col("s") * F.lit(float(_PCA_Q)))
+                .cast("decimal(28,0)")
+            ).alias("w")
         )
         ws = {int(r["d"]): int(r["w"]) for r in w.collect()}
         wd = [float(ws[d]) / float(_PCA_Q) for d in range(DIM)]

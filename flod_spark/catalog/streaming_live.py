@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from flod_spark.catalog.analytics import _HH_C
+from flod_spark.catalog.analytics import _HH_C, basket_pair_structs
 from flod_spark.functions.hashbridge import salted_mod, salted_mod_sql
 from flod_spark.io import load
 from flod_spark.registry import query
@@ -1581,7 +1581,7 @@ def stream_heavy_hitters_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     got = _drain(snapshots, spark, output_mode="update", cleanup=(replay_dir,))
     cand = got.select("user_id").distinct()
-    from flod_spark.catalog.analytics import _HH_C
+    from flod_spark.catalog.analytics import _HH_C, basket_pair_structs
 
     ev_b = load(spark, sf_dir, "events").select("user_id").filter(
         F.col("user_id").isNotNull()
@@ -1744,15 +1744,7 @@ def stream_market_basket_bounded(
     replay_dir = tempfile.mkdtemp(prefix="flod_replay_mbb_")
     shutil.rmtree(replay_dir, ignore_errors=True)
     stream = replay_buckets(spark, feed.select("ps", "bkt"), "bkt", replay_dir)
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ps"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ps"), i + 2, F.greatest(F.size("ps") - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
-            ),
-        )
-    )
+    pair_arr = basket_pair_structs(F.col("ps"))
     pairs = stream.select(F.explode(pair_arr).alias("pr")).select(
         F.concat_ws("|", "pr.p1", "pr.p2").alias("k")
     )
@@ -1767,10 +1759,13 @@ def stream_market_basket_bounded(
         return got
     # survivors = each shard's FINAL-bucket emission (an entry evicted in
     # the last bucket is absent there; earlier emissions must not
-    # resurrect it, so a plain per-key max-bucket pick would be wrong)
+    # resurrect it, so a plain per-key max-bucket pick would be wrong).
+    # The k=NULL marker rows make the final bucket visible even when
+    # eviction cleared the shard's whole state that trigger — maxb is
+    # computed over markers + survivors, then markers drop.
     last = Window.partitionBy("shard")
     final = got.withColumn("maxb", F.max("bucket").over(last)).filter(
-        F.col("bucket") == F.col("maxb")
+        (F.col("bucket") == F.col("maxb")) & F.col("k").isNotNull()
     )
     return final.select(
         F.split_part("k", F.lit("|"), F.lit(1)).cast("long").alias("p1"),
@@ -1822,15 +1817,7 @@ def stream_market_basket_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay_dir = tempfile.mkdtemp(prefix="flod_replay_mbl_")
     shutil.rmtree(replay_dir, ignore_errors=True)
     stream = replay_stream(spark, feed, "ingest_ts", replay_dir, n_batches=4, tiebreak=("o",))
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ps"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ps"), i + 2, F.greatest(F.size("ps") - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
-            ),
-        )
-    )
+    pair_arr = basket_pair_structs(F.col("ps"))
     sup = (
         with_event_time(stream, "ingest_ts")
         .select(F.explode(pair_arr).alias("pr"))
@@ -2420,11 +2407,16 @@ def _boll_live_fn(key, pdfs, state):
     b = _drain_sorted(pdfs, ("event_id", "us", "xq"))
     x = b["xq"]
     full = np.concatenate([np.asarray(hist, dtype="int64"), x])
-    # int64 headroom: the W-row square sum must stay below 2^63
-    assert len(full) == 0 or np.abs(full).max() <= 679_000_000, (
-        "micros-scaled square channel caps |value| <= ~679 at W=20 — "
-        "widen to a split-channel state beyond"
-    )
+    # int64 headroom: the W-row square sum must stay below 2^63. An
+    # explicit raise, not assert — the guard must fail LOUDLY under
+    # python -O too (a stripped assert would let the squares channel
+    # wrap silently and emit wrong bands)
+    if len(full) and np.abs(full).max() > 679_000_000:
+        raise ValueError(
+            "stream_bollinger_live: micros-scaled square channel caps "
+            "|value| <= ~679 at W=20 — widen to a split-channel state "
+            "(the batch window_bollinger handles these magnitudes)"
+        )
     pad = np.concatenate([np.zeros(_BOLL_W - 1, dtype="int64"), full])
     sw = np.lib.stride_tricks.sliding_window_view(pad, _BOLL_W)
     idx = len(hist) + np.arange(len(x))

@@ -71,13 +71,17 @@ def _lossy_shard_fn(key, pdfs, state):
         [e[1] for e in entries.values()],
         bucket,
     ))
+    # one k=NULL marker row per invocation carries the bucket index even
+    # when eviction clears the ENTIRE state: without it a shard whose
+    # final bucket empties leaves no bucket-b emission, and a downstream
+    # max-bucket pick would resurrect the PREVIOUS bucket's survivors
     yield pd.DataFrame(
         {
-            "shard": pd.Series([int(key[0])] * len(entries), dtype="int64"),
-            "k": pd.Series(list(entries), dtype="object"),
-            "c": pd.Series([e[0] for e in entries.values()], dtype="int64"),
-            "d": pd.Series([e[1] for e in entries.values()], dtype="int64"),
-            "bucket": pd.Series([bucket] * len(entries), dtype="int64"),
+            "shard": pd.Series([int(key[0])] * (len(entries) + 1), dtype="int64"),
+            "k": pd.Series([None, *entries], dtype="object"),
+            "c": pd.Series([0] + [e[0] for e in entries.values()], dtype="int64"),
+            "d": pd.Series([0] + [e[1] for e in entries.values()], dtype="int64"),
+            "bucket": pd.Series([bucket] * (len(entries) + 1), dtype="int64"),
         }
     )
 

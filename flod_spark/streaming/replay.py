@@ -135,6 +135,8 @@ def replay_buckets(
     Scale: the only driver-side collect is the distinct bucket VALUES
     (micro-batch count, a test-harness constant — never rows); each
     write is one pushdown-filtered scan of the persisted input."""
+    import glob as _glob
+
     from pyspark import StorageLevel
 
     dfp = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -142,10 +144,18 @@ def replay_buckets(
         buckets = sorted(
             r[0] for r in dfp.select(bucket_col).distinct().collect()
         )
-        for b in buckets:
+        for i, b in enumerate(buckets):
+            before = set(_glob.glob(f"{out_dir}/part-*"))
             dfp.filter(F.col(bucket_col) == b).drop(bucket_col).coalesce(
                 1
             ).write.mode("append").parquet(out_dir)
+            # pin mod-times explicitly (the append_sentinel_batches
+            # discipline): sequential writes USUALLY ascend, but a
+            # coarse-mtime filesystem can land two buckets in one tick
+            # and the file source would order them arbitrarily —
+            # bucket MEMBERSHIP is this replay's whole contract
+            for f in set(_glob.glob(f"{out_dir}/part-*")) - before:
+                os.utime(f, (10.0 * (i + 1), 10.0 * (i + 1)))
     finally:
         dfp.unpersist()
     os.makedirs(out_dir, exist_ok=True)

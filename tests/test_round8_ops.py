@@ -50,9 +50,16 @@ def test_lossy_market_basket_guarantees(spark, sf_dir):
     assert len(got) < len(true)
     em = stream_market_basket_bounded(spark, sf_dir, emissions=True)
     sizes = (
-        em.groupBy("shard", "bucket").agg(F.count("*").alias("n")).collect()
+        em.groupBy("shard", "bucket").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("k").isNull().cast("int")).alias("markers"),
+        ).collect()
     )
-    assert sizes and all(r.n < len(true) for r in sizes)
+    assert sizes and all(r.n - 1 < len(true) for r in sizes)
+    # the bucket-marker contract: exactly one k=NULL row per
+    # (shard, trigger-with-data) — what keeps an all-evicted final
+    # bucket from resurrecting the previous bucket's survivors
+    assert all(r.markers == 1 for r in sizes)
 
 
 def test_lossy_shard_fn_eviction_unit():
@@ -96,7 +103,22 @@ def test_lossy_shard_fn_eviction_unit():
     assert "late" not in final  # late singleton: same rule, bucket 3
     assert final["hot"] == (4, 0)  # tracked from bucket 1, exact
     assert final["late2"] == (2, 2)  # recurred within bucket 3, delta = 2
-    assert set(out["k"]) == {"hot", "late2"}
+    assert set(out["k"]) == {None, "hot", "late2"}  # incl. bucket marker
+
+    # total eviction still advances the bucket VISIBLY: bucket 1 keeps a
+    # doubled key, bucket 2 (one new singleton) evicts EVERYTHING —
+    # the emission must be the lone k=NULL marker at bucket 2, so a
+    # max-bucket pick downstream returns the true empty state instead
+    # of resurrecting bucket 1's survivor (round-9 review finding)
+    st2 = FakeState()
+    pdf = pd.DataFrame({"k": ["a", "a"], "c": [1, 1]})
+    out1 = list(_lossy_shard_fn((0,), iter([pdf]), st2))[0]
+    assert set(out1["k"]) == {None, "a"}
+    pdf = pd.DataFrame({"k": ["b"], "c": [1]})
+    out2 = list(_lossy_shard_fn((0,), iter([pdf]), st2))[0]
+    ks2, _cs2, _ds2, bucket2 = st2.get
+    assert bucket2 == 2 and ks2 == []
+    assert list(out2["k"]) == [None] and list(out2["bucket"]) == [2]
 
 
 def _peel_cascade(spark):
@@ -531,7 +553,7 @@ def test_lossy_state_bound_holds_at_sf01(spark, sf01_dir):
     em = stream_market_basket_bounded(spark, sf01_dir, emissions=True)
     rows = em.collect()
     assert rows
-    n_pairs_seen = len({r.k for r in rows})
+    n_pairs_seen = len({r.k for r in rows if r.k is not None})
     by_sb = {}
     for r in rows:
         by_sb[(r.shard, r.bucket)] = by_sb.get((r.shard, r.bucket), 0) + 1

@@ -28,13 +28,23 @@ def test_bollinger_matches_numpy_reference(spark, sf_dir):
         .select("event_id", "user_id", "ts", "value")
         .collect()
     )
+    from decimal import ROUND_HALF_UP, Decimal
+
     by_user: dict[int, list] = {}
     for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
         by_user.setdefault(r.user_id, []).append(r)
     n_head = 0
+    micro = Decimal("0.000001")
     for rows in by_user.values():
+        # quantize exactly as Spark's double->DECIMAL(18,6) cast does
+        # (shortest decimal repr, HALF_UP) — Python round() banker's-
+        # rounds the binary double and can land 1 micro off on ties
         xq = np.array(
-            [int(round(r.value * 1e6)) for r in rows], dtype="int64"
+            [
+                int(Decimal(repr(r.value)).quantize(micro, ROUND_HALF_UP) * 1_000_000)
+                for r in rows
+            ],
+            dtype="int64",
         )
         for i, r in enumerate(rows):
             lo = max(0, i - _BOLL_W + 1)
