@@ -171,6 +171,7 @@ HEADLINE = [
     "orders_assoc_rules",
     "sample_importance_reweight",
     "sample_token_budget_sharded",
+    "sink_xml",
 ]
 
 

@@ -360,3 +360,21 @@ def sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("qd").alias("max_qd"),
         )
     )
+
+
+@query("sink_xml", oracle="SELECT * FROM supplier")
+def sink_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 write() for XML — Spark 4's built-in XML source (the
+    spark-xml package absorbed upstream), completing the text-format
+    trio next to sink_csv/sink_json: one element per row under a
+    configurable rowTag, schema-on-read (inference banned, module
+    docstring). The enterprise-feed format every ingestion edge still
+    meets; the round-trip proves both directions.
+
+    Scale: scan+write bandwidth only, no shuffle; XML parse/emit is
+    JVM-side (StAX) and splits by rowTag, so a 100 TB feed reads with
+    normal input-split parallelism."""
+    return _roundtrip(
+        spark, load(spark, sf_dir, "supplier"), "xml",
+        rowTag="supplier", rootTag="suppliers",
+    )
