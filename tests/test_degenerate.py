@@ -104,7 +104,10 @@ def test_lossy_shard_fn_empty_batch():
     assert bucket == 2
     # b (singleton) evicted at bucket 1; a (c=3 > bucket 2) carried
     assert list(ks) == ["a"]
-    assert len(out) == 1
+    # survivor row + the k=NULL bucket marker (the marker is what keeps
+    # an all-evicted bucket visible to the downstream max-bucket pick)
+    assert len(out) == 2
+    assert set(out["k"]) == {None, "a"}
 
 
 def test_pareto_single_part_brand(spark):
