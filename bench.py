@@ -172,6 +172,7 @@ HEADLINE = [
     "sample_importance_reweight",
     "sample_token_budget_sharded",
     "sink_xml",
+    "stream_ngram_novelty_live",
 ]
 
 

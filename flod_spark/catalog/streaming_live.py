@@ -2609,3 +2609,99 @@ def stream_token_budget_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     got = _drain(out, spark, output_mode="update", cleanup=(replay_dir,))
     return got.select("doc_id", "lang", "shard", "n_tok", "cum_tokens")
+
+
+def _novelty_claim_fn(key, pdfs, state):
+    """Per-shard gram claim state: state = the gram hashes this shard
+    has ever seen. Batch rows sort by arrival (doc_id); a gram's FIRST
+    claimant — unseen in state AND first within the batch — emits a
+    claim row; everything else emits nothing. Fully vectorized:
+    np.isin against the carried hash array + pandas duplicated() for
+    the within-batch first-occurrence mask (rows are doc_id-sorted, so
+    'first non-duplicate' IS the min-doc_id claimant)."""
+    import numpy as np
+    import pandas as pd
+
+    seen = np.asarray(state.get[0] if state.exists else [], dtype="object")
+    b = _drain_sorted(pdfs, ("doc_id", "h"), keys=("doc_id",))
+    h = b["h"]
+    new = ~np.isin(h, seen)
+    first = ~pd.Series(h).duplicated().to_numpy()
+    keep = new & first
+    state.update((np.concatenate([seen, h[keep]]).tolist(),))
+    yield pd.DataFrame(
+        {
+            "doc_id": b["doc_id"][keep],
+            "h": h[keep],
+        }
+    )
+
+
+def _novelty_live_oracle() -> str:
+    from flod_spark.catalog.text import ngram_novelty  # noqa: F401
+
+    from flod_spark.registry import ORACLES
+
+    return ORACLES["ngram_novelty"]
+
+
+@query("stream_ngram_novelty_live", oracle=_novelty_live_oracle())
+def stream_ngram_novelty_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM NOVELTY at INGESTION — ngram_novelty as a live admission
+    signal: docs stream in (replayed in doc_id order, the batch form's
+    first-occurrence attribution order), each shard keeps the gram
+    hashes it has ever seen, and a doc's novel grams are CLAIMED the
+    trigger it arrives — the 'is this crawl slice new text?' score a
+    curation pipeline wants before admitting, not in a nightly batch.
+    Claims are exactly-once (each distinct (doc, gram) row is processed
+    in exactly one micro-batch; within a batch the doc_id-sorted first
+    claimant wins, across batches the state wins — together exactly
+    MIN(doc_id) per gram), so the drained claim count per doc equals
+    the batch form's n_novel, the per-doc gram totals come from the
+    same batch-side construction, and the oracle is ngram_novelty's
+    VERBATIM.
+
+    Scale: state is one 32-hex entry per DISTINCT gram sharded by gram
+    hash (the stream_dedup_live unbounded-claim regime — grams cross as
+    md5, never text); the batch work is one vectorized np.isin + a
+    duplicated() mask, no per-row Python. When the gram space outgrows
+    the store, the production handoffs are the same as exact dedup's:
+    a Bloom pre-filter per shard (claims stay exact, membership goes
+    approximate) or TTL eviction for novelty-within-horizon."""
+    from flod_spark.catalog.text import _novelty_grams
+
+    docs = load(spark, sf_dir, "documents")
+    g = _novelty_grams(docs)
+    feed = g.withColumn(
+        "ingest_ts", F.timestamp_micros(F.col("doc_id") * 1_000_000)
+    )
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_nn_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(
+        spark, feed, "ingest_ts", replay_dir, n_batches=4, tiebreak=("doc_id", "h")
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = with_event_time(stream, "ingest_ts").select(
+        F.pmod(F.xxhash64("h"), F.lit(8)).alias("shard"), "doc_id", "h"
+    )
+    claims = src.groupBy("shard").applyInPandasWithState(
+        _novelty_claim_fn,
+        outputStructType="doc_id long, h string",
+        stateStructType="ks array<string>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    got = _drain(claims, spark, output_mode="update", cleanup=(replay_dir,))
+    nv = got.groupBy("doc_id").agg(F.count("*").alias("n_novel"))
+    ng = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    base = docs.select("doc_id")
+    j = base.join(ng, "doc_id", "left").join(nv, "doc_id", "left")
+    ngc = F.coalesce("n_grams", F.lit(0)).cast("long")
+    nvc = F.coalesce("n_novel", F.lit(0)).cast("long")
+    return j.select(
+        "doc_id",
+        ngc.alias("n_grams"),
+        nvc.alias("n_novel"),
+        (nvc.cast("double") / F.nullif(ngc, F.lit(0))).alias("novelty_frac"),
+    )

@@ -1831,6 +1831,37 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _novelty_grams(docs):
+    """Distinct (doc_id, md5(trigram)) pairs — the gram table both
+    ngram_novelty and its live twin score over. Projects the token
+    array ONCE, then builds grams by zipping three shifted slices: a
+    transform(sequence, element_at(a, i)) form re-evaluates the regexp
+    extraction per element_at and measured 11x slower at sf0.1
+    (28 s -> 2.5 s for the same 260k grams)."""
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0)).alias("a"),
+    )
+    a = F.col("a")
+    n2 = F.size(a) - 2
+    grams = F.when(
+        F.size(a) >= 3,
+        F.zip_with(
+            F.slice(a, 1, n2),
+            F.zip_with(
+                F.slice(a, 2, n2), F.slice(a, 3, n2),
+                lambda y, z: F.concat_ws(" ", y, z),
+            ),
+            lambda x, yz: F.concat_ws(" ", x, yz),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toks.select("doc_id", F.explode(grams).alias("gr"))
+        .select("doc_id", F.md5(F.col("gr").cast("binary")).alias("h"))
+        .distinct()
+    )
+
+
 @query(
     "ngram_novelty",
     oracle=(
@@ -1866,32 +1897,7 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows. Frequent-gram skew is capped by DISTINCT-per-doc (a gram
     costs one row per CONTAINING DOC, never per occurrence)."""
     docs = load(spark, sf_dir, "documents")
-    # project the token array ONCE, then build grams by zipping three
-    # shifted slices — a transform(sequence, element_at(a, i)) form
-    # re-evaluates the regexp extraction per element_at and measured
-    # 11x slower at sf0.1 (28 s -> 2.5 s for the same 260k grams)
-    toks = docs.select(
-        "doc_id",
-        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0)).alias("a"),
-    )
-    a = F.col("a")
-    n2 = F.size(a) - 2
-    grams = F.when(
-        F.size(a) >= 3,
-        F.zip_with(
-            F.slice(a, 1, n2),
-            F.zip_with(
-                F.slice(a, 2, n2), F.slice(a, 3, n2),
-                lambda y, z: F.concat_ws(" ", y, z),
-            ),
-            lambda x, yz: F.concat_ws(" ", x, yz),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = (
-        toks.select("doc_id", F.explode(grams).alias("gr"))
-        .select("doc_id", F.md5(F.col("gr").cast("binary")).alias("h"))
-        .distinct()
-    )
+    g = _novelty_grams(docs)
     f = g.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     d = (
         g.join(f, "h")

@@ -185,3 +185,15 @@ def test_token_budget_live_equals_batch_carve(spark, sf_dir):
         for r in qs["sample_token_budget_sharded"](spark, sf_dir).collect()
     }
     assert live == batch and live
+
+
+def test_ngram_novelty_live_equals_batch(spark, sf_dir):
+    """The live claim-state novelty equals the batch first-occurrence
+    attribution row for row (replay order = doc_id order = the batch
+    MIN(doc_id) attribution), including zero-gram docs."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    live = {tuple(r) for r in qs["stream_ngram_novelty_live"](spark, sf_dir).collect()}
+    batch = {tuple(r) for r in qs["ngram_novelty"](spark, sf_dir).collect()}
+    assert live == batch and live
