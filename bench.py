@@ -173,6 +173,7 @@ HEADLINE = [
     "sample_token_budget_sharded",
     "sink_xml",
     "stream_ngram_novelty_live",
+    "orders_basket_triples",
 ]
 
 

@@ -1623,3 +1623,79 @@ def orders_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s").cast("double") / F.col("c")).alias("confidence"),
         )
     )
+
+
+@query(
+    "orders_basket_triples",
+    oracle=(
+        "WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) "
+        "SELECT a.p AS p1, b.p AS p2, c.p AS p3, CAST(COUNT(*) AS BIGINT) AS support "
+        "FROM op a JOIN op b ON a.o = b.o AND a.p < b.p "
+        "  JOIN op c ON c.o = a.o AND b.p < c.p "
+        f"GROUP BY 1, 2, 3 HAVING COUNT(*) >= {_MB_MIN_SUP}"
+    ),
+)
+def orders_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FREQUENT 3-ITEMSETS by APRIORI candidate pruning — the level-3
+    step of the classic algorithm (Agrawal & Srikant, VLDB'94), and the
+    textbook example of a LOSSLESS physical optimization: a triple can
+    only reach the support floor if ALL THREE of its pairs do (downward
+    closure), so candidates generate from the frequent-pair table alone
+    — self-join P on the shared first item, prune by the third pair —
+    and only candidates are ever counted against baskets. The oracle
+    states the SEMANTICS directly (count every basket triple, keep
+    support >= floor); equality with the pruned plan IS the downward-
+    closure theorem, exercised by the gate.
+
+    Scale: the full triple expansion the oracle describes is
+    O(basket^3) per basket and catastrophic at 100 TB; the pruned plan
+    never materializes it — pair expansion stays O(basket^2) map-side
+    (basket_pair_structs), the candidate table is bounded by the
+    frequent-PAIR count (support floors keep it orders below the raw
+    triple space), candidate generation is two joins on that compact
+    table, and verification joins candidate hits back to (order, part)
+    keys — compact ids, no arrays, no broadcast hint anywhere (the
+    candidate table's cardinality is data-dependent; AQE decides).
+    Basket build and pair table localCheckpoint so the three consumers
+    share one computation."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    op = li.distinct().localCheckpoint()
+    baskets = (
+        op.groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps"))
+    )
+    pairs = baskets.select(
+        "o", F.explode(basket_pair_structs(F.col("ps"))).alias("pr")
+    ).select("o", F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+    P = (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= _MB_MIN_SUP)
+        .select("p1", "p2")
+        .localCheckpoint()
+    )
+    # Apriori candidate generation: (p1,p2) and (p1,p3) frequent with
+    # p2 < p3, pruned by the third pair (p2,p3) also frequent
+    x = P.select(F.col("p1"), F.col("p2"))
+    y = P.select(F.col("p1"), F.col("p2").alias("p3"))
+    cand = (
+        x.join(y, "p1")
+        .filter(F.col("p2") < F.col("p3"))
+        .join(
+            P.select(F.col("p1").alias("p2"), F.col("p2").alias("p3")),
+            ["p2", "p3"],
+            "left_semi",
+        )
+    )
+    # verify candidates against baskets: a (o, p1, p2) pair hit extends
+    # to the triple iff p3 is also in basket o
+    hits = pairs.join(cand, ["p1", "p2"])
+    verified = hits.join(
+        op.select("o", F.col("p").alias("p3")), ["o", "p3"]
+    )
+    return (
+        verified.groupBy("p1", "p2", "p3")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _MB_MIN_SUP)
+    )

@@ -86,8 +86,8 @@ _PLANNED_FROM_ROUND = 8
 # staleness from CORRECTNESS_r*.json); tests/test_chains.py pins this
 # window against the same data, clamped to _PLANNED_FROM_ROUND, so the
 # two cannot drift and later driver artifacts cannot break it.
-# Round-9 window = 11 + 6 + 22 + 11 = 50:
-#   (b) the 11 new round-9 registrations (first driver row) — they have
+# Round-9 window = 12 + 6 + 22 + 10 = 50:
+#   (b) the 12 new round-9 registrations (first driver row) — they have
 #       no recorded row at _PLANNED_FROM_ROUND, so the membership test
 #       auto-derives them as must-gate,
 #   (c) changed-implementation re-proofs: bpe_train_iter + bpe_apply
@@ -99,17 +99,17 @@ _PLANNED_FROM_ROUND = 8
 #   (d) the 22-key r3-tier remainder displaced from the r8 window
 #       (r8 verdict "What's missing" item 1 — dedup_apply ..
 #       prep_pipeline), then the stalest r4-tier rows in registration
-#       order to the 50-cap (38 r4-tier keys remain for round 10,
-#       starting value_zscore, join_asof_tol, datetime_fns, ... in
+#       order to the 50-cap (39 r4-tier keys remain for round 10,
+#       starting window_dist, value_zscore, join_asof_tol, ... in
 #       registration order — see COVERAGE.md).
 # Keys not listed here sort after listed ones, in registration order.
 _GATE_ORDER = (
-    # (b) new round-9 registrations — 11 keys
+    # (b) new round-9 registrations — 12 keys
     "stream_market_basket_bounded", "sample_token_budget_sharded",
     "window_bollinger", "stream_bollinger_live",
     "stream_token_budget_live", "embed_pca_power_iter",
     "ngram_novelty", "orders_assoc_rules", "sample_importance_reweight",
-    "sink_xml", "stream_ngram_novelty_live",
+    "sink_xml", "stream_ngram_novelty_live", "orders_basket_triples",
     # (c) changed-implementation re-proofs — 6 keys
     "bpe_train_iter", "bpe_apply", "stream_ewma_live",
     "stream_cusum_live", "stream_drawdown_live", "stream_rsi_live",
@@ -125,7 +125,7 @@ _GATE_ORDER = (
     # ... then the stalest r4-tier rows in registration order, to the cap
     "by_line_wide", "scan_pysource", "tpch_q1", "merge_upsert",
     "quality_buckets", "key_skew_stats", "tpch_q7", "tpch_q8",
-    "tpch_q17", "null_semantics", "window_dist",
+    "tpch_q17", "null_semantics",
 )
 
 

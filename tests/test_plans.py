@@ -403,6 +403,9 @@ HEADLINE_PINS = {
     # the power-iteration result is a local frame; per-round plans are
     # driver-iterated (kmeans_iter / bpe_train_iter precedent)
     "embed_pca_power_iter": (0, 0),
+    # op + frequent-pair table localCheckpointed; the pair count and
+    # the final triple count remain
+    "orders_basket_triples": (2, 0),
 }
 
 

@@ -197,3 +197,34 @@ def test_ngram_novelty_live_equals_batch(spark, sf_dir):
     live = {tuple(r) for r in qs["stream_ngram_novelty_live"](spark, sf_dir).collect()}
     batch = {tuple(r) for r in qs["ngram_novelty"](spark, sf_dir).collect()}
     assert live == batch and live
+
+
+def test_basket_triples_apriori_prune_planted(spark, tmp_path):
+    """Downward closure on a planted basket set: a triple whose three
+    pairs are all frequent but whose own support misses the floor is
+    generated as a candidate and then KILLED at verification; a
+    genuinely frequent triple survives; no triple appears whose pairs
+    are not all frequent."""
+    import __spark_entry__ as entry
+
+    rows = [
+        # triple (1,2,3) in two baskets -> frequent (floor = 2)
+        (10, 1), (10, 2), (10, 3),
+        (11, 1), (11, 2), (11, 3),
+        # pairs (4,5), (4,6), (5,6) each reach support 2 through
+        # DIFFERENT baskets; the triple (4,5,6) occurs only once
+        (20, 4), (20, 5), (20, 6),
+        (21, 4), (21, 5),
+        (22, 4), (22, 6),
+        (23, 5), (23, 6),
+    ]
+    pdir = tmp_path / "tri"
+    pdir.mkdir()
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.parquet(str(pdir / "lineitem.parquet"))
+    got = {
+        (r.p1, r.p2, r.p3): r.support
+        for r in entry.queries()["orders_basket_triples"](spark, str(pdir)).collect()
+    }
+    assert got == {(1, 2, 3): 2}
