@@ -228,3 +228,25 @@ def test_basket_triples_apriori_prune_planted(spark, tmp_path):
         for r in entry.queries()["orders_basket_triples"](spark, str(pdir)).collect()
     }
     assert got == {(1, 2, 3): 2}
+
+
+def test_bollinger_live_under_rocksdb_state_store(spark, sf_dir):
+    """The round-9 applyInPandasWithState op under the production state
+    backend: swapping to RocksDBStateStoreProvider changes the
+    Bollinger live output not at all (the test_streaming.py
+    windowed-agg pin, extended to this round's richest custom state —
+    a seen-count + W-1 value array per key)."""
+    import __spark_entry__ as entry
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    fn = entry.queries()["stream_bollinger_live"]
+    default = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    spark.conf.set(key, provider)
+    try:
+        rocks = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    finally:
+        spark.conf.unset(key)
+    assert rocks == default and rocks
