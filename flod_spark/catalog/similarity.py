@@ -1451,7 +1451,13 @@ def _pca_oracle() -> str:
             f"  SELECT unnest(x) AS xd, unnest(range(len(x))) AS d, s FROM s{r}) GROUP BY d)"
         )
         ctes.append(
-            f"u{r} AS (SELECT d, CAST(w AS DOUBLE) / {_PCA_Q}.0 AS wd FROM w{r})"
+            # VARCHAR roundtrip (registry second-moment rule): DuckDB's
+            # direct decimal->double double-rounds (int128 -> double,
+            # then /10^scale) and can drift an ulp off Spark's
+            # correctly-rounded BigDecimal once w exceeds 2^53 — the
+            # agg_corr/window_bollinger precedent, applied here so the
+            # claim 'exact at any corpus size' holds past int64 w too
+            f"u{r} AS (SELECT d, CAST(CAST(w AS VARCHAR) AS DOUBLE) / {_PCA_Q}.0 AS wd FROM w{r})"
         )
         ctes.append(
             f"n{r} AS (SELECT sqrt(list_reduce(list_prepend(0.0, list(wd ORDER BY d)), "

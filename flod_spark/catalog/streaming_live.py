@@ -1898,6 +1898,16 @@ def _ewma_live_fn(key, pdfs, state):
     x = b["xq"]
     full = np.concatenate([np.asarray(hist, dtype="int64"), x])
     w = np.asarray(_EWMA_W, dtype="int64")
+    # int64 headroom: each convolve cell is <= max|xq| * sum(w), and
+    # np.convolve wraps silently on overflow (the Python-int path this
+    # replaced raised). Explicit raise, not assert — must fail LOUDLY
+    # under python -O too (the _boll_live_fn guard discipline).
+    if len(full) and np.abs(full).max() > (2**63 - 1) // int(w.sum()):
+        raise ValueError(
+            "stream_ewma_live: micros-scaled weighted sum caps "
+            f"|value| <= ~{(2**63 - 1) // int(w.sum()) // 1_000_000:.0e} "
+            "at the 255x weight sum — widen to a split-channel state"
+        )
     # num_j = sum_k w[k] * full[j-k] for the batch's global positions
     j = np.arange(len(hist), len(full))
     num = np.convolve(full, w)[j] if len(full) else np.zeros(0, dtype="int64")
@@ -2298,6 +2308,17 @@ def _rsi_live_fn(key, pdfs, state):
         d = np.diff(np.concatenate([[prev], x]))
         first_off = 1
     full_d = np.concatenate([hist_a, d])
+    # int64 headroom: the one-signed prefix sums peak at
+    # max|diff| * len(full_d), and np.cumsum wraps silently on overflow
+    # (the Python-int path this replaced raised). Explicit raise, not
+    # assert — must fail LOUDLY under python -O too (the _boll_live_fn
+    # guard discipline).
+    if len(full_d) and np.abs(full_d).max() > (2**63 - 1) // len(full_d):
+        raise ValueError(
+            "stream_rsi_live: micros-scaled diff prefix sums cap "
+            "max|diff| * batch_len below 2^63 — split the batch or "
+            "widen to a split-channel state"
+        )
     pos = np.concatenate([[0], np.cumsum(np.maximum(full_d, 0))])
     neg = np.concatenate([[0], np.cumsum(np.minimum(full_d, 0))])
     # event i's frame ends at exclusive index e_i into full_d
