@@ -896,30 +896,52 @@ def _hll_finalize(regs: DataFrame, ev: DataFrame) -> DataFrame:
 _HH_C = 160
 
 
-def _mg_absorb(counters: dict, value_counts) -> dict:
+def _mg_absorb(ks, vs, bk, bc):
     """THE Misra-Gries update (one source for the batch and streaming
-    forms): absorb a batch's value counts, then batched-decrement —
-    when the counter set exceeds _HH_C, subtract the (_HH_C+1)-th
-    largest count from every counter and drop the non-positive ones.
-    Each decrement round removes >= (_HH_C+1) x excess units of stream
-    mass, so cumulative decrement <= n_p/(_HH_C+1): every key with
-    local frequency above n_p/_HH_C ends with a positive counter.
-    This bound is what makes the candidate union LOSSLESS in both
-    heavy_hitters and stream_heavy_hitters_live.
+    forms), VECTORIZED (round-10 machinery diet — the per-distinct-key
+    dict loop this replaces was the interpreted multiplier at hot-key
+    scale): state is parallel arrays (SORTED int64 keys, positive
+    counts); the batch arrives as np.unique output (sorted distinct
+    keys + their counts). Absorb merges the two sorted maps (one
+    searchsorted + one stable argsort), then batched-decrement — when
+    the counter set exceeds _HH_C, subtract the (_HH_C+1)-th largest
+    count (one np.partition, no full sort) from every counter and drop
+    the non-positive ones. Each decrement round removes >= (_HH_C+1) x
+    excess units of stream mass, so cumulative decrement <=
+    n_p/(_HH_C+1): every key with local frequency above n_p/_HH_C ends
+    with a positive counter. This bound is what makes the candidate
+    union LOSSLESS in both heavy_hitters and
+    stream_heavy_hitters_live. (tests/test_round10_props.py fuzzes
+    this fold against the textbook dict form — identical final maps on
+    arbitrary streams and chunkings.)
 
-    Memory: the trim runs once per absorbed batch, so the dict peaks at
-    O(_HH_C + distinct keys in the batch) — bounded by the Arrow batch
-    size (spark.sql.execution.arrow.maxRecordsPerBatch, 10k default),
-    not by the stream's distinct-key count; between batches it is back
-    to <= _HH_C entries. (A per-insert trim would pin the peak at C+1
-    but costs an O(C log C) sort per row — the batch-level trim is the
-    standard amortized form and the decrement bound is unaffected.)"""
-    for k, v in value_counts.items():
-        counters[k] = counters.get(k, 0) + int(v)
-    if len(counters) > _HH_C:
-        excess = sorted(counters.values(), reverse=True)[_HH_C]
-        counters = {k: c - excess for k, c in counters.items() if c > excess}
-    return counters
+    Memory: the trim runs once per absorbed batch, so the arrays peak
+    at O(_HH_C + distinct keys in the batch) — bounded by the Arrow
+    batch size (spark.sql.execution.arrow.maxRecordsPerBatch, 10k
+    default), not by the stream's distinct-key count; between batches
+    they are back to <= _HH_C entries. (A per-insert trim would pin
+    the peak at C+1 but costs an O(C log C) sort per row — the
+    batch-level trim is the standard amortized form and the decrement
+    bound is unaffected.)"""
+    import numpy as np
+
+    idx = np.searchsorted(ks, bk)
+    if len(ks):
+        found = ks[np.minimum(idx, len(ks) - 1)] == bk
+    else:
+        found = np.zeros(len(bk), dtype=bool)
+    vs = vs.copy()
+    vs[idx[found]] += bc[found]
+    mk = np.concatenate([ks, bk[~found]])
+    mv = np.concatenate([vs, bc[~found]])
+    order = np.argsort(mk, kind="stable")
+    mk = mk.take(order)
+    mv = mv.take(order)
+    if len(mk) > _HH_C:
+        excess = np.partition(mv, len(mv) - 1 - _HH_C)[len(mv) - 1 - _HH_C]
+        keep = mv > excess
+        mk, mv = mk[keep], mv[keep] - excess
+    return mk, mv
 
 
 def _mg_candidates(batches):
@@ -927,12 +949,15 @@ def _mg_candidates(batches):
     _mg_absorb's lemma + the averaging argument: a global heavy hitter
     must be a partition heavy hitter somewhere, so the union of
     partition summaries is a lossless candidate superset)."""
-    import pandas as pd  # local: runs on executors
+    import numpy as np  # local: runs on executors
+    import pandas as pd
 
-    counters: dict = {}
+    ks = np.empty(0, dtype="int64")
+    vs = np.empty(0, dtype="int64")
     for b in batches:
-        counters = _mg_absorb(counters, b["user_id"].value_counts())
-    yield pd.DataFrame({"user_id": pd.Series(list(counters.keys()), dtype="int64")})
+        bk, bc = np.unique(b["user_id"].to_numpy("int64"), return_counts=True)
+        ks, vs = _mg_absorb(ks, vs, bk, bc.astype("int64"))
+    yield pd.DataFrame({"user_id": pd.Series(ks, dtype="int64")})
 
 
 @query(

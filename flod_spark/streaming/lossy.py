@@ -43,45 +43,86 @@ N_SHARDS = 8
 
 
 def _lossy_shard_fn(key, pdfs, state):
-    """Per-shard lossy counter. State = parallel arrays (keys, counts,
-    deltas) + the shard's bucket index; one micro-batch = one bucket.
-    Emits the CURRENT surviving entries every trigger as
+    """Per-shard lossy counter. State = parallel arrays (SORTED keys,
+    counts, deltas) + the shard's bucket index; one micro-batch = one
+    bucket. Emits the CURRENT surviving entries every trigger as
     (shard, k, c, d, bucket) — the final answer per key is its row at
-    the maximum bucket (later emissions supersede earlier ones)."""
+    the maximum bucket (later emissions supersede earlier ones).
+
+    VECTORIZED (round-10 machinery diet — this replaced a whole-state
+    Python dict rebuild + a per-key pandas groupby().items() loop per
+    trigger): the batch's per-key totals are one stable argsort +
+    np.add.reduceat; the absorb is a searchsorted merge against the
+    sorted state keys; eviction is one boolean mask. Zero per-key
+    Python; the Manku–Motwani semantics are untouched
+    (tests/test_round9_props.py fuzzes this fold against the textbook
+    dict reference)."""
+    import numpy as np
     import pandas as pd
 
     if state.exists:
-        ks, cs, ds, bucket = state.get
-        entries = {k: [c, d] for k, c, d in zip(ks, cs, ds)}
+        ks_l, cs_l, ds_l, bucket = state.get
+        ks = np.asarray(ks_l, dtype="object")
+        cs = np.asarray(cs_l, dtype="int64")
+        ds = np.asarray(ds_l, dtype="int64")
     else:
-        entries, bucket = {}, 0
+        ks = np.empty(0, dtype="object")
+        cs = np.empty(0, dtype="int64")
+        ds = np.empty(0, dtype="int64")
+        bucket = 0
     bucket += 1
-    for pdf in pdfs:
-        for k, c in pdf.groupby("k")["c"].sum().items():
-            e = entries.get(k)
-            if e is None:
-                entries[k] = [int(c), bucket - 1]
-            else:
-                e[0] += int(c)
+    chunks = list(pdfs)
+    if chunks:
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        raw_k = pdf["k"].to_numpy()
+        raw_c = pdf["c"].to_numpy("int64")
+    else:
+        raw_k = np.empty(0, dtype="object")
+        raw_c = np.empty(0, dtype="int64")
+    if raw_k.size:
+        order = np.argsort(raw_k, kind="stable")
+        sk = raw_k.take(order)
+        sc = raw_c.take(order)
+        firsts = np.concatenate([[True], sk[1:] != sk[:-1]])
+        bk = sk[firsts]
+        bc = np.add.reduceat(sc, np.flatnonzero(firsts))
+    else:
+        bk = np.empty(0, dtype="object")
+        bc = np.empty(0, dtype="int64")
+    # absorb: existing entry -> c += batch_c; new entry -> c = batch_c,
+    # delta = bucket - 1 (max count it could have accrued untracked)
+    idx = np.searchsorted(ks, bk)
+    if len(ks):
+        found = ks[np.minimum(idx, len(ks) - 1)] == bk
+    else:
+        found = np.zeros(len(bk), dtype=bool)
+    cs = cs.copy()
+    cs[idx[found]] += bc[found]
+    mk = np.concatenate([ks, bk[~found]])
+    mc = np.concatenate([cs, bc[~found]])
+    md = np.concatenate([ds, np.full(int((~found).sum()), bucket - 1, dtype="int64")])
+    order2 = np.argsort(mk, kind="stable")
+    mk = mk.take(order2)
+    mc = mc.take(order2)
+    md = md.take(order2)
     # bucket-boundary eviction: the Manku–Motwani sub-floor drop
-    entries = {k: e for k, e in entries.items() if e[0] + e[1] > bucket}
-    state.update((
-        list(entries),
-        [e[0] for e in entries.values()],
-        [e[1] for e in entries.values()],
-        bucket,
-    ))
+    keep = (mc + md) > bucket
+    mk, mc, md = mk[keep], mc[keep], md[keep]
+    state.update((mk.tolist(), mc.tolist(), md.tolist(), bucket))
     # one k=NULL marker row per invocation carries the bucket index even
     # when eviction clears the ENTIRE state: without it a shard whose
     # final bucket empties leaves no bucket-b emission, and a downstream
     # max-bucket pick would resurrect the PREVIOUS bucket's survivors
+    n_out = len(mk) + 1
     yield pd.DataFrame(
         {
-            "shard": pd.Series([int(key[0])] * (len(entries) + 1), dtype="int64"),
-            "k": pd.Series([None, *entries], dtype="object"),
-            "c": pd.Series([0] + [e[0] for e in entries.values()], dtype="int64"),
-            "d": pd.Series([0] + [e[1] for e in entries.values()], dtype="int64"),
-            "bucket": pd.Series([bucket] * (len(entries) + 1), dtype="int64"),
+            "shard": np.full(n_out, int(key[0]), dtype="int64"),
+            "k": pd.Series(
+                np.concatenate([np.array([None], dtype="object"), mk]), dtype="object"
+            ),
+            "c": np.concatenate([np.zeros(1, dtype="int64"), mc]),
+            "d": np.concatenate([np.zeros(1, dtype="int64"), md]),
+            "bucket": np.full(n_out, bucket, dtype="int64"),
         }
     )
 

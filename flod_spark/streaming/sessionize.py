@@ -39,6 +39,50 @@ from flod_spark.streaming.windows import with_event_time
 GAP_US = 30 * 60 * 1_000_000
 
 
+def _fold_sessions(pdfs, start, last, n, gap_us):
+    """Vectorized session fold over one key's micro-batch (round-10
+    machinery diet — this replaced a per-event Python loop over the
+    sorted timestamps): sessions are the maximal runs of the GLOBALLY
+    sorted event times with consecutive gaps <= gap_us, found with one
+    np.diff + flatnonzero; the carried open session either extends the
+    first run (gap <= gap_us) or closes ahead of it. Returns
+    (closed_starts, closed_ends, closed_ns, (start, last, n)) with the
+    last run left OPEN as the new state; an empty batch returns the
+    carry unchanged. One whole-batch sort (chunk-local sorts would let
+    a later-chunk event with an earlier ts fold out of order — the
+    _asof_enrich_fn lesson); tests/test_round10_props.py fuzzes this
+    fold against the textbook per-event reference."""
+    import numpy as np
+    import pandas as pd
+
+    chunks = list(pdfs)
+    if not chunks:
+        a = np.empty(0, dtype="int64")
+    else:
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        a = np.sort(pdf["_us"].to_numpy("int64"))
+    empty = np.empty(0, dtype="int64")
+    if not a.size:
+        return empty, empty, empty, (start, last, n)
+    brk = np.flatnonzero(np.diff(a) > gap_us)
+    s_idx = np.concatenate([np.zeros(1, dtype="int64"), brk + 1])
+    e_idx = np.append(brk, a.size - 1)
+    starts = a[s_idx]
+    ends = a[e_idx]
+    ns = (e_idx - s_idx + 1).astype("int64")
+    carry_closed = start is not None and a[0] - last > gap_us
+    if start is not None and not carry_closed:
+        starts[0] = start
+        ns[0] += n
+    new_state = (int(starts[-1]), int(ends[-1]), int(ns[-1]))
+    starts, ends, ns = starts[:-1], ends[:-1], ns[:-1]
+    if carry_closed:
+        starts = np.concatenate([np.array([start], dtype="int64"), starts])
+        ends = np.concatenate([np.array([last], dtype="int64"), ends])
+        ns = np.concatenate([np.array([n], dtype="int64"), ns])
+    return starts, ends, ns, new_state
+
+
 def streaming_sessionize(
     events: DataFrame,
     gap_us: int = GAP_US,
@@ -67,26 +111,16 @@ def streaming_sessionize(
             )
             return
         start, last, n = state.get if state.exists else (None, None, 0)
-        out_start, out_end, out_n = [], [], []
-        for pdf in pdfs:
-            for us in pdf.sort_values("_us")["_us"]:
-                us = int(us)
-                if start is None:
-                    start, last, n = us, us, 1
-                elif us - last > gap_us:
-                    out_start.append(start)
-                    out_end.append(last)
-                    out_n.append(n)
-                    start, last, n = us, us, 1
-                else:
-                    last, n = us, n + 1
+        out_start, out_end, out_n, (start, last, n) = _fold_sessions(
+            pdfs, start, last, n, gap_us
+        )
         if start is None:  # defensively: invoked with no rows and no timeout
             return
         state.update((start, last, n))
         # event-time timeout: fires when the watermark passes the gap
         # after the last event (ms — Spark's watermark granularity)
         state.setTimeoutTimestamp((last + gap_us) // 1000)
-        if out_start:
+        if len(out_start):
             yield pd.DataFrame(
                 {
                     "key": [key[0]] * len(out_start),
@@ -150,26 +184,16 @@ class SessionizeProcessor(StatefulProcessor):
             self.handle.deleteTimer((last + self.gap_us) // 1000)
         else:
             start, last, n = None, None, 0
-        out_start, out_end, out_n = [], [], []
-        for pdf in rows:
-            for us in pdf.sort_values("_us")["_us"]:
-                us = int(us)
-                if start is None:
-                    start, last, n = us, us, 1
-                elif us - last > self.gap_us:
-                    out_start.append(start)
-                    out_end.append(last)
-                    out_n.append(n)
-                    start, last, n = us, us, 1
-                else:
-                    last, n = us, n + 1
+        out_start, out_end, out_n, (start, last, n) = _fold_sessions(
+            rows, start, last, n, self.gap_us
+        )
         if start is None:
             return
         self.state.update((start, last, n))
         # event-time timer: fires when the watermark passes the gap
         # after the last event (ms — Spark's watermark granularity)
         self.handle.registerTimer((last + self.gap_us) // 1000)
-        if out_start:
+        if len(out_start):
             yield pd.DataFrame(
                 {
                     "key": [key[0]] * len(out_start),

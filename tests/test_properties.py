@@ -200,16 +200,23 @@ def test_misra_gries_absorb_never_loses_a_heavy_key(stream, chunk):
     no Spark job — so the example budget is cheap.)"""
     from collections import Counter
 
+    import numpy as np
+
     from flod_spark.catalog.analytics import _HH_C, _mg_absorb
 
-    counters: dict = {}
+    ks = np.empty(0, dtype="int64")
+    vs = np.empty(0, dtype="int64")
     for i in range(0, len(stream), chunk):
-        counters = _mg_absorb(counters, Counter(stream[i : i + chunk]))
+        bk, bc = np.unique(
+            np.asarray(stream[i : i + chunk], dtype="int64"), return_counts=True
+        )
+        ks, vs = _mg_absorb(ks, vs, bk, bc.astype("int64"))
+    survivors = set(ks.tolist())
     true = Counter(stream)
     n = len(stream)
     for k, c in true.items():
         if c * _HH_C > n:
-            assert k in counters, f"heavy key {k} ({c}/{n}) evicted"
+            assert k in survivors, f"heavy key {k} ({c}/{n}) evicted"
 
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
