@@ -1509,21 +1509,7 @@ def embed_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = [_PCA_V0] * DIM
     lam = 0.0
     for _r in range(_PCA_ROUNDS):
-        vlit = F.array(*[F.lit(c) for c in v])
-        s = _dot_spark(F.col("x"), vlit)
-        rows = e.select(F.posexplode("x").alias("d", "xd"), s.alias("s"))
-        w = rows.groupBy("d").agg(
-            # decimal accumulator: a LONG sum would wrap silently past
-            # 2^63 (~1e8 rows at these term magnitudes) while the
-            # DuckDB oracle widens to int128 — the decimal sum keeps
-            # both engines exact at any corpus size
-            F.sum(
-                F.floor(F.col("xd") * F.col("s") * F.lit(float(_PCA_Q)))
-                .cast("decimal(28,0)")
-            ).alias("w")
-        )
-        ws = {int(r["d"]): int(r["w"]) for r in w.collect()}
-        wd = [float(ws[d]) / float(_PCA_Q) for d in range(DIM)]
+        wd = _pca_matvec(e, v)
         nm2 = 0.0
         for c in wd:
             nm2 = nm2 + c * c
@@ -1532,3 +1518,74 @@ def embed_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(d, v[d], lam) for d in range(DIM)], "dim bigint, comp double, lam double"
     )
+
+
+def _pca_matvec(e: DataFrame, v: list) -> list:
+    """ONE exact distributed matvec round — shared by the registered
+    fixed-depth embed_pca_power_iter and the to-tolerance
+    pca_power_converged: per row a sequential-IEEE dot s = <x, v>
+    (v enters as literals — the vector 'broadcast'), then per
+    dimension an exact integer sum of the terms quantized to 2^-40
+    fixed point. len(v) decimal cells cross the exchange (map-side
+    combine), never a matrix, never a row; the driver reads them back
+    as correctly-rounded doubles."""
+    vlit = F.array(*[F.lit(c) for c in v])
+    s = _dot_spark(F.col("x"), vlit)
+    rows = e.select(F.posexplode("x").alias("d", "xd"), s.alias("s"))
+    w = rows.groupBy("d").agg(
+        # decimal accumulator: a LONG sum would wrap silently past
+        # 2^63 (~1e8 rows at these term magnitudes) while the
+        # DuckDB oracle widens to int128 — the decimal sum keeps
+        # both engines exact at any corpus size
+        F.sum(
+            F.floor(F.col("xd") * F.col("s") * F.lit(float(_PCA_Q)))
+            .cast("decimal(28,0)")
+        ).alias("w")
+    )
+    ws = {int(r["d"]): int(r["w"]) for r in w.collect()}
+    return [float(ws[d]) / float(_PCA_Q) for d in range(len(v))]
+
+
+def pca_power_converged(
+    e: DataFrame, tol: float = 1e-9, max_rounds: int = 50, persist: bool = True
+) -> tuple[list, list]:
+    """Power iteration RUN TO TOLERANCE — the production form of the
+    embed_pca_power_iter primitive (the kcore_converged/kmeans_fit
+    driver-loop template, round-9 verdict item 4): the SAME exact
+    matvec round (_pca_matvec), iterated until the spectral-norm
+    estimate moves less than ``tol`` relatively or ``max_rounds``
+    caps it. ``persist=True`` localCheckpoints the base projection
+    once so every round reads materialized state instead of
+    re-deriving the scan — O(rounds) scan work with a flat plan
+    (the vector re-enters as literals, so lineage never deepens; the
+    checkpoint only pins the input). Returns (unit vector, per-round
+    lambda list — non-decreasing for a PSD second-moment matrix, the
+    monotone-growth certificate tests/test_round10_ops.py pins along
+    with the fixpoint residual on a planted anisotropic table).
+
+    Scale: identical per-round cost to the registered primitive (one
+    scan + one DIM-cell partial-agg exchange); round count is bounded
+    by the spectral gap (contraction lambda_2/lambda_1 per round), not
+    data size — on a genuinely anisotropic 100 TB embedding table a
+    handful of rounds converge, and the driver holds DIM doubles."""
+    import math
+
+    base = e.localCheckpoint(eager=True) if persist else e
+    dim = base.select(F.size("x").alias("n")).first()["n"]
+    v = [_PCA_V0] * dim
+    lams: list = []
+    for _ in range(max_rounds):
+        wd = _pca_matvec(base, v)
+        nm2 = 0.0
+        for c in wd:
+            nm2 = nm2 + c * c
+        lam = math.sqrt(nm2)
+        v = [c / lam for c in wd]
+        # bool(), not bare `lams and ...`: the bare form returns the
+        # lams LIST when empty, which the append below then mutates
+        # truthy — first-round early exit
+        done = bool(lams) and abs(lam - lams[-1]) <= tol * max(abs(lam), 1.0)
+        lams.append(lam)
+        if done:
+            break
+    return v, lams

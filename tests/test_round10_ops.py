@@ -186,3 +186,41 @@ def test_dedup_bounded_state_is_horizon_bounded():
         "SELECT COUNT(*) FROM p WHERE prev IS NULL OR prev < ts - INTERVAL 2 HOURS"
     ).fetchone()[0]
     assert len(claims) == n_ref
+
+
+def test_pca_power_converged_on_planted_anisotropy(spark):
+    """pca_power_converged on a PLANTED anisotropic table (dominant
+    direction u, spectral gap ~8x): lambda grows monotonically
+    (PSD power-iteration certificate), the loop stops well before the
+    round cap, the final lambda matches numpy's top eigenvalue of
+    X^T X, the iterate aligns with the planted direction, and the
+    fixpoint property holds: one more exact matvec returns ~lambda*v."""
+    import math
+
+    from flod_spark.catalog.similarity import _pca_matvec, pca_power_converged
+
+    rng = np.random.default_rng(7)
+    dim, n = 8, 200
+    u = np.zeros(dim)
+    u[2] = 0.8
+    u[5] = 0.6
+    x = rng.normal(0, 0.15, size=(n, dim)) + np.outer(rng.normal(0, 1.0, n), u)
+    e = spark.createDataFrame(
+        [(row.tolist(),) for row in x], "x array<double>"
+    )
+    v, lams = pca_power_converged(e, tol=1e-10, max_rounds=40)
+    assert len(lams) < 40, "round cap hit on a strongly anisotropic table"
+    assert all(b >= a - 1e-7 for a, b in zip(lams, lams[1:])), "lambda not monotone"
+    # independent reference: dense eigendecomposition of X^T X
+    evals, evecs = np.linalg.eigh(x.T @ x)
+    lam_ref, v_ref = evals[-1], evecs[:, -1]
+    assert abs(lams[-1] - lam_ref) <= 1e-6 * lam_ref
+    assert abs(abs(np.dot(v, v_ref)) - 1.0) <= 1e-6
+    # fixpoint: A v == lam v to quantization noise
+    wd = _pca_matvec(e, v)
+    resid = max(abs(w - lams[-1] * c) for w, c in zip(wd, v))
+    assert resid <= 1e-5 * lams[-1]
+    # and the convergence criterion actually fired (last two lams equal
+    # to the tolerance, not just cap exhaustion)
+    assert abs(lams[-1] - lams[-2]) <= 1e-10 * max(abs(lams[-1]), 1.0)
+    assert math.isfinite(lams[-1])
