@@ -174,6 +174,9 @@ HEADLINE = [
     "sink_xml",
     "stream_ngram_novelty_live",
     "orders_basket_triples",
+    # round-10 additions: the TTL bounded-claim-state family
+    "stream_ngram_novelty_bounded",
+    "stream_dedup_bounded",
 ]
 
 

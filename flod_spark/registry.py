@@ -76,7 +76,7 @@ def ensure_shipped(spark: SparkSession) -> None:
 # The rotation tests clamp driver_rounds() to this, so the driver dropping
 # CORRECTNESS_r{N+1}.json into the tree after the builder's final commit
 # cannot flip a committed-green pytest (round-6 verdict, top finding).
-_PLANNED_FROM_ROUND = 8
+_PLANNED_FROM_ROUND = 9
 
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). _GATE_ORDER makes the window explicit, and ROTATES each
@@ -86,46 +86,49 @@ _PLANNED_FROM_ROUND = 8
 # staleness from CORRECTNESS_r*.json); tests/test_chains.py pins this
 # window against the same data, clamped to _PLANNED_FROM_ROUND, so the
 # two cannot drift and later driver artifacts cannot break it.
-# Round-9 window = 12 + 6 + 22 + 10 = 50:
-#   (b) the 12 new round-9 registrations (first driver row) — they have
+# Round-10 window = 2 + 9 + 38 + 1 = 50:
+#   (b) the 2 new round-10 registrations (first driver row) — they have
 #       no recorded row at _PLANNED_FROM_ROUND, so the membership test
-#       auto-derives them as must-gate,
-#   (c) changed-implementation re-proofs: bpe_train_iter + bpe_apply
-#       (delimited-replace merge replaced by the true Sennrich
-#       leftmost non-overlapping fold — r8 verdict weak #1) and the
-#       four live detector state functions vectorized to exact-int64
-#       numpy forms (r8 verdict weak #2): stream_ewma_live,
-#       stream_cusum_live, stream_drawdown_live, stream_rsi_live,
-#   (d) the 22-key r3-tier remainder displaced from the r8 window
-#       (r8 verdict "What's missing" item 1 — dedup_apply ..
-#       prep_pipeline), then the stalest r4-tier rows in registration
-#       order to the 50-cap (39 r4-tier keys remain for round 10,
-#       starting window_dist, value_zscore, join_asof_tol, ... in
-#       registration order — see COVERAGE.md).
+#       auto-derives them as must-gate: stream_ngram_novelty_bounded,
+#       stream_dedup_bounded (the TTL bounded-claim-state family),
+#   (c) changed-implementation re-proofs (r9 verdict item 1 machinery
+#       diet + ADVICE fixes): stream_sessionize_live (vectorized
+#       _fold_sessions — ALSO r4-tier, counted once),
+#       stream_heavy_hitters_live + heavy_hitters (vectorized
+#       _mg_absorb, shared source), stream_weighted_sample_live
+#       (lexsort top-k), stream_asof_enrich_live (_drain_sorted),
+#       stream_market_basket_bounded (vectorized _lossy_shard_fn),
+#       stream_ewma_live + stream_rsi_live (int64 overflow guards),
+#       embed_pca_power_iter (oracle VARCHAR roundtrip + shared
+#       _pca_matvec refactor) — 9 keys, 8 new slots,
+#   (d) the FULL 39-key r4-tier remainder named in the r9 verdict
+#       (window_dist .. sink_pysink, registration order;
+#       stream_sessionize_live already counted in (c)) — 38 slots,
+#       then the r5-tier head in registration order to the cap:
+#       scan_file — 1 slot.
 # Keys not listed here sort after listed ones, in registration order.
 _GATE_ORDER = (
-    # (b) new round-9 registrations — 12 keys
-    "stream_market_basket_bounded", "sample_token_budget_sharded",
-    "window_bollinger", "stream_bollinger_live",
-    "stream_token_budget_live", "embed_pca_power_iter",
-    "ngram_novelty", "orders_assoc_rules", "sample_importance_reweight",
-    "sink_xml", "stream_ngram_novelty_live", "orders_basket_triples",
-    # (c) changed-implementation re-proofs — 6 keys
-    "bpe_train_iter", "bpe_apply", "stream_ewma_live",
-    "stream_cusum_live", "stream_drawdown_live", "stream_rsi_live",
-    # (d) stalest re-proofs — the 22-key r3-tier remainder named in the
-    # r8 verdict, in registration order ...
-    "dedup_apply", "decontaminate", "sim_ivf", "embed_centroids",
-    "semdedup", "kmeans_iter", "udf_scalar", "udf_grouped",
-    "stream_window_live", "stream_session_live", "stream_take_live",
-    "stream_join_live", "stream_queue_live", "sample_mixture",
-    "split_assign", "sink_csv", "sink_json", "sink_partitioned",
-    "join_bucketed", "pack_sequences", "sample_shuffle",
-    "prep_pipeline",
-    # ... then the stalest r4-tier rows in registration order, to the cap
-    "by_line_wide", "scan_pysource", "tpch_q1", "merge_upsert",
-    "quality_buckets", "key_skew_stats", "tpch_q7", "tpch_q8",
-    "tpch_q17", "null_semantics",
+    # (b) new round-10 registrations — 2 keys
+    "stream_ngram_novelty_bounded", "stream_dedup_bounded",
+    # (c) changed-implementation re-proofs — 9 keys
+    "stream_sessionize_live", "stream_heavy_hitters_live",
+    "heavy_hitters", "stream_weighted_sample_live",
+    "stream_asof_enrich_live", "stream_market_basket_bounded",
+    "stream_ewma_live", "stream_rsi_live", "embed_pca_power_iter",
+    # (d) the r4-tier remainder in registration order — 38 keys
+    # (stream_sessionize_live sits in (c) above)
+    "window_dist", "value_zscore", "join_asof_tol", "datetime_fns",
+    "tpch_q4", "tpch_q13", "tpch_q15", "tpch_q19", "tpch_q21",
+    "tpch_q22", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12",
+    "tpch_q16", "tpch_q20", "resample_interp", "pii_scrub",
+    "bpe_pairs", "dedup_url", "text_windows", "ngram_lm",
+    "tfidf_terms", "dedup_containment", "semdedup_bounded",
+    "embed_norms", "embed_quantize", "media_decode", "udf_table",
+    "funnel_steps", "cohort_retention", "orders_rfm", "pagerank_iter",
+    "scan_pystream_live", "stream_agg_complete_live",
+    "stream_sliding_live", "stream_dedup_live", "sink_pysink",
+    # ... then the r5-tier head in registration order, to the cap
+    "scan_file",
 )
 
 

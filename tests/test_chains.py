@@ -172,13 +172,20 @@ def test_take_stress_reference_scale(spark):
 # the staleness data can't derive. New registrations need no list: under
 # the _PLANNED_FROM_ROUND clamp they have no driver row, so the
 # membership test auto-derives them as must-gate.
-ROUND9_CHANGED = {
-    # delimited-replace merge -> true Sennrich leftmost non-overlapping
-    # fold, in the operator AND the oracle (r8 verdict weak #1)
-    "bpe_train_iter", "bpe_apply",
-    # per-row Python state loops -> exact-int64 numpy folds (weak #2)
-    "stream_ewma_live", "stream_cusum_live",
-    "stream_drawdown_live", "stream_rsi_live",
+ROUND10_CHANGED = {
+    # r9 verdict item 1 machinery diet: the five remaining live state
+    # functions vectorized (per-event loops / per-key dict+groupby /
+    # concat+sort_values -> numpy folds + _drain_sorted)
+    "stream_sessionize_live", "stream_heavy_hitters_live",
+    "stream_weighted_sample_live", "stream_asof_enrich_live",
+    "stream_market_basket_bounded",
+    # _mg_absorb is the shared source, so the batch form re-proves too
+    "heavy_hitters",
+    # ADVICE r9: loud int64 overflow guards added to the state folds
+    "stream_ewma_live", "stream_rsi_live",
+    # ADVICE r9: oracle decimal->double VARCHAR roundtrip + the
+    # _pca_matvec refactor shared with pca_power_converged
+    "embed_pca_power_iter",
 }
 
 
@@ -199,7 +206,7 @@ def test_gate_window_membership():
     window = list(e.queries())[:50]
     rows, latest = driver_rounds(max_round=registry._PLANNED_FROM_ROUND)
     never = {q for q, rs in rows.items() if not rs}
-    must_gate = never | ROUND9_CHANGED
+    must_gate = never | ROUND10_CHANGED
     missing = must_gate - set(window)
     assert not missing, f"rotated out of the 50-entry gate window: {missing}"
     assert len(window) == 50
