@@ -224,3 +224,26 @@ def test_pca_power_converged_on_planted_anisotropy(spark):
     # to the tolerance, not just cap exhaustion)
     assert abs(lams[-1] - lams[-2]) <= 1e-10 * max(abs(lams[-1]), 1.0)
     assert math.isfinite(lams[-1])
+
+
+def test_ttl_ops_under_rocksdb_state_store(spark, sf_dir):
+    """The round-10 TTL claim-state ops under the production state
+    backend: swapping to RocksDBStateStoreProvider changes neither
+    bounded op's output (the stream_bollinger_live pin, extended to
+    this round's richest custom state — sorted string-key arrays +
+    last-seen longs + a max-time scalar per shard)."""
+    import __spark_entry__ as entry
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    for qk in ("stream_ngram_novelty_bounded", "stream_dedup_bounded"):
+        fn = entry.queries()[qk]
+        default = {tuple(r) for r in fn(spark, sf_dir).collect()}
+        spark.conf.set(key, provider)
+        try:
+            rocks = {tuple(r) for r in fn(spark, sf_dir).collect()}
+        finally:
+            spark.conf.unset(key)
+        assert rocks == default and rocks, qk
