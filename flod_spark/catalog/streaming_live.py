@@ -459,9 +459,14 @@ def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the same arrival-order guarantee stream_take_live is built on). The batch
     twin's min-aggregation oracle (stream_dedup) therefore applies
     verbatim. Scale: state is one entry per distinct key, sharded by key
-    hash — the unbounded regime; dropDuplicatesWithinWatermark
-    (streaming/dedup.py::drop_duplicates_within) is the bounded-state
-    production form when the duplicate horizon is known."""
+    hash — the unbounded regime. Bounded-state production forms, all
+    shipped: stream_dedup_bounded (registered, oracle-gated — exact
+    TTL dedup-within-horizon with deterministic re-admission);
+    streaming/bloom.py::bloom_admit (pytest-gated — fixed m-bit Bloom
+    budget, suppression exact / membership approximate);
+    dropDuplicatesWithinWatermark
+    (streaming/dedup.py::drop_duplicates_within) when Spark's own
+    eviction timing is acceptable."""
     from flod_spark.streaming.dedup import drop_duplicates_unbounded
 
     ev = load(spark, sf_dir, "events")
@@ -2767,9 +2772,12 @@ def stream_ngram_novelty_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash (the stream_dedup_live unbounded-claim regime — grams cross as
     md5, never text); the batch work is one vectorized np.isin + a
     duplicated() mask, no per-row Python. When the gram space outgrows
-    the store, the production handoffs are the same as exact dedup's:
-    a Bloom pre-filter per shard (claims stay exact, membership goes
-    approximate) or TTL eviction for novelty-within-horizon."""
+    the store, the production handoffs are the same as exact dedup's —
+    and both are SHIPPED as of round 10: TTL eviction =
+    stream_ngram_novelty_bounded (registered, oracle-gated,
+    novelty-within-horizon); the fixed-budget Bloom pre-filter =
+    streaming/bloom.py::bloom_admit (pytest-gated, constant m-bit
+    state, suppression exact / membership approximate)."""
     from flod_spark.catalog.text import _novelty_grams
 
     docs = load(spark, sf_dir, "documents")
