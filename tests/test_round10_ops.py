@@ -387,3 +387,103 @@ def test_bloom_admit_streaming_end_to_end(spark, sf_dir):
     # suppression is exact; false suppression analytically ~impossible
     assert got <= firsts
     assert len(firsts) - len(got) <= 1
+
+
+def test_ttl_state_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Fault tolerance for the CUSTOM-state path — the recovery test
+    the built-in windowed-agg one (test_streaming.py) cannot cover:
+    stream_dedup_bounded's applyInPandasWithState operator, stopped
+    after the first two replay files and RESTARTED from its checkpoint
+    (the sorted-key-array + last-seen + max-time state round-trips the
+    state store), admits EXACTLY the uninterrupted run's set, which is
+    the batch LAG contract. Claims are emitted exactly once per
+    admitted event, so a durable foreachBatch sink with per-batch
+    append (batch replay deduplicated at read time by event_id) makes
+    the comparison set-exact."""
+    import glob
+    import os
+    import shutil as sh
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.window import Window
+
+    from flod_spark.catalog.streaming_live import _WATERMARK, _dedup_ttl_fn
+    from flod_spark.io import load, ts_micros
+    from flod_spark.streaming import replay_stream
+    from flod_spark.streaming.windows import with_event_time
+
+    ev = load(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "src_ttl")
+    replay_stream(spark, ev, "ts", src_dir, n_batches=4, tiebreak=("event_id",))
+    files = sorted(glob.glob(os.path.join(src_dir, "*.parquet")), key=os.path.getmtime)
+    assert len(files) == 4
+
+    def run(tag, file_subsets):
+        live = str(tmp_path / f"live_{tag}")
+        ckpt = str(tmp_path / f"ck_{tag}")
+        outdir = str(tmp_path / f"out_{tag}")
+        os.makedirs(live, exist_ok=True)
+        order = {f: i for i, f in enumerate(files)}
+        for subset in file_subsets:
+            for f in subset:
+                dst = os.path.join(live, os.path.basename(f))
+                sh.copy(f, dst)
+                # the file source replays in mod-time order; quick copies
+                # can tie on mtime and fall back to random part names —
+                # pin strictly ascending mtimes (the replay_buckets fix)
+                os.utime(dst, (1_700_000_000 + order[f], 1_700_000_000 + order[f]))
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(live)
+            )
+            k = F.concat_ws("|", F.col("user_id").cast("string"), F.col("event_type"))
+            src = (
+                with_event_time(stream)
+                .withWatermark("ts", _WATERMARK)
+                .select(
+                    F.pmod(F.xxhash64(k), F.lit(8)).alias("shard"),
+                    k.alias("k"),
+                    "user_id",
+                    "event_type",
+                    "event_id",
+                    ts_micros("ts").alias("us"),
+                )
+            )
+            out = src.groupBy("shard").applyInPandasWithState(
+                _dedup_ttl_fn,
+                outputStructType=(
+                    "user_id long, event_type string, event_id long, us long"
+                ),
+                stateStructType="ks array<string>, lasts array<long>, mx long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            q = (
+                out.writeStream.foreachBatch(
+                    lambda df, bid: df.write.mode("append").parquet(outdir)
+                )
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        return {r.event_id for r in spark.read.parquet(outdir).collect()}
+
+    interrupted = run("split", [files[:2], files[2:]])
+    single = run("once", [files])
+    # batch ground truth: the LAG contract (same as the oracle)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    truth = {
+        r.event_id
+        for r in ev.withColumn("us", ts_micros("ts"))
+        .withColumn("prev", F.lag("us").over(w))
+        .filter(
+            F.col("prev").isNull()
+            | (F.col("us") - F.col("prev") > 7_200_000_000)
+        )
+        .collect()
+    }
+    assert single == truth
+    assert interrupted == truth
