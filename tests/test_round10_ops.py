@@ -487,3 +487,31 @@ def test_ttl_state_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     }
     assert single == truth
     assert interrupted == truth
+
+
+@pytest.mark.parametrize(
+    "qk", ["stream_dedup_bounded", "stream_sessionize_live", "stream_weighted_sample_live"]
+)
+def test_state_fns_invariant_under_tiny_arrow_chunks(spark, sf_dir, qk):
+    """The multi-chunk drain paths (pd.concat + whole-group lexsort in
+    _drain_sorted / _fold_sessions / the wsample concat) are dead code
+    at gate scale — groups fit one Arrow batch. Force them live:
+    maxRecordsPerBatch=7 splits every per-key group into many chunks,
+    and the output must not move by a row. Catches any chunk-local
+    assumption (the exact bug class the whole-batch sort comments
+    guard against)."""
+    import __spark_entry__ as entry
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    fn = entry.queries()[qk]
+    default = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "7")
+    try:
+        tiny = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert tiny == default and tiny, qk
