@@ -515,3 +515,84 @@ def test_state_fns_invariant_under_tiny_arrow_chunks(spark, sf_dir, qk):
         else:
             spark.conf.set(key, old)
     assert tiny == default and tiny, qk
+
+
+def test_sessionize_timeout_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """Recovery for the TIMER path — the state-store surface the TTL
+    test doesn't touch: streaming_sessionize's event-time timeouts
+    (state.setTimeoutTimestamp) must survive a stop/restart — a
+    session left OPEN at the stop must still close by timeout after
+    the restart once the recovered watermark passes its gap. The
+    emitted session set is deterministic regardless of where the stop
+    lands (replay is globally time-ordered, so no event can rejoin a
+    timeout-closed session — the module's emission-contract argument),
+    so interrupted == uninterrupted == the driver-side reference:
+    every session closed by data, plus each key's final session iff
+    the final watermark passed its timeout."""
+    import glob
+    import os
+    import shutil as sh
+
+    from flod_spark.io import load, ts_micros
+    from flod_spark.streaming import replay_stream
+    from flod_spark.streaming.sessionize import GAP_US, _fold_sessions, streaming_sessionize
+
+    ev = load(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "src_sess")
+    replay_stream(spark, ev, "ts", src_dir, n_batches=4, tiebreak=("event_id",))
+    files = sorted(glob.glob(os.path.join(src_dir, "*.parquet")), key=os.path.getmtime)
+
+    def run(tag, file_subsets):
+        live = str(tmp_path / f"slive_{tag}")
+        ckpt = str(tmp_path / f"sck_{tag}")
+        outdir = str(tmp_path / f"sout_{tag}")
+        os.makedirs(live, exist_ok=True)
+        order = {f: i for i, f in enumerate(files)}
+        for subset in file_subsets:
+            for f in subset:
+                dst = os.path.join(live, os.path.basename(f))
+                sh.copy(f, dst)
+                os.utime(dst, (1_700_000_000 + order[f],) * 2)
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(live)
+            )
+            q = (
+                streaming_sessionize(stream)
+                .writeStream.foreachBatch(
+                    lambda df, bid: df.write.mode("append").parquet(outdir)
+                )
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        return {
+            (r.user_id, r.start_us, r.end_us, r.n_events)
+            for r in spark.read.parquet(outdir).collect()
+        }
+
+    interrupted = run("split", [files[:2], files[2:]])
+    single = run("once", [files])
+
+    # driver-side reference: fold each key's full event-time sequence,
+    # then apply the end-of-stream timeout rule (ms watermark arithmetic)
+    rows = ev.select("user_id", ts_micros("ts").alias("_us")).collect()
+    by_key: dict = {}
+    max_us = 0
+    for r in rows:
+        by_key.setdefault(r.user_id, []).append(r._us)
+        max_us = max(max_us, r._us)
+    wm_ms = (max_us // 1000) - 2 * 60 * 60 * 1000  # "2 hours" watermark
+    want = set()
+    for k, uss in by_key.items():
+        pdf = pd.DataFrame({"_us": pd.Series(uss, dtype="int64")})
+        s, e, c, (st_, la_, n_) = _fold_sessions([pdf], None, None, 0, GAP_US)
+        for a, b, c2 in zip(s.tolist(), e.tolist(), c.tolist()):
+            want.add((k, a, b, c2))
+        if st_ is not None and wm_ms > (la_ + GAP_US) // 1000:
+            want.add((k, st_, la_, n_))
+    assert single == want
+    assert interrupted == want
