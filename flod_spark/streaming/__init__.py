@@ -15,10 +15,15 @@ time; Spark's model adds event time + watermarks. This package provides:
             chunks, each becomes a micro-batch
 - dedup:    first-arrival dedup in both state regimes (unbounded exact /
             watermark-bounded)
+- bloom:    fixed-budget Bloom admission pre-filter (constant m-bit state
+            per shard; the third bounded-state regime next to TTL —
+            catalog/streaming_live._ttl_claim_fold — and watermark dedup)
+- lossy:    Manku–Motwani lossy counting (bounded heavy-tail counters)
 - infinite: unbounded rate source (flod's infinite-range pipes,
             range.d:107-119) + the take guard that terminates it
 """
 
+from flod_spark.streaming.bloom import bloom_admit
 from flod_spark.streaming.dedup import drop_duplicates_unbounded, drop_duplicates_within
 from flod_spark.streaming.infinite import rate_source, take_infinite
 from flod_spark.streaming.queue import StreamingQueue
@@ -28,6 +33,7 @@ from flod_spark.streaming.sessionize import streaming_sessionize
 from flod_spark.streaming.take import streaming_take_per_key
 
 __all__ = [
+    "bloom_admit",
     "streaming_sessionize",
     "StreamingQueue",
     "drop_duplicates_unbounded",
