@@ -1831,6 +1831,55 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_apply_merges(docs: DataFrame, merges) -> DataFrame:
+    """Tokenize with a SHIPPED merge table — the production inference
+    path bpe_apply's Scale note names ("production reads the shipped
+    merge table instead"), now code (round 10): ``merges`` is the
+    trained artifact, [(round, "a b", weighted_count)] in training
+    order (exactly _bpe_merge_list's return — a tokenizer ships this
+    as a tiny file; the corpus never re-trains). Semantics are
+    bpe_apply's verbatim from the merge table onward: every merge
+    rewrites the DISTINCT vocabulary with the Sennrich leftmost
+    non-overlapping fold, documents join the tokenized vocab by word,
+    per-doc (n_words, n_bpe_tokens). tests/test_round10_ops.py pins
+    this against the registered bpe_apply (which re-runs the train
+    loop so its DuckDB oracle can unroll both halves) — identical
+    output given the table that loop produces. Kept standalone rather
+    than refactoring bpe_apply's tail through it: bpe_apply is outside
+    the round-10 gate window and implementation changes belong with
+    their re-proof slot (queued for the next rotation).
+
+    Scale: |merges| map-only vocabulary rewrites (merge tables are
+    10k-50k rows in practice — each fold is one whole-stage-codegen
+    pass over |vocab| rows, no shuffle), then one explode-join-
+    aggregate; the join keys on the word with NO broadcast hint (AQE
+    broadcasts the tokenized vocab when it measures small) and the
+    per-doc sum combines map-side."""
+    d = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("w"),
+    )
+    vocab = d.select("w").distinct().select(
+        "w",
+        F.concat(F.concat_ws(" ", F.split("w", "")), F.lit(" </w>")).alias("s"),
+    )
+    sym = F.split("s", " ")
+    for _, pair, _cnt in merges:
+        a, b = pair.split(" ")
+        sym = _bpe_merge_fold(sym, a, b)
+    tok = vocab.select("w", F.size(sym).cast("long").alias("n_syms"))
+    return (
+        d.join(tok, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+    )
+
+
 def _novelty_grams(docs):
     """Distinct (doc_id, md5(trigram)) pairs — the gram table both
     ngram_novelty and its live twin score over. Projects the token

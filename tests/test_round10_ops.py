@@ -596,3 +596,35 @@ def test_sessionize_timeout_checkpoint_recovery(spark, sf_dir, tmp_path):
             want.add((k, st_, la_, n_))
     assert single == want
     assert interrupted == want
+
+
+def test_bpe_apply_merges_matches_registered_form(spark, sf_dir):
+    """The production inference path (shipped merge table in, no
+    re-training) equals the registered bpe_apply bit-for-bit when fed
+    the table its train loop produces — and the merge table round-trips
+    a parquet ship/load (the artifact is data, not lineage)."""
+    import __spark_entry__ as entry
+    from flod_spark.catalog.text import _bpe_merge_list, bpe_apply_merges
+    from flod_spark.io import load
+    from flod_spark.registry import ensure_shipped
+
+    ensure_shipped(spark)
+    merges = _bpe_merge_list(spark, sf_dir)
+    # ship/load round-trip: write the artifact, read it back in order
+    import tempfile
+
+    ship = tempfile.mkdtemp(prefix="flod_bpe_ship_")
+    spark.createDataFrame(
+        merges, "round int, pair string, cnt long"
+    ).write.mode("overwrite").parquet(ship)
+    loaded = [
+        (r.round, r.pair, r.cnt)
+        for r in spark.read.parquet(ship).orderBy("round").collect()
+    ]
+    assert loaded == merges
+    got = {
+        tuple(r)
+        for r in bpe_apply_merges(load(spark, sf_dir, "documents"), loaded).collect()
+    }
+    want = {tuple(r) for r in entry.queries()["bpe_apply"](spark, sf_dir).collect()}
+    assert got == want and got
