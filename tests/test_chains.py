@@ -186,6 +186,9 @@ ROUND10_CHANGED = {
     # ADVICE r9: oracle decimal->double VARCHAR roundtrip + the
     # _pca_matvec refactor shared with pca_power_converged
     "embed_pca_power_iter",
+    # round body refactored through _pr_round, shared with
+    # pagerank_converged (also sits in the (d) r4-tier fill)
+    "pagerank_iter",
 }
 
 

@@ -628,3 +628,81 @@ def test_bpe_apply_merges_matches_registered_form(spark, sf_dir):
     }
     want = {tuple(r) for r in entry.queries()["bpe_apply"](spark, sf_dir).collect()}
     assert got == want and got
+
+
+def test_pagerank_converged_on_planted_graph(spark, sf_dir):
+    """pagerank_converged on a planted graph with a known answer: on a
+    REGULAR graph (undirected cycle, every degree 2) the damped
+    PageRank stationary distribution is exactly uniform — the loop
+    must converge to 1/n per node, deltas must contract at <= the
+    damping rate (the L-infinity certificate), mass must be conserved,
+    and one more exact round from the fixpoint must move <= tol. Also
+    pins the shared-round guarantee: two converged-loop rounds on the
+    REAL sf graph equal the registered pagerank_iter bit-for-bit."""
+    import __spark_entry__ as entry
+    from flod_spark.catalog.analytics import (
+        _PR_D,
+        _pr_frames,
+        _pr_round,
+        pagerank_converged,
+    )
+    from flod_spark.registry import ensure_shipped
+
+    ensure_shipped(spark)
+    n = 12
+    cyc = [(f"v{i}", f"v{(i + 1) % n}") for i in range(n)]
+    edges = spark.createDataFrame(
+        cyc + [(b, a) for a, b in cyc], "src string, dst string"
+    )
+    ranks, deltas = pagerank_converged(edges, tol=1e-12, max_rounds=80)
+    assert deltas[-1] <= 1e-12 and len(deltas) < 80
+    got = {r.node: r.r for r in ranks.collect()}
+    assert len(got) == n
+    for v in got.values():
+        assert abs(v - 1.0 / n) <= 1e-9
+    assert abs(sum(got.values()) - 1.0) <= 1e-9
+    # geometric contraction at <= damping (allow fixed-point epsilon)
+    for a, b in zip(deltas, deltas[1:]):
+        assert b <= _PR_D * a + 1e-12, (a, b)
+    # fixpoint: one more exact round moves nothing beyond tol
+    deg, nodes, nn = _pr_frames(edges)
+    nxt = _pr_round(edges, deg, nodes, nn, ranks)
+    moved = (
+        nxt.join(ranks.withColumnRenamed("r", "_pr"), "node")
+        .agg(F.max(F.abs(F.col("r") - F.col("_pr"))).alias("m"))
+        .first()["m"]
+    )
+    assert moved <= 1e-11
+    # shared-round guarantee on the real graph: depth-2 == registered
+    reg = {
+        (r.node, r.rank_round1, r.rank_round2)
+        for r in entry.queries()["pagerank_iter"](spark, sf_dir).collect()
+    }
+    from flod_spark.io import load
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    _ranks2, deltas2 = pagerank_converged(sym, tol=-1.0, max_rounds=2)
+    deg2, nodes2, nn2 = _pr_frames(sym.localCheckpoint())
+    r0 = nodes2.crossJoin(F.broadcast(nn2)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    r1 = _pr_round(sym, deg2, nodes2, nn2, r0).localCheckpoint()
+    r2 = _pr_round(sym, deg2, nodes2, nn2, r1)
+    pair = {
+        (a.node, a.r, b.r)
+        for a, b in zip(
+            r1.orderBy("node").collect(), r2.orderBy("node").collect()
+        )
+    }
+    assert pair == reg
+    assert len(deltas2) == 2
