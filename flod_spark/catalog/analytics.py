@@ -251,6 +251,8 @@ def pagerank_converged(
             .agg(F.max(F.abs(F.col("r") - F.col("_pr"))).alias("m"))
             .first()["m"]
         )
+        if delta is None:  # empty graph: MAX over zero rows — converged vacuously
+            break
         deltas.append(float(delta))
         prev = cur
         if delta <= tol:

@@ -1571,7 +1571,10 @@ def pca_power_converged(
     import math
 
     base = e.localCheckpoint(eager=True) if persist else e
-    dim = base.select(F.size("x").alias("n")).first()["n"]
+    head = base.select(F.size("x").alias("n")).first()
+    if head is None:  # empty table: no direction to find — converged vacuously
+        return [], []
+    dim = head["n"]
     v = [_PCA_V0] * dim
     lams: list = []
     for _ in range(max_rounds):

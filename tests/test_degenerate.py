@@ -133,3 +133,20 @@ def test_pareto_single_part_brand(spark):
     )
     r = w.select(cls.alias("c"), (F.col("cum") / F.col("total")).alias("sh")).first()
     assert r.c == "A" and r.sh == 1.0
+
+
+def test_converged_loops_on_empty_inputs(spark):
+    """The round-10 to-convergence twins on empty inputs: an empty
+    graph / embedding table converges vacuously (no crash on the
+    MAX-over-zero-rows delta or the missing first row), returning
+    empty results and empty delta trails."""
+    from flod_spark.catalog.analytics import pagerank_converged
+    from flod_spark.catalog.similarity import pca_power_converged
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    ranks, deltas = pagerank_converged(edges, tol=1e-9, max_rounds=3)
+    assert ranks.count() == 0 and deltas == []
+
+    e = spark.createDataFrame([], "x array<double>")
+    v, lams = pca_power_converged(e, tol=1e-9, max_rounds=3)
+    assert v == [] and lams == []
