@@ -175,23 +175,44 @@ _PR_D = 0.85  # damping
 
 
 def _pr_frames(edges: DataFrame):
-    """(deg, nodes, nn) for a directed edge table — the per-graph
-    frames every PageRank round reuses (shared by pagerank_iter and
-    pagerank_converged)."""
+    """(deg, nodes, nn, dang) for a GENERAL directed edge table — the
+    per-graph frames every PageRank round reuses (shared by
+    pagerank_iter and pagerank_converged). Nodes come from src UNION
+    dst, so sink nodes (appearing only as dst) get rank rows; ``dang``
+    is the dangling set (nodes with no outgoing edge), whose mass each
+    round redistributes uniformly — without it, inbound contributions
+    to sinks leak rank mass and the mass-conservation certificate
+    fails on any non-symmetrized graph."""
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
     nn = nodes.agg(F.count("*").alias("n"))
-    return deg, nodes, nn
+    dang = nodes.join(deg, "node", "left_anti")
+    return deg, nodes, nn, dang
 
 
-def _pr_round(edges: DataFrame, deg: DataFrame, nodes: DataFrame, nn: DataFrame, prev: DataFrame) -> DataFrame:
+def _pr_round(
+    edges: DataFrame,
+    deg: DataFrame,
+    nodes: DataFrame,
+    nn: DataFrame,
+    dang: DataFrame,
+    prev: DataFrame,
+) -> DataFrame:
     """ONE exact PageRank round (the single source for the registered
     2-round pagerank_iter and the to-tolerance pagerank_converged):
     per-edge contribution floor(r/deg * 2^40) summed as BIGINT
-    (order-independent), then r' = (1-d)/n + d * sum/2^40 — one
-    shuffle, the contribution aggregate on dst, with deg/rank
-    co-partitioned on the node key and the 1-row node count
-    broadcast."""
+    (order-independent), dangling mass ds = sum over deg-0 nodes of
+    floor(r * 2^40) (a 1-row exact scalar, broadcast), then
+    r' = (1-d)/n + d * (sum/2^40 + ds/2^40/n) — one shuffle, the
+    contribution aggregate on dst, with deg/rank co-partitioned on
+    the node key and the two 1-row scalars broadcast. On a graph
+    with no dangling nodes ds = 0 and the added term is +0.0 —
+    bitwise-identical to the dangling-free formula (terms are
+    non-negative, so no -0.0 edge)."""
     contrib = (
         edges.join(deg, edges["src"] == deg["node"])
         .join(prev.withColumnRenamed("node", "_pn"), F.col("src") == F.col("_pn"))
@@ -202,14 +223,27 @@ def _pr_round(edges: DataFrame, deg: DataFrame, nodes: DataFrame, nn: DataFrame,
         .groupBy(F.col("dst").alias("node"))
         .agg(F.sum("c").alias("s"))
     )
+    ds = (
+        prev.join(dang, "node", "left_semi")
+        .agg(
+            F.coalesce(
+                F.sum(F.floor(F.col("r") * F.lit(_PR_FXP)).cast("long")), F.lit(0)
+            ).alias("ds")
+        )
+    )
     return (
         nodes.join(contrib, "node", "left")
         .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ds))
         .select(
             "node",
             (
                 F.lit(1 - _PR_D) / F.col("n")
-                + F.lit(_PR_D) * (F.coalesce("s", F.lit(0)).cast("double") / F.lit(_PR_FXP))
+                + F.lit(_PR_D)
+                * (
+                    F.coalesce("s", F.lit(0)).cast("double") / F.lit(_PR_FXP)
+                    + F.col("ds").cast("double") / F.lit(_PR_FXP) / F.col("n")
+                )
             ).alias("r"),
         )
     )
@@ -223,7 +257,9 @@ def pagerank_converged(
     kmeans_fit / pca_power_converged driver-loop template, completing
     the set: every registered fixed-depth iterative primitive now has
     a to-convergence twin). ``edges`` is a directed (src, dst) table
-    (symmetrize upstream for an undirected graph); each round is the
+    (general: sink-only nodes get rank rows and dangling mass is
+    redistributed uniformly each round, so rank mass is conserved on
+    ANY directed graph, not just symmetrized ones); each round is the
     SAME exact one-shuffle matvec as the registered form (_pr_round —
     fixed-point contributions, so round outputs are bit-identical to
     the unrolled form at every depth), localCheckpointed per round so
@@ -239,13 +275,13 @@ def pagerank_converged(
     factor (delta contracts by <= d per round in L-infinity), not by
     graph size — ~40 rounds reach 1e-9 at d = 0.85 on any graph."""
     e = edges.localCheckpoint(eager=True)
-    deg, nodes, nn = _pr_frames(e)
+    deg, nodes, nn, dang = _pr_frames(e)
     prev = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("r")
     ).localCheckpoint(eager=True)
     deltas: list = []
     for _ in range(max_rounds):
-        cur = _pr_round(e, deg, nodes, nn, prev).localCheckpoint(eager=True)
+        cur = _pr_round(e, deg, nodes, nn, dang, prev).localCheckpoint(eager=True)
         delta = (
             cur.join(prev.withColumnRenamed("r", "_pr"), "node")
             .agg(F.max(F.abs(F.col("r") - F.col("_pr"))).alias("m"))
@@ -261,18 +297,24 @@ def pagerank_converged(
 
 
 def _pr_round_sql(prev: str, out: str) -> str:
-    """One unrolled PageRank round in SQL: per-edge contribution
-    floor(r/deg * 2^40) summed as BIGINT (order-independent), then
-    r' = (1-d)/n + d * sum/2^40. All per-row double ops are identical
-    IEEE in both engines; only exact integers cross the aggregation."""
+    """One unrolled PageRank round in SQL (the _pr_round mirror):
+    per-edge contribution floor(r/deg * 2^40) summed as BIGINT
+    (order-independent), dangling mass ds = sum over deg-0 nodes of
+    floor(r * 2^40), then r' = (1-d)/n + d * (sum/2^40 + ds/2^40/n).
+    All per-row double ops are identical IEEE in both engines; only
+    exact integers cross the aggregations. Requires `dang` (nodes
+    with no outgoing edge) among the shared CTEs."""
     return (
         f"c_{out} AS (SELECT e.dst AS node, "
         f"    SUM(CAST(floor({prev}.r / deg.d * {_PR_FXP}) AS BIGINT)) AS s "
         f"  FROM edges e JOIN deg ON deg.node = e.src JOIN {prev} ON {prev}.node = e.src "
         "  GROUP BY e.dst), "
+        f"d_{out} AS (SELECT COALESCE(SUM(CAST(floor(p.r * {_PR_FXP}) AS BIGINT)), 0) AS ds "
+        f"  FROM {prev} p JOIN dang ON dang.node = p.node), "
         f"{out} AS (SELECT nodes.node, "
         f"    CAST({1 - _PR_D} AS DOUBLE) / (SELECT n FROM nn) "
-        f"    + CAST({_PR_D} AS DOUBLE) * (CAST(COALESCE(c_{out}.s, 0) AS DOUBLE) / {_PR_FXP}) AS r "
+        f"    + CAST({_PR_D} AS DOUBLE) * (CAST(COALESCE(c_{out}.s, 0) AS DOUBLE) / {_PR_FXP} "
+        f"      + CAST((SELECT ds FROM d_{out}) AS DOUBLE) / {_PR_FXP} / (SELECT n FROM nn)) AS r "
         f"  FROM nodes LEFT JOIN c_{out} ON c_{out}.node = nodes.node)"
     )
 
@@ -285,8 +327,9 @@ def _pr_round_sql(prev: str, out: str) -> str:
         "  FROM orders JOIN lineitem ON l_orderkey = o_orderkey), "
         "edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0), "
         "deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src), "
-        "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges), "
         "nn AS (SELECT COUNT(*) AS n FROM nodes), "
+        "dang AS (SELECT node FROM nodes WHERE node NOT IN (SELECT node FROM deg)), "
         "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes), "
         + _pr_round_sql("r0", "r1")
         + ", "
@@ -327,10 +370,10 @@ def pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    deg, nodes, nn = _pr_frames(edges)
+    deg, nodes, nn, dang = _pr_frames(edges)
     r0 = nodes.crossJoin(F.broadcast(nn)).select("node", (F.lit(1.0) / F.col("n")).alias("r"))
-    r1 = _pr_round(edges, deg, nodes, nn, r0).localCheckpoint()
-    r2 = _pr_round(edges, deg, nodes, nn, r1)
+    r1 = _pr_round(edges, deg, nodes, nn, dang, r0).localCheckpoint()
+    r2 = _pr_round(edges, deg, nodes, nn, dang, r1)
     return (
         r1.withColumnRenamed("r", "rank_round1")
         .join(r2.withColumnRenamed("r", "rank_round2"), "node")

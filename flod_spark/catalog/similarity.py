@@ -1583,6 +1583,14 @@ def pca_power_converged(
         for c in wd:
             nm2 = nm2 + c * c
         lam = math.sqrt(nm2)
+        if lam == 0.0:
+            # A v = 0 exactly (all-zero table, or data orthogonal to the
+            # iterate after quantization): no direction to normalize —
+            # converged degenerately; return the current iterate and the
+            # lams so far (the empty-table vacuous-convergence sibling)
+            # instead of dividing by zero.
+            lams.append(lam)
+            break
         v = [c / lam for c in wd]
         # bool(), not bare `lams and ...`: the bare form returns the
         # lams LIST when empty, which the append below then mutates

@@ -1879,6 +1879,12 @@ def _drain_sorted(pdfs, cols, keys=("us", "event_id")):
     import pandas as pd
 
     chunks = list(pdfs)
+    if not chunks:
+        # Timeout-only invocation (EventTimeTimeout callers get zero
+        # chunks): empty arrays, not pd.concat([]) which raises — the
+        # _fold_sessions pattern. Current callers are all NoTimeout,
+        # but any future timeout-driven caller hits this path.
+        return {c: np.empty(0, dtype=object) for c in cols}
     pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
     arrs = {c: pdf[c].to_numpy() for c in cols}
     order = np.lexsort(tuple(arrs[k] for k in reversed(keys)))

@@ -77,12 +77,16 @@ def _bloom_shard_fn(key, pdfs, state):
         if state.exists
         else np.zeros(BLOOM_M // 64, dtype="uint64")
     )
-    b = _drain_sorted(pdfs, ("rid", "h1", "h2"), keys=("rid",))
+    b = _drain_sorted(pdfs, ("rid", "h1", "h2", "k"), keys=("rid",))
     rid, h1, h2 = b["rid"], b["h1"], b["h2"]
     if len(rid):
-        # (a) intra-batch exact-duplicate suppression: first (rid-order)
-        # instance of each (h1, h2) survives to the membership test
-        first = ~pd.DataFrame({"a": h1, "b": h2}).duplicated().to_numpy()
+        # (a) intra-batch exact-duplicate suppression on the ACTUAL key
+        # (not the (h1, h2) pair): two distinct keys colliding on both
+        # 64-bit hashes within one batch must BOTH admit (contract
+        # clause (a) says suppression requires the same key) — they set
+        # the same bits, and either one arriving later is suppressed by
+        # (b), exactly as if it had collided across batches
+        first = ~pd.Series(b["k"]).duplicated().to_numpy()
         pos = _bloom_positions(h1, h2, BLOOM_M, BLOOM_K)  # (n, k)
         word_idx = (pos >> np.uint64(6)).astype("int64")
         bit = np.uint64(1) << (pos & np.uint64(63))
@@ -117,6 +121,10 @@ def bloom_admit(src: DataFrame, key_cols: tuple, rid_col: str) -> DataFrame:
         F.pmod(F.xxhash64(F.lit("shard|"), k), F.lit(N_SHARDS)).alias("shard"),
         F.xxhash64(F.lit("b1|"), k).alias("h1"),
         F.xxhash64(F.lit("b2|"), k).alias("h2"),
+        # the concatenated key itself rides along (batch rows only,
+        # never state) so intra-batch dedup keys on the KEY, immune to
+        # 128-bit hash-pair collisions
+        k.alias("k"),
         F.col(rid_col).alias("rid"),
     )
     return keyed.groupBy("shard").applyInPandasWithState(

@@ -267,7 +267,9 @@ class _FkSt:
 
 
 def _bloom_fold(batches):
-    """Drive _bloom_shard_fn over batches of (rid, h1, h2) rows."""
+    """Drive _bloom_shard_fn over batches of (rid, h1, h2[, key]) rows
+    (key defaults to the hash pair — rows that omit it model distinct
+    keys with distinct hashes)."""
     from flod_spark.streaming.bloom import _bloom_shard_fn
 
     st = _FkSt()
@@ -278,6 +280,9 @@ def _bloom_fold(batches):
                 "rid": pd.Series([r[0] for r in batch], dtype="int64"),
                 "h1": pd.Series([r[1] for r in batch], dtype="int64"),
                 "h2": pd.Series([r[2] for r in batch], dtype="int64"),
+                "k": pd.Series(
+                    [str(r[3]) if len(r) > 3 else f"{r[1]}|{r[2]}" for r in batch]
+                ),
             }
         )
         out = list(_bloom_shard_fn((0,), iter([pdf]), st))[0]
@@ -297,7 +302,7 @@ def test_bloom_admission_exact_suppression_and_constant_state():
     keys = rng.integers(0, n_keys, size=n_rows)
     h1 = np.int64(-7_777_777_777) * (keys.astype("int64") + 3)
     h2 = np.int64(1_234_567_891) * (keys.astype("int64") + 7) + 1
-    rows = [(i, int(h1[i]), int(h2[i])) for i in range(n_rows)]
+    rows = [(i, int(h1[i]), int(h2[i]), int(keys[i])) for i in range(n_rows)]
     batches = [rows[i : i + 500] for i in range(0, n_rows, 500)]
     admitted, st = _bloom_fold(batches)
     # constant state
@@ -336,7 +341,10 @@ def test_bloom_small_m_false_suppression_bounded():
         h1 = (ks * np.uint64(0x9E3779B97F4A7C15)).view("int64")
         h2 = (ks * np.uint64(0xC2B2AE3D27D4EB4F) + np.uint64(1)).view("int64")
         order = rng.permutation(np.repeat(np.arange(n_keys), 2))
-        rows = [(int(i), int(h1[order[i]]), int(h2[order[i]])) for i in range(len(order))]
+        rows = [
+            (int(i), int(h1[order[i]]), int(h2[order[i]]), int(order[i]))
+            for i in range(len(order))
+        ]
         admitted, st = _bloom_fold([rows[:80], rows[80:160], rows[160:]])
         adm_keys = [int(order[r]) for r in admitted]
         assert len(adm_keys) == len(set(adm_keys))
@@ -665,8 +673,8 @@ def test_pagerank_converged_on_planted_graph(spark, sf_dir):
     for a, b in zip(deltas, deltas[1:]):
         assert b <= _PR_D * a + 1e-12, (a, b)
     # fixpoint: one more exact round moves nothing beyond tol
-    deg, nodes, nn = _pr_frames(edges)
-    nxt = _pr_round(edges, deg, nodes, nn, ranks)
+    deg, nodes, nn, dang = _pr_frames(edges)
+    nxt = _pr_round(edges, deg, nodes, nn, dang, ranks)
     moved = (
         nxt.join(ranks.withColumnRenamed("r", "_pr"), "node")
         .agg(F.max(F.abs(F.col("r") - F.col("_pr"))).alias("m"))
@@ -692,12 +700,12 @@ def test_pagerank_converged_on_planted_graph(spark, sf_dir):
     )
     sym = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     _ranks2, deltas2 = pagerank_converged(sym, tol=-1.0, max_rounds=2)
-    deg2, nodes2, nn2 = _pr_frames(sym.localCheckpoint())
+    deg2, nodes2, nn2, dang2 = _pr_frames(sym.localCheckpoint())
     r0 = nodes2.crossJoin(F.broadcast(nn2)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("r")
     )
-    r1 = _pr_round(sym, deg2, nodes2, nn2, r0).localCheckpoint()
-    r2 = _pr_round(sym, deg2, nodes2, nn2, r1)
+    r1 = _pr_round(sym, deg2, nodes2, nn2, dang2, r0).localCheckpoint()
+    r2 = _pr_round(sym, deg2, nodes2, nn2, dang2, r1)
     pair = {
         (a.node, a.r, b.r)
         for a, b in zip(

@@ -1,0 +1,82 @@
+"""Round-11 operator tests: the ADVICE fixes (pagerank dangling mass,
+pca zero-spectrum guard, _drain_sorted empty drain, Bloom key-true
+intra-batch dedup) and the round's new surface."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_pagerank_dangling_sink_mass_conserved(spark):
+    """The r10 ADVICE medium: on a DIRECTED graph with sink nodes
+    (appearing only as dst) rank mass used to leak — sinks got no rank
+    row and their inbound mass vanished. Planted star a->z, b->z, c->z
+    plus chain z' edges: every node (sources AND the pure sink) must
+    get a rank row, total mass must be 1 within quantization, and the
+    dangling node's mass must re-enter the system (sources' ranks stay
+    ABOVE the no-inbound floor (1-d)/n because the sink redistributes
+    to everyone)."""
+    from flod_spark.catalog.analytics import _PR_D, pagerank_converged
+
+    edges = spark.createDataFrame(
+        [("a", "z"), ("b", "z"), ("c", "z"), ("a", "b")],
+        "src string, dst string",
+    )
+    ranks, deltas = pagerank_converged(edges, tol=1e-12, max_rounds=80)
+    got = {r.node: r.r for r in ranks.collect()}
+    # sink z has no outgoing edge but MUST have a rank row
+    assert set(got) == {"a", "b", "c", "z"}
+    # mass conservation (the docstring certificate, now true on a
+    # directed graph): sum of ranks == 1 within fixed-point epsilon
+    assert abs(sum(got.values()) - 1.0) <= 1e-9, got
+    # z absorbs three inbound edges -> highest rank; its mass comes
+    # back uniformly, so even 'c' (no inbound) sits ABOVE the
+    # no-redistribution floor (1-d)/n
+    n = 4
+    assert got["z"] == max(got.values())
+    assert got["c"] > (1.0 - _PR_D) / n + 1e-6
+    # converged, not capped
+    assert deltas[-1] <= 1e-12 and len(deltas) < 80
+
+
+def test_pca_power_converged_zero_spectrum_guard(spark):
+    """The r10 ADVICE low: an all-zero embedding table yields lam == 0
+    on round 1 — the loop must return (current iterate, [0.0]) instead
+    of raising ZeroDivisionError."""
+    from flod_spark.catalog.similarity import pca_power_converged
+
+    e = spark.createDataFrame(
+        [([0.0] * 4,), ([0.0] * 4,)], "x array<double>"
+    )
+    v, lams = pca_power_converged(e, tol=1e-9, max_rounds=5)
+    assert lams == [0.0]
+    assert len(v) == 4  # the un-normalized current iterate survives
+
+
+def test_drain_sorted_empty_chunks():
+    """The r10 ADVICE low: _drain_sorted on a zero-chunk invocation
+    (EventTimeTimeout timeout-only call) must return empty arrays, not
+    raise from pd.concat([])."""
+    from flod_spark.catalog.streaming_live import _drain_sorted
+
+    arrs = _drain_sorted(iter([]), ("us", "event_id", "v"), keys=("us", "event_id"))
+    assert set(arrs) == {"us", "event_id", "v"}
+    assert all(len(a) == 0 for a in arrs.values())
+
+
+def test_bloom_hash_pair_collision_admits_both():
+    """The r10 ADVICE low: two DISTINCT keys colliding on both 64-bit
+    hashes within one batch must BOTH admit (contract clause (a) —
+    suppression requires the same key); the later-arriving one is then
+    suppressed from the NEXT batch on via its (shared) bits."""
+    from tests.test_round10_ops import _bloom_fold
+
+    # same (h1, h2) pair, different keys, same batch
+    rows1 = [(0, 123456789, 987654321, "keyA"), (1, 123456789, 987654321, "keyB")]
+    # next batch: both keys again -> both suppressed by prior bits
+    rows2 = [(2, 123456789, 987654321, "keyA"), (3, 123456789, 987654321, "keyB")]
+    admitted, _st = _bloom_fold([rows1, rows2])
+    assert admitted == [0, 1]
