@@ -1803,32 +1803,11 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab + one explode-join-aggregate: the join keys on the word with
     NO broadcast hint (vocabulary cardinality — the
     dedup_semantic_text lesson; AQE broadcasts when it measures
-    small), and the per-doc sum combines map-side."""
+    small), and the per-doc sum combines map-side. The tail IS
+    bpe_apply_merges (round 11 — one inference code path; this wrapper
+    only supplies the freshly trained table)."""
     merges = _bpe_merge_list(spark, sf_dir)
-    docs = load(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
-        ).alias("w"),
-    )
-    vocab = d.select("w").distinct().select(
-        "w",
-        F.concat(F.concat_ws(" ", F.split("w", "")), F.lit(" </w>")).alias("s"),
-    )
-    sym = F.split("s", " ")
-    for _, pair, _cnt in merges:
-        a, b = pair.split(" ")
-        sym = _bpe_merge_fold(sym, a, b)
-    tok = vocab.select("w", F.size(sym).cast("long").alias("n_syms"))
-    return (
-        d.join(tok, "w")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_words"),
-            F.sum("n_syms").alias("n_bpe_tokens"),
-        )
-    )
+    return bpe_apply_merges(load(spark, sf_dir, "documents"), merges)
 
 
 def bpe_apply_merges(docs: DataFrame, merges) -> DataFrame:
@@ -1843,11 +1822,10 @@ def bpe_apply_merges(docs: DataFrame, merges) -> DataFrame:
     non-overlapping fold, documents join the tokenized vocab by word,
     per-doc (n_words, n_bpe_tokens). tests/test_round10_ops.py pins
     this against the registered bpe_apply (which re-runs the train
-    loop so its DuckDB oracle can unroll both halves) — identical
-    output given the table that loop produces. Kept standalone rather
-    than refactoring bpe_apply's tail through it: bpe_apply is outside
-    the round-10 gate window and implementation changes belong with
-    their re-proof slot (queued for the next rotation).
+    loop so its DuckDB oracle can unroll both halves) — since round 11
+    bpe_apply's tail routes through HERE, so the two paths cannot
+    drift (bpe_apply holds a round-11 gate-window re-proof slot for
+    the change).
 
     Scale: |merges| map-only vocabulary rewrites (merge tables are
     10k-50k rows in practice — each fold is one whole-stage-codegen

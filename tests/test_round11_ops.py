@@ -80,3 +80,37 @@ def test_bloom_hash_pair_collision_admits_both():
     rows2 = [(2, 123456789, 987654321, "keyA"), (3, 123456789, 987654321, "keyB")]
     admitted, _st = _bloom_fold([rows1, rows2])
     assert admitted == [0, 1]
+
+
+def test_take_drain_chunking_invariant_fuzz():
+    """streaming/take.py's fold after the _drain_sorted migration
+    (round 11 — the last pandas sort in a state function is gone):
+    for ANY chunking of a micro-batch the emitted rows are bitwise
+    the earliest n-taken by time, and the counter advances exactly.
+    The old per-chunk sort_values().head() violated this whenever
+    Arrow split a key's batch with interleaved times."""
+    from flod_spark.streaming.take import _take_drain
+
+    rng = np.random.default_rng(110)
+    cols = ("event_id", "ts", "v")
+    for trial in range(40):
+        m = int(rng.integers(1, 60))
+        ids = rng.permutation(m).astype("int64")
+        ts = rng.integers(0, 10_000, size=m).astype("int64") * 1000 + ids  # unique
+        v = rng.normal(size=m)
+        pdf = pd.DataFrame({"event_id": ids, "ts": ts, "v": v})
+        # random chunking
+        n_cuts = int(rng.integers(0, min(5, m)))
+        cuts = sorted(rng.choice(np.arange(1, m), size=n_cuts, replace=False).tolist()) if n_cuts else []
+        chunks = [pdf.iloc[a:b].reset_index(drop=True) for a, b in zip([0] + cuts, cuts + [m])]
+        taken0 = int(rng.integers(0, 8))
+        n = int(rng.integers(1, 12))
+        out, taken1 = _take_drain(iter(chunks), taken0, n, cols, "ts")
+        want = pdf.sort_values("ts").head(max(0, n - taken0))
+        if len(want) == 0 or taken0 >= n:
+            assert out is None and taken1 == taken0
+        else:
+            assert taken1 == taken0 + len(want)
+            got = list(zip(out["event_id"], out["ts"], out["v"]))
+            exp = list(zip(want["event_id"], want["ts"], want["v"]))
+            assert got == exp, (trial, got, exp)
