@@ -114,3 +114,119 @@ def test_take_drain_chunking_invariant_fuzz():
             got = list(zip(out["event_id"], out["ts"], out["v"]))
             exp = list(zip(want["event_id"], want["ts"], want["v"]))
             assert got == exp, (trial, got, exp)
+
+
+def _duck_with_documents(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    return con
+
+
+def test_minhash_bounded_state_is_horizon_bounded():
+    """The r10 verdict item-3 discipline for the new fuzzy-dedup twin:
+    driver-side TTL fold over the REAL signature table — after every
+    trigger the surviving state is exactly the band signatures active
+    within _MH_TTL_DOCS of the trigger's max doc, a fraction of the
+    distinct-signature space the unbounded twin carries; claims equal
+    the oracle's LAG contract."""
+    import os
+
+    from flod_spark.catalog.dedup import _minhash_ctes
+    from flod_spark.catalog.streaming_live import _MH_TTL_DOCS
+    from tests.test_round10_ops import _fold_batches
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+    con = _duck_with_documents(sf_dir)
+    ctes, _ = _minhash_ctes()
+    sig = con.sql(
+        f"WITH {ctes} SELECT CAST(band AS VARCHAR) || '|' || bs AS k, doc_id "
+        "FROM sig ORDER BY doc_id, k"
+    ).df()
+    rows = list(zip(sig["k"], sig["doc_id"].astype(int)))
+    n_distinct = sig["k"].nunique()
+    docs = sorted(sig["doc_id"].unique())
+    quart = max(1, len(docs) // 4)
+    batches = [
+        [(k, d) for k, d in rows if lo <= d < hi]
+        for lo, hi in zip(
+            [-1, docs[quart], docs[2 * quart], docs[3 * quart]],
+            [docs[quart], docs[2 * quart], docs[3 * quart], 10**18],
+        )
+    ]
+    claims, snaps = _fold_batches(batches, _MH_TTL_DOCS)
+    for state, mx in snaps:
+        assert all(mx - t <= _MH_TTL_DOCS for t in state.values())
+    peak = max(len(state) for state, _ in snaps)
+    assert peak < 0.5 * n_distinct  # ~horizon/corpus fraction of sigs
+    n_ref = con.sql(
+        f"WITH {ctes}, p AS (SELECT doc_id, "
+        "    lag(doc_id) OVER (PARTITION BY band, bs ORDER BY doc_id) AS prev FROM sig) "
+        f"SELECT COUNT(*) FROM p WHERE prev IS NULL OR doc_id - prev > {_MH_TTL_DOCS}"
+    ).fetchone()[0]
+    assert len(claims) == n_ref
+
+
+def test_substring_bounded_state_is_horizon_bounded():
+    """Same assertion for the anchor-hash TTL state (int64 keys): the
+    fold is dtype-agnostic, surviving entries are within one horizon,
+    and claims equal the (doc_id, p)-ordered LAG contract."""
+    import os
+
+    from flod_spark.catalog.streaming_live import _SS_TTL_DOCS
+    from flod_spark.catalog.text import winnow_arows_cte
+    from tests.test_round10_ops import _fold_batches
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+    con = _duck_with_documents(sf_dir)
+    w = winnow_arows_cte()
+    ar = con.sql(
+        f"WITH {w} SELECT hv, doc_id, p FROM arows ORDER BY doc_id, p"
+    ).df()
+    # the fold keys on the hash with doc_id time; within-doc repeats
+    # (gap 0) suppress — feed (hv, doc_id) pairs in (doc_id, p) order
+    rows = list(zip(ar["hv"].astype(int), ar["doc_id"].astype(int)))
+    n_distinct = ar["hv"].nunique()
+    docs = sorted(ar["doc_id"].unique())
+    quart = max(1, len(docs) // 4)
+    batches = [
+        [(k, d) for k, d in rows if lo <= d < hi]
+        for lo, hi in zip(
+            [-1, docs[quart], docs[2 * quart], docs[3 * quart]],
+            [docs[quart], docs[2 * quart], docs[3 * quart], 10**18],
+        )
+    ]
+    claims, snaps = _fold_batches(batches, _SS_TTL_DOCS)
+    for state, mx in snaps:
+        assert all(mx - t <= _SS_TTL_DOCS for t in state.values())
+    peak = max(len(state) for state, _ in snaps)
+    assert peak < 0.5 * n_distinct
+    n_ref = con.sql(
+        f"WITH {w}, r AS (SELECT doc_id, "
+        "    lag(doc_id) OVER (PARTITION BY hv ORDER BY doc_id, p) AS prev FROM arows) "
+        f"SELECT COUNT(*) FROM r WHERE prev IS NULL OR doc_id - prev > {_SS_TTL_DOCS}"
+    ).fetchone()[0]
+    assert len(claims) == n_ref
+
+
+def test_substring_bounded_under_rocksdb_state_store(spark, sf_dir):
+    """Provider invariance for the round-11 int64-key TTL state shape
+    (array<long> keys — the r10 RocksDB pin covered only string-key
+    states): swapping to RocksDBStateStoreProvider changes nothing."""
+    import __spark_entry__ as entry
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    fn = entry.queries()["stream_dedup_substring_bounded"]
+    default = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    spark.conf.set(key, provider)
+    try:
+        rocks = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    finally:
+        spark.conf.unset(key)
+    assert rocks == default and rocks
