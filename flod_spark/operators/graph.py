@@ -123,7 +123,7 @@ def connected_components(
     return members.union(roots).select(F.col("u").alias("node"), "component")
 
 
-def kcore_converged(sym: DataFrame, k: int) -> DataFrame:
+def kcore_converged(sym: DataFrame, k: int, with_rounds: bool = False):
     """k-core peel RUN TO QUIESCENCE — the full fixpoint the registered
     graph_kcore's bounded unrolled form (catalog/analytics.py, 5 rounds;
     fixpoint at gate scale by test) is the oracle-expressible prefix of.
@@ -141,9 +141,15 @@ def kcore_converged(sym: DataFrame, k: int) -> DataFrame:
     fit); the driver-side loop adds one O(1) count per round, and round
     count is bounded by graph structure (a peel cascade removes >= 1
     node per round, worst-case O(|V|), in practice a handful).
+
+    ``with_rounds=True`` returns (edges, rounds) where rounds counts
+    the peel iterations executed INCLUDING the flat-detection one —
+    the loop's convergence certificate the registered
+    kcore_converged qkey exposes as a column (catalog/analytics.py).
     """
     e = sym.localCheckpoint(eager=True)
     prev = e.count()
+    rounds = 0
     while True:
         surv = (
             e.groupBy("a").agg(F.count("*").alias("d")).filter(F.col("d") >= k).select("a")
@@ -156,6 +162,7 @@ def kcore_converged(sym: DataFrame, k: int) -> DataFrame:
         n = e2.count()
         e.unpersist()
         e = e2
+        rounds += 1
         if n == prev:
-            return e
+            return (e, rounds) if with_rounds else e
         prev = n

@@ -230,3 +230,26 @@ def test_substring_bounded_under_rocksdb_state_store(spark, sf_dir):
     finally:
         spark.conf.unset(key)
     assert rocks == default and rocks
+
+
+def test_converged_qkeys_exit_early_at_gate_scale(spark, sf_dir):
+    """The four registered to-convergence twins (r10 verdict item 5)
+    must exit via their convergence test at gate scale, not the round
+    cap — otherwise the driver row would only ever exercise the
+    unrolled prefix, and the loop machinery would stay pytest-only."""
+    import __spark_entry__ as entry
+
+    from flod_spark.catalog.analytics import _KCC_MAX, _PRC_MAX
+    from flod_spark.catalog.similarity import _KMF_MAX, _PCAC_MAX
+
+    caps = {
+        "pagerank_converged": _PRC_MAX,
+        "kcore_converged": _KCC_MAX,
+        "pca_power_converged": _PCAC_MAX,
+        "kmeans_fit": _KMF_MAX,
+    }
+    for qk, cap in caps.items():
+        rounds = {r["rounds"] for r in entry.queries()[qk](spark, sf_dir).collect()}
+        assert len(rounds) == 1, qk  # the loop count is one scalar
+        (r,) = rounds
+        assert 1 <= r < cap, (qk, r, cap)
