@@ -3314,3 +3314,80 @@ def stream_dedup_substring_bounded(spark: SparkSession, sf_dir: str) -> DataFram
         dc.alias("dup_chars"),
         (dc.cast("double") / F.col("n_chars")).alias("dup_frac"),
     )
+
+
+@query(
+    "stream_merge_live",
+    oracle=(
+        # batch union aggregate (A union B = events) with the merged
+        # stream's horizon: the union's global watermark is the MIN of
+        # the two sides' watermarks, so closed windows are those whose
+        # end precedes min(max_ts_A, max_ts_B) - 2h
+        "SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type, "
+        "  COUNT(*) AS n_events, "
+        "  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "FROM events "
+        "GROUP BY win_start, event_type "
+        "HAVING win_start <= (SELECT LEAST("
+        "    (SELECT max(ts) FROM events WHERE event_id % 2 = 0), "
+        "    (SELECT max(ts) FROM events WHERE event_id % 2 = 1)"
+        "  ) - INTERVAL '3 hours')"
+    ),
+)
+def stream_merge_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM MULTIPLEXING — the reference's own unbuilt roadmap row
+    (README.md:46, unchecked box) shipped Spark-first (r10 verdict
+    item 8), completing the mux/demux pair with
+    stream_split_router_live: TWO independent replayed sources (the
+    events table split by event_id parity — two ingestion feeds), each
+    with its OWN watermark node, merged by unionByName and feeding ONE
+    tumbling-window aggregate. The sides replay at DIFFERENT pacing (4
+    vs 3 micro-batch files), so triggers genuinely interleave the
+    feeds; correctness does not assume lockstep arrival because
+    Spark's multiple-watermark policy takes the MIN across nodes — the
+    slowest feed gates eviction (watermark ALIGNMENT), which is
+    exactly what makes merging late-data-safe. Append mode + the final
+    min-watermark horizon make emission deterministic
+    (stream_window_live's discipline), and the oracle is the plain
+    batch union aggregate with the same cutoff — exact.
+
+    Scale: merging adds NO state of its own — union is a plan-level
+    concat; the only state is the downstream window aggregate, bounded
+    by the min watermark. This is the Kafka-multi-topic ingestion
+    shape: N topics -> union -> one windowed agg, with the laggiest
+    topic bounding state growth."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    max_a = a.agg(F.max("ts")).collect()[0][0]
+    max_b = b.agg(F.max("ts")).collect()[0][0]
+    dir_a = tempfile.mkdtemp(prefix="flod_replay_ma_")
+    dir_b = tempfile.mkdtemp(prefix="flod_replay_mb2_")
+    shutil.rmtree(dir_a, ignore_errors=True)
+    shutil.rmtree(dir_b, ignore_errors=True)
+    sa = replay_stream(spark, a, "ts", dir_a, n_batches=4, tiebreak=("event_id",))
+    sb = replay_stream(spark, b, "ts", dir_b, n_batches=3, tiebreak=("event_id",))
+    merged = (
+        with_event_time(sa)
+        .withWatermark("ts", _WATERMARK)
+        .unionByName(with_event_time(sb).withWatermark("ts", _WATERMARK))
+    )
+    agg = (
+        merged.groupBy(F.window("ts", _WINDOW).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            as_naive(F.col("w.start")).alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    got = _drain(agg, spark, cleanup=(dir_a, dir_b))
+    if max_a is None or max_b is None:
+        # a side never produced events: no window provably closes
+        return got.filter(F.lit(False))
+    horizon = F.lit(min(max_a, max_b)) - F.expr("INTERVAL 3 HOURS")
+    return got.filter(F.col("win_start") <= horizon)
