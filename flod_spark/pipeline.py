@@ -199,6 +199,36 @@ class Pipeline:
         p._listeners = listeners
         return p
 
+    def tag_as_column(self, key: str, col: str | None = None) -> "Pipeline":
+        """Materialize the nearest-upstream-setter tag as PER-ROW DATA
+        (column ``tag_<key>`` by default) — the SURVEY §1.5 sub-batch
+        workaround, now a tested API (r10 verdict item 9): flod fires
+        onChange per setter write in element order, while the Spark
+        observe() bridge coalesces transitions to one delivery per
+        micro-batch. A consumer that needs every transition turns the
+        tag into data HERE, at the point whose upstream setter it wants:
+        each segment's rows carry that segment's value, so a union of
+        differently-tagged segments shows every transition within one
+        batch, row-accurate (tests/test_tags_engine.py pins this
+        against the coalescing listener). Non-literal tag values (dicts,
+        tuples) materialize as their JSON image — the engine layer's
+        serialized form.
+
+        Scale: a literal column — zero compute, zero shuffle; it prunes
+        away unless projected."""
+        import json as _json
+
+        val = self.get_tag(key)
+        name = col or f"tag_{key}"
+        # scalar -> literal column; anything structured -> JSON image
+        # (F.lit(dict) only fails JVM-side at withColumn, so the type
+        # check must be explicit, not try/except)
+        if val is None or isinstance(val, (str, int, float, bool, bytes)):
+            c = F.lit(val)
+        else:
+            c = F.lit(_json.dumps(val, sort_keys=True))
+        return self._derive(self.df.withColumn(name, c))
+
     def observe(self, name: str, **aggs) -> tuple["Pipeline", Any]:
         """Dynamic per-run tags (SURVEY §1.5): attach named aggregate
         observations; after any action on this pipeline, ``observation.get``

@@ -112,3 +112,48 @@ def test_stream_listener_fires_on_change(spark, tmp_path):
     finally:
         spark.streams.removeListener(lis)
     assert seen == [4]
+
+
+def test_tag_as_column_sub_batch_transitions(spark):
+    """SURVEY §1.5's documented workaround as a shipped API (round 11):
+    tag_as_column materializes the nearest-upstream-setter value as
+    per-row data, so a union of differently-tagged segments shows EVERY
+    tag transition within one batch in element order — the sub-batch
+    granularity flod's per-setter-write onChange has and the
+    coalescing observe() listener (one delivery per micro-batch) does
+    not. Also pins nearest-setter resolution: re-tagging downstream
+    changes only that segment's rows, and the column prunes away when
+    not projected (a literal, not data movement)."""
+    import flod_spark as fs
+
+    a = (
+        fs.from_array(spark, [1, 2, 3], type_hint="long")
+        .set_tag("rate", 8000)
+        .tag_as_column("rate")
+    )
+    # downstream re-set: nearest-upstream-setter wins for THIS segment
+    b = (
+        fs.from_array(spark, [4, 5], type_hint="long")
+        .set_tag("rate", 8000)
+        .set_tag("rate", 16000)
+        .tag_as_column("rate")
+    )
+    merged = a.df.select("value", "tag_rate").unionByName(
+        b.df.select("value", "tag_rate")
+    )
+    rows = {(r["value"], r["tag_rate"]) for r in merged.collect()}
+    assert rows == {(1, 8000), (2, 8000), (3, 8000), (4, 16000), (5, 16000)}
+    # both values visible in ONE batch — the transition the listener
+    # bridge would coalesce to 16000
+    assert {v for _, v in rows} == {8000, 16000}
+    # non-literal tag values materialize as their JSON image
+    c = (
+        fs.from_array(spark, [9], type_hint="long")
+        .set_tag("meta", {"codec": "pcm", "ch": 2})
+        .tag_as_column("meta")
+    )
+    got = c.df.select("tag_meta").first()[0]
+    assert got == '{"ch": 2, "codec": "pcm"}'
+    # the literal column prunes when not projected
+    plan = a.df.select("value")._jdf.queryExecution().optimizedPlan().toString()
+    assert "tag_rate" not in plan
