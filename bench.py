@@ -177,6 +177,18 @@ HEADLINE = [
     # round-10 additions: the TTL bounded-claim-state family
     "stream_ngram_novelty_bounded",
     "stream_dedup_bounded",
+    # round-11 additions: the bounded fuzzy/passage dedup twins, the
+    # four to-convergence driver loops (their sf0.1 round counts are
+    # data-dependent, capped by each op's max_rounds), and the
+    # reference-roadmap pair (archive member scan, stream multiplexing)
+    "stream_dedup_minhash_bounded",
+    "stream_dedup_substring_bounded",
+    "pagerank_converged",
+    "kcore_converged",
+    "pca_power_converged",
+    "kmeans_fit",
+    "scan_archive",
+    "stream_merge_live",
 ]
 
 

@@ -76,7 +76,7 @@ def ensure_shipped(spark: SparkSession) -> None:
 # The rotation tests clamp driver_rounds() to this, so the driver dropping
 # CORRECTNESS_r{N+1}.json into the tree after the builder's final commit
 # cannot flip a committed-green pytest (round-6 verdict, top finding).
-_PLANNED_FROM_ROUND = 9
+_PLANNED_FROM_ROUND = 10
 
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). _GATE_ORDER makes the window explicit, and ROTATES each
@@ -86,49 +86,51 @@ _PLANNED_FROM_ROUND = 9
 # staleness from CORRECTNESS_r*.json); tests/test_chains.py pins this
 # window against the same data, clamped to _PLANNED_FROM_ROUND, so the
 # two cannot drift and later driver artifacts cannot break it.
-# Round-10 window = 2 + 9 + 38 + 1 = 50:
-#   (b) the 2 new round-10 registrations (first driver row) — they have
-#       no recorded row at _PLANNED_FROM_ROUND, so the membership test
-#       auto-derives them as must-gate: stream_ngram_novelty_bounded,
-#       stream_dedup_bounded (the TTL bounded-claim-state family),
-#   (c) changed-implementation re-proofs (r9 verdict item 1 machinery
-#       diet + ADVICE fixes): stream_sessionize_live (vectorized
-#       _fold_sessions — ALSO r4-tier, counted once),
-#       stream_heavy_hitters_live + heavy_hitters (vectorized
-#       _mg_absorb, shared source), stream_weighted_sample_live
-#       (lexsort top-k), stream_asof_enrich_live (_drain_sorted),
-#       stream_market_basket_bounded (vectorized _lossy_shard_fn),
-#       stream_ewma_live + stream_rsi_live (int64 overflow guards),
-#       embed_pca_power_iter (oracle VARCHAR roundtrip + shared
-#       _pca_matvec refactor) — 9 keys, 8 new slots,
-#   (d) the FULL 39-key r4-tier remainder named in the r9 verdict
-#       (window_dist .. sink_pysink, registration order;
-#       stream_sessionize_live already counted in (c)) — 38 slots,
-#       then the r5-tier head in registration order to the cap:
-#       scan_file — 1 slot.
+# Round-11 window = 8 + 4 + 38 = 50:
+#   (b) the 8 new round-11 registrations (first driver row) — no
+#       recorded row at _PLANNED_FROM_ROUND, so the membership test
+#       auto-derives them as must-gate: the two bounded claim-state
+#       twins (stream_dedup_minhash_bounded,
+#       stream_dedup_substring_bounded), the four to-convergence twins
+#       (pagerank_converged, kcore_converged, pca_power_converged,
+#       kmeans_fit), and the reference-roadmap pair (scan_archive,
+#       stream_merge_live),
+#   (c) changed-implementation re-proofs: pagerank_iter (dangling-mass
+#       frames + MATERIALIZED round SQL, shared with
+#       pagerank_converged), embed_pca_power_iter (oracle refactored
+#       through the shared _pca_round_ctes builder), bpe_apply (tail
+#       rerouted through bpe_apply_merges), stream_take_live
+#       (_drain_sorted migration in streaming/take.py) — 4 keys.
+#       (_drain_sorted itself gained only an empty-chunk early return
+#       that is provably dead for every NoTimeout caller —
+#       pytest-pinned, not re-gated per caller; the complement sweep
+#       re-proves them all anyway.)
+#   (d) the r5-tier stalest block in registration order — 38 slots
+#       (scan_array .. split_groupwise); the 5-key tail (sink_compact,
+#       scan_evolved, sink_orc, sort_zorder, length_buckets) spills to
+#       the round-12 fill pool, covered by this round's sweep.
 # Keys not listed here sort after listed ones, in registration order.
 _GATE_ORDER = (
-    # (b) new round-10 registrations — 2 keys
-    "stream_ngram_novelty_bounded", "stream_dedup_bounded",
-    # (c) changed-implementation re-proofs — 9 keys
-    "stream_sessionize_live", "stream_heavy_hitters_live",
-    "heavy_hitters", "stream_weighted_sample_live",
-    "stream_asof_enrich_live", "stream_market_basket_bounded",
-    "stream_ewma_live", "stream_rsi_live", "embed_pca_power_iter",
-    # (d) the r4-tier remainder in registration order — 38 keys
-    # (stream_sessionize_live sits in (c) above)
-    "window_dist", "value_zscore", "join_asof_tol", "datetime_fns",
-    "tpch_q4", "tpch_q13", "tpch_q15", "tpch_q19", "tpch_q21",
-    "tpch_q22", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12",
-    "tpch_q16", "tpch_q20", "resample_interp", "pii_scrub",
-    "bpe_pairs", "dedup_url", "text_windows", "ngram_lm",
-    "tfidf_terms", "dedup_containment", "semdedup_bounded",
-    "embed_norms", "embed_quantize", "media_decode", "udf_table",
-    "funnel_steps", "cohort_retention", "orders_rfm", "pagerank_iter",
-    "scan_pystream_live", "stream_agg_complete_live",
-    "stream_sliding_live", "stream_dedup_live", "sink_pysink",
-    # ... then the r5-tier head in registration order, to the cap
-    "scan_file",
+    # (b) new round-11 registrations — 8 keys
+    "stream_dedup_minhash_bounded", "stream_dedup_substring_bounded",
+    "pagerank_converged", "kcore_converged", "pca_power_converged",
+    "kmeans_fit", "scan_archive", "stream_merge_live",
+    # (c) changed-implementation re-proofs — 4 keys
+    "pagerank_iter", "embed_pca_power_iter", "bpe_apply",
+    "stream_take_live",
+    # (d) the r5-tier stalest block in registration order — 38 keys
+    "scan_array", "scan_range", "scan_delegate", "nested_fns",
+    "sql_direct", "agg_mode", "window_offset", "agg_corr",
+    "histogram_bins", "unpivot_melt", "dq_audit", "rollup_hierarchy",
+    "sliding_distinct", "ngram_topk", "fingerprint_winnow",
+    "dedup_substring", "char_entropy", "json_parse_once",
+    "sentence_split", "simhash_pairs", "dup_rate_report",
+    "snapshot_diff", "dedup_verify", "join_fuzzy", "entity_resolve",
+    "join_fuzzy_seg", "media_decode_png", "media_resize",
+    "media_decode_wav", "curation_join", "stream_foreach_upsert_live",
+    "stream_prep_live", "stream_outer_join_live",
+    "stream_sliding_distinct_live", "stream_full_outer_join_live",
+    "stream_agg_update_live", "sample_exact_k", "split_groupwise",
 )
 
 

@@ -172,23 +172,20 @@ def test_take_stress_reference_scale(spark):
 # the staleness data can't derive. New registrations need no list: under
 # the _PLANNED_FROM_ROUND clamp they have no driver row, so the
 # membership test auto-derives them as must-gate.
-ROUND10_CHANGED = {
-    # r9 verdict item 1 machinery diet: the five remaining live state
-    # functions vectorized (per-event loops / per-key dict+groupby /
-    # concat+sort_values -> numpy folds + _drain_sorted)
-    "stream_sessionize_live", "stream_heavy_hitters_live",
-    "stream_weighted_sample_live", "stream_asof_enrich_live",
-    "stream_market_basket_bounded",
-    # _mg_absorb is the shared source, so the batch form re-proves too
-    "heavy_hitters",
-    # ADVICE r9: loud int64 overflow guards added to the state folds
-    "stream_ewma_live", "stream_rsi_live",
-    # ADVICE r9: oracle decimal->double VARCHAR roundtrip + the
-    # _pca_matvec refactor shared with pca_power_converged
-    "embed_pca_power_iter",
-    # round body refactored through _pr_round, shared with
-    # pagerank_converged (also sits in the (d) r4-tier fill)
+ROUND11_CHANGED = {
+    # ADVICE r10 medium: _pr_frames/_pr_round gained the dangling-mass
+    # machinery (+ MATERIALIZED round SQL), shared with the newly
+    # registered pagerank_converged
     "pagerank_iter",
+    # oracle refactored through the shared _pca_round_ctes builder
+    # (MATERIALIZED), shared with the newly registered
+    # pca_power_converged
+    "embed_pca_power_iter",
+    # BENCH_NOTES r10 queue (c): tail rerouted through bpe_apply_merges
+    "bpe_apply",
+    # BENCH_NOTES r10 queue (a): streaming/take.py drains through
+    # _drain_sorted (whole-batch lexsort instead of per-chunk sort)
+    "stream_take_live",
 }
 
 
@@ -209,7 +206,7 @@ def test_gate_window_membership():
     window = list(e.queries())[:50]
     rows, latest = driver_rounds(max_round=registry._PLANNED_FROM_ROUND)
     never = {q for q, rs in rows.items() if not rs}
-    must_gate = never | ROUND10_CHANGED
+    must_gate = never | ROUND11_CHANGED
     missing = must_gate - set(window)
     assert not missing, f"rotated out of the 50-entry gate window: {missing}"
     assert len(window) == 50

@@ -406,6 +406,16 @@ HEADLINE_PINS = {
     # op + frequent-pair table localCheckpointed; the pair count and
     # the final triple count remain
     "orders_basket_triples": (2, 0),
+    # round-11 additions (fingerprinted at sf0.001 at introduction)
+    # binaryFile scan + Arrow member split, map-only
+    "scan_archive": (0, 0),
+    # driver-loop twins: per-round plans are driver-iterated and the
+    # returned frame reads checkpointed state (the embed_pca_power_iter
+    # precedent); kcore's final degree aggregate is the one exchange
+    "pagerank_converged": (0, 0),
+    "kcore_converged": (1, 0),
+    "pca_power_converged": (0, 0),
+    "kmeans_fit": (0, 0),
 }
 
 
