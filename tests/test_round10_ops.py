@@ -498,7 +498,17 @@ def test_ttl_state_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
 
 
 @pytest.mark.parametrize(
-    "qk", ["stream_dedup_bounded", "stream_sessionize_live", "stream_weighted_sample_live"]
+    "qk",
+    [
+        "stream_dedup_bounded", "stream_sessionize_live",
+        "stream_weighted_sample_live",
+        # round-11 additions: the two new TTL twins (string- and
+        # int64-key folds) and the take op whose drain the round
+        # migrated to the whole-batch lexsort (its chunking-invariance
+        # claim is exactly what this test forces live)
+        "stream_dedup_minhash_bounded", "stream_dedup_substring_bounded",
+        "stream_take_live",
+    ],
 )
 def test_state_fns_invariant_under_tiny_arrow_chunks(spark, sf_dir, qk):
     """The multi-chunk drain paths (pd.concat + whole-group lexsort in

@@ -253,3 +253,113 @@ def test_converged_qkeys_exit_early_at_gate_scale(spark, sf_dir):
         assert len(rounds) == 1, qk  # the loop count is one scalar
         (r,) = rounds
         assert 1 <= r < cap, (qk, r, cap)
+
+
+def test_pagerank_mass_conserved_on_random_digraphs(spark):
+    """Property form of the dangling fix: on ANY directed graph —
+    sinks, sources, self-contained cycles, isolated dangling clusters —
+    every src-or-dst node gets a rank row and total mass stays 1
+    within fixed-point quantization after every round (tol=-1 forces
+    exactly max_rounds loop iterations, so this checks the per-round
+    invariant, not just a converged state)."""
+    from flod_spark.catalog.analytics import pagerank_converged
+
+    rng = np.random.default_rng(1100)
+    for trial in range(4):
+        n = int(rng.integers(4, 14))
+        m = int(rng.integers(n, 3 * n))
+        edges = {
+            (f"v{int(a)}", f"v{int(b)}")
+            for a, b in zip(rng.integers(0, n, m), rng.integers(0, n, m))
+            if a != b
+        }
+        df = spark.createDataFrame(sorted(edges), "src string, dst string")
+        ranks, deltas = pagerank_converged(df, tol=-1.0, max_rounds=3)
+        got = {r.node: r.r for r in ranks.collect()}
+        want_nodes = {a for a, _ in edges} | {b for _, b in edges}
+        assert set(got) == want_nodes, trial
+        assert abs(sum(got.values()) - 1.0) <= 1e-9, (trial, sum(got.values()))
+        assert len(deltas) == 3
+
+
+def test_int64_ttl_state_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """Recovery for the round-11 int64-key TTL state (array<long> keys —
+    the r10 recovery test covers only string-key state):
+    stream_dedup_substring_bounded's anchor-claim operator stopped
+    after two replay files and restarted from its checkpoint must claim
+    exactly the uninterrupted run's (doc_id, p) set, which is the
+    (doc_id, p)-ordered LAG contract. The anchor rows replay directly
+    (the claim state is agnostic to whether the winnow kernel ran
+    upstream — it sees (h, doc_id, p))."""
+    import glob
+    import os
+    import shutil as sh
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.window import Window
+
+    from flod_spark.catalog.streaming_live import _SS_TTL_DOCS, _ss_ttl_fn
+    from flod_spark.catalog.text import winnow_anchor_rows
+    from flod_spark.io import load
+    from flod_spark.streaming import replay_stream
+
+    anchors = winnow_anchor_rows(load(spark, sf_dir, "documents")).withColumn(
+        "ingest_ts", F.timestamp_micros(F.col("doc_id") * 1_000_000)
+    ).localCheckpoint()
+    src_dir = str(tmp_path / "src_ss")
+    replay_stream(spark, anchors, "ingest_ts", src_dir, n_batches=4, tiebreak=("doc_id", "p"))
+    files = sorted(glob.glob(os.path.join(src_dir, "*.parquet")), key=os.path.getmtime)
+    assert len(files) == 4
+
+    def run(tag, file_subsets):
+        live = str(tmp_path / f"live_{tag}")
+        ckpt = str(tmp_path / f"ck_{tag}")
+        outdir = str(tmp_path / f"out_{tag}")
+        os.makedirs(live, exist_ok=True)
+        order = {f: i for i, f in enumerate(files)}
+        for subset in file_subsets:
+            for f in subset:
+                dst = os.path.join(live, os.path.basename(f))
+                sh.copy(f, dst)
+                os.utime(dst, (1_700_000_000 + order[f],) * 2)
+            stream = (
+                spark.readStream.schema(anchors.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(live)
+            )
+            src = stream.select(
+                F.pmod(F.xxhash64("h"), F.lit(8)).alias("shard"), "h", "doc_id", "p"
+            )
+            out = src.groupBy("shard").applyInPandasWithState(
+                _ss_ttl_fn,
+                outputStructType="doc_id long, p long",
+                stateStructType="ks array<long>, lasts array<long>, mx long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            q = (
+                out.writeStream.foreachBatch(
+                    lambda df, bid: df.write.mode("append").parquet(outdir)
+                )
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        return {(r.doc_id, r.p) for r in spark.read.parquet(outdir).collect()}
+
+    interrupted = run("split", [files[:2], files[2:]])
+    single = run("once", [files])
+    w = Window.partitionBy("h").orderBy("doc_id", "p")
+    truth = {
+        (r.doc_id, r.p)
+        for r in anchors.withColumn("prev", F.lag("doc_id").over(w))
+        .filter(
+            F.col("prev").isNull()
+            | (F.col("doc_id") - F.col("prev") > _SS_TTL_DOCS)
+        )
+        .collect()
+    }
+    assert single == truth
+    assert interrupted == truth
