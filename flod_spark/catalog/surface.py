@@ -508,6 +508,167 @@ def scan_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ARCH_DOCS = 25
 
 
+def archive_member_rows(raw: DataFrame) -> DataFrame:
+    """(path, content) binary-file rows -> one row per archive MEMBER:
+    (archive, member, n_bytes, content_md5) via an Arrow-batched stdlib
+    zipfile/tarfile split — the engine half of scan_archive, shared by
+    the batch scan, the streaming twin (stream_archive_members: the
+    binaryFile source streams with an explicit schema), and the
+    pack_tar_shards round-trip test. Map-only; member blobs die here
+    unless projected on; works identically on batch and streaming
+    inputs (mapInPandas is stateless)."""
+    import io
+    import os
+    import tarfile
+    import zipfile
+
+    def split(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_m, out_n, out_h = [], [], [], []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                name = os.path.basename(path)
+                bio = io.BytesIO(bytes(blob))
+                if name.endswith(".zip"):
+                    with zipfile.ZipFile(bio) as z:
+                        pairs = [(zi.filename, z.read(zi.filename)) for zi in z.infolist()]
+                else:
+                    with tarfile.open(fileobj=bio) as t:
+                        pairs = [
+                            (ti.name, t.extractfile(ti).read())
+                            for ti in t.getmembers()
+                            if ti.isfile()
+                        ]
+                for member, data in pairs:
+                    out_a.append(name)
+                    out_m.append(member)
+                    out_n.append(len(data))
+                    out_h.append(hashlib.md5(data).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "archive": pd.Series(out_a, dtype="object"),
+                    "member": pd.Series(out_m, dtype="object"),
+                    "n_bytes": pd.Series(out_n, dtype="int64"),
+                    "content_md5": pd.Series(out_h, dtype="object"),
+                }
+            )
+
+    return raw.select("path", "content").mapInPandas(
+        split, "archive string, member string, n_bytes long, content_md5 string"
+    )
+
+
+def stream_archive_members(spark: SparkSession, archive_dir: str) -> DataFrame:
+    """STREAMING archive member scan — the live form of scan_archive
+    (the roadmap row's literal reading: archives ARRIVE and their
+    member sequences stream out): a binaryFile STREAM source (explicit
+    schema — streaming binaryFile requires one; probed and pinned in
+    tests/test_round11_ops.py) replays the directory one archive per
+    trigger, and the shared member split runs map-side per
+    micro-batch. Queued for round-12 registration as
+    stream_archive_live (oracle = scan_archive's, the member set is
+    arrival-order independent).
+
+    Scale: the crawl-dump ingestion shape — WARC/tar shards land in
+    object storage, each trigger picks up new shards, the split is
+    stateless map work, and downstream dedup/claim state is where
+    bytes meet the pipeline."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(archive_dir)
+    )
+    return archive_member_rows(raw)
+
+
+# tar-shard writer grouping: members per output shard (the WebDataset
+# convention — training corpora ship as fixed-size tar shards).
+_SHARD_DOCS = 50
+
+
+def pack_tar_shards(docs: DataFrame, out_dir: str, shard_docs: int = _SHARD_DOCS) -> DataFrame:
+    """DISTRIBUTED tar-shard writer — the WRITE half of the archive
+    story (WebDataset layout: training samples ship as fixed-size tar
+    shards; this is how a 100 TB multimodal corpus is materialized for
+    a dataloader): rows (doc_id, text) group by shard = doc_id //
+    shard_docs, and EACH SHARD'S TASK writes its own tar
+    (applyInPandas — one file per shard, written on the executor, no
+    driver collect; at scale out_dir is object storage). Tar bytes are
+    deterministic: members sorted by doc_id, USTAR format, zeroed
+    mtime — two packs of the same table are byte-identical
+    (pytest-pinned), which makes shard-level content addressing (etag
+    dedup, cache keys) possible. Returns the manifest (shard, path,
+    n_members, n_bytes) — the index a dataloader reads instead of
+    listing the bucket. Queued for round-12 registration as
+    sink_tar_shards (round-trip oracle through archive_member_rows).
+
+    Scale: one hash shuffle on the shard key, then map-side pack+write
+    per shard; shard size is the parallelism knob (WebDataset uses
+    ~100 MB-1 GB shards so tasks stream, not buffer)."""
+    import io as _io
+    import os as _os
+    import tarfile as _tarfile
+
+    import pandas as _pd
+
+    os_makedirs = _os.makedirs
+    os_makedirs(out_dir, exist_ok=True)
+
+    def pack(key, pdf):
+        (shard,) = key
+        pdf = pdf.sort_values("doc_id")
+        buf = _io.BytesIO()
+        with _tarfile.open(fileobj=buf, mode="w", format=_tarfile.USTAR_FORMAT) as t:
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = str(text).encode("utf-8")
+                ti = _tarfile.TarInfo(f"doc_{int(did):06d}.txt")
+                ti.size = len(b)
+                ti.mtime = 0
+                t.addfile(ti, _io.BytesIO(b))
+        data = buf.getvalue()
+        path = _os.path.join(out_dir, f"shard_{int(shard):05d}.tar")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        _os.replace(tmp, path)  # atomic publish — retries overwrite, never tear
+        return _pd.DataFrame(
+            {
+                "shard": _pd.Series([int(shard)], dtype="int64"),
+                "path": _pd.Series([path], dtype="object"),
+                "n_members": _pd.Series([len(pdf)], dtype="int64"),
+                "n_bytes": _pd.Series([len(data)], dtype="int64"),
+            }
+        )
+
+    shards = docs.select(
+        "doc_id", "text", F.expr(f"doc_id div {shard_docs}").alias("shard")
+    )
+    return shards.groupBy("shard").applyInPandas(
+        pack, "shard long, path string, n_members long, n_bytes long"
+    )
+
+
 @query(
     "scan_archive",
     oracle=(
@@ -585,41 +746,4 @@ def scan_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ti.mtime = 0
                     t.addfile(ti, io.BytesIO(b))
     raw = spark.read.format("binaryFile").load(adir)
-
-    def split(batches):
-        import hashlib
-
-        import pandas as pd
-
-        for pdf in batches:
-            out_a, out_m, out_n, out_h = [], [], [], []
-            for path, blob in zip(pdf["path"], pdf["content"]):
-                name = os.path.basename(path)
-                bio = io.BytesIO(bytes(blob))
-                if name.endswith(".zip"):
-                    with zipfile.ZipFile(bio) as z:
-                        pairs = [(zi.filename, z.read(zi.filename)) for zi in z.infolist()]
-                else:
-                    with tarfile.open(fileobj=bio) as t:
-                        pairs = [
-                            (ti.name, t.extractfile(ti).read())
-                            for ti in t.getmembers()
-                            if ti.isfile()
-                        ]
-                for member, data in pairs:
-                    out_a.append(name)
-                    out_m.append(member)
-                    out_n.append(len(data))
-                    out_h.append(hashlib.md5(data).hexdigest())
-            yield pd.DataFrame(
-                {
-                    "archive": pd.Series(out_a, dtype="object"),
-                    "member": pd.Series(out_m, dtype="object"),
-                    "n_bytes": pd.Series(out_n, dtype="int64"),
-                    "content_md5": pd.Series(out_h, dtype="object"),
-                }
-            )
-
-    return raw.select("path", "content").mapInPandas(
-        split, "archive string, member string, n_bytes long, content_md5 string"
-    )
+    return archive_member_rows(raw)
