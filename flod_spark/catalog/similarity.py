@@ -1773,3 +1773,72 @@ def kmeans_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.select(
         "vec_id", "cell", F.lit(len(moved)).cast("long").alias("rounds")
     )
+
+
+def pq_index_save(emb: DataFrame, out_dir: str) -> None:
+    """Persist the PQ INDEX ARTIFACT — codebook (m, cid, cv) +
+    code words (vec_id, m, cid) — as parquet tables: the
+    train-once-serve-many shape the sim_pq_adc docstring assumes
+    (FAISS writes .index files; an engine-native index IS two tables).
+    Doubles and ids round-trip parquet losslessly, so a query answered
+    from the loaded artifact is bit-identical to one answered from the
+    in-plan index (pytest-pinned); queued for round-12 registration as
+    sim_pq_adc_persisted with sim_pq_adc's oracle.
+
+    Scale: the artifact is the 42x-compressed corpus view — codes are
+    M small ints per vector, the codebook is M x K rows; at 100 TB the
+    codes table partitions/buckets by IVF cell and the codebook ships
+    broadcast, so serving never rescans raw vectors."""
+    scored = _pq_scored(emb)
+    sub = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("v", m * _PQ_SUBDIM + 1, _PQ_SUBDIM) for m in range(_PQ_M)])
+        ).alias("m", "sv"),
+    )
+    cent = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    cent.write.mode("overwrite").parquet(out_dir + "/codebook")
+    _pq_codes(scored).write.mode("overwrite").parquet(out_dir + "/codes")
+
+
+def pq_index_adc_query(spark: SparkSession, index_dir: str, queries: DataFrame) -> DataFrame:
+    """ADC top-K from a LOADED PQ index artifact (pq_index_save):
+    queries (query_id, v) build their M x K lookup tables against the
+    loaded codebook with the same sequential zip-fold as training-time
+    assignment, candidates join on (m, code) over the loaded codes
+    table, and the fixed-order M-term sum ranks them — sim_pq_adc's
+    exact serving plan with the corpus side replaced by the artifact.
+
+    Scale: the codes scan is the only corpus-sized input (42x less
+    I/O than vectors); LUTs broadcast; per-query top-K is a
+    WindowGroupLimit rank."""
+    cent = spark.read.parquet(index_dir + "/codebook")
+    codes = spark.read.parquet(index_dir + "/codes")
+    qsub = queries.select(
+        F.col("query_id"),
+        F.posexplode(
+            F.array(*[F.slice("v", m * _PQ_SUBDIM + 1, _PQ_SUBDIM) for m in range(_PQ_M)])
+        ).alias("m", "sv"),
+    )
+    dist = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    lut = qsub.join(F.broadcast(cent), "m").select(
+        "query_id", "m", "cid", dist.alias("lut")
+    )
+    joined = (
+        codes.join(F.broadcast(lut), ["m", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "m", "lut")
+    )
+    s = joined.groupBy("query_id", "neighbor_id").agg(_pq_adist_col().alias("adist"))
+    w = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("neighbor_id"))
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K)
+        .withColumn("rk", F.col("rk").cast("long"))
+    )

@@ -442,3 +442,37 @@ def test_stream_archive_members_matches_batch_scan(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert streamed == batch and streamed
+
+
+def test_pq_index_persisted_query_bit_identical(spark, sf_dir, tmp_path):
+    """The persisted-index serving path (queued for r12 registration as
+    sim_pq_adc_persisted): save the PQ artifact (codebook + codes) to
+    parquet, answer the registered sim_pq_adc query set from the LOADED
+    artifact, and the top-K is bit-identical — doubles and ids
+    round-trip parquet losslessly and the ADC sum adds in the same
+    fixed subspace order."""
+    import __spark_entry__ as entry
+
+    from flod_spark.catalog.similarity import (
+        NQ,
+        _as_double,
+        pq_index_adc_query,
+        pq_index_save,
+    )
+    from flod_spark.io import load
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", _as_double("embedding").alias("v"))
+    )
+    idx = str(tmp_path / "pq_index")
+    pq_index_save(emb, idx)
+    queries = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    got = {tuple(r) for r in pq_index_adc_query(spark, idx, queries).collect()}
+    want = {
+        tuple(r) for r in entry.queries()["sim_pq_adc"](spark, sf_dir).collect()
+    }
+    assert got == want and got
