@@ -1231,3 +1231,57 @@ def dedup_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = v.select("doc_id", simhash.alias("simhash"))
     w = Window.partitionBy("simhash")
     return sig.select("doc_id", "simhash", F.min("doc_id").over(w).alias("canonical_id"))
+
+
+def build_claim_table(docs: DataFrame, claims_dir: str) -> None:
+    """Materialize the exact-dedup CLAIM TABLE — (fp, first_id), one
+    row per distinct content fingerprint with its first-arrival
+    doc_id — as a parquet table: the persisted state of an INCREMENTAL
+    batch dedup job (the nightly shape: each slice dedups against
+    everything admitted so far, then the table advances; the streaming
+    twin is stream_prep_live's per-key state). Queued with
+    dedup_against_claims for round-12 registration as
+    dedup_incremental.
+
+    Scale: map-side hashing + one exchange on the 16-byte
+    fingerprint; the table is |distinct contents| rows regardless of
+    corpus size, and production partitions it by fp prefix so the
+    next slice's anti-join co-partitions."""
+    (
+        docs.select("doc_id", F.md5(_norm_col().cast("binary")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("first_id"))
+        .write.mode("overwrite")
+        .parquet(claims_dir)
+    )
+
+
+def dedup_against_claims(docs: DataFrame, spark: SparkSession, claims_dir: str) -> DataFrame:
+    """Dedup a NEW SLICE against the persisted claim table: a doc is
+    ADMITTED iff its fingerprint is absent from the table AND it is the
+    slice's first arrival (min doc_id) for that fingerprint — exactly
+    the one-shot dedup_exact admission set restricted to the slice
+    (pytest-pinned: claims(half1) + admit(half2) == the union job's
+    half2 survivors). Returns (doc_id, fp, admitted); the caller
+    appends the admitted rows' (fp, doc_id) to the claim table to
+    advance the state (append-only — the first_id of an existing fp
+    never changes, so retries are idempotent per slice).
+
+    Scale: one anti-join-shaped left join on the 16-byte fp (AQE
+    broadcasts the claim side only if it measures small — at 100 TB
+    it will not, and the join co-partitions when both sides are
+    fp-bucketed) + one within-slice min; nothing rescans prior
+    slices' text."""
+    claims = spark.read.parquet(claims_dir).select("fp")
+    h = docs.select("doc_id", F.md5(_norm_col().cast("binary")).alias("fp"))
+    w = Window.partitionBy("fp")
+    first_in_slice = F.col("doc_id") == F.min("doc_id").over(w)
+    seen = claims.withColumn("_seen", F.lit(True))
+    return (
+        h.join(seen, "fp", "left")
+        .select(
+            "doc_id",
+            "fp",
+            (first_in_slice & F.col("_seen").isNull()).alias("admitted"),
+        )
+    )

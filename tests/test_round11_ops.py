@@ -476,3 +476,50 @@ def test_pq_index_persisted_query_bit_identical(spark, sf_dir, tmp_path):
         tuple(r) for r in entry.queries()["sim_pq_adc"](spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_dedup_incremental_matches_one_shot(spark, sf_dir, tmp_path):
+    """The incremental batch-dedup pair (queued for r12 registration as
+    dedup_incremental): claims built from the first half of the corpus,
+    the second half deduped against them — the admitted set must equal
+    the ONE-SHOT dedup_exact job's second-half survivors (fp first
+    arrivals over the union restricted to slice 2), and advancing the
+    table with the admitted rows then admits nothing on a replay of
+    the same slice (idempotence)."""
+    from pyspark.sql.window import Window
+
+    from flod_spark.catalog.dedup import (
+        _norm_col,
+        build_claim_table,
+        dedup_against_claims,
+    )
+    from flod_spark.io import load
+
+    docs = load(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    half1 = docs.filter(F.col("doc_id") <= mid)
+    half2 = docs.filter(F.col("doc_id") > mid)
+    cdir = str(tmp_path / "claims")
+    build_claim_table(half1, cdir)
+    got = dedup_against_claims(half2, spark, cdir)
+    admitted = {r.doc_id for r in got.filter("admitted").collect()}
+    # one-shot reference over the union
+    h = docs.select("doc_id", F.md5(_norm_col().cast("binary")).alias("fp"))
+    w = Window.partitionBy("fp")
+    ref = {
+        r.doc_id
+        for r in h.select(
+            "doc_id", (F.col("doc_id") == F.min("doc_id").over(w)).alias("first")
+        )
+        .filter(F.col("first") & (F.col("doc_id") > mid))
+        .collect()
+    }
+    assert admitted == ref and admitted
+    # advance the table and replay the slice: nothing re-admits
+    upd = (
+        got.filter("admitted")
+        .select("fp", F.col("doc_id").alias("first_id"))
+    )
+    upd.write.mode("append").parquet(cdir)
+    replay = dedup_against_claims(half2, spark, cdir)
+    assert replay.filter("admitted").count() == 0
