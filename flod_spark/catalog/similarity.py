@@ -1842,3 +1842,101 @@ def pq_index_adc_query(spark: SparkSession, index_dir: str, queries: DataFrame) 
         .filter(F.col("rk") <= K)
         .withColumn("rk", F.col("rk").cast("long"))
     )
+
+
+def ivfpq_index_save(emb: DataFrame, out_dir: str) -> None:
+    """Persist the FULL IVF-PQ index — PQ codebook, IVF centroids, and
+    the codes table written PARTITIONED BY CELL — the billion-vector
+    layout sim_ivfpq's docstring names ("bucketed by cell — scan
+    prunes to the probe fraction"), now an on-disk artifact: each IVF
+    cell is a parquet partition directory, so a query that probes
+    N_PROBE cells statically prunes the scan to those directories
+    (PartitionFilters, pinned in tests/test_round11_ops.py). Queued
+    with ivfpq_index_query for round-12 registration as
+    sim_ivfpq_persisted.
+
+    Scale: the codes table is the 42x-compressed corpus keyed by
+    cell; at 100 TB cells are also bucketed by id inside each
+    partition so the candidate join co-partitions. Centroid tables
+    are broadcast-sized by construction."""
+    cent = _cent_df(emb)
+    a = _assign_cells(emb, cent).select("vec_id", "cell")
+    codes = _pq_codes(_pq_scored(emb))
+    (
+        codes.join(a, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(out_dir + "/codes_by_cell")
+    )
+    cent.write.mode("overwrite").parquet(out_dir + "/ivf_centroids")
+    sub = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("v", m * _PQ_SUBDIM + 1, _PQ_SUBDIM) for m in range(_PQ_M)])
+        ).alias("m", "sv"),
+    )
+    pq_cent = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    pq_cent.write.mode("overwrite").parquet(out_dir + "/codebook")
+
+
+def ivfpq_index_query(spark: SparkSession, index_dir: str, queries: DataFrame) -> DataFrame:
+    """IVF-PQ top-K from the LOADED artifact with STATIC partition
+    pruning: probe cells come from the broadcast IVF centroids (a
+    driver-side list bounded by NQ x N_PROBE — the serving layer knows
+    its probes before the scan), the codes scan filters `cell IN
+    (<probes>)` so parquet reads ONLY the probed cell directories, and
+    ADC scoring runs sim_ivfpq's exact arithmetic from the loaded
+    codebook — bit-identical to the in-plan form (pytest-pinned).
+
+    Scale: scan I/O is the probe fraction of the 42x-compressed
+    corpus — the two multiplicative prunings that make billion-vector
+    serving cheap, both now visible in the physical plan
+    (PartitionFilters + code-word ReadSchema)."""
+    ivf_cent = spark.read.parquet(index_dir + "/ivf_centroids")
+    pq_cent = spark.read.parquet(index_dir + "/codebook")
+    q = queries.select("query_id", F.col("v").alias("qv"))
+    cos_qc = _cos_spark(F.col("qv"), F.col("cv"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cent_id"))
+    qp = (
+        q.crossJoin(F.broadcast(ivf_cent))
+        .select("query_id", "cent_id", cos_qc.alias("cos"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", F.col("cent_id").alias("cell"))
+    )
+    probe_rows = qp.collect()  # bounded: <= NQ x N_PROBE id pairs
+    probe_cells = sorted({r.cell for r in probe_rows})
+    codes = spark.read.parquet(index_dir + "/codes_by_cell").filter(
+        F.col("cell").isin(probe_cells)
+    )
+    qp_lit = spark.createDataFrame(
+        [(r.query_id, r.cell) for r in probe_rows], "query_id long, cell long"
+    )
+    cand = (
+        codes.join(F.broadcast(qp_lit), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "m", "cid")
+    )
+    qsub = q.select(
+        "query_id",
+        F.posexplode(
+            F.array(*[F.slice("qv", m * _PQ_SUBDIM + 1, _PQ_SUBDIM) for m in range(_PQ_M)])
+        ).alias("m", "sv"),
+    )
+    dist = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    lut = qsub.join(F.broadcast(pq_cent), "m").select(
+        "query_id", "m", "cid", dist.alias("lut")
+    )
+    j = cand.join(F.broadcast(lut), ["query_id", "m", "cid"])
+    s = j.groupBy("query_id", "neighbor_id").agg(_pq_adist_col().alias("adist"))
+    wk = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("neighbor_id"))
+    return (
+        s.withColumn("rk", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rk") <= K)
+    )

@@ -523,3 +523,40 @@ def test_dedup_incremental_matches_one_shot(spark, sf_dir, tmp_path):
     upd.write.mode("append").parquet(cdir)
     replay = dedup_against_claims(half2, spark, cdir)
     assert replay.filter("admitted").count() == 0
+
+
+def test_ivfpq_persisted_bit_identical_and_partition_pruned(spark, sf_dir, tmp_path):
+    """The persisted IVF-PQ serving path (queued for r12 registration
+    as sim_ivfpq_persisted): (a) answers from the loaded artifact are
+    bit-identical to the registered in-plan sim_ivfpq; (b) the codes
+    scan STATICALLY PRUNES to the probed cell partitions — the
+    physical plan's PartitionFilters names the cell predicate, which
+    is the on-disk form of 'scan prunes to the probe fraction'."""
+    import __spark_entry__ as entry
+
+    from flod_spark.catalog.similarity import (
+        NQ,
+        _as_double,
+        ivfpq_index_query,
+        ivfpq_index_save,
+    )
+    from flod_spark.io import load
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", _as_double("embedding").alias("v"))
+    )
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_index_save(emb, idx)
+    queries = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    res = ivfpq_index_query(spark, idx, queries)
+    got = {tuple(r) for r in res.collect()}
+    want = {
+        tuple(r) for r in entry.queries()["sim_ivfpq"](spark, sf_dir).collect()
+    }
+    assert got == want and got
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
