@@ -1940,3 +1940,59 @@ def ivfpq_index_query(spark: SparkSession, index_dir: str, queries: DataFrame) -
         s.withColumn("rk", F.row_number().over(wk).cast("long"))
         .filter(F.col("rk") <= K)
     )
+
+
+# MRL serve-small / rerank-large: prefix dims for the cheap first pass
+# and the candidate width the full-dim rerank refines.
+_MRL_PREFIX = 16
+_MRL_CAND = 20
+
+
+def sim_mrl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage retrieval — the serve-small/rerank-large
+    pattern embed_truncate_energy's audit justifies, as an operator:
+    stage 1 scores every corpus vector by the _MRL_PREFIX-dim PREFIX
+    cosine (a 4x-cheaper scan: prefix slices prune the read and the
+    fold touches 16 dims) and keeps the top _MRL_CAND per query;
+    stage 2 reranks only those candidates by FULL-dim cosine and
+    returns the top K. Both ranks break ties on neighbor_id; all
+    folds are the registry's sequential-IEEE dot rule, so the op is
+    fully SQL-expressible (queued for round-12 registration with a
+    two-window-rank oracle; pytest pins exact equality to a numpy
+    reference plus recall vs exact full-dim top-K at gate scale).
+
+    Scale: the production economics of MRL retrieval — the corpus-
+    sized pass reads 16 of 64 dims (and at 100 TB the prefix index is
+    its own 4x-smaller table or the leading columns of a dimension-
+    major layout); the full vectors are fetched for NQ x _MRL_CAND
+    rows only. Quality is the energy profile's business: the pytest
+    recall floor ties the two."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", _as_double("embedding").alias("v"))
+    )
+    q = e.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pv = F.slice("v", 1, _MRL_PREFIX)
+    pq = F.slice("qv", 1, _MRL_PREFIX)
+    cos_p = _dot_spark(pq, pv) / (F.sqrt(_dot_spark(pq, pq)) * F.sqrt(_dot_spark(pv, pv)))
+    w1 = Window.partitionBy("query_id").orderBy(F.col("cos_p").desc(), F.col("vec_id"))
+    cand = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", "vec_id", "v", cos_p.alias("cos_p"))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _MRL_CAND)
+    )
+    cos_f = _dot_spark(F.col("qv"), F.col("v")) / (
+        F.sqrt(_dot_spark(F.col("qv"), F.col("qv"))) * F.sqrt(_dot_spark(F.col("v"), F.col("v")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos_f.alias("cosine")
+        )
+        .withColumn("rk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rk") <= K)
+    )
