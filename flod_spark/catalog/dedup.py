@@ -20,6 +20,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1239,20 +1241,109 @@ def build_claim_table(docs: DataFrame, claims_dir: str) -> None:
     doc_id — as a parquet table: the persisted state of an INCREMENTAL
     batch dedup job (the nightly shape: each slice dedups against
     everything admitted so far, then the table advances; the streaming
-    twin is stream_prep_live's per-key state). Queued with
-    dedup_against_claims for round-12 registration as
-    dedup_incremental.
+    twin is stream_prep_live's per-key state). Registered (r12) with
+    dedup_against_claims as dedup_incremental.
+
+    Layout: partitioned by the integer ``slice`` id (the base build is
+    slice=0) — advance_claim_table overwrites exactly one slice
+    partition per advance, which is what makes a retried/replayed
+    advance idempotent instead of row-duplicating (the batch_id-guard
+    discipline of stream_foreach_upsert_live, expressed as dynamic
+    partition overwrite). compact_claim_table folds the slices back to
+    one.
 
     Scale: map-side hashing + one exchange on the 16-byte
     fingerprint; the table is |distinct contents| rows regardless of
-    corpus size, and production partitions it by fp prefix so the
-    next slice's anti-join co-partitions."""
+    corpus size. For the co-partitioned anti-join at scale, write the
+    compacted table BUCKETED by fp (write_claims_bucketed) — the slice
+    side shuffles once onto the same hash and the claims side scans
+    shuffle-free (plan pinned in tests/test_round12_ops.py)."""
     (
         docs.select("doc_id", F.md5(_norm_col().cast("binary")).alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("first_id"))
+        .withColumn("slice", F.lit(0))
         .write.mode("overwrite")
+        .partitionBy("slice")
         .parquet(claims_dir)
+    )
+
+
+def advance_claim_table(admitted: DataFrame, claims_dir: str, slice_id: int) -> None:
+    """ADVANCE the claim table with one slice's admission verdicts
+    (the dedup_against_claims output): the admitted rows' (fp,
+    first_id) land as partition ``slice=<slice_id>`` via DYNAMIC
+    partition overwrite — a retried or replayed advance of the same
+    slice overwrites its own partition instead of appending duplicate
+    fp rows (which would fan out every later slice's claim join).
+    Append-only across slices: an existing fp's first_id never
+    changes, because a claimed fp is never admitted again.
+
+    Scale: writes |newly admitted| rows, touches no prior slice;
+    pytest pins that N sequential advances + compact equal the
+    one-shot claim table bit-for-bit and that a replayed advance is a
+    no-op."""
+    spark = admitted.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            admitted.filter("admitted")
+            .select("fp", F.col("doc_id").alias("first_id"))
+            .withColumn("slice", F.lit(int(slice_id)))
+            .write.mode("overwrite")
+            .partitionBy("slice")
+            .parquet(claims_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_claim_table(spark: SparkSession, claims_dir: str) -> None:
+    """Periodic claim-table COMPACTION: fold all slice partitions back
+    into slice=0 (groupBy fp, min first_id — a no-op on values, since
+    each fp exists in exactly one slice) and atomically swap the
+    directory. Keeps the nightly job's read side at one partition's
+    file count no matter how many slices have advanced.
+
+    Scale: one exchange on fp over |distinct contents| rows; the swap
+    is a rename (object stores use a manifest/commit instead)."""
+    import os
+    import shutil
+
+    compacted = (
+        spark.read.parquet(claims_dir)
+        .groupBy("fp")
+        .agg(F.min("first_id").alias("first_id"))
+        .withColumn("slice", F.lit(0))
+    )
+    tmp = claims_dir.rstrip("/") + ".compact"
+    compacted.write.mode("overwrite").partitionBy("slice").parquet(tmp)
+    old = claims_dir.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(claims_dir, old)
+    os.rename(tmp, claims_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def write_claims_bucketed(
+    claims: DataFrame, spark: SparkSession, table: str, buckets: int = 32
+) -> None:
+    """Write a claim table BUCKETED (and sorted) by fp into the session
+    catalog — the at-scale layout the docstrings promise: a slice
+    bucketed the same way anti-joins against it with NO exchange and
+    NO sort on either side (pinned in tests/test_round12_ops.py).
+
+    Scale: bucket count tracks the cluster's reduce width; the nightly
+    job pays one bucketed write per compaction and every subsequent
+    slice join is co-partitioned."""
+    (
+        claims.select("fp", "first_id")
+        .write.mode("overwrite")
+        .bucketBy(buckets, "fp")
+        .sortBy("fp")
+        .format("parquet")
+        .saveAsTable(table)
     )
 
 
@@ -1271,8 +1362,11 @@ def dedup_against_claims(docs: DataFrame, spark: SparkSession, claims_dir: str) 
     broadcasts the claim side only if it measures small — at 100 TB
     it will not, and the join co-partitions when both sides are
     fp-bucketed) + one within-slice min; nothing rescans prior
-    slices' text."""
-    claims = spark.read.parquet(claims_dir).select("fp")
+    slices' text. The claim side is read DISTINCT on fp, so even a
+    malformed claim table holding duplicate fp rows (a partially
+    retried legacy append) cannot fan out the join and multiply slice
+    rows."""
+    claims = spark.read.parquet(claims_dir).select("fp").distinct()
     h = docs.select("doc_id", F.md5(_norm_col().cast("binary")).alias("fp"))
     w = Window.partitionBy("fp")
     first_in_slice = F.col("doc_id") == F.min("doc_id").over(w)
@@ -1285,3 +1379,60 @@ def dedup_against_claims(docs: DataFrame, spark: SparkSession, claims_dir: str) 
             (first_in_slice & F.col("_seen").isNull()).alias("admitted"),
         )
     )
+
+
+# dedup_incremental: the re-delivered duplicate copies get doc_id +
+# _SLICE_OFFSET (past any gate corpus's max id).
+_SLICE_OFFSET = 1_000_000
+
+
+@query(
+    "dedup_incremental",
+    oracle=(
+        # half-split twin: claims = first half's fingerprints; the
+        # slice is the WHOLE corpus plus a re-delivered copy at
+        # doc_id + offset, so all three admission paths carry weight —
+        # claimed fps reject, within-slice later arrivals reject,
+        # unclaimed firsts admit
+        "WITH m AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS mid FROM documents), "
+        "s AS (SELECT doc_id, text FROM documents "
+        f"  UNION ALL SELECT doc_id + {_SLICE_OFFSET} AS doc_id, text FROM documents), "
+        f"h AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM s), "
+        f"c AS (SELECT DISTINCT md5({_NORM_SQL}) AS fp FROM documents, m "
+        "  WHERE doc_id <= mid) "
+        "SELECT doc_id, fp, "
+        "  (doc_id = MIN(doc_id) OVER (PARTITION BY fp)) "
+        "    AND fp NOT IN (SELECT fp FROM c) AS admitted "
+        "FROM h"
+    ),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL batch dedup against a PERSISTED claim table,
+    driver-gated (r11 verdict item 1 — the nightly-pipeline shape):
+    build_claim_table materializes the first half of the corpus's
+    fingerprints, then dedup_against_claims admits a new slice — here
+    the full corpus UNIONed with a re-delivered copy of itself at
+    doc_id + _SLICE_OFFSET, so every admission path does real work at
+    gate scale: fps claimed by the table REJECT (first half), later
+    within-slice arrivals of the same fp REJECT (every re-delivered
+    copy), and unclaimed slice-firsts ADMIT (second half). The oracle
+    states the same three-way verdict in closed form. Table
+    advancement + replay idempotence + N-advances==one-shot are
+    pinned in tests (advance_claim_table/compact_claim_table).
+
+    Scale: the anti-join-shaped claim join touches fingerprints only
+    (16 bytes/row; AQE broadcasts iff the table measures small, and
+    the bucketed layout removes the claims-side shuffle entirely —
+    write_claims_bucketed); nothing rescans prior slices' text, which
+    is the entire point of the persisted state at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    mm = docs.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")).first()
+    mid = (mm.mn + mm.mx) // 2
+    claims_dir = tempfile.mkdtemp(prefix="flod_claims_")
+    build_claim_table(docs.filter(F.col("doc_id") <= mid), claims_dir)
+    slice_df = docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + F.lit(_SLICE_OFFSET)).alias("doc_id"), "text"
+        )
+    )
+    return dedup_against_claims(slice_df, spark, claims_dir)

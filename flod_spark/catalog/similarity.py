@@ -17,6 +17,8 @@ Scale (100 TB embeddings):
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1782,7 +1784,7 @@ def pq_index_save(emb: DataFrame, out_dir: str) -> None:
     (FAISS writes .index files; an engine-native index IS two tables).
     Doubles and ids round-trip parquet losslessly, so a query answered
     from the loaded artifact is bit-identical to one answered from the
-    in-plan index (pytest-pinned); queued for round-12 registration as
+    in-plan index (pytest-pinned); registered (r12) as
     sim_pq_adc_persisted with sim_pq_adc's oracle.
 
     Scale: the artifact is the 42x-compressed corpus view — codes are
@@ -1851,9 +1853,8 @@ def ivfpq_index_save(emb: DataFrame, out_dir: str) -> None:
     prunes to the probe fraction"), now an on-disk artifact: each IVF
     cell is a parquet partition directory, so a query that probes
     N_PROBE cells statically prunes the scan to those directories
-    (PartitionFilters, pinned in tests/test_round11_ops.py). Queued
-    with ivfpq_index_query for round-12 registration as
-    sim_ivfpq_persisted.
+    (PartitionFilters, pinned in tests/test_round11_ops.py).
+    Registered (r12) with ivfpq_index_query as sim_ivfpq_persisted.
 
     Scale: the codes table is the 42x-compressed corpus keyed by
     cell; at 100 TB cells are also bucketed by id inside each
@@ -1948,6 +1949,42 @@ _MRL_PREFIX = 16
 _MRL_CAND = 20
 
 
+def _mrl_oracle() -> str:
+    """Two-window-rank twin of the Matryoshka two-stage retrieval:
+    stage 1 ranks by the _MRL_PREFIX-dim prefix cosine (list_slice +
+    the registry's sequential-fold dot rule — identical IEEE op order
+    to Spark's slice + aggregate()), stage 2 re-ranks the top
+    _MRL_CAND candidates by full-dim cosine. Both ranks tie-break on
+    id, so the chain is exact end to end."""
+    cos_p = (
+        f"{_DOT.format(a='pq', b='pv')} / "
+        f"(sqrt({_DOT.format(a='pq', b='pq')}) * sqrt({_DOT.format(a='pv', b='pv')}))"
+    )
+    cos_f = (
+        f"{_DOT.format(a='qv', b='v')} / "
+        f"(sqrt({_DOT.format(a='qv', b='qv')}) * sqrt({_DOT.format(a='v', b='v')}))"
+    )
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings "
+        "  WHERE embedding IS NOT NULL), "
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {NQ}), "
+        "p AS (SELECT query_id, qv, vec_id, v, "
+        f"    list_slice(qv, 1, {_MRL_PREFIX}) AS pq, "
+        f"    list_slice(v, 1, {_MRL_PREFIX}) AS pv "
+        "  FROM q, e WHERE vec_id <> query_id), "
+        f"s1 AS (SELECT query_id, qv, vec_id, v, {cos_p} AS cos_p FROM p), "
+        "c AS (SELECT query_id, qv, vec_id, v FROM (SELECT *, "
+        "    row_number() OVER (PARTITION BY query_id ORDER BY cos_p DESC, vec_id) AS rn "
+        f"  FROM s1) WHERE rn <= {_MRL_CAND}), "
+        f"r AS (SELECT query_id, vec_id AS neighbor_id, {cos_f} AS cosine FROM c), "
+        "t AS (SELECT query_id, neighbor_id, cosine, "
+        "    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk "
+        "  FROM r) "
+        f"SELECT query_id, neighbor_id, cosine, CAST(rk AS BIGINT) AS rk FROM t WHERE rk <= {K}"
+    )
+
+
+@query("sim_mrl_rerank", oracle=_mrl_oracle())
 def sim_mrl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka two-stage retrieval — the serve-small/rerank-large
     pattern embed_truncate_energy's audit justifies, as an operator:
@@ -1957,9 +1994,9 @@ def sim_mrl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage 2 reranks only those candidates by FULL-dim cosine and
     returns the top K. Both ranks break ties on neighbor_id; all
     folds are the registry's sequential-IEEE dot rule, so the op is
-    fully SQL-expressible (queued for round-12 registration with a
-    two-window-rank oracle; pytest pins exact equality to a numpy
-    reference plus recall vs exact full-dim top-K at gate scale).
+    fully SQL-expressible (registered r12 with the two-window-rank
+    oracle above; pytest pins exact equality to a numpy reference plus
+    recall vs exact full-dim top-K at gate scale).
 
     Scale: the production economics of MRL retrieval — the corpus-
     sized pass reads 16 of 64 dims (and at 100 TB the prefix index is
@@ -1996,3 +2033,66 @@ def sim_mrl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w2).cast("long"))
         .filter(F.col("rk") <= K)
     )
+
+
+def _emb_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The similarity family's canonical corpus frame: non-null
+    embeddings as (vec_id, v: array<double>)."""
+    return (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", _as_double("embedding").alias("v"))
+    )
+
+
+@query("sim_pq_adc_persisted", oracle=_pq_adc_oracle())
+def sim_pq_adc_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-INDEX serving path, driver-gated (r11 verdict
+    item 1): pq_index_save writes the PQ artifact (codebook + code
+    words) to parquet, and the registered sim_pq_adc query set is
+    answered from the LOADED artifact via pq_index_adc_query — the
+    train-once-serve-many shape (FAISS writes .index files; an
+    engine-native index IS two tables). Doubles and ids round-trip
+    parquet losslessly and the ADC sum adds in the same fixed subspace
+    order, so the top-K is bit-identical to the in-plan sim_pq_adc
+    (pytest-pinned) and the SAME oracle gates both.
+
+    Scale: the serving economics the in-plan form can only simulate —
+    the codes table is the 42x-compressed corpus view read WITHOUT
+    touching raw vectors; LUTs broadcast; at 100 TB the artifact
+    partitions by IVF cell (sim_ivfpq_persisted) and the codebook
+    ships in the task closure."""
+    emb = _emb_v(spark, sf_dir)
+    idx_dir = tempfile.mkdtemp(prefix="flod_pq_index_")
+    pq_index_save(emb, idx_dir)
+    queries = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    return pq_index_adc_query(spark, idx_dir, queries)
+
+
+@query("sim_ivfpq_persisted", oracle=_ivfpq_oracle())
+def sim_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED IVF-PQ serving path with STATIC partition pruning,
+    driver-gated (r11 verdict item 1): ivfpq_index_save writes the full
+    index — PQ codebook, IVF centroids, and the codes table
+    PARTITIONED BY CELL — and ivfpq_index_query answers the registered
+    sim_ivfpq query set from the loaded artifact: probe cells resolve
+    from the broadcast centroids (a bounded NQ x N_PROBE driver list),
+    the codes scan filters `cell IN (probes)` so parquet reads ONLY the
+    probed cell directories (PartitionFilters pytest-pinned), and ADC
+    scoring is bit-identical to the in-plan form — the SAME oracle
+    gates both.
+
+    Scale: scan I/O = probe fraction x 42x code compression — the two
+    multiplicative prunings that make billion-vector serving cheap,
+    both now visible in the physical plan; the cell partitioning is
+    the on-disk form of 'bucketed by cell' the sim_ivfpq docstring
+    promises."""
+    emb = _emb_v(spark, sf_dir)
+    idx_dir = tempfile.mkdtemp(prefix="flod_ivfpq_index_")
+    ivfpq_index_save(emb, idx_dir)
+    queries = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    return ivfpq_index_query(spark, idx_dir, queries)

@@ -3322,7 +3322,8 @@ def stream_dedup_substring_bounded(spark: SparkSession, sf_dir: str) -> DataFram
         # batch union aggregate (A union B = events) with the merged
         # stream's horizon: the union's global watermark is the MIN of
         # the two sides' watermarks, so closed windows are those whose
-        # end precedes min(max_ts_A, max_ts_B) - 2h
+        # win_start <= min(max_ts_A, max_ts_B) - 3h (2h watermark delay
+        # + 1h window length, expressed on win_start)
         "SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type, "
         "  COUNT(*) AS n_events, "
         "  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "

@@ -514,9 +514,11 @@ def archive_member_rows(raw: DataFrame) -> DataFrame:
     zipfile/tarfile split — the engine half of scan_archive, shared by
     the batch scan, the streaming twin (stream_archive_members: the
     binaryFile source streams with an explicit schema), and the
-    pack_tar_shards round-trip test. Map-only; member blobs die here
-    unless projected on; works identically on batch and streaming
-    inputs (mapInPandas is stateless)."""
+    pack_tar_shards round-trip test. ZIP vs tar dispatches on the
+    archive's LEADING MAGIC BYTES (PK\\x03\\x04), not the filename, so
+    a mis-named archive still takes the right split path. Map-only;
+    member blobs die here unless projected on; works identically on
+    batch and streaming inputs (mapInPandas is stateless)."""
     import io
     import os
     import tarfile
@@ -531,8 +533,9 @@ def archive_member_rows(raw: DataFrame) -> DataFrame:
             out_a, out_m, out_n, out_h = [], [], [], []
             for path, blob in zip(pdf["path"], pdf["content"]):
                 name = os.path.basename(path)
-                bio = io.BytesIO(bytes(blob))
-                if name.endswith(".zip"):
+                data = bytes(blob)
+                bio = io.BytesIO(data)
+                if data[:4] == b"PK\x03\x04":
                     with zipfile.ZipFile(bio) as z:
                         pairs = [(zi.filename, z.read(zi.filename)) for zi in z.infolist()]
                 else:
@@ -561,16 +564,19 @@ def archive_member_rows(raw: DataFrame) -> DataFrame:
     )
 
 
-def stream_archive_members(spark: SparkSession, archive_dir: str) -> DataFrame:
+def stream_archive_members(
+    spark: SparkSession, archive_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
     """STREAMING archive member scan — the live form of scan_archive
     (the roadmap row's literal reading: archives ARRIVE and their
     member sequences stream out): a binaryFile STREAM source (explicit
     schema — streaming binaryFile requires one; probed and pinned in
-    tests/test_round11_ops.py) replays the directory one archive per
-    trigger, and the shared member split runs map-side per
-    micro-batch. Queued for round-12 registration as
-    stream_archive_live (oracle = scan_archive's, the member set is
-    arrival-order independent).
+    tests/test_round11_ops.py) replays the directory
+    ``max_files_per_trigger`` archives per trigger, and the shared
+    member split runs map-side per micro-batch. Registered (r12) as
+    stream_archive_live (oracle = scan_archive's: the split is
+    stateless, so the member SET is arrival-order independent and the
+    trigger grouping is purely a pacing knob).
 
     Scale: the crawl-dump ingestion shape — WARC/tar shards land in
     object storage, each trigger picks up new shards, the split is
@@ -596,7 +602,7 @@ def stream_archive_members(spark: SparkSession, archive_dir: str) -> DataFrame:
     raw = (
         spark.readStream.format("binaryFile")
         .schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(archive_dir)
     )
     return archive_member_rows(raw)
@@ -620,8 +626,8 @@ def pack_tar_shards(docs: DataFrame, out_dir: str, shard_docs: int = _SHARD_DOCS
     (pytest-pinned), which makes shard-level content addressing (etag
     dedup, cache keys) possible. Returns the manifest (shard, path,
     n_members, n_bytes) — the index a dataloader reads instead of
-    listing the bucket. Queued for round-12 registration as
-    sink_tar_shards (round-trip oracle through archive_member_rows).
+    listing the bucket. Registered (r12) as sink_tar_shards, gated by
+    a round-trip oracle through archive_member_rows.
 
     Scale: one hash shuffle on the shard key, then map-side pack+write
     per shard; shard size is the parallelism knob (WebDataset uses
@@ -669,24 +675,69 @@ def pack_tar_shards(docs: DataFrame, out_dir: str, shard_docs: int = _SHARD_DOCS
     )
 
 
-@query(
-    "scan_archive",
-    oracle=(
-        # closed-form twin of the pack -> binaryFile -> member-split
-        # path: archive/member names are doc_id arithmetic, n_bytes is
-        # the UTF-8 octet length, and md5(text) hashes exactly the
-        # member bytes the Spark side extracts — the
-        # media_decode_png discipline (one wrong byte in any member of
-        # any archive breaks the gate)
+def _archive_oracle() -> str:
+    """Closed-form twin of the pack -> binaryFile -> member-split path:
+    archive/member names are doc_id arithmetic (printf zero-pads, which
+    never truncates — DuckDB lpad would silently truncate once the ids
+    outgrow the pad width), n_bytes is the UTF-8 octet length, and
+    md5(text) hashes exactly the member bytes the Spark side extracts —
+    the media_decode_png discipline (one wrong byte in any member of
+    any archive breaks the gate). Shared by scan_archive and its
+    streaming twin stream_archive_live (the split is stateless, so the
+    member set is identical)."""
+    return (
         "SELECT "
-        "  'arch_' || lpad(CAST(doc_id // 25 AS VARCHAR), 4, '0') || "
-        "    CASE WHEN (doc_id // 25) % 2 = 0 THEN '.zip' ELSE '.tar' END AS archive, "
-        "  'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt' AS member, "
+        f"  'arch_' || printf('%04d', doc_id // {_ARCH_DOCS}) || "
+        f"    CASE WHEN (doc_id // {_ARCH_DOCS}) % 2 = 0 THEN '.zip' ELSE '.tar' END AS archive, "
+        "  'doc_' || printf('%06d', doc_id) || '.txt' AS member, "
         "  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
         "  md5(text) AS content_md5 "
         "FROM documents"
-    ),
-)
+    )
+
+
+def _pack_archive_fixture(docs: DataFrame) -> str:
+    """Pack the documents table into a fresh temp directory of mixed
+    ZIP/USTAR archives (_ARCH_DOCS members each; even group index ->
+    stored ZIP with the fixed DOS epoch timestamp, odd -> tar with
+    zeroed mtime — byte-stable packs) and return the directory. This is
+    FIXTURE CONSTRUCTION (the container ships no archive files),
+    driver-side and bounded by the gate corpus; the scanned plan starts
+    at the binaryFile read. Shared by scan_archive and
+    stream_archive_live."""
+    import io
+    import os
+    import tarfile
+    import zipfile
+
+    adir = tempfile.mkdtemp(prefix="flod_arch_")
+    groups: dict[int, list] = {}
+    for row in docs.toLocalIterator():
+        groups.setdefault(row.doc_id // _ARCH_DOCS, []).append(
+            (row.doc_id, row.text)
+        )
+    for k, members in sorted(groups.items()):
+        if k % 2 == 0:
+            path = os.path.join(adir, f"arch_{k:04d}.zip")
+            with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as z:
+                for did, text in sorted(members):
+                    zi = zipfile.ZipInfo(
+                        f"doc_{did:06d}.txt", date_time=(1980, 1, 1, 0, 0, 0)
+                    )
+                    z.writestr(zi, text.encode("utf-8"))
+        else:
+            path = os.path.join(adir, f"arch_{k:04d}.tar")
+            with tarfile.open(path, "w", format=tarfile.USTAR_FORMAT) as t:
+                for did, text in sorted(members):
+                    b = text.encode("utf-8")
+                    ti = tarfile.TarInfo(f"doc_{did:06d}.txt")
+                    ti.size = len(b)
+                    ti.mtime = 0
+                    t.addfile(ti, io.BytesIO(b))
+    return adir
+
+
+@query("scan_archive", oracle=_archive_oracle())
 def scan_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM SEQUENCES OVER ARCHIVES — the reference's own unbuilt
     roadmap row (README.md:45, unchecked box), shipped Spark-first
@@ -715,35 +766,156 @@ def scan_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage unless projected on. Archives are one-file-one-task, so
     shard archives to ~100 MB-1 GB for parallelism, exactly how WARC
     corpora ship."""
-    import io
-    import os
-    import tarfile
-    import zipfile
-
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    adir = tempfile.mkdtemp(prefix="flod_arch_")
-    groups: dict[int, list] = {}
-    for row in docs.toLocalIterator():
-        groups.setdefault(row.doc_id // _ARCH_DOCS, []).append(
-            (row.doc_id, row.text)
-        )
-    for k, members in sorted(groups.items()):
-        if k % 2 == 0:
-            path = os.path.join(adir, f"arch_{k:04d}.zip")
-            with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as z:
-                for did, text in sorted(members):
-                    zi = zipfile.ZipInfo(
-                        f"doc_{did:06d}.txt", date_time=(1980, 1, 1, 0, 0, 0)
-                    )
-                    z.writestr(zi, text.encode("utf-8"))
-        else:
-            path = os.path.join(adir, f"arch_{k:04d}.tar")
-            with tarfile.open(path, "w", format=tarfile.USTAR_FORMAT) as t:
-                for did, text in sorted(members):
-                    b = text.encode("utf-8")
-                    ti = tarfile.TarInfo(f"doc_{did:06d}.txt")
-                    ti.size = len(b)
-                    ti.mtime = 0
-                    t.addfile(ti, io.BytesIO(b))
+    adir = _pack_archive_fixture(docs)
     raw = spark.read.format("binaryFile").load(adir)
     return archive_member_rows(raw)
+
+
+@query(
+    "sink_tar_shards",
+    oracle=(
+        # round-trip twin: every document must come back out of its
+        # shard byte-exact — names are doc_id arithmetic (printf
+        # zero-pads, non-truncating), n_bytes the UTF-8 octet length,
+        # md5(text) exactly the member bytes (the scan_archive
+        # discipline applied to the WRITE half)
+        "SELECT "
+        f"  'shard_' || printf('%05d', doc_id // {_SHARD_DOCS}) || '.tar' AS archive, "
+        "  'doc_' || printf('%06d', doc_id) || '.txt' AS member, "
+        "  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+        "  md5(text) AS content_md5 "
+        "FROM documents"
+    ),
+)
+def sink_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED tar-shard WRITE, gated through its own round-trip
+    (K1 write() extended to the WebDataset layout — how a 100 TB
+    training corpus is materialized for a dataloader): pack_tar_shards
+    shuffles once on shard = doc_id // _SHARD_DOCS and each shard's
+    TASK writes its own byte-deterministic USTAR tar (sorted members,
+    zeroed mtimes — content-addressable shards, pytest-pinned
+    byte-identical across packs); the manifest (one row per shard) is
+    the bounded driver-side materialization a production job would
+    write to a table. The gate then re-reads the shard files through
+    the shared member split, so the oracle value-checks every byte
+    that went through the writer — a wrong byte in any member of any
+    shard breaks the hash.
+
+    Scale: one hash shuffle on the shard key, then map-side pack+write
+    per shard straight to object storage (no driver data path); shard
+    size is the parallelism knob (WebDataset uses ~100 MB-1 GB shards
+    so dataloader tasks stream, not buffer). The read-back here is the
+    VERIFICATION half; producers ship only the manifest."""
+    import os
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out_dir = tempfile.mkdtemp(prefix="flod_shards_")
+    manifest = pack_tar_shards(docs, out_dir).collect()  # one row per shard
+    assert all(os.path.getsize(r.path) == r.n_bytes for r in manifest)
+    raw = spark.read.format("binaryFile").load(out_dir)
+    return archive_member_rows(raw)
+
+
+@query("stream_archive_live", oracle=_archive_oracle())
+def stream_archive_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING archive ingestion, gated live (the reference's
+    README.md:45 roadmap row's literal reading — archives ARRIVE and
+    member sequences stream out): the scan_archive fixture directory
+    replays through a binaryFile STREAM source (explicit schema) in a
+    handful of micro-batches, the shared member split runs map-side
+    per trigger, and the drained member rows are hash-compared against
+    the SAME closed-form oracle as the batch scan — the split is
+    stateless, so the member set is arrival-order independent and the
+    batch/stream twins must agree byte-for-byte (also pinned directly
+    in tests/test_round11_ops.py).
+
+    Scale: the WARC-ingestion shape — shards land in object storage,
+    each trigger picks up new files (maxFilesPerTrigger here groups
+    the fixture into ~4 triggers at any SF; production tunes it to
+    ingestion latency), the split is stateless map work, and
+    downstream claim-state dedup (stream_archive_dedup_live) is where
+    bytes meet the pipeline."""
+    import os
+
+    from flod_spark.catalog.streaming_live import _drain
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    adir = _pack_archive_fixture(docs)
+    n_archives = len(os.listdir(adir))
+    members = stream_archive_members(
+        spark, adir, max_files_per_trigger=max(1, -(-n_archives // 4))
+    )
+    return _drain(members, spark, cleanup=(adir,))
+
+
+# stream_archive_dedup_live: the re-delivered duplicate copies get
+# doc_id + _DUP_OFFSET (past any gate corpus's max id, and wide enough
+# that printf('%06d') never pads it — both engines print it plain).
+_DUP_OFFSET = 1_000_000
+
+
+@query(
+    "stream_archive_dedup_live",
+    oracle=(
+        # the end-to-end ingestion invariant in closed form: of the two
+        # members carrying each text (original + re-delivered copy at
+        # doc_id + offset), exactly the min-doc_id one survives — which
+        # is the FIRST ARRIVAL because shards replay in mtime-pinned
+        # shard order and members pack in doc_id order
+        "WITH s AS (SELECT doc_id, text FROM documents "
+        f"  UNION ALL SELECT doc_id + {_DUP_OFFSET} AS doc_id, text FROM documents), "
+        "w AS (SELECT doc_id, text, "
+        "    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM s) "
+        "SELECT 'doc_' || printf('%06d', doc_id) || '.txt' AS member, "
+        "  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+        "  md5(text) AS content_md5 "
+        "FROM w WHERE rn = 1"
+    ),
+)
+def stream_archive_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ARCHIVE INGESTION COMPOSED END-TO-END (r11 verdict
+    item 5 — the WARC-ingestion shape both archive docstrings point
+    at): tar shards ARRIVE (binaryFile stream, one shard per trigger,
+    mtime-pinned arrival order), members split out map-side, and a
+    claim-state dedup on content_md5 admits only each content's FIRST
+    ARRIVAL — re-delivered shards (the corpus unioned with itself at
+    doc_id + _DUP_OFFSET, packed into later-arriving shards) are
+    swallowed entirely. Determinism is the stream_dedup_live contract:
+    one shard file per trigger scans as one partition, members pack in
+    doc_id order, shuffle preserves per-(map, reduce) order, so the
+    first row each md5's state partition sees IS the min-doc_id member;
+    the oracle states the same invariant as a window rank. Shard count
+    is fixed (~10) at any SF so trigger machinery stays constant.
+
+    Scale: the production crawl-ingestion pipeline in one plan —
+    stateless split + claim state sharded by content hash; the
+    unbounded claim state here swaps for the bounded TTL/Bloom regimes
+    (stream_dedup_bounded, bloom_admit) when the horizon allows, and
+    the batch nightly twin is dedup_incremental's persisted claim
+    table."""
+    import os
+
+    from flod_spark.catalog.streaming_live import _drain
+    from flod_spark.streaming.dedup import drop_duplicates_unbounded
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    redelivered = docs.select(
+        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"), "text"
+    )
+    n_docs = docs.count()
+    shard_docs = max(1, -(-n_docs // 5))  # 5 original + 5 copy shards
+    adir = tempfile.mkdtemp(prefix="flod_arch_dedup_")
+    manifest = pack_tar_shards(
+        docs.unionByName(redelivered), adir, shard_docs=shard_docs
+    ).collect()
+    # pin strictly ascending mtimes in shard order: the file stream
+    # source replays by mtime, and copy shards must arrive AFTER the
+    # originals they duplicate (quick packs tie on mtime otherwise)
+    for i, r in enumerate(sorted(manifest, key=lambda r: r.shard)):
+        os.utime(r.path, (1_600_000_000 + i, 1_600_000_000 + i))
+    members = stream_archive_members(spark, adir, max_files_per_trigger=1)
+    admitted = drop_duplicates_unbounded(members, "content_md5")
+    return _drain(admitted, spark, cleanup=(adir,)).select(
+        "member", "n_bytes", "content_md5"
+    )

@@ -63,7 +63,8 @@ def _bloom_shard_fn(key, pdfs, state):
     """Per-shard Bloom admission fold. State = (m/64 uint64 words as
     longs,). Rows arrive with batch-side hashes (h1, h2) and a unique
     row id; emits the ADMITTED rows. Vectorized end-to-end: duplicate
-    keys inside the batch drop via pandas duplicated() on (h1, h2);
+    keys inside the batch drop via pandas duplicated() on the actual
+    key column k (NOT the (h1, h2) hash pair — see clause (a) below);
     membership is a np.take + AND-reduce over the k probe words;
     inserts are one np.bitwise_or.reduceat-free scatter (bit OR at
     unique word indexes via np.bitwise_or.at)."""

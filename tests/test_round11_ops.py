@@ -490,6 +490,7 @@ def test_dedup_incremental_matches_one_shot(spark, sf_dir, tmp_path):
 
     from flod_spark.catalog.dedup import (
         _norm_col,
+        advance_claim_table,
         build_claim_table,
         dedup_against_claims,
     )
@@ -516,11 +517,7 @@ def test_dedup_incremental_matches_one_shot(spark, sf_dir, tmp_path):
     }
     assert admitted == ref and admitted
     # advance the table and replay the slice: nothing re-admits
-    upd = (
-        got.filter("admitted")
-        .select("fp", F.col("doc_id").alias("first_id"))
-    )
-    upd.write.mode("append").parquet(cdir)
+    advance_claim_table(got, cdir, slice_id=1)
     replay = dedup_against_claims(half2, spark, cdir)
     assert replay.filter("admitted").count() == 0
 
