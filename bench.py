@@ -189,6 +189,17 @@ HEADLINE = [
     "kmeans_fit",
     "scan_archive",
     "stream_merge_live",
+    # round-12 additions: the persisted-state production surfaces (tar
+    # shard writer, persisted PQ/IVF-PQ serving, incremental claim-table
+    # dedup, Matryoshka rerank) and the composed streaming ingestion
+    # (archive arrival -> member split -> claim-state dedup)
+    "sink_tar_shards",
+    "stream_archive_live",
+    "stream_archive_dedup_live",
+    "dedup_incremental",
+    "sim_pq_adc_persisted",
+    "sim_ivfpq_persisted",
+    "sim_mrl_rerank",
 ]
 
 

@@ -1336,9 +1336,18 @@ def write_claims_bucketed(
 
     Scale: bucket count tracks the cluster's reduce width; the nightly
     job pays one bucketed write per compaction and every subsequent
-    slice join is co-partitioned."""
+    slice join is co-partitioned. The pre-write repartition on fp puts
+    each bucket's rows in exactly one task -> ONE FILE PER BUCKET, the
+    layout under which the sortBy metadata is actually trustworthy;
+    readers that also set
+    spark.sql.legacy.bucketedTableScan.outputOrdering=true (safe
+    precisely because of the one-file-per-bucket write) then elide the
+    join-side Sorts too — bucketed scans feed the SortMergeJoin
+    directly, zero exchanges AND zero sorts (pinned in
+    tests/test_round12_ops.py)."""
     (
         claims.select("fp", "first_id")
+        .repartition(buckets, F.col("fp"))
         .write.mode("overwrite")
         .bucketBy(buckets, "fp")
         .sortBy("fp")

@@ -76,7 +76,7 @@ def ensure_shipped(spark: SparkSession) -> None:
 # The rotation tests clamp driver_rounds() to this, so the driver dropping
 # CORRECTNESS_r{N+1}.json into the tree after the builder's final commit
 # cannot flip a committed-green pytest (round-6 verdict, top finding).
-_PLANNED_FROM_ROUND = 10
+_PLANNED_FROM_ROUND = 11
 
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). _GATE_ORDER makes the window explicit, and ROTATES each
@@ -86,51 +86,48 @@ _PLANNED_FROM_ROUND = 10
 # staleness from CORRECTNESS_r*.json); tests/test_chains.py pins this
 # window against the same data, clamped to _PLANNED_FROM_ROUND, so the
 # two cannot drift and later driver artifacts cannot break it.
-# Round-11 window = 8 + 4 + 38 = 50:
-#   (b) the 8 new round-11 registrations (first driver row) — no
+# Round-12 window = 7 + 1 + 5 + 37 = 50:
+#   (b) the 7 new round-12 registrations (first driver row) — no
 #       recorded row at _PLANNED_FROM_ROUND, so the membership test
-#       auto-derives them as must-gate: the two bounded claim-state
-#       twins (stream_dedup_minhash_bounded,
-#       stream_dedup_substring_bounded), the four to-convergence twins
-#       (pagerank_converged, kcore_converged, pca_power_converged,
-#       kmeans_fit), and the reference-roadmap pair (scan_archive,
-#       stream_merge_live),
-#   (c) changed-implementation re-proofs: pagerank_iter (dangling-mass
-#       frames + MATERIALIZED round SQL, shared with
-#       pagerank_converged), embed_pca_power_iter (oracle refactored
-#       through the shared _pca_round_ctes builder), bpe_apply (tail
-#       rerouted through bpe_apply_merges), stream_take_live
-#       (_drain_sorted migration in streaming/take.py) — 4 keys.
-#       (_drain_sorted itself gained only an empty-chunk early return
-#       that is provably dead for every NoTimeout caller —
-#       pytest-pinned, not re-gated per caller; the complement sweep
-#       re-proves them all anyway.)
-#   (d) the r5-tier stalest block in registration order — 38 slots
-#       (scan_array .. split_groupwise); the 5-key tail (sink_compact,
-#       scan_evolved, sink_orc, sort_zorder, length_buckets) spills to
-#       the round-12 fill pool, covered by this round's sweep.
+#       auto-derives them as must-gate: the r11-verdict-item-1 queue
+#       (sink_tar_shards, stream_archive_live, dedup_incremental,
+#       sim_mrl_rerank, sim_pq_adc_persisted, sim_ivfpq_persisted)
+#       plus the composed streaming-ingestion qkey
+#       (stream_archive_dedup_live, r11 verdict item 5),
+#   (c) changed-implementation re-proof: scan_archive (the shared
+#       archive_member_rows split now dispatches ZIP/tar on leading
+#       magic bytes instead of the filename — r11 ADVICE) — 1 key.
+#       (dedup_against_claims' distinct-claims fix and the claim-table
+#       slice layout ship inside the NEW dedup_incremental key.)
+#   (d) the stalest tiers in registration order: the 5-key r5 spill
+#       (sink_compact .. length_buckets — 7 rounds stale) then the
+#       first 37 of the 45-key r6 tail (scan_queue .. triangle_count);
+#       the remaining 8 r6 keys (agg_mad, window_rolling_median tier
+#       tail) spill to the round-13 fill pool, covered by this round's
+#       complement sweep.
 # Keys not listed here sort after listed ones, in registration order.
 _GATE_ORDER = (
-    # (b) new round-11 registrations — 8 keys
-    "stream_dedup_minhash_bounded", "stream_dedup_substring_bounded",
-    "pagerank_converged", "kcore_converged", "pca_power_converged",
-    "kmeans_fit", "scan_archive", "stream_merge_live",
-    # (c) changed-implementation re-proofs — 4 keys
-    "pagerank_iter", "embed_pca_power_iter", "bpe_apply",
-    "stream_take_live",
-    # (d) the r5-tier stalest block in registration order — 38 keys
-    "scan_array", "scan_range", "scan_delegate", "nested_fns",
-    "sql_direct", "agg_mode", "window_offset", "agg_corr",
-    "histogram_bins", "unpivot_melt", "dq_audit", "rollup_hierarchy",
-    "sliding_distinct", "ngram_topk", "fingerprint_winnow",
-    "dedup_substring", "char_entropy", "json_parse_once",
-    "sentence_split", "simhash_pairs", "dup_rate_report",
-    "snapshot_diff", "dedup_verify", "join_fuzzy", "entity_resolve",
-    "join_fuzzy_seg", "media_decode_png", "media_resize",
-    "media_decode_wav", "curation_join", "stream_foreach_upsert_live",
-    "stream_prep_live", "stream_outer_join_live",
-    "stream_sliding_distinct_live", "stream_full_outer_join_live",
-    "stream_agg_update_live", "sample_exact_k", "split_groupwise",
+    # (b) new round-12 registrations — 7 keys
+    "sink_tar_shards", "stream_archive_live", "stream_archive_dedup_live",
+    "dedup_incremental", "sim_mrl_rerank", "sim_pq_adc_persisted",
+    "sim_ivfpq_persisted",
+    # (c) changed-implementation re-proof — 1 key
+    "scan_archive",
+    # (d) r5-tier spill — 5 keys
+    "sink_compact", "scan_evolved", "sink_orc", "sort_zorder",
+    "length_buckets",
+    # (d) r6-tier head in registration order — 37 keys
+    "scan_queue", "take_limit", "by_line", "by_chunk",
+    "by_chunk_arrays", "by_element", "adapter_noop", "sink_collect",
+    "sink_discard", "sink_file", "sink_copy", "scan_binary",
+    "agg_group", "agg_distinct", "join_equi", "join_anti",
+    "join_asof", "join_asof_nearest", "join_range",
+    "k_anonymity_audit", "join_bloom", "window_reset_cumsum",
+    "window_rolling_regression", "quantile_exact_2pass", "cdc_apply",
+    "cdc_time_travel", "scd2_build", "window_rolling_median",
+    "bm25_score", "vocab_coverage", "embed_pq", "sim_pq_adc",
+    "sim_ivfpq", "embed_truncate_energy", "media_audio_rms",
+    "udf_arrow", "triangle_count",
 )
 
 

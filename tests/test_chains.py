@@ -172,20 +172,12 @@ def test_take_stress_reference_scale(spark):
 # the staleness data can't derive. New registrations need no list: under
 # the _PLANNED_FROM_ROUND clamp they have no driver row, so the
 # membership test auto-derives them as must-gate.
-ROUND11_CHANGED = {
-    # ADVICE r10 medium: _pr_frames/_pr_round gained the dangling-mass
-    # machinery (+ MATERIALIZED round SQL), shared with the newly
-    # registered pagerank_converged
-    "pagerank_iter",
-    # oracle refactored through the shared _pca_round_ctes builder
-    # (MATERIALIZED), shared with the newly registered
-    # pca_power_converged
-    "embed_pca_power_iter",
-    # BENCH_NOTES r10 queue (c): tail rerouted through bpe_apply_merges
-    "bpe_apply",
-    # BENCH_NOTES r10 queue (a): streaming/take.py drains through
-    # _drain_sorted (whole-batch lexsort instead of per-chunk sort)
-    "stream_take_live",
+ROUND12_CHANGED = {
+    # r11 ADVICE: the shared archive_member_rows split now dispatches
+    # ZIP/tar on the leading magic bytes (PK\x03\x04) instead of the
+    # filename extension, and the oracle moved to interpolated
+    # grouping constants + non-truncating printf zero-pads
+    "scan_archive",
 }
 
 
@@ -206,7 +198,7 @@ def test_gate_window_membership():
     window = list(e.queries())[:50]
     rows, latest = driver_rounds(max_round=registry._PLANNED_FROM_ROUND)
     never = {q for q, rs in rows.items() if not rs}
-    must_gate = never | ROUND11_CHANGED
+    must_gate = never | ROUND12_CHANGED
     missing = must_gate - set(window)
     assert not missing, f"rotated out of the 50-entry gate window: {missing}"
     assert len(window) == 50

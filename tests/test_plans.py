@@ -416,6 +416,20 @@ HEADLINE_PINS = {
     "kcore_converged": (1, 0),
     "pca_power_converged": (0, 0),
     "kmeans_fit": (0, 0),
+    # round-12 additions (fingerprinted at sf0.001 at introduction)
+    # the shard pack+write is eager (applyInPandas collect); the gated
+    # read-back is binaryFile + Arrow member split, map-only
+    "sink_tar_shards": (0, 0),
+    # slice fp hash + within-slice min window; the claim join
+    # broadcasts at gate scale (AQE-measured small — at 100 TB it
+    # shuffle-joins or goes bucketed, see write_claims_bucketed)
+    "dedup_incremental": (2, 0),
+    # serving from the loaded artifacts: codes scan + broadcast LUT +
+    # per-query rank — the index SAVE is eager and not in this plan
+    "sim_pq_adc_persisted": (2, 0),
+    "sim_ivfpq_persisted": (2, 0),
+    # prefix-retrieve rank + full-dim rerank rank, one exchange
+    "sim_mrl_rerank": (1, 0),
 }
 
 

@@ -1,0 +1,227 @@
+"""Round-12 operator tests: claim-table maintenance (advance /
+compact / bucketed co-partition — r11 verdict item 4), the composed
+streaming archive-ingestion invariants, and the persisted-surface
+registration glue."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+
+def _claims_rows(spark, cdir):
+    """The claim table's logical content: sorted (fp, first_id) pairs
+    (slice layout is storage, not semantics)."""
+    return sorted(
+        (r.fp, r.first_id)
+        for r in spark.read.parquet(cdir).select("fp", "first_id").collect()
+    )
+
+
+def test_claim_table_n_advances_equal_one_shot(spark, sf_dir, tmp_path):
+    """The nightly-batch state machine (r11 verdict item 4): splitting
+    the corpus into 3 slices and running build -> admit -> advance ->
+    admit -> advance must leave EXACTLY the one-shot claim table —
+    same (fp, first_id) rows bit-for-bit — both before and after
+    compaction, and the union of per-slice admitted doc_ids must be
+    the one-shot dedup_exact first-arrival set."""
+    from flod_spark.catalog.dedup import (
+        _norm_col,
+        advance_claim_table,
+        build_claim_table,
+        compact_claim_table,
+        dedup_against_claims,
+    )
+    from flod_spark.io import load
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    b1, b2 = n // 3, 2 * n // 3
+    s1 = docs.filter(F.col("doc_id") < b1)
+    s2 = docs.filter((F.col("doc_id") >= b1) & (F.col("doc_id") < b2))
+    s3 = docs.filter(F.col("doc_id") >= b2)
+
+    inc_dir = str(tmp_path / "claims_inc")
+    build_claim_table(s1, inc_dir)
+    admitted_ids = {
+        r.doc_id
+        for r in spark.read.parquet(inc_dir)
+        .select(F.col("first_id").alias("doc_id"))
+        .collect()
+    }
+    for i, sl in ((1, s2), (2, s3)):
+        verdicts = dedup_against_claims(sl, spark, inc_dir)
+        admitted_ids |= {r.doc_id for r in verdicts.filter("admitted").collect()}
+        advance_claim_table(verdicts, inc_dir, slice_id=i)
+
+    one_dir = str(tmp_path / "claims_one")
+    build_claim_table(docs, one_dir)
+    want = _claims_rows(spark, one_dir)
+    assert _claims_rows(spark, inc_dir) == want and want
+
+    # compaction folds the slices without changing one logical row
+    compact_claim_table(spark, inc_dir)
+    assert _claims_rows(spark, inc_dir) == want
+    # post-compact the physical layout is a single slice again
+    assert {r.slice for r in spark.read.parquet(inc_dir).collect()} == {0}
+
+    # the admitted union is the one-shot first-arrival set
+    h = docs.select("doc_id", F.md5(_norm_col().cast("binary")).alias("fp"))
+    firsts = {
+        r.first_id
+        for r in h.groupBy("fp").agg(F.min("doc_id").alias("first_id")).collect()
+    }
+    assert admitted_ids == firsts
+
+
+def test_claim_table_advance_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """A retried/replayed advance of the SAME slice overwrites its own
+    partition instead of appending: table contents identical after a
+    double advance (the stream_foreach_upsert_live batch_id-guard
+    discipline, expressed as dynamic partition overwrite)."""
+    from flod_spark.catalog.dedup import (
+        advance_claim_table,
+        build_claim_table,
+        dedup_against_claims,
+    )
+    from flod_spark.io import load
+
+    docs = load(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("(MIN(doc_id) + MAX(doc_id)) div 2")).first()[0]
+    cdir = str(tmp_path / "claims")
+    build_claim_table(docs.filter(F.col("doc_id") <= mid), cdir)
+    verdicts = dedup_against_claims(
+        docs.filter(F.col("doc_id") > mid), spark, cdir
+    )
+    advance_claim_table(verdicts, cdir, slice_id=1)
+    once = _claims_rows(spark, cdir)
+    advance_claim_table(verdicts, cdir, slice_id=1)  # replayed job
+    assert _claims_rows(spark, cdir) == once
+    # and the fp column stayed unique (no fan-out fuel for later joins)
+    total = spark.read.parquet(cdir).count()
+    assert total == len({fp for fp, _ in once}) == len(once)
+
+
+def test_bucketed_claims_anti_join_has_no_claims_shuffle(spark, sf_dir):
+    """The 100 TB co-partition promise (r11 verdict item 4): with the
+    claim table written BUCKETED (and sorted) by fp and the slice's
+    fingerprints bucketed the same way, the admission anti-join plans
+    with ZERO shuffle exchanges and ZERO sorts — both sides scan
+    straight into the SortMergeJoin from their buckets."""
+    from flod_spark.catalog.dedup import _norm_col, write_claims_bucketed
+    from flod_spark.io import load
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    tag = uuid.uuid4().hex[:8]
+    tc, ts = f"t_claims_{tag}", f"t_slice_{tag}"
+    docs = load(spark, sf_dir, "documents")
+    h = docs.select("doc_id", F.md5(_norm_col().cast("binary")).alias("fp"))
+    mid = docs.agg(F.expr("(MIN(doc_id) + MAX(doc_id)) div 2")).first()[0]
+    claims = (
+        h.filter(F.col("doc_id") <= mid)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("first_id"))
+    )
+    write_claims_bucketed(claims, spark, tc, buckets=8)
+    (
+        h.filter(F.col("doc_id") > mid)
+        .repartition(8, F.col("fp"))  # one file per bucket (see helper)
+        .write.mode("overwrite")
+        .bucketBy(8, "fp")
+        .sortBy("fp")
+        .format("parquet")
+        .saveAsTable(ts)
+    )
+    try:
+        # force the join path (a broadcast would hide the property) and
+        # let the scan expose the bucket sort order (safe here: the
+        # one-file-per-bucket write makes the sortBy metadata true)
+        prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
+        try:
+            survivors = spark.table(ts).join(
+                spark.table(tc), "fp", "left_anti"
+            )
+            plan = (
+                survivors._jdf.queryExecution().executedPlan().toString()
+            )
+            # the join is still CORRECT: survivors = unclaimed fps
+            got = {r.fp for r in survivors.select("fp").distinct().collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+            spark.conf.set(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+            )
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # bucket-sorted scans feed the SMJ directly — no Sort operator
+        assert "Sort [" not in plan, plan
+        assert plan.count("Bucketed: true") == 2, plan
+        claimed = {r.fp for r in spark.table(tc).collect()}
+        slice_fps = {r.fp for r in spark.table(ts).select("fp").collect()}
+        assert got == slice_fps - claimed and got
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tc}")
+        spark.sql(f"DROP TABLE IF EXISTS {ts}")
+
+
+def test_archive_member_rows_dispatches_on_magic_not_name(spark, tmp_path):
+    """The r11 ADVICE fix: a ZIP named .tar (and a tar named .zip) must
+    still split correctly — dispatch reads the leading PK\\x03\\x04
+    magic, not the filename extension."""
+    import io
+    import os
+    import tarfile
+    import zipfile
+
+    from flod_spark.catalog.surface import archive_member_rows
+
+    adir = str(tmp_path / "misnamed")
+    os.makedirs(adir)
+    # a ZIP whose name says .tar
+    with zipfile.ZipFile(os.path.join(adir, "lies.tar"), "w") as z:
+        z.writestr("a.txt", b"alpha")
+    # a tar whose name says .zip
+    with tarfile.open(os.path.join(adir, "fibs.zip"), "w") as t:
+        b = b"bravo"
+        ti = tarfile.TarInfo("b.txt")
+        ti.size = len(b)
+        t.addfile(ti, io.BytesIO(b))
+    raw = spark.read.format("binaryFile").load(adir)
+    got = {
+        (r.archive, r.member, r.n_bytes)
+        for r in archive_member_rows(raw).collect()
+    }
+    assert got == {("lies.tar", "a.txt", 5), ("fibs.zip", "b.txt", 5)}
+
+
+def test_stream_archive_dedup_admits_exactly_first_arrivals(spark, sf_dir):
+    """The composed ingestion invariant end-to-end at test scale: the
+    admitted member set equals one member per distinct content, and
+    every admitted member is the min-doc_id carrier of its md5 (the
+    oracle's rank-1 rows) — i.e. the re-delivered copies at
+    doc_id + _DUP_OFFSET never survive."""
+    import __spark_entry__ as entry
+
+    from flod_spark.catalog.surface import _DUP_OFFSET
+    from flod_spark.io import load
+
+    got = entry.queries()["stream_archive_dedup_live"](spark, sf_dir)
+    rows = got.collect()
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    import hashlib
+
+    want = {}
+    for r in docs:
+        fp = hashlib.md5(r.text.encode("utf-8")).hexdigest()
+        if fp not in want or r.doc_id < want[fp]:
+            want[fp] = r.doc_id
+    assert {(r.content_md5, r.member) for r in rows} == {
+        (fp, f"doc_{did:06d}.txt") for fp, did in want.items()
+    }
+    # no admitted member carries a re-delivered id
+    assert all(int(r.member[4:-4]) < _DUP_OFFSET for r in rows)
