@@ -225,3 +225,53 @@ def test_stream_archive_dedup_admits_exactly_first_arrivals(spark, sf_dir):
     }
     # no admitted member carries a re-delivered id
     assert all(int(r.member[4:-4]) < _DUP_OFFSET for r in rows)
+
+
+def test_archive_pack_split_roundtrip_edge_contents(spark, tmp_path):
+    """Edge-content round-trip through BOTH archive writers and the
+    shared split: empty docs, 1-char docs, multi-byte UTF-8 (CJK +
+    emoji + combining marks), embedded NUL, bare \\r and \\r\\n line
+    ends, and a >4 KB doc — every member must come back with the
+    exact source bytes (length + md5), in both the mixed zip/tar
+    fixture layout and the tar-shard layout."""
+    import hashlib
+
+    from flod_spark.catalog.surface import (
+        _pack_archive_fixture,
+        archive_member_rows,
+        pack_tar_shards,
+    )
+
+    texts = [
+        "",
+        "a",
+        "héllo wörld é" * 7,
+        "漢字とカナ🙂🙃" * 11,
+        "é́́ combining",
+        "nul\x00byte",
+        "cr\rlf\r\nmix\n",
+        "x" * 5001,
+        " \t leading and trailing \t ",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = {
+        f"doc_{i:06d}.txt": (
+            len(t.encode("utf-8")),
+            hashlib.md5(t.encode("utf-8")).hexdigest(),
+        )
+        for i, t in enumerate(texts)
+    }
+    for layout, adir in (
+        ("fixture", _pack_archive_fixture(docs)),
+        ("shards", str(tmp_path / "edge_shards")),
+    ):
+        if layout == "shards":
+            pack_tar_shards(docs, adir, shard_docs=4).collect()
+        raw = spark.read.format("binaryFile").load(adir)
+        got = {
+            r.member: (r.n_bytes, r.content_md5)
+            for r in archive_member_rows(raw).collect()
+        }
+        assert got == want, layout
