@@ -613,7 +613,12 @@ def stream_archive_members(
 _SHARD_DOCS = 50
 
 
-def pack_tar_shards(docs: DataFrame, out_dir: str, shard_docs: int = _SHARD_DOCS) -> DataFrame:
+def pack_tar_shards(
+    docs: DataFrame,
+    out_dir: str,
+    shard_docs: int = _SHARD_DOCS,
+    name_prefix: str = "shard_",
+) -> DataFrame:
     """DISTRIBUTED tar-shard writer — the WRITE half of the archive
     story (WebDataset layout: training samples ship as fixed-size tar
     shards; this is how a 100 TB multimodal corpus is materialized for
@@ -653,7 +658,7 @@ def pack_tar_shards(docs: DataFrame, out_dir: str, shard_docs: int = _SHARD_DOCS
                 ti.mtime = 0
                 t.addfile(ti, _io.BytesIO(b))
         data = buf.getvalue()
-        path = _os.path.join(out_dir, f"shard_{int(shard):05d}.tar")
+        path = _os.path.join(out_dir, f"{name_prefix}{int(shard):05d}.tar")
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(data)
@@ -918,4 +923,49 @@ def stream_archive_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     admitted = drop_duplicates_unbounded(members, "content_md5")
     return _drain(admitted, spark, cleanup=(adir,)).select(
         "member", "n_bytes", "content_md5"
+    )
+
+
+def stream_pack_tar_shards(
+    docs_stream: DataFrame,
+    out_dir: str,
+    ckpt_dir: str,
+    shard_docs: int = _SHARD_DOCS,
+):
+    """STREAMING tar-shard SINK — the write half of the streaming
+    ingestion loop (stream in -> WebDataset shards out, the shape a
+    Kafka-fed training-corpus materializer has): each micro-batch runs
+    pack_tar_shards over ITS OWN rows with a batch-scoped shard prefix
+    (``shard_b<batch>_<shard>.tar``), so batches never collide on file
+    names and a RETRIED batch rewrites exactly its own shards — and
+    because the pack is byte-deterministic (sorted members, zeroed
+    mtimes) and each file publishes via atomic rename, the rewrite is
+    bit-identical: the sink is idempotent per batch_id without a
+    transaction log (the stream_foreach_upsert_live discipline applied
+    to file output; pytest-pinned in tests/test_round12_ops.py).
+    Returns the started StreamingQuery. Queued for round-13
+    registration (oracle = the member closed form through
+    archive_member_rows — member names are doc_id arithmetic, so the
+    set is batch-composition independent).
+
+    Scale: per batch this is pack_tar_shards' plan — one hash shuffle
+    on the shard key, then map-side pack+write straight to object
+    storage; the driver-side manifest collect is one row per shard per
+    batch (a production job appends it to a manifest table instead).
+    Shard size and trigger size are independent knobs: shard_docs
+    bounds the tar a dataloader streams, maxFilesPerTrigger/
+    maxOffsetsPerTrigger bounds the batch."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pack_tar_shards(
+            batch_df,
+            out_dir,
+            shard_docs=shard_docs,
+            name_prefix=f"shard_b{int(batch_id):05d}_",
+        ).collect()  # bounded: one manifest row per shard in this batch
+
+    return (
+        docs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .start()
     )

@@ -275,3 +275,77 @@ def test_archive_pack_split_roundtrip_edge_contents(spark, tmp_path):
             for r in archive_member_rows(raw).collect()
         }
         assert got == want, layout
+
+
+def test_stream_pack_tar_shards_roundtrip_and_batch_retry(spark, sf_dir, tmp_path):
+    """The STREAMING tar-shard sink (queued for r13 registration):
+    documents replayed in 4 micro-batches pack to batch-scoped shard
+    files; (a) reading every shard back through the shared member
+    split recovers every document byte-exactly, (b) batch-scoped
+    names make shard files batch-disjoint, and (c) a RETRIED batch
+    (the same rows re-packed under the same batch prefix) rewrites
+    its own files BIT-IDENTICALLY — idempotence without a
+    transaction log."""
+    import glob
+    import hashlib
+    import os
+
+    from flod_spark.catalog.surface import (
+        archive_member_rows,
+        pack_tar_shards,
+        stream_pack_tar_shards,
+    )
+    from flod_spark.io import load
+    from flod_spark.streaming.replay import replay_stream
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # replay orders by a time column — derive one from doc_id (1 µs/doc)
+    timed = docs.withColumn(
+        "ts",
+        F.expr(
+            "timestampadd(MICROSECOND, doc_id, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ),
+    )
+    spool = str(tmp_path / "doc_spool")
+    stream = replay_stream(spark, timed, "ts", spool, n_batches=4)
+    out = str(tmp_path / "stream_shards")
+    os.makedirs(out)
+    q = stream_pack_tar_shards(
+        stream, out, str(tmp_path / "ck"), shard_docs=50
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # (a) byte-exact round trip of the full corpus
+    raw = spark.read.format("binaryFile").load(out)
+    got = {
+        r.member: (r.n_bytes, r.content_md5)
+        for r in archive_member_rows(raw).collect()
+    }
+    src = docs.collect()
+    assert len(got) == len(src)
+    for row in src:
+        b = row.text.encode("utf-8")
+        assert got[f"doc_{row.doc_id:06d}.txt"] == (
+            len(b),
+            hashlib.md5(b).hexdigest(),
+        )
+    # (b) four batches, batch-disjoint file names
+    prefixes = {os.path.basename(p).split("_")[1] for p in glob.glob(out + "/*.tar")}
+    assert len(prefixes) == 4, prefixes
+    # (c) retry of batch 0: re-pack exactly the rows batch 0 owned
+    # (recovered from its own shard files' member names — the stream's
+    # file-pickup order need not match the spool's name order)
+    b0_files = sorted(glob.glob(out + "/shard_b00000_*.tar"))
+    before = {p: open(p, "rb").read() for p in b0_files}
+    b0_ids = {
+        int(r.member[4:-4])
+        for r in archive_member_rows(
+            spark.read.format("binaryFile").load(out + "/shard_b00000_*.tar")
+        ).collect()
+    }
+    b0 = docs.filter(F.col("doc_id").isin(sorted(b0_ids)))
+    pack_tar_shards(b0, out, shard_docs=50, name_prefix="shard_b00000_").collect()
+    after = {p: open(p, "rb").read() for p in sorted(glob.glob(out + "/shard_b00000_*.tar"))}
+    assert after == before and before
