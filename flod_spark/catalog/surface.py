@@ -508,7 +508,7 @@ def scan_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ARCH_DOCS = 25
 
 
-def archive_member_rows(raw: DataFrame) -> DataFrame:
+def archive_member_rows(raw: DataFrame, keep_content: bool = False) -> DataFrame:
     """(path, content) binary-file rows -> one row per archive MEMBER:
     (archive, member, n_bytes, content_md5) via an Arrow-batched stdlib
     zipfile/tarfile split — the engine half of scan_archive, shared by
@@ -517,8 +517,11 @@ def archive_member_rows(raw: DataFrame) -> DataFrame:
     pack_tar_shards round-trip test. ZIP vs tar dispatches on the
     archive's LEADING MAGIC BYTES (PK\\x03\\x04), not the filename, so
     a mis-named archive still takes the right split path. Map-only;
-    member blobs die here unless projected on; works identically on
-    batch and streaming inputs (mapInPandas is stateless)."""
+    member blobs die here UNLESS ``keep_content`` adds them as a
+    binary column (the re-materialization path: ingest -> dedup ->
+    repack needs the bytes downstream — pay for them only when asked);
+    works identically on batch and streaming inputs (mapInPandas is
+    stateless)."""
     import io
     import os
     import tarfile
@@ -530,7 +533,7 @@ def archive_member_rows(raw: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            out_a, out_m, out_n, out_h = [], [], [], []
+            out_a, out_m, out_n, out_h, out_c = [], [], [], [], []
             for path, blob in zip(pdf["path"], pdf["content"]):
                 name = os.path.basename(path)
                 data = bytes(blob)
@@ -550,22 +553,29 @@ def archive_member_rows(raw: DataFrame) -> DataFrame:
                     out_m.append(member)
                     out_n.append(len(data))
                     out_h.append(hashlib.md5(data).hexdigest())
-            yield pd.DataFrame(
-                {
-                    "archive": pd.Series(out_a, dtype="object"),
-                    "member": pd.Series(out_m, dtype="object"),
-                    "n_bytes": pd.Series(out_n, dtype="int64"),
-                    "content_md5": pd.Series(out_h, dtype="object"),
-                }
-            )
+                    if keep_content:
+                        out_c.append(data)
+            cols = {
+                "archive": pd.Series(out_a, dtype="object"),
+                "member": pd.Series(out_m, dtype="object"),
+                "n_bytes": pd.Series(out_n, dtype="int64"),
+                "content_md5": pd.Series(out_h, dtype="object"),
+            }
+            if keep_content:
+                cols["content"] = pd.Series(out_c, dtype="object")
+            yield pd.DataFrame(cols)
 
-    return raw.select("path", "content").mapInPandas(
-        split, "archive string, member string, n_bytes long, content_md5 string"
-    )
+    schema = "archive string, member string, n_bytes long, content_md5 string"
+    if keep_content:
+        schema += ", content binary"
+    return raw.select("path", "content").mapInPandas(split, schema)
 
 
 def stream_archive_members(
-    spark: SparkSession, archive_dir: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    archive_dir: str,
+    max_files_per_trigger: int = 1,
+    keep_content: bool = False,
 ) -> DataFrame:
     """STREAMING archive member scan — the live form of scan_archive
     (the roadmap row's literal reading: archives ARRIVE and their
@@ -605,7 +615,7 @@ def stream_archive_members(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(archive_dir)
     )
-    return archive_member_rows(raw)
+    return archive_member_rows(raw, keep_content=keep_content)
 
 
 # tar-shard writer grouping: members per output shard (the WebDataset

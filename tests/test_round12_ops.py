@@ -349,3 +349,78 @@ def test_stream_pack_tar_shards_roundtrip_and_batch_retry(spark, sf_dir, tmp_pat
     pack_tar_shards(b0, out, shard_docs=50, name_prefix="shard_b00000_").collect()
     after = {p: open(p, "rb").read() for p in sorted(glob.glob(out + "/shard_b00000_*.tar"))}
     assert after == before and before
+
+
+def test_full_streaming_ingestion_loop_archives_to_clean_shards(
+    spark, sf_dir, tmp_path
+):
+    """The COMPLETE streaming curation loop in ONE query (the shape a
+    crawl-to-dataloader pipeline has): tar shards ARRIVE (including
+    fully re-delivered duplicate shards), members split out WITH their
+    bytes, claim-state dedup admits first arrivals only, and admitted
+    members re-materialize as clean batch-scoped tar shards — then
+    reading the OUTPUT shards back yields exactly one byte-exact
+    member per distinct content (the canonical min-doc_id carrier)."""
+    import glob
+    import hashlib
+    import os
+
+    from flod_spark.catalog.surface import (
+        _DUP_OFFSET,
+        archive_member_rows,
+        pack_tar_shards,
+        stream_archive_members,
+        stream_pack_tar_shards,
+    )
+    from flod_spark.io import load
+    from flod_spark.streaming.dedup import drop_duplicates_unbounded
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    redelivered = docs.select(
+        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"), "text"
+    )
+    n = docs.count()
+    adir = str(tmp_path / "arrivals")
+    man = pack_tar_shards(
+        docs.unionByName(redelivered), adir, shard_docs=max(1, -(-n // 5))
+    ).collect()
+    for i, r in enumerate(sorted(man, key=lambda r: r.shard)):
+        os.utime(r.path, (1_600_000_000 + i, 1_600_000_000 + i))
+
+    members = stream_archive_members(
+        spark, adir, max_files_per_trigger=1, keep_content=True
+    )
+    admitted = drop_duplicates_unbounded(members, "content_md5")
+    clean = admitted.select(
+        F.regexp_extract("member", r"doc_(\d+)\.txt", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").cast("string").alias("text"),
+    )
+    out = str(tmp_path / "clean_shards")
+    os.makedirs(out)
+    q = stream_pack_tar_shards(clean, out, str(tmp_path / "ck"), shard_docs=100)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.member: (r.n_bytes, r.content_md5)
+        for r in archive_member_rows(
+            spark.read.format("binaryFile").load(out)
+        ).collect()
+    }
+    # exactly one member per distinct content, the min-doc_id carrier,
+    # byte-exact — and no re-delivered id anywhere
+    want = {}
+    for row in docs.collect():
+        b = row.text.encode("utf-8")
+        fp = hashlib.md5(b).hexdigest()
+        if fp not in want or row.doc_id < want[fp][0]:
+            want[fp] = (row.doc_id, len(b), fp)
+    assert got == {
+        f"doc_{did:06d}.txt": (nb, fp) for did, nb, fp in want.values()
+    }
+    assert all(int(m[4:-4]) < _DUP_OFFSET for m in got)
+    assert len(glob.glob(out + "/*.tar")) >= 5  # batch-scoped shards
