@@ -424,3 +424,121 @@ def test_full_streaming_ingestion_loop_archives_to_clean_shards(
     }
     assert all(int(m[4:-4]) < _DUP_OFFSET for m in got)
     assert len(glob.glob(out + "/*.tar")) >= 5  # batch-scoped shards
+
+
+def test_stream_archive_dedup_under_rocksdb_state_store(spark, sf_dir):
+    """Provider invariance for the composed ingestion qkey: the
+    claim-state dedup (dropDuplicates keyed on content_md5) returns
+    the identical admitted member set under RocksDBStateStoreProvider
+    — the provider a production cluster runs for large claim states."""
+    import __spark_entry__ as entry
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    fn = entry.queries()["stream_archive_dedup_live"]
+    default = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    spark.conf.set(key, provider)
+    try:
+        rocks = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    finally:
+        spark.conf.unset(key)
+    assert rocks == default and rocks
+
+
+def test_stream_pack_tar_shards_checkpoint_restart_continues(
+    spark, sf_dir, tmp_path
+):
+    """Checkpoint continuation for the streaming shard sink: stop the
+    query after the first wave of input, add more input, RESTART from
+    the same checkpoint — batch ids continue (no reprocessing of the
+    committed wave, no file collisions) and the final shard set holds
+    every document byte-exactly, once."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    from flod_spark.catalog.surface import (
+        archive_member_rows,
+        stream_pack_tar_shards,
+    )
+    from flod_spark.io import load
+    from flod_spark.streaming.replay import replay_stream
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    timed = docs.withColumn(
+        "ts",
+        F.expr(
+            "timestampadd(MICROSECOND, doc_id, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ),
+    )
+    # stage all 4 replay files, then hold back the last two
+    staged = str(tmp_path / "staged")
+    replay_stream(spark, timed, "ts", staged, n_batches=4)
+    files = sorted(glob.glob(staged + "/*.parquet"), key=os.path.getmtime)
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    for f in files[:2]:
+        shutil.copy(f, spool)
+        os.utime(
+            os.path.join(spool, os.path.basename(f)),
+            (os.path.getmtime(f), os.path.getmtime(f)),
+        )
+    out = str(tmp_path / "shards")
+    ck = str(tmp_path / "ck")
+    os.makedirs(out)
+
+    def start():
+        return stream_pack_tar_shards(
+            spark.readStream.schema(timed.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(spool),
+            out,
+            ck,
+            shard_docs=50,
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    wave1 = set(glob.glob(out + "/*.tar"))
+    assert wave1
+    wave1_bytes = {p: open(p, "rb").read() for p in wave1}
+    for f in files[2:]:
+        shutil.copy(f, spool)
+        os.utime(
+            os.path.join(spool, os.path.basename(f)),
+            (os.path.getmtime(f), os.path.getmtime(f)),
+        )
+    q = start()  # restart from the same checkpoint
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # wave-1 files untouched (not reprocessed, not collided)
+    for p, b in wave1_bytes.items():
+        assert open(p, "rb").read() == b
+    # batch ids continued past the committed wave
+    prefixes = {os.path.basename(p).split("_")[1] for p in glob.glob(out + "/*.tar")}
+    assert len(prefixes) == 4 and prefixes > {
+        os.path.basename(p).split("_")[1] for p in wave1
+    }
+    # completeness: every document exactly once, byte-exact
+    got = {
+        r.member: (r.n_bytes, r.content_md5)
+        for r in archive_member_rows(
+            spark.read.format("binaryFile").load(out)
+        ).collect()
+    }
+    src = docs.collect()
+    assert len(got) == len(src)
+    for row in src:
+        b = row.text.encode("utf-8")
+        assert got[f"doc_{row.doc_id:06d}.txt"] == (
+            len(b),
+            hashlib.md5(b).hexdigest(),
+        )
