@@ -1445,3 +1445,119 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dedup_against_claims(slice_df, spark, claims_dir)
+
+
+def _band_sig_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bs) band-signature rows with the registered
+    dedup_minhash geometry (SHINGLE/SEEDS/BANDS) — the shared
+    fingerprint unit of the incremental FUZZY dedup pair below."""
+    from flod_spark.operators.minhash import minhash_signatures, shingles
+
+    sh = shingles(docs, "doc_id", SHINGLE, 4000, distinct=False)
+    return minhash_signatures(sh, "doc_id", SEEDS, BANDS)
+
+
+def admit_by_first_carrier(sig: DataFrame, claims: DataFrame) -> DataFrame:
+    """The incremental NEAR-dup admission verdict over band-signature
+    rows: a doc is ADMITTED iff EVERY one of its band signatures is (a)
+    absent from the persisted claims and (b) first carried by this doc
+    within the slice (min doc_id) — i.e. scanning docs in arrival
+    order, none of its signatures was emitted by ANY earlier doc,
+    admitted or rejected. Counting rejected docs' signatures as 'seen'
+    is what makes rejection TRANSITIVE (A~B via band x, B~C via band y
+    -> only A survives even though A and C never collide) and is
+    exactly why incremental processing over doc_id-ordered slices
+    equals the one-shot job bit-for-bit (pytest-pinned).
+
+    Scale: one (band, bs) window min within the slice + one
+    anti-join-shaped left join against claims — both on signature-sized
+    keys; text never reaches either exchange."""
+    w = Window.partitionBy("band", "bs")
+    first = F.col("doc_id") == F.min("doc_id").over(w)
+    seen = claims.select("band", "bs").distinct().withColumn("_seen", F.lit(True))
+    per_sig = sig.join(seen, ["band", "bs"], "left").select(
+        "doc_id",
+        (first & F.col("_seen").isNull()).cast("int").alias("_novel"),
+    )
+    return per_sig.groupBy("doc_id").agg(
+        (F.min("_novel") == 1).alias("admitted")
+    )
+
+
+def build_minhash_claims(docs: DataFrame, claims_dir: str) -> None:
+    """Materialize the FUZZY claim table — (band, bs, first_id), one
+    row per band signature ever seen with its first carrier — the
+    dedup_incremental analog for NEAR-duplicates (the nightly fuzzy
+    dedup job's persisted state). Same slice-partitioned layout and
+    idempotent-advance discipline as the exact claim table.
+
+    Scale: signatures are |docs| x BANDS short strings; the build is
+    one partial-agg exchange on (band, bs); the table never stores
+    text or shingles."""
+    (
+        _band_sig_rows(docs)
+        .groupBy("band", "bs")
+        .agg(F.min("doc_id").alias("first_id"))
+        .withColumn("slice", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("slice")
+        .parquet(claims_dir)
+    )
+
+
+def dedup_minhash_against_claims(
+    docs: DataFrame, spark: SparkSession, claims_dir: str
+) -> DataFrame:
+    """Near-dup dedup of a NEW SLICE against the persisted fuzzy claim
+    table: (doc_id, admitted) by admit_by_first_carrier over the
+    slice's band signatures. The caller then advances the table with
+    advance_minhash_claims; nothing ever rescans prior slices' text —
+    the claim table carries everything transitivity needs.
+
+    Scale: dedup_minhash's signature cost (map-side shingle hashing +
+    one per-doc partial agg) + the signature-keyed admission joins."""
+    claims = spark.read.parquet(claims_dir)
+    return admit_by_first_carrier(_band_sig_rows(docs), claims)
+
+
+def advance_minhash_claims(
+    docs: DataFrame, spark: SparkSession, claims_dir: str, slice_id: int
+) -> None:
+    """ADVANCE the fuzzy claim table with one slice's signatures: every
+    (band, bs) the slice carries that is not yet claimed lands as
+    partition ``slice=<slice_id>`` with its within-slice first carrier
+    (dynamic partition overwrite — replayed advances are idempotent,
+    the advance_claim_table discipline). ALL slice signatures advance,
+    not only admitted docs' — rejected docs' signatures must become
+    'seen' or transitive rejection breaks on the next slice.
+
+    Scale: one signature-level groupBy + one anti-join against the
+    current claims; compact with compact_claim_table's pattern when
+    slice count grows."""
+    sig = (
+        _band_sig_rows(docs)
+        .groupBy("band", "bs")
+        .agg(F.min("doc_id").alias("first_id"))
+    )
+    # exclude the slice being (re)written from the dedup base: a crashed
+    # half-written advance must not hide its own partial rows from the
+    # retry — the retry recomputes the FULL partition and dynamic
+    # overwrite replaces it whole
+    existing = (
+        spark.read.parquet(claims_dir)
+        .filter(F.col("slice") != int(slice_id))
+        .select("band", "bs")
+        .distinct()
+    )
+    fresh = sig.join(existing, ["band", "bs"], "left_anti")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            fresh.withColumn("slice", F.lit(int(slice_id)))
+            .write.mode("overwrite")
+            .partitionBy("slice")
+            .parquet(claims_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -542,3 +542,99 @@ def test_stream_pack_tar_shards_checkpoint_restart_continues(
             len(b),
             hashlib.md5(b).hexdigest(),
         )
+
+
+def test_admit_by_first_carrier_transitive_rejection():
+    """The fuzzy-admission contract on a handcrafted signature frame:
+    A(1)~B(2) share band-sig x, B(2)~C(3) share y, A and C share
+    nothing — only A survives, because B's signatures count as 'seen'
+    even though B itself was rejected (transitive rejection). D(4)
+    shares nothing and survives; E(5) collides with the persisted
+    claims and dies."""
+    from flod_spark.catalog.dedup import admit_by_first_carrier
+    from flod_spark.session import get_spark
+
+    spark = get_spark("flod-spark-tests", cpus=8, shuffle_partitions=8)
+    sig = spark.createDataFrame(
+        [
+            (1, 0, "x"), (1, 1, "a1"),
+            (2, 0, "x"), (2, 1, "y"),
+            (3, 1, "y"), (3, 0, "c0"),
+            (4, 0, "d0"), (4, 1, "d1"),
+            (5, 0, "e0"), (5, 1, "claimed"),
+        ],
+        "doc_id long, band int, bs string",
+    )
+    claims = spark.createDataFrame([(1, "claimed")], "band int, bs string")
+    got = {r.doc_id: r.admitted for r in admit_by_first_carrier(sig, claims).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: True, 5: False}
+
+
+def test_minhash_incremental_matches_one_shot(spark, sf_dir, tmp_path):
+    """The incremental FUZZY dedup theorem: with doc_id-ordered slices
+    and all-seen-signatures advancement, claims(half1) + admit(half2)
+    equals the ONE-SHOT first-carrier job restricted to half2 — and a
+    replayed advance admits nothing. (Counting rejected docs'
+    signatures as seen is what makes this exact; admitted-only claims
+    would under-reject across slices.)"""
+    from flod_spark.catalog.dedup import (
+        _band_sig_rows,
+        admit_by_first_carrier,
+        advance_minhash_claims,
+        build_minhash_claims,
+        dedup_minhash_against_claims,
+    )
+    from flod_spark.io import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.agg(F.expr("(MIN(doc_id) + MAX(doc_id)) div 2")).first()[0]
+    half1 = docs.filter(F.col("doc_id") <= mid)
+    half2 = docs.filter(F.col("doc_id") > mid)
+    cdir = str(tmp_path / "fuzzy_claims")
+    build_minhash_claims(half1, cdir)
+    got = {
+        r.doc_id
+        for r in dedup_minhash_against_claims(half2, spark, cdir)
+        .filter("admitted")
+        .collect()
+    }
+    # one-shot reference: empty claims, whole corpus, same contract
+    empty = spark.createDataFrame([], "band int, bs string")
+    ref = {
+        r.doc_id
+        for r in admit_by_first_carrier(_band_sig_rows(docs), empty)
+        .filter("admitted")
+        .collect()
+        if r.doc_id > mid
+    }
+    assert got == ref and got
+    # advance + replay: every half2 signature is now claimed
+    advance_minhash_claims(half2, spark, cdir, slice_id=1)
+    replay = dedup_minhash_against_claims(half2, spark, cdir)
+    assert replay.filter("admitted").count() == 0
+    # advance idempotence: same slice again, table unchanged
+    before = sorted(
+        (r.band, r.bs, r.first_id)
+        for r in spark.read.parquet(cdir).collect()
+    )
+    advance_minhash_claims(half2, spark, cdir, slice_id=1)
+    after = sorted(
+        (r.band, r.bs, r.first_id)
+        for r in spark.read.parquet(cdir).collect()
+    )
+    assert after == before
+    # crash-retry repair: damage the slice partition (simulate a
+    # half-written advance), re-advance — the retry recomputes the
+    # FULL partition, so the table is restored bit-for-bit
+    import glob
+    import os
+
+    victims = glob.glob(cdir + "/slice=1/*.parquet")
+    assert victims
+    os.remove(victims[0])
+    advance_minhash_claims(half2, spark, cdir, slice_id=1)
+    repaired = sorted(
+        (r.band, r.bs, r.first_id)
+        for r in spark.read.parquet(cdir).collect()
+    )
+    assert repaired == before
