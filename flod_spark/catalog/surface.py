@@ -508,20 +508,48 @@ def scan_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ARCH_DOCS = 25
 
 
+def _warc_records(data: bytes) -> list:
+    """Parse plain (uncompressed) WARC bytes into (member, payload)
+    pairs — stdlib-only: read CRLF headers to the blank line, take
+    Content-Length payload bytes, skip the record separator, repeat.
+    Only `WARC-Type: response` records yield members (warcinfo/request
+    records are crawl plumbing); the member name is the
+    WARC-Target-URI value. Per-record gzip members (.warc.gz) are out
+    of scope here — decompress upstream or shard plain, as the fixture
+    writer does."""
+    pairs = []
+    pos = 0
+    while pos < len(data):
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            break
+        headers = {}
+        for ln in data[pos:head_end].split(b"\r\n")[1:]:  # [0] is WARC/1.x
+            k, _, v = ln.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        n = int(headers[b"content-length"])
+        body = data[head_end + 4 : head_end + 4 + n]
+        if headers.get(b"warc-type") == b"response":
+            pairs.append((headers[b"warc-target-uri"].decode("utf-8"), body))
+        pos = head_end + 4 + n + 4  # payload + \r\n\r\n separator
+    return pairs
+
+
 def archive_member_rows(raw: DataFrame, keep_content: bool = False) -> DataFrame:
     """(path, content) binary-file rows -> one row per archive MEMBER:
     (archive, member, n_bytes, content_md5) via an Arrow-batched stdlib
-    zipfile/tarfile split — the engine half of scan_archive, shared by
-    the batch scan, the streaming twin (stream_archive_members: the
-    binaryFile source streams with an explicit schema), and the
-    pack_tar_shards round-trip test. ZIP vs tar dispatches on the
-    archive's LEADING MAGIC BYTES (PK\\x03\\x04), not the filename, so
-    a mis-named archive still takes the right split path. Map-only;
-    member blobs die here UNLESS ``keep_content`` adds them as a
-    binary column (the re-materialization path: ingest -> dedup ->
-    repack needs the bytes downstream — pay for them only when asked);
-    works identically on batch and streaming inputs (mapInPandas is
-    stateless)."""
+    zipfile/tarfile/WARC split — the engine half of scan_archive,
+    shared by the batch scan, the streaming twin
+    (stream_archive_members: the binaryFile source streams with an
+    explicit schema), and the pack_tar_shards round-trip test. The
+    container dispatches on the archive's LEADING MAGIC BYTES
+    (PK\\x03\\x04 -> ZIP, WARC/ -> plain WARC, else tar), not the
+    filename, so mixed crawl directories scan uniformly through one
+    code path. Map-only; member blobs die here UNLESS ``keep_content``
+    adds them as a binary column (the re-materialization path: ingest
+    -> dedup -> repack needs the bytes downstream — pay for them only
+    when asked); works identically on batch and streaming inputs
+    (mapInPandas is stateless)."""
     import io
     import os
     import tarfile
@@ -541,6 +569,8 @@ def archive_member_rows(raw: DataFrame, keep_content: bool = False) -> DataFrame
                 if data[:4] == b"PK\x03\x04":
                     with zipfile.ZipFile(bio) as z:
                         pairs = [(zi.filename, z.read(zi.filename)) for zi in z.infolist()]
+                elif data[:5] == b"WARC/":
+                    pairs = _warc_records(data)
                 else:
                     with tarfile.open(fileobj=bio) as t:
                         pairs = [
@@ -978,4 +1008,74 @@ def stream_pack_tar_shards(
         docs_stream.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", ckpt_dir)
         .start()
+    )
+
+
+def pack_warc_shards(
+    docs: DataFrame,
+    out_dir: str,
+    shard_docs: int = _SHARD_DOCS,
+    name_prefix: str = "crawl_",
+) -> DataFrame:
+    """DISTRIBUTED plain-WARC shard writer — pack_tar_shards' twin in
+    the crawl-native format (one `response` record per document,
+    WARC-Target-URI = the member name the tar convention uses, so the
+    SAME closed-form oracle covers both containers): rows group by
+    shard = doc_id // shard_docs and each shard's task writes its own
+    byte-deterministic .warc (doc_id-sorted records, fixed WARC-Date,
+    doc_id-derived record ids — no uuids, no clock; two packs are
+    byte-identical). Returns the manifest (shard, path, n_members,
+    n_bytes). Reads back through the uniform archive_member_rows
+    dispatch (WARC/ magic). Queued for r13 registration alongside the
+    tar form.
+
+    Scale: identical to pack_tar_shards — one hash shuffle on the
+    shard key, map-side pack+write per shard, shard size the
+    parallelism knob (CommonCrawl ships ~1 GB WARCs for exactly this
+    reason)."""
+    import io as _io
+    import os as _os
+
+    import pandas as _pd
+
+    _os.makedirs(out_dir, exist_ok=True)
+
+    def pack(key, pdf):
+        (shard,) = key
+        pdf = pdf.sort_values("doc_id")
+        buf = _io.BytesIO()
+        for did, text in zip(pdf["doc_id"], pdf["text"]):
+            body = str(text).encode("utf-8")
+            head = (
+                "WARC/1.0\r\n"
+                "WARC-Type: response\r\n"
+                f"WARC-Record-ID: <urn:flod:doc:{int(did)}>\r\n"
+                "WARC-Date: 2020-01-01T00:00:00Z\r\n"
+                f"WARC-Target-URI: doc_{int(did):06d}.txt\r\n"
+                f"Content-Length: {len(body)}\r\n"
+                "\r\n"
+            ).encode("utf-8")
+            buf.write(head)
+            buf.write(body)
+            buf.write(b"\r\n\r\n")
+        data = buf.getvalue()
+        path = _os.path.join(out_dir, f"{name_prefix}{int(shard):05d}.warc")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        _os.replace(tmp, path)
+        return _pd.DataFrame(
+            {
+                "shard": _pd.Series([int(shard)], dtype="int64"),
+                "path": _pd.Series([path], dtype="object"),
+                "n_members": _pd.Series([len(pdf)], dtype="int64"),
+                "n_bytes": _pd.Series([len(data)], dtype="int64"),
+            }
+        )
+
+    shards = docs.select(
+        "doc_id", "text", F.expr(f"doc_id div {shard_docs}").alias("shard")
+    )
+    return shards.groupBy("shard").applyInPandas(
+        pack, "shard long, path string, n_members long, n_bytes long"
     )
