@@ -200,6 +200,14 @@ HEADLINE = [
     "sim_pq_adc_persisted",
     "sim_ivfpq_persisted",
     "sim_mrl_rerank",
+    # late round-12: the r13 queue pulled forward — the streaming
+    # tar-shard sink gated end-to-end, the full curation loop
+    # (archives in -> dedup -> clean shards out), the crawl-native
+    # WARC writer round-trip, and the incremental fuzzy claim table
+    "stream_sink_tar_live",
+    "stream_curate_loop_live",
+    "sink_warc_shards",
+    "dedup_minhash_incremental",
 ]
 
 

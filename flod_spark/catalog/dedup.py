@@ -1561,3 +1561,60 @@ def advance_minhash_claims(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def _minhash_incremental_oracle() -> str:
+    """Twin of the fuzzy claim-table admission in closed form, built on
+    the SAME generated minhash CTEs as dedup_minhash (signatures depend
+    only on text, so the re-delivered copy at doc_id + _SLICE_OFFSET
+    reuses the original's sig rows instead of recomputing them): claims
+    = the first half's band signatures; a slice doc is admitted iff
+    every one of its signatures is unclaimed AND first-carried by it
+    within the slice (the first-carrier window over sig rows)."""
+    ctes, _ = _minhash_ctes()
+    return (
+        f"WITH {ctes}, "
+        "m AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS mid FROM documents), "
+        "claims AS (SELECT DISTINCT band, bs FROM sig, m WHERE doc_id <= mid), "
+        "ssig AS (SELECT doc_id, band, bs FROM sig "
+        f"  UNION ALL SELECT doc_id + {_SLICE_OFFSET} AS doc_id, band, bs FROM sig), "
+        "v AS (SELECT s.doc_id, CASE WHEN c.band IS NULL "
+        "    AND s.doc_id = MIN(s.doc_id) OVER (PARTITION BY s.band, s.bs) "
+        "    THEN 1 ELSE 0 END AS novel "
+        "  FROM ssig s LEFT JOIN claims c ON s.band = c.band AND s.bs = c.bs) "
+        "SELECT doc_id, MIN(novel) = 1 AS admitted FROM v GROUP BY doc_id"
+    )
+
+
+@query("dedup_minhash_incremental", oracle=_minhash_incremental_oracle())
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL NEAR-DUP dedup against the PERSISTED fuzzy claim
+    table — dedup_incremental's analog for MinHash similarity (the
+    nightly fuzzy dedup job): build_minhash_claims materializes the
+    first half's (band, bs, first_id) signatures, then
+    dedup_minhash_against_claims admits a new slice — the full corpus
+    UNIONed with a re-delivered copy at doc_id + _SLICE_OFFSET — so all
+    three admission paths carry weight at gate scale: claimed
+    signatures REJECT (first half + anything near it), later
+    within-slice carriers REJECT (every re-delivered copy, plus
+    transitive chains: a rejected doc's signatures still count as
+    seen), and fully-novel slice docs ADMIT. Incremental-over-ordered-
+    slices == one-shot (bit-for-bit) and crash-repairing advances are
+    pinned in tests/test_round12_ops.py (advance_minhash_claims).
+
+    Scale: dedup_minhash's signature cost (map-side shingle hashing +
+    one per-doc partial agg) + one (band, bs) window within the slice +
+    one anti-join-shaped left join against claims — signature-sized
+    keys only; no prior slice's text is ever rescanned, which is the
+    point of the persisted fuzzy state at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    mm = docs.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")).first()
+    mid = (mm.mn + mm.mx) // 2
+    claims_dir = tempfile.mkdtemp(prefix="flod_mh_claims_")
+    build_minhash_claims(docs.filter(F.col("doc_id") <= mid), claims_dir)
+    slice_df = docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + F.lit(_SLICE_OFFSET)).alias("doc_id"), "text"
+        )
+    )
+    return dedup_minhash_against_claims(slice_df, spark, claims_dir)

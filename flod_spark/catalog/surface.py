@@ -983,10 +983,11 @@ def stream_pack_tar_shards(
     bit-identical: the sink is idempotent per batch_id without a
     transaction log (the stream_foreach_upsert_live discipline applied
     to file output; pytest-pinned in tests/test_round12_ops.py).
-    Returns the started StreamingQuery. Queued for round-13
-    registration (oracle = the member closed form through
+    Returns the started StreamingQuery. Registered (r12) as
+    stream_sink_tar_live (oracle = the member closed form through
     archive_member_rows — member names are doc_id arithmetic, so the
-    set is batch-composition independent).
+    set is batch-composition independent) and composed end-to-end in
+    stream_curate_loop_live.
 
     Scale: per batch this is pack_tar_shards' plan — one hash shuffle
     on the shard key, then map-side pack+write straight to object
@@ -1026,8 +1027,8 @@ def pack_warc_shards(
     doc_id-derived record ids — no uuids, no clock; two packs are
     byte-identical). Returns the manifest (shard, path, n_members,
     n_bytes). Reads back through the uniform archive_member_rows
-    dispatch (WARC/ magic). Queued for r13 registration alongside the
-    tar form.
+    dispatch (WARC/ magic). Registered (r12) as sink_warc_shards,
+    gated by the same closed-form round-trip as the tar form.
 
     Scale: identical to pack_tar_shards — one hash shuffle on the
     shard key, map-side pack+write per shard, shard size the
@@ -1079,3 +1080,185 @@ def pack_warc_shards(
     return shards.groupBy("shard").applyInPandas(
         pack, "shard long, path string, n_members long, n_bytes long"
     )
+
+
+@query(
+    "sink_warc_shards",
+    oracle=(
+        # round-trip twin of sink_tar_shards in the crawl-native
+        # container: Target-URIs reuse the tar member-name convention,
+        # so the SAME closed form covers both writers — names are
+        # doc_id arithmetic (printf zero-pads, non-truncating),
+        # n_bytes the UTF-8 octet length, md5(text) the payload bytes
+        "SELECT "
+        f"  'crawl_' || printf('%05d', doc_id // {_SHARD_DOCS}) || '.warc' AS archive, "
+        "  'doc_' || printf('%06d', doc_id) || '.txt' AS member, "
+        "  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+        "  md5(text) AS content_md5 "
+        "FROM documents"
+    ),
+)
+def sink_warc_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED plain-WARC shard WRITE, gated through its own
+    round-trip (sink_tar_shards' twin in the crawl-native format —
+    CommonCrawl-shaped corpora ship as ~1 GB WARCs): pack_warc_shards
+    shuffles once on shard = doc_id // _SHARD_DOCS and each shard's
+    TASK writes its own byte-deterministic .warc (doc_id-sorted
+    `response` records, fixed WARC-Date, doc_id-derived record ids —
+    no uuids, no clock; packs are byte-identical, pytest-pinned). The
+    gate re-reads the shards through the UNIFORM archive_member_rows
+    dispatch (WARC/ leading magic — the same split that handles
+    ZIP/tar), so the oracle value-checks every payload byte that went
+    through the writer AND the WARC branch of the reader in one row.
+
+    Scale: identical to sink_tar_shards — one hash shuffle on the
+    shard key, map-side pack+write per shard straight to object
+    storage; shard size is the parallelism knob."""
+    import os
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out_dir = tempfile.mkdtemp(prefix="flod_warcshards_")
+    manifest = pack_warc_shards(docs, out_dir).collect()  # one row per shard
+    assert all(os.path.getsize(r.path) == r.n_bytes for r in manifest)
+    raw = spark.read.format("binaryFile").load(out_dir)
+    return archive_member_rows(raw)
+
+
+@query(
+    "stream_sink_tar_live",
+    oracle=(
+        # batch-composition-independent member closed form: shard FILE
+        # names are batch-scoped (the stream's file-pickup order is not
+        # contractual), but member names, sizes, and payload hashes are
+        # pure doc_id/text arithmetic — the whole corpus must come back
+        # out of the streamed shards byte-exact, exactly once
+        "SELECT 'doc_' || printf('%06d', doc_id) || '.txt' AS member, "
+        "  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+        "  md5(text) AS content_md5 "
+        "FROM documents"
+    ),
+)
+def stream_sink_tar_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING tar-shard SINK, gated end-to-end (the write half of
+    the streaming ingestion loop — a Kafka-fed training-corpus
+    materializer): documents replay in 4 micro-batches
+    (streaming/replay.py) and stream_pack_tar_shards packs each batch
+    into batch-scoped WebDataset shards (``shard_b<batch>_<shard>.tar``
+    — batches never collide on file names; retried batches rewrite
+    their own files BIT-IDENTICALLY via the deterministic pack + atomic
+    rename, and checkpoint restarts continue batch ids without touching
+    committed files, both pinned in tests/test_round12_ops.py). The
+    gate re-reads every streamed shard through the shared member split;
+    the oracle is batch-composition independent because member names
+    are doc_id arithmetic.
+
+    Scale: per batch this is pack_tar_shards' plan — one hash shuffle
+    on the shard key, then map-side pack+write straight to object
+    storage; shard size (tar a dataloader streams) and trigger size
+    (rows per batch) are independent knobs. Idempotence per batch_id
+    comes without a transaction log."""
+    import shutil
+
+    from flod_spark.streaming.replay import replay_stream
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    timed = docs.withColumn(
+        "ts",
+        F.expr(
+            "timestampadd(MICROSECOND, doc_id, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ),
+    )
+    spool = tempfile.mkdtemp(prefix="flod_sinktar_spool_")
+    out = tempfile.mkdtemp(prefix="flod_sinktar_out_")
+    ck = tempfile.mkdtemp(prefix="flod_sinktar_ck_")
+    stream = replay_stream(spark, timed, "ts", spool, n_batches=4)
+    q = stream_pack_tar_shards(stream.select("doc_id", "text"), out, ck)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    shutil.rmtree(spool, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    raw = spark.read.format("binaryFile").load(out)
+    return archive_member_rows(raw).select("member", "n_bytes", "content_md5")
+
+
+@query(
+    "stream_curate_loop_live",
+    oracle=(
+        # the full-loop invariant in closed form: of the two arriving
+        # members carrying each text (original + re-delivered copy at
+        # doc_id + offset), exactly the min-doc_id one survives to the
+        # OUTPUT shards, byte-exact — first arrival because input
+        # shards replay in mtime-pinned shard order and members pack
+        # in doc_id order (the stream_archive_dedup_live contract,
+        # extended through the re-materializing sink)
+        "WITH s AS (SELECT doc_id, text FROM documents "
+        f"  UNION ALL SELECT doc_id + {_DUP_OFFSET} AS doc_id, text FROM documents), "
+        "w AS (SELECT doc_id, text, "
+        "    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM s) "
+        "SELECT 'doc_' || printf('%06d', doc_id) || '.txt' AS member, "
+        "  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+        "  md5(text) AS content_md5 "
+        "FROM w WHERE rn = 1"
+    ),
+)
+def stream_curate_loop_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE STREAMING CURATION LOOP in one gated query (the
+    crawl-to-dataloader pipeline end to end): tar shards ARRIVE
+    (binaryFile stream, one per trigger, mtime-pinned order, including
+    fully re-delivered duplicate shards), members split out WITH their
+    bytes (archive_member_rows keep_content), claim-state dedup on
+    content_md5 admits each content's FIRST ARRIVAL only, and admitted
+    members RE-MATERIALIZE as clean batch-scoped tar shards
+    (stream_pack_tar_shards) — the gate then reads the OUTPUT shards
+    back and must find exactly one byte-exact member per distinct
+    content, the min-doc_id carrier. This is the composition of
+    stream_archive_dedup_live (ingest + dedup) with stream_sink_tar_live
+    (re-materialize), proving the bytes survive the whole loop.
+
+    Scale: the production shape — stateless split + claim state
+    sharded by content hash + per-batch shard pack+write; the
+    unbounded claim state swaps for the bounded TTL/Bloom regimes when
+    the horizon allows, and shard/trigger sizes stay independent
+    knobs. keep_content means member bytes ride the stream only
+    between split and sink — they never enter state (the md5 key
+    does)."""
+    import os
+    import shutil
+
+    from flod_spark.streaming.dedup import drop_duplicates_unbounded
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    redelivered = docs.select(
+        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"), "text"
+    )
+    n_docs = docs.count()
+    shard_docs = max(1, -(-n_docs // 5))  # 5 original + 5 copy shards
+    adir = tempfile.mkdtemp(prefix="flod_curate_in_")
+    manifest = pack_tar_shards(
+        docs.unionByName(redelivered), adir, shard_docs=shard_docs
+    ).collect()
+    for i, r in enumerate(sorted(manifest, key=lambda r: r.shard)):
+        os.utime(r.path, (1_600_000_000 + i, 1_600_000_000 + i))
+    members = stream_archive_members(
+        spark, adir, max_files_per_trigger=1, keep_content=True
+    )
+    admitted = drop_duplicates_unbounded(members, "content_md5")
+    clean = admitted.select(
+        F.regexp_extract("member", r"doc_(\d+)\.txt", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").cast("string").alias("text"),
+    )
+    out = tempfile.mkdtemp(prefix="flod_curate_out_")
+    ck = tempfile.mkdtemp(prefix="flod_curate_ck_")
+    q = stream_pack_tar_shards(clean, out, ck, shard_docs=100)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    shutil.rmtree(adir, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    raw = spark.read.format("binaryFile").load(out)
+    return archive_member_rows(raw).select("member", "n_bytes", "content_md5")

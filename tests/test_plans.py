@@ -430,6 +430,16 @@ HEADLINE_PINS = {
     "sim_ivfpq_persisted": (2, 0),
     # prefix-retrieve rank + full-dim rerank rank, one exchange
     "sim_mrl_rerank": (1, 0),
+    # late round-12 additions (fingerprinted at sf0.001 at introduction)
+    # the streamed/eager writes happen before the gated read-back; the
+    # returned plan is binaryFile + Arrow member split, map-only
+    "sink_warc_shards": (0, 0),
+    "stream_sink_tar_live": (0, 0),
+    "stream_curate_loop_live": (0, 0),
+    # slice sig build (per-doc partial agg) + (band, bs) first-carrier
+    # window + claims-side distinct + the per-doc admission agg; the
+    # claim join broadcasts at gate scale (AQE-measured small)
+    "dedup_minhash_incremental": (4, 0),
 }
 
 
