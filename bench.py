@@ -208,6 +208,9 @@ HEADLINE = [
     "stream_curate_loop_live",
     "sink_warc_shards",
     "dedup_minhash_incremental",
+    # 1-bit quantized retrieval: packed-sign Hamming shortlist + exact
+    # cosine rerank — the cheapest corpus-scan distance on the board
+    "sim_binary_rerank",
 ]
 
 

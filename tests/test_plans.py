@@ -440,6 +440,10 @@ HEADLINE_PINS = {
     # window + claims-side distinct + the per-doc admission agg; the
     # claim join broadcasts at gate scale (AQE-measured small)
     "dedup_minhash_incremental": (4, 0),
+    # packed-sign Hamming scan vs broadcast queries + per-query rank
+    # (shortlist and rerank windows share the one query_id exchange —
+    # sim_mrl_rerank's plan exactly)
+    "sim_binary_rerank": (1, 0),
 }
 
 

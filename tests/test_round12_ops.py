@@ -697,3 +697,50 @@ def test_warc_shards_roundtrip_and_mixed_directory_scan(spark, sf_dir, tmp_path)
         ).collect()
     }
     assert mixed_got == {f"doc_{row.doc_id:06d}.txt" for row in src}
+
+
+def test_sim_binary_rerank_matches_numpy_and_recall_floor(spark, sf001_dir):
+    """sim_binary_rerank == an independent numpy reference (sign-bit
+    pack -> Hamming shortlist -> exact cosine rerank, identical
+    tie-breaks), and the shortlist width buys a pinned recall floor
+    vs exact full-dim top-K at the gate scale."""
+    import numpy as np
+
+    from flod_spark.catalog.similarity import (
+        _BQ_CAND,
+        K,
+        NQ,
+        sim_binary_rerank,
+    )
+
+    got = {
+        (r.query_id, r.rk): (r.neighbor_id, r.hamming)
+        for r in sim_binary_rerank(spark, sf001_dir).collect()
+    }
+
+    import duckdb
+
+    con = duckdb.connect()
+    v = con.sql(
+        "SELECT vec_id, embedding::DOUBLE[] v FROM "
+        f"'{sf001_dir}/embeddings.parquet' WHERE embedding IS NOT NULL "
+        "ORDER BY vec_id"
+    ).df()
+    ids = v.vec_id.to_numpy()
+    V = np.stack(v.v.to_numpy())
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    bits = V > 0
+    recalls = []
+    for qi in range(NQ):
+        sims = Vn[qi] @ Vn.T
+        sims[qi] = -np.inf
+        exact = set(ids[np.lexsort((ids, -sims))[:K]])
+        ham = (bits[qi] != bits).sum(axis=1)
+        ham[qi] = 10**9
+        cand = np.lexsort((ids, ham))[:_BQ_CAND]
+        csims = Vn[qi] @ Vn[cand].T
+        order = cand[np.lexsort((ids[cand], -csims))][:K]
+        for rk, ci in enumerate(order, start=1):
+            assert got[(ids[qi], rk)] == (ids[ci], int(ham[ci]))
+        recalls.append(len(set(ids[order]) & exact) / K)
+    assert sum(recalls) / len(recalls) >= 0.6  # measured 0.68 at sf0.01
