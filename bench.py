@@ -211,6 +211,9 @@ HEADLINE = [
     # 1-bit quantized retrieval: packed-sign Hamming shortlist + exact
     # cosine rerank — the cheapest corpus-scan distance on the board
     "sim_binary_rerank",
+    # WebDataset paired-sample assembly: member split + one stem-keyed
+    # pivot back to typed sample rows
+    "scan_wds_samples",
 ]
 
 

@@ -1262,3 +1262,144 @@ def stream_curate_loop_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ck, ignore_errors=True)
     raw = spark.read.format("binaryFile").load(out)
     return archive_member_rows(raw).select("member", "n_bytes", "content_md5")
+
+
+def pack_wds_shards(
+    docs: DataFrame,
+    out_dir: str,
+    shard_docs: int = _SHARD_DOCS,
+    name_prefix: str = "wds_",
+) -> DataFrame:
+    """PAIRED-SAMPLE tar-shard writer — the full WebDataset convention
+    (pack_tar_shards writes one member per doc; real multimodal
+    corpora ship SEVERAL files per sample sharing a basename stem:
+    payload + sidecar JSON + media): each doc packs THREE members —
+    ``s_<id>.txt`` (the text bytes), ``s_<id>.json`` (the metadata
+    sidecar), ``s_<id>.img`` (a deterministic stand-in media payload:
+    the 32 ASCII hex chars of md5(text) — the container ships no image
+    codecs, so the bytes are fake but the plumbing is real) — in
+    sorted (id, ext) order with zeroed mtimes, so packs stay
+    byte-identical. Returns the (shard, path, n_members, n_bytes)
+    manifest. Read back with archive_member_rows(keep_content=True) +
+    wds-style stem grouping (scan_wds_samples).
+
+    Scale: identical to pack_tar_shards — one hash shuffle on the
+    shard key, map-side pack+write per shard; a sample's members
+    always land in the SAME shard (they pack from the same row), which
+    is what makes dataloader-side sample assembly shard-local."""
+    import hashlib as _hashlib
+    import io as _io
+    import json as _json
+    import os as _os
+    import tarfile as _tarfile
+
+    import pandas as _pd
+
+    _os.makedirs(out_dir, exist_ok=True)
+
+    def pack(key, pdf):
+        (shard,) = key
+        pdf = pdf.sort_values("doc_id")
+        buf = _io.BytesIO()
+        with _tarfile.open(fileobj=buf, mode="w", format=_tarfile.USTAR_FORMAT) as t:
+            n = 0
+            for did, text, lang, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
+            ):
+                tb = str(text).encode("utf-8")
+                members = (
+                    (f"s_{int(did):06d}.img",
+                     _hashlib.md5(tb).hexdigest().encode("ascii")),
+                    (f"s_{int(did):06d}.json",
+                     _json.dumps({"id": int(did), "lang": lang, "source": source},
+                                 sort_keys=True).encode("utf-8")),
+                    (f"s_{int(did):06d}.txt", tb),
+                )
+                for name, b in members:  # already ext-sorted: img<json<txt
+                    ti = _tarfile.TarInfo(name)
+                    ti.size = len(b)
+                    ti.mtime = 0
+                    t.addfile(ti, _io.BytesIO(b))
+                    n += 1
+        data = buf.getvalue()
+        path = _os.path.join(out_dir, f"{name_prefix}{int(shard):05d}.tar")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        _os.replace(tmp, path)
+        return _pd.DataFrame(
+            {
+                "shard": _pd.Series([int(shard)], dtype="int64"),
+                "path": _pd.Series([path], dtype="object"),
+                "n_members": _pd.Series([n], dtype="int64"),
+                "n_bytes": _pd.Series([len(data)], dtype="int64"),
+            }
+        )
+
+    shards = docs.select(
+        "doc_id", "text", "lang", "source",
+        F.expr(f"doc_id div {shard_docs}").alias("shard"),
+    )
+    return shards.groupBy("shard").applyInPandas(
+        pack, "shard long, path string, n_members long, n_bytes long"
+    )
+
+
+@query(
+    "scan_wds_samples",
+    oracle=(
+        # the assembled-sample closed form: each doc must come back as
+        # ONE row with its text byte-exact, its sidecar fields parsed,
+        # and its media payload hash (payload bytes are the hex md5 of
+        # the text, so its md5 is md5(md5(text)) — string-exact in
+        # both engines) — a wrong byte in any of the three members of
+        # any sample breaks the hash
+        "SELECT doc_id AS sample_id, text, lang, source, "
+        "  md5(md5(text)) AS img_md5, CAST(32 AS BIGINT) AS img_bytes "
+        "FROM documents"
+    ),
+)
+def scan_wds_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIMODAL SAMPLE ASSEMBLY from paired-member tar shards — the
+    read half of the WebDataset convention (the shape every multimodal
+    dataloader consumes: N files per sample sharing a basename stem
+    inside tar shards): pack_wds_shards materializes the documents
+    table as 3-member samples (.txt payload / .json sidecar / .img
+    stand-in media), the shared member split streams the members out
+    WITH their bytes, and one groupBy on the sample stem pivots the
+    extension rows back into ONE typed row per sample — text decoded,
+    sidecar JSON fields extracted (get_json_object, JVM-side), media
+    kept opaque as (md5, n_bytes). The oracle closed-forms all three
+    members per sample.
+
+    Scale: the split is stateless map work; assembly is ONE hash
+    shuffle on the stem (and because a sample's members pack into the
+    same shard, a production reader can assemble shard-locally —
+    mapPartitions over in-shard member order — making even that
+    exchange optional); JSON parsing is a JVM expression, never
+    Python."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    adir = tempfile.mkdtemp(prefix="flod_wds_")
+    manifest = pack_wds_shards(docs, adir).collect()  # one row per shard
+    assert manifest
+    raw = spark.read.format("binaryFile").load(adir)
+    members = archive_member_rows(raw, keep_content=True)
+    m = members.select(
+        F.regexp_extract("member", r"^(s_\d+)\.", 1).alias("stem"),
+        F.regexp_extract("member", r"\.([a-z]+)$", 1).alias("ext"),
+        "content",
+    )
+    g = m.groupBy("stem").agg(
+        F.max(F.when(F.col("ext") == "txt", F.col("content"))).alias("txt"),
+        F.max(F.when(F.col("ext") == "json", F.col("content"))).alias("js"),
+        F.max(F.when(F.col("ext") == "img", F.col("content"))).alias("img"),
+    )
+    js = F.col("js").cast("string")
+    return g.select(
+        F.regexp_extract("stem", r"s_(\d+)", 1).cast("long").alias("sample_id"),
+        F.col("txt").cast("string").alias("text"),
+        F.get_json_object(js, "$.lang").alias("lang"),
+        F.get_json_object(js, "$.source").alias("source"),
+        F.md5("img").alias("img_md5"),
+        F.length("img").cast("long").alias("img_bytes"),
+    )

@@ -444,6 +444,9 @@ HEADLINE_PINS = {
     # (shortlist and rerank windows share the one query_id exchange —
     # sim_mrl_rerank's plan exactly)
     "sim_binary_rerank": (1, 0),
+    # binaryFile scan + Arrow member split, then the one stem-keyed
+    # sample-assembly pivot
+    "scan_wds_samples": (1, 0),
 }
 
 

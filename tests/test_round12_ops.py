@@ -744,3 +744,37 @@ def test_sim_binary_rerank_matches_numpy_and_recall_floor(spark, sf001_dir):
             assert got[(ids[qi], rk)] == (ids[ci], int(ham[ci]))
         recalls.append(len(set(ids[order]) & exact) / K)
     assert sum(recalls) / len(recalls) >= 0.6  # measured 0.68 at sf0.01
+
+
+def test_wds_pack_is_deterministic_and_samples_shard_local(spark, sf_dir, tmp_path):
+    """pack_wds_shards: two packs of the same table are byte-identical
+    (content-addressable shards, the pack_tar_shards discipline), every
+    sample contributes exactly its 3 members, and all of a sample's
+    members land in the SAME shard file (what makes dataloader-side
+    assembly shard-local)."""
+    import collections
+    import glob
+    import tarfile
+
+    from flod_spark.catalog.surface import pack_wds_shards
+    from flod_spark.io import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    d1, d2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    man = pack_wds_shards(docs, d1, shard_docs=50).collect()
+    pack_wds_shards(docs, d2, shard_docs=50).collect()
+    for p in sorted(glob.glob(d1 + "/*.tar")):
+        q = d2 + "/" + p.rsplit("/", 1)[1]
+        assert open(p, "rb").read() == open(q, "rb").read()
+    assert sum(r.n_members for r in man) == 3 * docs.count()
+    # sample -> set of shard files carrying its members
+    carriers = collections.defaultdict(set)
+    for p in glob.glob(d1 + "/*.tar"):
+        with tarfile.open(p) as t:
+            for ti in t.getmembers():
+                carriers[ti.name.split(".")[0]].add(p)
+        # members inside each shard are (id, ext)-sorted
+        with tarfile.open(p) as t:
+            names = [ti.name for ti in t.getmembers()]
+            assert names == sorted(names)
+    assert all(len(s) == 1 for s in carriers.values())
