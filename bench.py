@@ -214,6 +214,9 @@ HEADLINE = [
     # WebDataset paired-sample assembly: member split + one stem-keyed
     # pivot back to typed sample rows
     "scan_wds_samples",
+    # incremental IVF-PQ maintenance: save(base) + advance(new slice)
+    # + combined-serve with static pruning across base and slice dirs
+    "sim_ivfpq_advanced",
 ]
 
 

@@ -1882,7 +1882,12 @@ def ivfpq_index_save(emb: DataFrame, out_dir: str) -> None:
     pq_cent.write.mode("overwrite").parquet(out_dir + "/codebook")
 
 
-def ivfpq_index_query(spark: SparkSession, index_dir: str, queries: DataFrame) -> DataFrame:
+def ivfpq_index_query(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    include_slices: bool = False,
+) -> DataFrame:
     """IVF-PQ top-K from the LOADED artifact with STATIC partition
     pruning: probe cells come from the broadcast IVF centroids (a
     driver-side list bounded by NQ x N_PROBE — the serving layer knows
@@ -1909,9 +1914,18 @@ def ivfpq_index_query(spark: SparkSession, index_dir: str, queries: DataFrame) -
     )
     probe_rows = qp.collect()  # bounded: <= NQ x N_PROBE id pairs
     probe_cells = sorted({r.cell for r in probe_rows})
-    codes = spark.read.parquet(index_dir + "/codes_by_cell").filter(
-        F.col("cell").isin(probe_cells)
-    )
+    # base codes + (opt-in) every advanced slice dir — each root scans
+    # with its OWN cell PartitionFilters, so static pruning survives
+    # the union (a driver-side dir listing, bounded by slice count)
+    paths = [index_dir + "/codes_by_cell"]
+    if include_slices:
+        import glob as _glob
+
+        paths += sorted(_glob.glob(index_dir + "/codes_slice_*"))
+    codes = None
+    for p in paths:
+        part = spark.read.parquet(p).filter(F.col("cell").isin(probe_cells))
+        codes = part if codes is None else codes.unionByName(part)
     qp_lit = spark.createDataFrame(
         [(r.query_id, r.cell) for r in probe_rows], "query_id long, cell long"
     )
@@ -2217,3 +2231,130 @@ def sim_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w2).cast("long"))
         .filter(F.col("rk") <= K)
     )
+
+
+def ivfpq_index_advance(
+    new_emb: DataFrame, spark: SparkSession, index_dir: str, slice_id: int
+) -> None:
+    """ADVANCE a persisted IVF-PQ index with one slice of NEW vectors —
+    the nightly index-maintenance shape (FAISS add_with_ids; the ANN
+    analog of advance_claim_table): the slice's vectors are PQ-encoded
+    against the LOADED codebook and assigned to the LOADED IVF
+    centroids — training never reruns, so all previously served codes
+    stay bit-identical — and the slice's codes land as their own
+    cell-partitioned directory ``codes_slice_<id>`` (whole-directory
+    overwrite: replayed or crash-interrupted advances rewrite their own
+    slice and nothing else — the claim-table discipline applied to
+    index maintenance). Serve with ivfpq_index_query(include_slices=
+    True); slice composition is invisible to queries (pytest-pinned:
+    1-slice == 2-slice advance, replays idempotent).
+
+    Scale: encoding is map-side (broadcast codebook/centroids, one
+    per-(vec, m) partial-agg argmin) over ONLY the new slice — the
+    existing corpus is never rescanned; periodic compaction folds
+    slice dirs into the base exactly like compact_claim_table."""
+    pq_cent = spark.read.parquet(index_dir + "/codebook")
+    ivf_cent = spark.read.parquet(index_dir + "/ivf_centroids")
+    slices = F.array(
+        *[F.slice("v", m * _PQ_SUBDIM + 1, _PQ_SUBDIM) for m in range(_PQ_M)]
+    )
+    sub = new_emb.select("vec_id", F.posexplode(slices).alias("m", "sv"))
+    dist = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored = sub.join(F.broadcast(pq_cent), "m").select(
+        "vec_id", "m", "cid", dist.alias("dist")
+    )
+    codes = _pq_codes(scored)
+    a = _assign_cells(new_emb, ivf_cent).select("vec_id", "cell")
+    (
+        codes.join(a, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(index_dir + f"/codes_slice_{int(slice_id):05d}")
+    )
+
+
+def _ivfpq_advanced_oracle() -> str:
+    """_ivfpq_oracle with the IVF centroids drawn from the BASE half
+    only (train-on-base, serve-base-plus-new): the PQ codebook is the
+    vec_id < _PQ_K subvectors, which sit inside the base half at every
+    SF (mid >= _PQ_K), so base-trained and full-corpus codebooks are
+    the same rows and only the centroid CTE changes."""
+    adist = " + ".join(f"MAX(CASE WHEN m = {m} THEN lut END)" for m in range(_PQ_M))
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL), "
+        "mm AS (SELECT (MIN(vec_id) + MAX(vec_id)) // 2 AS mid FROM e), "
+        "cent AS (SELECT vec_id AS cent_id, v AS cv FROM e, mm WHERE vec_id <= mid "
+        f"  ORDER BY substr(md5('c|' || CAST(vec_id AS VARCHAR)), 1, 8), vec_id LIMIT {N_CELLS}), "
+        "sc AS (SELECT e.vec_id, cent_id, "
+        f"    {_cos_sql('e.v', 'cv')} AS cos FROM e, cent), "
+        "a AS (SELECT vec_id, cent_id AS cell FROM (SELECT *, "
+        "    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM sc) "
+        "  WHERE rn = 1), "
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {NQ}), "
+        "qs AS (SELECT query_id, cent_id, "
+        f"    {_cos_sql('qv', 'cv')} AS cos FROM q, cent), "
+        "qp AS (SELECT query_id, cent_id AS cell FROM (SELECT *, "
+        "    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cent_id) AS rn FROM qs) "
+        f"  WHERE rn <= {N_PROBE}), "
+        f"ms AS (SELECT unnest(range({_PQ_M})) AS m), "
+        "sub AS (SELECT vec_id, m, "
+        f"    list_slice(v, m * {_PQ_SUBDIM} + 1, (m + 1) * {_PQ_SUBDIM}) AS sv "
+        "  FROM e, ms), "
+        f"pcent AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < {_PQ_K}), "
+        "d AS (SELECT s.vec_id, s.m, p.cid, "
+        "    list_reduce(list_transform(list_zip(s.sv, p.cv), "
+        "      x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, t) -> acc + t) AS dist "
+        "  FROM sub s JOIN pcent p USING (m)), "
+        "codes AS (SELECT vec_id, m, cid FROM (SELECT *, "
+        "    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rk FROM d) "
+        "  WHERE rk = 1), "
+        f"lut AS (SELECT vec_id AS query_id, m, cid, dist AS lut FROM d WHERE vec_id < {NQ}), "
+        "cand AS (SELECT qp.query_id, a.vec_id AS neighbor_id FROM qp "
+        "  JOIN a USING (cell) WHERE a.vec_id <> qp.query_id), "
+        "j AS (SELECT c.query_id, c.neighbor_id, codes.m, l.lut FROM cand c "
+        "  JOIN codes ON codes.vec_id = c.neighbor_id "
+        "  JOIN lut l ON l.query_id = c.query_id AND l.m = codes.m AND l.cid = codes.cid), "
+        f"s AS (SELECT query_id, neighbor_id, {adist} AS adist "
+        "  FROM j GROUP BY query_id, neighbor_id), "
+        "t AS (SELECT query_id, neighbor_id, adist, "
+        "    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rk FROM s) "
+        f"SELECT query_id, neighbor_id, adist, CAST(rk AS BIGINT) AS rk FROM t WHERE rk <= {K}"
+    )
+
+
+@query("sim_ivfpq_advanced", oracle=_ivfpq_advanced_oracle())
+def sim_ivfpq_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL IVF-PQ index maintenance, driver-gated — the
+    complete nightly ANN pipeline: ivfpq_index_save trains and
+    persists the index over the corpus's FIRST HALF, ivfpq_index_advance
+    encodes the second half against the loaded codebook/centroids
+    (training never reruns) and appends it as its own cell-partitioned
+    slice directory, and ivfpq_index_query(include_slices=True) serves
+    the combined index with static cell pruning across base and slice
+    alike. The oracle is the one-shot twin: the same IVF-PQ query with
+    centroids drawn from the base half — slice composition must be
+    invisible to queries (also pytest-pinned: 1-slice == 2-slice
+    advance, replayed advances idempotent, damaged slices repaired by
+    re-advance).
+
+    Scale: the point of the persisted index at 100 TB — nightly
+    vector arrivals cost one map-side encode over the NEW slice only
+    (broadcast codebook + centroids), prior codes are never rescanned
+    or rewritten, and serving I/O stays probe-fraction x 42x
+    compression; compaction folds slices like compact_claim_table."""
+    emb = _emb_v(spark, sf_dir)
+    mm = emb.agg(F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx")).first()
+    mid = (mm.mn + mm.mx) // 2
+    idx_dir = tempfile.mkdtemp(prefix="flod_ivfpq_adv_")
+    ivfpq_index_save(emb.filter(F.col("vec_id") <= mid), idx_dir)
+    ivfpq_index_advance(
+        emb.filter(F.col("vec_id") > mid), spark, idx_dir, slice_id=1
+    )
+    queries = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    return ivfpq_index_query(spark, idx_dir, queries, include_slices=True)

@@ -447,6 +447,9 @@ HEADLINE_PINS = {
     # binaryFile scan + Arrow member split, then the one stem-keyed
     # sample-assembly pivot
     "scan_wds_samples": (1, 0),
+    # save+advance are eager; the serve plan is sim_ivfpq_persisted's
+    # (codes scans + broadcast LUT + per-query rank) over base + slice
+    "sim_ivfpq_advanced": (2, 0),
 }
 
 

@@ -778,3 +778,64 @@ def test_wds_pack_is_deterministic_and_samples_shard_local(spark, sf_dir, tmp_pa
             names = [ti.name for ti in t.getmembers()]
             assert names == sorted(names)
     assert all(len(s) == 1 for s in carriers.values())
+
+
+def test_ivfpq_advance_is_composition_invariant_and_repairing(spark, sf_dir, tmp_path):
+    """IVF-PQ index maintenance (the ANN claim-table): (a) advancing
+    the second half as ONE slice or TWO slices serves identical
+    results, (b) a replayed advance is a no-op, (c) a damaged slice
+    directory is repaired bit-for-bit by re-advancing the same slice,
+    and (d) the slice dirs carry cell partitions so probed queries
+    prune their scans."""
+    from flod_spark.catalog.similarity import (
+        NQ,
+        _emb_v,
+        ivfpq_index_advance,
+        ivfpq_index_query,
+        ivfpq_index_save,
+    )
+
+    emb = _emb_v(spark, sf_dir)
+    mm = emb.agg(F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx")).first()
+    mid = (mm.mn + mm.mx) // 2
+    hi = (mid + mm.mx) // 2
+    queries = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+
+    def serve(idx):
+        return sorted(
+            (r.query_id, r.rk, r.neighbor_id, r.adist)
+            for r in ivfpq_index_query(
+                spark, idx, queries, include_slices=True
+            ).collect()
+        )
+
+    one = str(tmp_path / "one")
+    ivfpq_index_save(emb.filter(F.col("vec_id") <= mid), one)
+    ivfpq_index_advance(emb.filter(F.col("vec_id") > mid), spark, one, 1)
+    want = serve(one)
+
+    two = str(tmp_path / "two")
+    ivfpq_index_save(emb.filter(F.col("vec_id") <= mid), two)
+    ivfpq_index_advance(
+        emb.filter((F.col("vec_id") > mid) & (F.col("vec_id") <= hi)), spark, two, 1
+    )
+    ivfpq_index_advance(emb.filter(F.col("vec_id") > hi), spark, two, 2)
+    assert serve(two) == want and want
+
+    # replayed advance: same slice, same rows -> same service
+    ivfpq_index_advance(emb.filter(F.col("vec_id") > hi), spark, two, 2)
+    assert serve(two) == want
+
+    # damage slice 2 (drop a cell dir), re-advance repairs it whole
+    import glob
+    import shutil
+
+    cells = glob.glob(two + "/codes_slice_00002/cell=*")
+    shutil.rmtree(cells[0])
+    ivfpq_index_advance(emb.filter(F.col("vec_id") > hi), spark, two, 2)
+    assert serve(two) == want
+
+    # slice dirs are cell-partitioned (the pruning unit)
+    assert glob.glob(two + "/codes_slice_00001/cell=*")
