@@ -217,6 +217,8 @@ HEADLINE = [
     # incremental IVF-PQ maintenance: save(base) + advance(new slice)
     # + combined-serve with static pruning across base and slice dirs
     "sim_ivfpq_advanced",
+    # per-shard Bloom skipping index: build + probe + pruned point scan
+    "scan_bloom_pruned",
 ]
 
 

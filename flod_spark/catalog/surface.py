@@ -1403,3 +1403,220 @@ def scan_wds_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("img").alias("img_md5"),
         F.length("img").cast("long").alias("img_bytes"),
     )
+
+
+# Per-shard Bloom skipping index: bits per shard bitset, probe hashes
+# per key, bits per packed word (32 keeps every shift below the BIGINT
+# sign bit in both engines), docs per shard at gate scale.
+_BLOOM_BITS = 1024
+_BLOOM_K = 4
+_BLOOM_WORD = 32
+_LOOKUP_SHARD_DOCS = 50
+_ABSENT_NEEDLES = 4
+
+
+def _bloom_coeffs():
+    from flod_spark.operators.minhash import hash_family
+
+    return hash_family(_BLOOM_K)
+
+
+def build_shard_bloom(keys: DataFrame, bloom_dir: str) -> None:
+    """Materialize the per-shard BLOOM SKIPPING INDEX over (shard, key)
+    rows — the file-skipping structure a 100 TB point-lookup needs
+    (Parquet row-group blooms / Iceberg puffin, engine-native): each
+    key sets _BLOOM_K bit positions (affine transforms of its 60-bit
+    md5 prefix — the minhash hash family, so the DuckDB oracle packs
+    the identical bits), positions pack into 32-bit words inside
+    BIGINTs, and one bit_or aggregate per (shard, word) builds the
+    whole index — _BLOOM_BITS/_BLOOM_WORD rows per shard, all JVM.
+
+    Scale: one partial-agg exchange on (shard, word); the index is
+    ~shards x 32 rows regardless of corpus size (128 B/shard), small
+    enough to broadcast to every probe forever."""
+    from flod_spark.operators.minhash import P
+
+    h = (
+        F.conv(F.substring("key", 1, 15), 16, 10).cast("long") % P
+    ).alias("h")
+    pos = keys.select("shard", h).select(
+        "shard",
+        F.explode(
+            F.array(
+                *[
+                    (((F.lit(a) * F.col("h") + F.lit(b)) % P) % _BLOOM_BITS).alias(f"p{i}")
+                    for i, (a, b) in enumerate(_bloom_coeffs())
+                ]
+            )
+        ).alias("p"),
+    )
+    (
+        pos.groupBy("shard", (F.col("p") / _BLOOM_WORD).cast("long").alias("word"))
+        .agg(
+            F.expr(
+                f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % {_BLOOM_WORD} AS INT)))"
+            ).alias("bits")
+        )
+        .write.mode("overwrite")
+        .parquet(bloom_dir)
+    )
+
+
+def bloom_lookup(
+    spark: SparkSession, data_dir: str, bloom_dir: str, needles: DataFrame
+) -> DataFrame:
+    """Point lookup of needle keys over a shard-partitioned corpus via
+    the persisted Bloom index: each needle probes its _BLOOM_K
+    positions against the broadcast index, a shard is a CANDIDATE only
+    if ALL positions hit, and the data scan then reads ONLY candidate
+    shard partitions (a bounded needles x shards driver list ->
+    `shard IN (...)` -> parquet PartitionFilters, the
+    ivfpq_index_query discipline). Returns one row per needle (per
+    match when duplicate contents share a key): (needle_id,
+    n_cand_shards, doc_id) with doc_id NULL for misses — false
+    positives cost a pruned scan, never a wrong row.
+
+    Scale: the probe is needles x K rows against a broadcast
+    128 B/shard index; data I/O is the candidate fraction of the
+    corpus (at 1024 bits / 50 keys / K=4 the per-shard false-positive
+    rate is ~1e-3, so absent keys scan ~nothing and present keys scan
+    ~their one carrier shard)."""
+    from flod_spark.operators.minhash import P
+
+    bloom = spark.read.parquet(bloom_dir)
+    h = (
+        F.conv(F.substring("key", 1, 15), 16, 10).cast("long") % P
+    ).alias("h")
+    npos = needles.select("needle_id", "key", h).select(
+        "needle_id",
+        "key",
+        F.posexplode(
+            F.array(
+                *[
+                    ((F.lit(a) * F.col("h") + F.lit(b)) % P) % _BLOOM_BITS
+                    for a, b in _bloom_coeffs()
+                ]
+            )
+        ).alias("i", "p"),
+    )
+    hits = (
+        npos.withColumn("word", (F.col("p") / _BLOOM_WORD).cast("long"))
+        .join(F.broadcast(bloom), "word")
+        .filter(
+            F.expr(
+                f"(bits & shiftleft(CAST(1 AS BIGINT), CAST(p % {_BLOOM_WORD} AS INT))) <> 0"
+            )
+        )
+    )
+    # (needle, i, shard) join rows are unique by construction (one
+    # bloom row per (shard, word)), so plain counts replace the
+    # Expand-shaped distinct aggregates
+    cand = (
+        hits.groupBy("needle_id", "key", "shard")
+        .agg(F.count("*").alias("k_hit"))
+        .filter(F.col("k_hit") == _BLOOM_K)
+        .select("needle_id", "key", "shard")
+    )
+    cand_shards = sorted(
+        {r.shard for r in cand.select("shard").distinct().collect()}
+    )  # bounded: <= needles x shards
+    data = spark.read.parquet(data_dir).filter(F.col("shard").isin(cand_shards))
+    # every frame below is needle-sized — broadcast them all so the
+    # only non-broadcast input anywhere is the pruned data scan
+    found = F.broadcast(cand).join(data, ["shard", "key"]).select(
+        "needle_id", "doc_id"
+    )
+    nc = cand.groupBy("needle_id").agg(F.count("*").alias("n_cand_shards"))
+    return (
+        needles.select("needle_id")
+        .join(F.broadcast(nc), "needle_id", "left")
+        .join(F.broadcast(found), "needle_id", "left")
+        .select(
+            "needle_id",
+            F.coalesce("n_cand_shards", F.lit(0)).cast("long").alias("n_cand_shards"),
+            "doc_id",
+        )
+    )
+
+
+def _bloom_oracle() -> str:
+    """Closed-form twin that REBUILDS the Bloom index in SQL from the
+    same hash family and value-checks the whole lookup — candidate
+    shard counts included, so a wrong bit anywhere in the index build
+    or probe breaks the gate, not just a wrong final row."""
+    from flod_spark.operators.minhash import P
+
+    coeffs = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_bloom_coeffs())
+    )
+    return (
+        f"WITH d AS (SELECT doc_id, doc_id // {_LOOKUP_SHARD_DOCS} AS shard, "
+        "    md5(text) AS key FROM documents), "
+        f"ab AS (SELECT * FROM (VALUES {coeffs}) v(i, a, b)), "
+        "np AS (SELECT doc_id AS needle_id, key FROM d WHERE doc_id % 97 = 5 "
+        f"  UNION ALL SELECT 1000000 + i AS needle_id, "
+        "    md5('missing|' || CAST(i AS VARCHAR)) AS key "
+        f"  FROM range({_ABSENT_NEEDLES}) t(i)), "
+        f"dh AS (SELECT shard, CAST('0x' || substr(key, 1, 15) AS BIGINT) % {P} AS h FROM d), "
+        f"dp AS (SELECT shard, ((a * h + b) % {P}) % {_BLOOM_BITS} AS p FROM dh, ab), "
+        f"bl AS (SELECT shard, p // {_BLOOM_WORD} AS word, "
+        f"    bit_or(CAST(1 AS BIGINT) << CAST(p % {_BLOOM_WORD} AS INT)) AS bits "
+        f"  FROM dp GROUP BY shard, p // {_BLOOM_WORD}), "
+        "nh AS (SELECT needle_id, key, "
+        f"    CAST('0x' || substr(key, 1, 15) AS BIGINT) % {P} AS h FROM np), "
+        f"np2 AS (SELECT needle_id, key, i, ((a * h + b) % {P}) % {_BLOOM_BITS} AS p FROM nh, ab), "
+        "hits AS (SELECT needle_id, key, shard, i FROM np2 "
+        f"  JOIN bl ON bl.word = np2.p // {_BLOOM_WORD} "
+        f"  WHERE (bits & (CAST(1 AS BIGINT) << CAST(np2.p % {_BLOOM_WORD} AS INT))) <> 0), "
+        "cand AS (SELECT needle_id, key, shard FROM hits "
+        f"  GROUP BY needle_id, key, shard HAVING COUNT(DISTINCT i) = {_BLOOM_K}), "
+        "found AS (SELECT c.needle_id, d.doc_id FROM cand c "
+        "  JOIN d ON d.shard = c.shard AND d.key = c.key), "
+        "nc AS (SELECT needle_id, COUNT(DISTINCT shard) AS n_cand_shards FROM cand "
+        "  GROUP BY needle_id) "
+        "SELECT n.needle_id, CAST(COALESCE(nc.n_cand_shards, 0) AS BIGINT) AS n_cand_shards, "
+        "  f.doc_id "
+        "FROM np n LEFT JOIN nc USING (needle_id) LEFT JOIN found f USING (needle_id)"
+    )
+
+
+@query("scan_bloom_pruned", oracle=_bloom_oracle())
+def scan_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT LOOKUP with a persisted per-shard BLOOM SKIPPING INDEX,
+    driver-gated end to end: the documents table materializes as a
+    shard-partitioned parquet corpus, build_shard_bloom persists the
+    128 B/shard index, and bloom_lookup answers a mixed needle set
+    (every 97th doc's content key + _ABSENT_NEEDLES planted misses) by
+    probing the broadcast index and scanning ONLY candidate shard
+    partitions (PartitionFilters pytest-pinned). The oracle REBUILDS
+    the index in SQL from the shared hash family, so the gate
+    value-checks every index bit's effect — candidate shard counts and
+    final matches alike.
+
+    Scale: the shard-skipping economics of a 100 TB needle query —
+    index size is independent of corpus size (bits x shards), probes
+    broadcast, and data I/O collapses from full-scan to the candidate
+    fraction (~1 shard per present key, ~none per absent key at the
+    chosen bits/keys/K); the same structure serves dedup lookups
+    ('which shards might carry this fingerprint') before any claim
+    join."""
+    docs = load(spark, sf_dir, "documents")
+    ddir = tempfile.mkdtemp(prefix="flod_blshards_")
+    keyed = docs.select(
+        "doc_id",
+        F.expr(f"doc_id div {_LOOKUP_SHARD_DOCS}").alias("shard"),
+        F.md5(F.col("text").cast("binary")).alias("key"),
+    )
+    keyed.write.mode("overwrite").partitionBy("shard").parquet(ddir)
+    bdir = tempfile.mkdtemp(prefix="flod_blindex_")
+    build_shard_bloom(keyed.select("shard", "key"), bdir)
+    present = keyed.filter(F.col("doc_id") % 97 == 5).select(
+        F.col("doc_id").alias("needle_id"), "key"
+    )
+    absent = spark.range(_ABSENT_NEEDLES).select(
+        (F.col("id") + 1_000_000).alias("needle_id"),
+        F.md5(
+            F.concat(F.lit("missing|"), F.col("id").cast("string")).cast("binary")
+        ).alias("key"),
+    )
+    return bloom_lookup(spark, ddir, bdir, present.unionByName(absent))

@@ -450,6 +450,9 @@ HEADLINE_PINS = {
     # save+advance are eager; the serve plan is sim_ivfpq_persisted's
     # (codes scans + broadcast LUT + per-query rank) over base + slice
     "sim_ivfpq_advanced": (2, 0),
+    # index build/write are eager; the lookup plan is needle-sized
+    # groupBys + broadcast joins around the ONE pruned data scan
+    "scan_bloom_pruned": (4, 0),
 }
 
 
