@@ -2358,3 +2358,37 @@ def sim_ivfpq_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "v"
     )
     return ivfpq_index_query(spark, idx_dir, queries, include_slices=True)
+
+
+def compact_ivfpq_index(spark: SparkSession, index_dir: str) -> None:
+    """Periodic IVF-PQ slice COMPACTION (compact_claim_table's pattern
+    applied to the index): fold every ``codes_slice_*`` directory back
+    into the base ``codes_by_cell`` (a pure union — slices are disjoint
+    vec_id ranges and codes never change once written) and atomically
+    swap the directory, so the serving read side stays at one
+    directory's file count no matter how many nightly advances have
+    landed. Service is bit-identical before and after (pytest-pinned).
+
+    Scale: one cell-partitioned rewrite of the codes table (the 42x-
+    compressed corpus view, not the vectors); on object stores the
+    rename is a manifest commit."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    base = index_dir + "/codes_by_cell"
+    slices = sorted(_glob.glob(index_dir + "/codes_slice_*"))
+    if not slices:
+        return
+    codes = spark.read.parquet(base)
+    for p in slices:
+        codes = codes.unionByName(spark.read.parquet(p))
+    tmp = base + ".compact"
+    codes.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    old = base + ".old"
+    _shutil.rmtree(old, ignore_errors=True)
+    _os.rename(base, old)
+    _os.rename(tmp, base)
+    _shutil.rmtree(old, ignore_errors=True)
+    for p in slices:
+        _shutil.rmtree(p)

@@ -895,3 +895,50 @@ def test_bloom_index_never_misses_and_actually_prunes(spark, sf_dir, tmp_path):
     # total candidate work far below needles x shards full fan-out
     total_cand = sum(r.n_cand_shards for r in rows.values())
     assert total_cand < 0.3 * len(rows) * n_shards
+
+
+def test_ivfpq_compaction_preserves_service_bit_for_bit(spark, sf_dir, tmp_path):
+    """compact_ivfpq_index folds all slice dirs into the base and the
+    served results are IDENTICAL before and after; the slice dirs are
+    gone and the base keeps its cell partitioning."""
+    import glob
+
+    from flod_spark.catalog.similarity import (
+        NQ,
+        _emb_v,
+        compact_ivfpq_index,
+        ivfpq_index_advance,
+        ivfpq_index_query,
+        ivfpq_index_save,
+    )
+
+    emb = _emb_v(spark, sf_dir)
+    mm = emb.agg(F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx")).first()
+    mid = (mm.mn + mm.mx) // 2
+    hi = (mid + mm.mx) // 2
+    idx = str(tmp_path / "idx")
+    ivfpq_index_save(emb.filter(F.col("vec_id") <= mid), idx)
+    ivfpq_index_advance(
+        emb.filter((F.col("vec_id") > mid) & (F.col("vec_id") <= hi)), spark, idx, 1
+    )
+    ivfpq_index_advance(emb.filter(F.col("vec_id") > hi), spark, idx, 2)
+    queries = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+
+    def serve():
+        return sorted(
+            (r.query_id, r.rk, r.neighbor_id, r.adist)
+            for r in ivfpq_index_query(
+                spark, idx, queries, include_slices=True
+            ).collect()
+        )
+
+    before = serve()
+    compact_ivfpq_index(spark, idx)
+    assert not glob.glob(idx + "/codes_slice_*")
+    assert glob.glob(idx + "/codes_by_cell/cell=*")
+    assert serve() == before and before
+    # compacting a compacted index is a no-op
+    compact_ivfpq_index(spark, idx)
+    assert serve() == before
