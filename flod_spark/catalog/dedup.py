@@ -1618,3 +1618,31 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dedup_minhash_against_claims(slice_df, spark, claims_dir)
+
+
+def compact_minhash_claims(spark: SparkSession, claims_dir: str) -> None:
+    """Periodic FUZZY claim-table compaction: fold all slice partitions
+    back into slice=0 (groupBy (band, bs), min first_id — values
+    unchanged: each signature lives in exactly one slice) and
+    atomically swap the directory — compact_claim_table's pattern over
+    the (band, bs) key.
+
+    Scale: one exchange on the signature key over |distinct
+    signatures| rows; the swap is a rename (manifest commit on object
+    stores)."""
+    import os
+    import shutil
+
+    compacted = (
+        spark.read.parquet(claims_dir)
+        .groupBy("band", "bs")
+        .agg(F.min("first_id").alias("first_id"))
+        .withColumn("slice", F.lit(0))
+    )
+    tmp = claims_dir.rstrip("/") + ".compact"
+    compacted.write.mode("overwrite").partitionBy("slice").parquet(tmp)
+    old = claims_dir.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(claims_dir, old)
+    os.rename(tmp, claims_dir)
+    shutil.rmtree(old, ignore_errors=True)

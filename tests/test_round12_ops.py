@@ -942,3 +942,45 @@ def test_ivfpq_compaction_preserves_service_bit_for_bit(spark, sf_dir, tmp_path)
     # compacting a compacted index is a no-op
     compact_ivfpq_index(spark, idx)
     assert serve() == before
+
+
+def test_minhash_claims_compaction_is_value_neutral(spark, sf_dir, tmp_path):
+    """compact_minhash_claims folds slices to slice=0 without changing
+    one logical (band, bs, first_id) row, and admission verdicts
+    against the compacted table are identical."""
+    from flod_spark.catalog.dedup import (
+        advance_minhash_claims,
+        build_minhash_claims,
+        compact_minhash_claims,
+        dedup_minhash_against_claims,
+    )
+    from flod_spark.io import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.agg(F.expr("(MIN(doc_id) + MAX(doc_id)) div 2")).first()[0]
+    cdir = str(tmp_path / "mh_claims")
+    build_minhash_claims(docs.filter(F.col("doc_id") <= mid), cdir)
+    advance_minhash_claims(docs.filter(F.col("doc_id") > mid), spark, cdir, 1)
+
+    def logical():
+        return sorted(
+            (r.band, r.bs, r.first_id)
+            for r in spark.read.parquet(cdir)
+            .select("band", "bs", "first_id")
+            .collect()
+        )
+
+    probe = docs.limit(40)
+    before_rows = logical()
+    before_verdicts = sorted(
+        (r.doc_id, r.admitted)
+        for r in dedup_minhash_against_claims(probe, spark, cdir).collect()
+    )
+    compact_minhash_claims(spark, cdir)
+    assert logical() == before_rows and before_rows
+    assert {r.slice for r in spark.read.parquet(cdir).collect()} == {0}
+    after_verdicts = sorted(
+        (r.doc_id, r.admitted)
+        for r in dedup_minhash_against_claims(probe, spark, cdir).collect()
+    )
+    assert after_verdicts == before_verdicts
