@@ -1012,6 +1012,33 @@ def stream_pack_tar_shards(
     )
 
 
+def _warc_shard_bytes(pairs) -> bytes:
+    """One plain-WARC shard's bytes from (doc_id, text) pairs — the
+    pure framing half of pack_warc_shards, split out so the
+    Content-Length framing can be property-fuzzed round-trip against
+    _warc_records without a Spark session (payloads containing CRLF
+    blank lines or 'WARC/1.0' text must survive byte-exact: the parser
+    never scans payload bytes, it skips them by length)."""
+    import io as _io
+
+    buf = _io.BytesIO()
+    for did, text in pairs:
+        body = str(text).encode("utf-8")
+        head = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:flod:doc:{int(did)}>\r\n"
+            "WARC-Date: 2020-01-01T00:00:00Z\r\n"
+            f"WARC-Target-URI: doc_{int(did):06d}.txt\r\n"
+            f"Content-Length: {len(body)}\r\n"
+            "\r\n"
+        ).encode("utf-8")
+        buf.write(head)
+        buf.write(body)
+        buf.write(b"\r\n\r\n")
+    return buf.getvalue()
+
+
 def pack_warc_shards(
     docs: DataFrame,
     out_dir: str,
@@ -1034,7 +1061,6 @@ def pack_warc_shards(
     shard key, map-side pack+write per shard, shard size the
     parallelism knob (CommonCrawl ships ~1 GB WARCs for exactly this
     reason)."""
-    import io as _io
     import os as _os
 
     import pandas as _pd
@@ -1044,22 +1070,7 @@ def pack_warc_shards(
     def pack(key, pdf):
         (shard,) = key
         pdf = pdf.sort_values("doc_id")
-        buf = _io.BytesIO()
-        for did, text in zip(pdf["doc_id"], pdf["text"]):
-            body = str(text).encode("utf-8")
-            head = (
-                "WARC/1.0\r\n"
-                "WARC-Type: response\r\n"
-                f"WARC-Record-ID: <urn:flod:doc:{int(did)}>\r\n"
-                "WARC-Date: 2020-01-01T00:00:00Z\r\n"
-                f"WARC-Target-URI: doc_{int(did):06d}.txt\r\n"
-                f"Content-Length: {len(body)}\r\n"
-                "\r\n"
-            ).encode("utf-8")
-            buf.write(head)
-            buf.write(body)
-            buf.write(b"\r\n\r\n")
-        data = buf.getvalue()
+        data = _warc_shard_bytes(zip(pdf["doc_id"], pdf["text"]))
         path = _os.path.join(out_dir, f"{name_prefix}{int(shard):05d}.warc")
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
