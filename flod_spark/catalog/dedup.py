@@ -1308,8 +1308,7 @@ def compact_claim_table(spark: SparkSession, claims_dir: str) -> None:
 
     Scale: one exchange on fp over |distinct contents| rows; the swap
     is a rename (object stores use a manifest/commit instead)."""
-    import os
-    import shutil
+    from flod_spark.io import atomic_swap_dir
 
     compacted = (
         spark.read.parquet(claims_dir)
@@ -1317,13 +1316,7 @@ def compact_claim_table(spark: SparkSession, claims_dir: str) -> None:
         .agg(F.min("first_id").alias("first_id"))
         .withColumn("slice", F.lit(0))
     )
-    tmp = claims_dir.rstrip("/") + ".compact"
-    compacted.write.mode("overwrite").partitionBy("slice").parquet(tmp)
-    old = claims_dir.rstrip("/") + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(claims_dir, old)
-    os.rename(tmp, claims_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    atomic_swap_dir(compacted, claims_dir, "slice")
 
 
 def write_claims_bucketed(
@@ -1630,8 +1623,7 @@ def compact_minhash_claims(spark: SparkSession, claims_dir: str) -> None:
     Scale: one exchange on the signature key over |distinct
     signatures| rows; the swap is a rename (manifest commit on object
     stores)."""
-    import os
-    import shutil
+    from flod_spark.io import atomic_swap_dir
 
     compacted = (
         spark.read.parquet(claims_dir)
@@ -1639,10 +1631,4 @@ def compact_minhash_claims(spark: SparkSession, claims_dir: str) -> None:
         .agg(F.min("first_id").alias("first_id"))
         .withColumn("slice", F.lit(0))
     )
-    tmp = claims_dir.rstrip("/") + ".compact"
-    compacted.write.mode("overwrite").partitionBy("slice").parquet(tmp)
-    old = claims_dir.rstrip("/") + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(claims_dir, old)
-    os.rename(tmp, claims_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    atomic_swap_dir(compacted, claims_dir, "slice")

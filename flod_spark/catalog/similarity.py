@@ -1005,19 +1005,22 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_scored(emb: DataFrame) -> DataFrame:
-    """(vec_id, m, cid, dist): squared L2 from each vector's m-th
-    subvector to every centroid of subspace m (Forgy sample codebook =
-    subvectors of vec_id < _PQ_K). The one construction embed_pq,
-    sim_pq_adc and sim_ivfpq all build on — codes are its per-(vec, m)
-    argmin, query LUTs its vec_id < NQ slice."""
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): each vector's _PQ_M subspace slices — the one
+    explode every PQ path (train-time scoring, index save, slice
+    advance) starts from."""
     slices = F.array(
         *[F.slice("v", m * _PQ_SUBDIM + 1, _PQ_SUBDIM) for m in range(_PQ_M)]
     )
-    sub = emb.select("vec_id", F.posexplode(slices).alias("m", "sv"))
-    cent = sub.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv")
-    )
+    return emb.select("vec_id", F.posexplode(slices).alias("m", "sv"))
+
+
+def _pq_score_against(sub: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, m, cid, dist): squared L2 from subvector rows to a
+    GIVEN codebook (m, cid, cv) — THE encode rule, shared by train-time
+    scoring (_pq_scored) and slice advancement (ivfpq_index_advance) so
+    the two can never drift an IEEE op apart (codes written by an
+    advance must be bit-identical to save-time codes)."""
     dist = F.aggregate(
         F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -1026,6 +1029,19 @@ def _pq_scored(emb: DataFrame) -> DataFrame:
     return sub.join(F.broadcast(cent), "m").select(
         "vec_id", "m", "cid", dist.alias("dist")
     )
+
+
+def _pq_scored(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, cid, dist): squared L2 from each vector's m-th
+    subvector to every centroid of subspace m (Forgy sample codebook =
+    subvectors of vec_id < _PQ_K). The one construction embed_pq,
+    sim_pq_adc and sim_ivfpq all build on — codes are its per-(vec, m)
+    argmin, query LUTs its vec_id < NQ slice."""
+    sub = _pq_subvectors(emb)
+    cent = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv")
+    )
+    return _pq_score_against(sub, cent)
 
 
 def _pq_codes(scored: DataFrame) -> DataFrame:
@@ -1792,12 +1808,7 @@ def pq_index_save(emb: DataFrame, out_dir: str) -> None:
     codes table partitions/buckets by IVF cell and the codebook ships
     broadcast, so serving never rescans raw vectors."""
     scored = _pq_scored(emb)
-    sub = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.array(*[F.slice("v", m * _PQ_SUBDIM + 1, _PQ_SUBDIM) for m in range(_PQ_M)])
-        ).alias("m", "sv"),
-    )
+    sub = _pq_subvectors(emb)
     cent = sub.filter(F.col("vec_id") < _PQ_K).select(
         "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
     )
@@ -1870,12 +1881,7 @@ def ivfpq_index_save(emb: DataFrame, out_dir: str) -> None:
         .parquet(out_dir + "/codes_by_cell")
     )
     cent.write.mode("overwrite").parquet(out_dir + "/ivf_centroids")
-    sub = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.array(*[F.slice("v", m * _PQ_SUBDIM + 1, _PQ_SUBDIM) for m in range(_PQ_M)])
-        ).alias("m", "sv"),
-    )
+    sub = _pq_subvectors(emb)
     pq_cent = sub.filter(F.col("vec_id") < _PQ_K).select(
         "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
     )
@@ -2188,22 +2194,27 @@ def sim_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     same tie-breaks, so the chain is exact end to end.
 
     Scale: the binary-quantization economics every modern vector store
-    ships — the corpus-sized pass reads 8 bytes/vector instead of 256
-    (and xor+popcount is the cheapest distance there is), full vectors
-    are fetched for NQ x _BQ_CAND rows only; at 100 TB the packed
-    words are their own two-column table and the broadcast-queries /
-    per-query window shape is sim_mrl_rerank's plan exactly. Recall
+    ships — the corpus-sized pass carries 16 bytes/vector across the
+    rank exchange instead of the 512-byte floats (and xor+popcount is
+    the cheapest distance there is); full vectors are fetched for
+    NQ x _BQ_CAND rows only, via a broadcast candidate join-back plus
+    a candidate-sized rerank exchange. At 100 TB the packed words are
+    their own two-column table. Recall
     comes from signature width x shortlist fraction: 64 bits is this
     corpus's dimensionality (production uses 512-1024-bit signatures
     at the same 1 bit/dim), so the shortlist carries the load here —
     _BQ_CAND=50 measures 0.68 recall@5 at sf0.01 (floor pinned in
     tests); widen either knob for more."""
-    b = _emb_v(spark, sf_dir).select(
-        "vec_id", "v", *[_bq_word_col("v", w).alias(f"w{w}") for w in range(_BQ_WORDS)]
+    e = _emb_v(spark, sf_dir)
+    # the corpus-sized pass carries ONLY (vec_id, packed words) — the
+    # stated binary-quantization economics: 16 bytes/vector cross the
+    # rank exchange, never the float vectors (at 100 TB the packed
+    # words are their own precomputed two-column table)
+    b = e.select(
+        "vec_id", *[_bq_word_col("v", w).alias(f"w{w}") for w in range(_BQ_WORDS)]
     )
     q = b.filter(F.col("vec_id") < NQ).select(
         F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
         *[F.col(f"w{w}").alias(f"qw{w}") for w in range(_BQ_WORDS)],
     )
     ham = F.expr(
@@ -2212,17 +2223,25 @@ def sim_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1 = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
     cand = (
         b.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "qv", "vec_id", "v", ham.alias("hamming"))
+        .select("query_id", "vec_id", ham.alias("hamming"))
         .withColumn("rn", F.row_number().over(w1))
         .filter(F.col("rn") <= _BQ_CAND)
+        .drop("rn")
     )
+    # full vectors are fetched for the NQ x _BQ_CAND candidates only:
+    # broadcast the candidate list against the corpus (map-side), and
+    # broadcast the NQ query vectors onto the result
+    qv = e.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    withv = F.broadcast(cand).join(e, "vec_id").join(F.broadcast(qv), "query_id")
     cos_f = _dot_spark(F.col("qv"), F.col("v")) / (
         F.sqrt(_dot_spark(F.col("qv"), F.col("qv")))
         * F.sqrt(_dot_spark(F.col("v"), F.col("v")))
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        cand.select(
+        withv.select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             "hamming",
@@ -2255,19 +2274,9 @@ def ivfpq_index_advance(
     slice dirs into the base exactly like compact_claim_table."""
     pq_cent = spark.read.parquet(index_dir + "/codebook")
     ivf_cent = spark.read.parquet(index_dir + "/ivf_centroids")
-    slices = F.array(
-        *[F.slice("v", m * _PQ_SUBDIM + 1, _PQ_SUBDIM) for m in range(_PQ_M)]
+    codes = _pq_codes(
+        _pq_score_against(_pq_subvectors(new_emb), pq_cent.select("m", "cid", "cv"))
     )
-    sub = new_emb.select("vec_id", F.posexplode(slices).alias("m", "sv"))
-    dist = F.aggregate(
-        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    scored = sub.join(F.broadcast(pq_cent), "m").select(
-        "vec_id", "m", "cid", dist.alias("dist")
-    )
-    codes = _pq_codes(scored)
     a = _assign_cells(new_emb, ivf_cent).select("vec_id", "cell")
     (
         codes.join(a, "vec_id")
@@ -2373,8 +2382,9 @@ def compact_ivfpq_index(spark: SparkSession, index_dir: str) -> None:
     compressed corpus view, not the vectors); on object stores the
     rename is a manifest commit."""
     import glob as _glob
-    import os as _os
     import shutil as _shutil
+
+    from flod_spark.io import atomic_swap_dir
 
     base = index_dir + "/codes_by_cell"
     slices = sorted(_glob.glob(index_dir + "/codes_slice_*"))
@@ -2383,12 +2393,6 @@ def compact_ivfpq_index(spark: SparkSession, index_dir: str) -> None:
     codes = spark.read.parquet(base)
     for p in slices:
         codes = codes.unionByName(spark.read.parquet(p))
-    tmp = base + ".compact"
-    codes.write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    old = base + ".old"
-    _shutil.rmtree(old, ignore_errors=True)
-    _os.rename(base, old)
-    _os.rename(tmp, base)
-    _shutil.rmtree(old, ignore_errors=True)
+    atomic_swap_dir(codes, base, "cell")
     for p in slices:
         _shutil.rmtree(p)

@@ -1619,9 +1619,13 @@ def scan_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text").cast("binary")).alias("key"),
     )
     keyed.write.mode("overwrite").partitionBy("shard").parquet(ddir)
+    # the index build and needle derivation read the 3-column table
+    # BACK from the just-written corpus — the documents source is
+    # scanned and hashed exactly once (the replay_stream rescan rule)
+    stored = spark.read.parquet(ddir)
     bdir = tempfile.mkdtemp(prefix="flod_blindex_")
-    build_shard_bloom(keyed.select("shard", "key"), bdir)
-    present = keyed.filter(F.col("doc_id") % 97 == 5).select(
+    build_shard_bloom(stored.select("shard", "key"), bdir)
+    present = stored.filter(F.col("doc_id") % 97 == 5).select(
         F.col("doc_id").alias("needle_id"), "key"
     )
     absent = spark.range(_ABSENT_NEEDLES).select(

@@ -126,3 +126,23 @@ def load(
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def atomic_swap_dir(df: DataFrame, target: str, partition_by: str) -> None:
+    """Write ``df`` as ``<target>.compact`` (partitioned) and swap it in
+    with a double rename — THE compaction commit sequence, shared by
+    all three persisted-state compactors (exact claims, fuzzy claims,
+    IVF-PQ codes) so the crash-window semantics live in one place: the
+    only non-atomic instant is between the two renames, where the
+    target is absent but the fully-written ``.compact`` and ``.old``
+    dirs both exist — recoverable by re-running the compaction. Object
+    stores replace the renames with a manifest commit."""
+    import shutil
+
+    tmp = target.rstrip("/") + ".compact"
+    df.write.mode("overwrite").partitionBy(partition_by).parquet(tmp)
+    old = target.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(target, old)
+    os.rename(tmp, target)
+    shutil.rmtree(old, ignore_errors=True)

@@ -440,10 +440,10 @@ HEADLINE_PINS = {
     # window + claims-side distinct + the per-doc admission agg; the
     # claim join broadcasts at gate scale (AQE-measured small)
     "dedup_minhash_incremental": (4, 0),
-    # packed-sign Hamming scan vs broadcast queries + per-query rank
-    # (shortlist and rerank windows share the one query_id exchange —
-    # sim_mrl_rerank's plan exactly)
-    "sim_binary_rerank": (1, 0),
+    # packed-sign Hamming scan (16 B/row crosses the rank exchange) +
+    # candidate-only vector fetch via broadcast join-back + the
+    # candidate-sized rerank exchange
+    "sim_binary_rerank": (2, 0),
     # binaryFile scan + Arrow member split, then the one stem-keyed
     # sample-assembly pivot
     "scan_wds_samples": (1, 0),
