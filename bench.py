@@ -219,6 +219,9 @@ HEADLINE = [
     "sim_ivfpq_advanced",
     # per-shard Bloom skipping index: build + probe + pruned point scan
     "scan_bloom_pruned",
+    # zero-shuffle streaming WebDataset sample assembly (shard-local
+    # split+pivot inside one Arrow stage)
+    "stream_wds_samples_live",
 ]
 
 

@@ -1635,3 +1635,119 @@ def scan_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("key"),
     )
     return bloom_lookup(spark, ddir, bdir, present.unionByName(absent))
+
+
+def wds_assemble_members(raw: DataFrame) -> DataFrame:
+    """ZERO-SHUFFLE WebDataset sample assembly — the shard-local form
+    scan_wds_samples' docstring promises: because pack_wds_shards puts
+    ALL of a sample's members in the same shard (and tar preserves
+    member order), one Arrow mapInPandas over (path, content) archive
+    rows can split members AND pivot them into typed sample rows
+    without any exchange — each archive's samples assemble entirely
+    inside its own task. Works identically on batch and streaming
+    inputs (stateless); the streaming twin is stream_wds_samples_live.
+
+    Scale: THE dataloader-side plan — map-only over shards, so
+    parallelism is shard count, there is no shuffle at any corpus
+    size, and a trigger's cost is exactly its shards' bytes."""
+    import hashlib
+    import io
+    import json
+    import os
+    import tarfile
+
+    def assemble(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            sid, txt, lang, src, imd5, ibytes = [], [], [], [], [], []
+            for _path, blob in zip(pdf["path"], pdf["content"]):
+                groups: dict[str, dict] = {}
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as t:
+                    for ti in t.getmembers():
+                        if not ti.isfile():
+                            continue
+                        stem, ext = os.path.basename(ti.name).rsplit(".", 1)
+                        groups.setdefault(stem, {})[ext] = t.extractfile(ti).read()
+                for stem in sorted(groups):
+                    g = groups[stem]
+                    meta = json.loads(g["json"].decode("utf-8"))
+                    sid.append(int(stem.split("_")[1]))
+                    txt.append(g["txt"].decode("utf-8"))
+                    lang.append(meta.get("lang"))
+                    src.append(meta.get("source"))
+                    imd5.append(hashlib.md5(g["img"]).hexdigest())
+                    ibytes.append(len(g["img"]))
+            yield pd.DataFrame(
+                {
+                    "sample_id": pd.Series(sid, dtype="int64"),
+                    "text": pd.Series(txt, dtype="object"),
+                    "lang": pd.Series(lang, dtype="object"),
+                    "source": pd.Series(src, dtype="object"),
+                    "img_md5": pd.Series(imd5, dtype="object"),
+                    "img_bytes": pd.Series(ibytes, dtype="int64"),
+                }
+            )
+
+    return raw.select("path", "content").mapInPandas(
+        assemble,
+        "sample_id long, text string, lang string, source string, "
+        "img_md5 string, img_bytes long",
+    )
+
+
+@query(
+    "stream_wds_samples_live",
+    oracle=(
+        # same closed form as scan_wds_samples: assembly is stateless
+        # and shard-local, so the sample SET is trigger-composition
+        # independent
+        "SELECT doc_id AS sample_id, text, lang, source, "
+        "  md5(md5(text)) AS img_md5, CAST(32 AS BIGINT) AS img_bytes "
+        "FROM documents"
+    ),
+)
+def stream_wds_samples_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING WebDataset sample assembly, gated live: paired-member
+    tar shards replay through a binaryFile stream (a few shards per
+    trigger) and wds_assemble_members pivots each shard's members into
+    typed sample rows INSIDE the split task — zero shuffle, zero
+    state; the drained samples must match the same closed-form oracle
+    as the batch scan (the split+pivot is stateless, so arrival order
+    and trigger grouping are pure pacing knobs). This is the streaming
+    dataloader-feed shape: shards land in object storage, samples
+    stream out typed.
+
+    Scale: per trigger the plan is map-only over that trigger's
+    shards; there is no state store and no exchange, so sustained
+    throughput is shard-scan bandwidth."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    adir = tempfile.mkdtemp(prefix="flod_wds_live_")
+    manifest = pack_wds_shards(docs, adir).collect()
+    assert manifest
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 3)
+        .load(adir)
+    )
+    from flod_spark.catalog.streaming_live import _drain
+
+    return _drain(wds_assemble_members(raw), spark, cleanup=(adir,))

@@ -453,6 +453,8 @@ HEADLINE_PINS = {
     # index build/write are eager; the lookup plan is needle-sized
     # groupBys + broadcast joins around the ONE pruned data scan
     "scan_bloom_pruned": (4, 0),
+    # shard-local split+pivot inside one Arrow stage — zero shuffle
+    "stream_wds_samples_live": (0, 0),
 }
 
 

@@ -984,3 +984,46 @@ def test_minhash_claims_compaction_is_value_neutral(spark, sf_dir, tmp_path):
         for r in dedup_minhash_against_claims(probe, spark, cdir).collect()
     )
     assert after_verdicts == before_verdicts
+
+
+def test_wds_assembler_is_zero_shuffle_and_equals_batch_pivot(spark, sf_dir, tmp_path):
+    """wds_assemble_members (the shard-local zero-shuffle assembler)
+    yields exactly the same typed sample rows as scan_wds_samples'
+    groupBy pivot over the same shards, and its plan contains NO
+    exchange — the dataloader-side claim made executable."""
+    from flod_spark.catalog.surface import (
+        archive_member_rows,
+        pack_wds_shards,
+        wds_assemble_members,
+    )
+    from flod_spark.io import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    adir = str(tmp_path / "wds")
+    pack_wds_shards(docs, adir, shard_docs=50).collect()
+    raw = spark.read.format("binaryFile").load(adir)
+
+    fast = wds_assemble_members(raw)
+    assert "Exchange" not in fast._jdf.queryExecution().executedPlan().toString()
+
+    m = archive_member_rows(raw, keep_content=True).select(
+        F.regexp_extract("member", r"^(s_\d+)\.", 1).alias("stem"),
+        F.regexp_extract("member", r"\.([a-z]+)$", 1).alias("ext"),
+        "content",
+    )
+    g = m.groupBy("stem").agg(
+        F.max(F.when(F.col("ext") == "txt", F.col("content"))).alias("txt"),
+        F.max(F.when(F.col("ext") == "json", F.col("content"))).alias("js"),
+        F.max(F.when(F.col("ext") == "img", F.col("content"))).alias("img"),
+    )
+    js = F.col("js").cast("string")
+    slow = g.select(
+        F.regexp_extract("stem", r"s_(\d+)", 1).cast("long").alias("sample_id"),
+        F.col("txt").cast("string").alias("text"),
+        F.get_json_object(js, "$.lang").alias("lang"),
+        F.get_json_object(js, "$.source").alias("source"),
+        F.md5("img").alias("img_md5"),
+        F.length("img").cast("long").alias("img_bytes"),
+    )
+    key = lambda r: (r.sample_id, r.text, r.lang, r.source, r.img_md5, r.img_bytes)  # noqa: E731
+    assert sorted(map(key, fast.collect())) == sorted(map(key, slow.collect()))
