@@ -1742,10 +1742,16 @@ def stream_wds_samples_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("content", BinaryType()),
         ]
     )
+    # shard count grows with SF (one per _SHARD_DOCS docs); a fixed
+    # files-per-trigger would make TRIGGER COUNT grow with SF and the
+    # gate would measure replay machinery, not assembly — pace to a
+    # handful of triggers at any scale (production tunes this to
+    # ingestion latency; the assembly is stateless either way)
+    per_trigger = max(1, -(-len(manifest) // 8))
     raw = (
         spark.readStream.format("binaryFile")
         .schema(schema)
-        .option("maxFilesPerTrigger", 3)
+        .option("maxFilesPerTrigger", per_trigger)
         .load(adir)
     )
     from flod_spark.catalog.streaming_live import _drain
