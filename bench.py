@@ -222,6 +222,9 @@ HEADLINE = [
     # zero-shuffle streaming WebDataset sample assembly (shard-local
     # split+pivot inside one Arrow stage)
     "stream_wds_samples_live",
+    # multi-turn conversation docs from event logs: sessionize +
+    # ordered turn concat + token stats, one user_id exchange
+    "conversation_pack",
 ]
 
 

@@ -135,3 +135,90 @@ def prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count("*").alias("n_docs"), F.sum("tok").alias("n_tokens"))
     )
+
+
+@query(
+    "conversation_pack",
+    oracle=(
+        # gaps-and-islands sessionization (stream_session's exact
+        # construction) -> each session rendered as ONE ordered
+        # multi-turn document; turn lines avoid doubles entirely
+        # (double->string rendering differs across engines) — the
+        # doc text is event_type '#' event_id, newline-joined in
+        # (ts, event_id) order
+        "WITH o AS (SELECT user_id, event_id, ts, event_type, "
+        "    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), "
+        "m AS (SELECT *, CASE WHEN prev_ts IS NULL "
+        "    OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM o), "
+        "s AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM m) "
+        "SELECT user_id, session_id, "
+        "  string_agg(event_type || '#' || CAST(event_id AS VARCHAR), chr(10) "
+        "    ORDER BY ts, event_id) AS conversation, "
+        "  COUNT(*) AS n_turns, "
+        "  CAST(length(string_agg(event_type || '#' || CAST(event_id AS VARCHAR), chr(10) "
+        "    ORDER BY ts, event_id)) AS BIGINT) AS n_chars, "
+        "  CAST((length(string_agg(event_type || '#' || CAST(event_id AS VARCHAR), chr(10) "
+        "    ORDER BY ts, event_id)) + 3) // 4 AS BIGINT) AS est_tokens "
+        "FROM s GROUP BY user_id, session_id"
+    ),
+)
+def conversation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TURN TRAINING-DOC CONSTRUCTION from event logs — the chat/
+    interaction-log half of corpus prep (raw per-turn event rows ->
+    one ordered conversation document per session, the unit a dialogue
+    fine-tune consumes): gaps-and-islands sessionization (30-min gap,
+    stream_session's shared construction), then each session's turns
+    render in (ts, event_id) order and join into ONE document, with
+    the per-doc stats the downstream budget/packing stages key on
+    (n_turns, n_chars, a 4-chars/token estimate). Ordered aggregation
+    is exact and engine-portable: Spark sorts collect_list(struct(ts,
+    event_id, line)) — total order, no ambient row-order reliance —
+    where DuckDB's string_agg takes ORDER BY natively. Turn lines use
+    only strings/ids (double rendering differs across engines — the
+    value column stays numeric in the stats world, never the text).
+
+    Scale: one exchange on user_id shared by the lag window, the
+    running session-id sum, and the final agg (Catalyst reuses the
+    partitioning); list-agg memory is bounded by session length, the
+    same bound any conversation builder carries — per-turn rows never
+    leave their user partition."""
+    from flod_spark.io import ts_micros
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 30 * 60 * 1_000_000
+    line = F.concat_ws("#", "event_type", F.col("event_id").cast("string"))
+    s = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (ts_micros("ts") - ts_micros("prev_ts") > gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_s").over(frame))
+        .select("user_id", "session_id", "ts", "event_id", line.alias("line"))
+    )
+    conv = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "line"))),
+            lambda t: t["line"],
+        ),
+        "\n",
+    )
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(conv.alias("conversation"), F.count("*").alias("n_turns"))
+        .select(
+            "user_id",
+            "session_id",
+            "conversation",
+            "n_turns",
+            F.length("conversation").cast("long").alias("n_chars"),
+            F.floor((F.length("conversation") + 3) / 4).cast("long").alias("est_tokens"),
+        )
+    )

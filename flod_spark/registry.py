@@ -86,8 +86,8 @@ _PLANNED_FROM_ROUND = 11
 # staleness from CORRECTNESS_r*.json); tests/test_chains.py pins this
 # window against the same data, clamped to _PLANNED_FROM_ROUND, so the
 # two cannot drift and later driver artifacts cannot break it.
-# Round-12 window = 16 + 1 + 5 + 28 = 50:
-#   (b) the 16 new round-12 registrations (first driver row) — no
+# Round-12 window = 17 + 1 + 5 + 27 = 50:
+#   (b) the 17 new round-12 registrations (first driver row) — no
 #       recorded row at _PLANNED_FROM_ROUND, so the membership test
 #       auto-derives them as must-gate: the r11-verdict-item-1 queue
 #       (sink_tar_shards, stream_archive_live, dedup_incremental,
@@ -102,8 +102,9 @@ _PLANNED_FROM_ROUND = 11
 #       retrieval (sim_binary_rerank), WebDataset paired-sample
 #       assembly (scan_wds_samples) and its zero-shuffle streaming
 #       twin (stream_wds_samples_live), incremental IVF-PQ index
-#       maintenance (sim_ivfpq_advanced), and the per-shard Bloom
-#       skipping index (scan_bloom_pruned),
+#       maintenance (sim_ivfpq_advanced), the per-shard Bloom
+#       skipping index (scan_bloom_pruned), and multi-turn
+#       conversation-doc construction (conversation_pack),
 #   (c) changed-implementation re-proof: scan_archive (the shared
 #       archive_member_rows split now dispatches ZIP/tar on leading
 #       magic bytes instead of the filename — r11 ADVICE) — 1 key.
@@ -111,8 +112,8 @@ _PLANNED_FROM_ROUND = 11
 #       slice layout ship inside the NEW dedup_incremental key.)
 #   (d) the stalest tiers in registration order: the 5-key r5 spill
 #       (sink_compact .. length_buckets — 7 rounds stale) then the
-#       first 28 of the 45-key r6 tail (scan_queue ..
-#       window_rolling_median); the remaining 17 r6 keys (bm25_score,
+#       first 27 of the 45-key r6 tail (scan_queue .. scd2_build);
+#       the remaining 18 r6 keys (window_rolling_median, bm25_score,
 #       vocab_coverage, embed_pq,
 #       sim_pq_adc, sim_ivfpq, embed_truncate_energy,
 #       media_audio_rms, udf_arrow, triangle_count + the agg_mad tier
@@ -120,20 +121,20 @@ _PLANNED_FROM_ROUND = 11
 #       complement sweep.
 # Keys not listed here sort after listed ones, in registration order.
 _GATE_ORDER = (
-    # (b) new round-12 registrations — 16 keys
+    # (b) new round-12 registrations — 17 keys
     "sink_tar_shards", "stream_archive_live", "stream_archive_dedup_live",
     "dedup_incremental", "sim_mrl_rerank", "sim_pq_adc_persisted",
     "sim_ivfpq_persisted", "stream_sink_tar_live",
     "stream_curate_loop_live", "sink_warc_shards",
     "dedup_minhash_incremental", "sim_binary_rerank",
     "scan_wds_samples", "sim_ivfpq_advanced", "scan_bloom_pruned",
-    "stream_wds_samples_live",
+    "stream_wds_samples_live", "conversation_pack",
     # (c) changed-implementation re-proof — 1 key
     "scan_archive",
     # (d) r5-tier spill — 5 keys
     "sink_compact", "scan_evolved", "sink_orc", "sort_zorder",
     "length_buckets",
-    # (d) r6-tier head in registration order — 28 keys
+    # (d) r6-tier head in registration order — 27 keys
     "scan_queue", "take_limit", "by_line", "by_chunk",
     "by_chunk_arrays", "by_element", "adapter_noop", "sink_collect",
     "sink_discard", "sink_file", "sink_copy", "scan_binary",
@@ -141,7 +142,7 @@ _GATE_ORDER = (
     "join_asof", "join_asof_nearest", "join_range",
     "k_anonymity_audit", "join_bloom", "window_reset_cumsum",
     "window_rolling_regression", "quantile_exact_2pass", "cdc_apply",
-    "cdc_time_travel", "scd2_build", "window_rolling_median",
+    "cdc_time_travel", "scd2_build",
 )
 
 

@@ -455,6 +455,9 @@ HEADLINE_PINS = {
     "scan_bloom_pruned": (4, 0),
     # shard-local split+pivot inside one Arrow stage — zero shuffle
     "stream_wds_samples_live": (0, 0),
+    # lag window + running session-id sum + ordered-list agg all share
+    # the one user_id exchange
+    "conversation_pack": (1, 0),
 }
 
 
