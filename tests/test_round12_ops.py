@@ -1027,3 +1027,49 @@ def test_wds_assembler_is_zero_shuffle_and_equals_batch_pivot(spark, sf_dir, tmp
     )
     key = lambda r: (r.sample_id, r.text, r.lang, r.source, r.img_md5, r.img_bytes)  # noqa: E731
     assert sorted(map(key, fast.collect())) == sorted(map(key, slow.collect()))
+
+
+def test_admit_by_first_carrier_equals_sequential_reference(spark):
+    """Property (randomized): admit_by_first_carrier's window/join
+    verdict over a slice equals the sequential arrival-order fold it
+    claims to implement — seen := claims; scan docs in id order; admit
+    iff NO signature is in seen; add ALL the doc's signatures to seen
+    regardless of verdict (rejected docs' signatures stay 'seen',
+    which is what makes rejection transitive). Random signature sets
+    over a small alphabet force chains the fixed-case test can't."""
+    import random
+
+    from flod_spark.catalog.dedup import admit_by_first_carrier
+
+    rng = random.Random(0xF10D)
+    alphabet = [f"s{i}" for i in range(8)]
+    for _ in range(25):
+        n = rng.randint(1, 10)
+        docs = [
+            (i, frozenset(rng.sample(alphabet, rng.randint(1, 3))))
+            for i in range(n)
+        ]
+        k = rng.randint(0, n)
+        claim_sigs = set().union(*[s for _, s in docs[:k]]) if k else set()
+
+        seen = set(claim_sigs)
+        want = {}
+        for did, sigs in docs[k:]:
+            want[did] = not (sigs & seen)
+            seen |= sigs
+
+        sig_rows = [
+            (did, 0, s) for did, sigs in docs[k:] for s in sorted(sigs)
+        ]
+        sig = spark.createDataFrame(sig_rows, "doc_id long, band int, bs string")
+        claims = spark.createDataFrame(
+            [(0, s, -1) for s in sorted(claim_sigs)] or [(0, "_none_", -1)],
+            "band int, bs string, first_id long",
+        )
+        if not claim_sigs:
+            claims = claims.filter("bs <> '_none_'")
+        got = {
+            r.doc_id: r.admitted
+            for r in admit_by_first_carrier(sig, claims).collect()
+        }
+        assert got == want, (docs, k, got, want)
