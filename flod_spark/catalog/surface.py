@@ -1384,10 +1384,11 @@ def scan_wds_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     members per sample.
 
     Scale: the split is stateless map work; assembly is ONE hash
-    shuffle on the stem (and because a sample's members pack into the
-    same shard, a production reader can assemble shard-locally —
-    mapPartitions over in-shard member order — making even that
-    exchange optional); JSON parsing is a JVM expression, never
+    shuffle on the stem — and because a sample's members pack into the
+    same shard, the shard-local ZERO-shuffle form also ships:
+    wds_assemble_members (gated as stream_wds_samples_live), which
+    this key's groupBy pivot is pinned row-equal to in
+    tests/test_round12_ops.py; JSON parsing is a JVM expression, never
     Python."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
     adir = tempfile.mkdtemp(prefix="flod_wds_")
