@@ -1946,3 +1946,462 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         nv.alias("n_novel"),
         (nv.cast("double") / F.nullif(ng, F.lit(0))).alias("novelty_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (r12 verdict item 2): the missing link in the
+# WARC crawl-ingestion chain (WARC scan -> EXTRACT -> quality -> dedup ->
+# shards). Deterministic rule-based boilerplate removal in the jusText/
+# trafilatura spirit: drop script/style, segment on block-level closing
+# tags, strip tags per block, then keep only blocks that are long enough
+# AND not link-dominated (2 * anchor_chars <= text_chars). All patterns
+# are explicit-ASCII and behave identically under Java regex and RE2
+# (module-header portability rule); `(?s)` + non-greedy are supported by
+# both.
+HTML_SCRIPT_RE = "(?s)<(script|style)[^>]*>.*?</(script|style)>"
+HTML_BLOCK_RE = "</(p|div|nav|footer|li|h[1-6]|title)>|<br/?>"
+HTML_TAG_RE = "<[^>]*>"
+HTML_ANCHOR_RE = "(?s)<a[^>]*>(.*?)</a>"
+# extraction thresholds (a block must read like prose, not chrome)
+HTML_MIN_BLOCK_CHARS = 25
+
+# deterministic planted HTML (both engines build the same page from
+# doc_id + text, so every extraction rule is exercised non-vacuously at
+# any sf): title + style + script (removed), a link-only <nav> (dropped:
+# short AND link-dense), the document text as the main <p> (kept), a
+# mixed text+link paragraph (kept WITH its anchor text — link text is
+# content), a share <div> whose chars are mostly anchors (dropped by
+# link density despite its length), and a <footer> (dropped: short).
+_HTML_AUG_SQL = (
+    "'<html><head><title>Doc ' || doc_id || '</title>"
+    "<style>body{margin:0;}</style>"
+    "<script>var id=' || doc_id || ';</script></head><body>"
+    '<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
+    "<div><p>' || replace(text, chr(10), '</p><p>') || '</p></div>"
+    "<p>Read more about topic ' || (doc_id % 50) || ' in "
+    '<a href="/t">the topic \' || (doc_id % 50) || \' archive page</a> here.</p>'
+    '<div class="share"><a href="/s">Share this article</a> '
+    '<a href="/t">Tweet this article</a> via</div>'
+    '<footer>(c) 2026 <a href="/p">Privacy</a></footer></body></html>\''
+)
+
+# per-block plain text, as one reusable SQL fragment over a block `x`:
+# tags -> spaces, whitespace runs collapsed, trimmed
+_HTML_TXT_SQL = (
+    f"trim(regexp_replace(regexp_replace(x, '{HTML_TAG_RE}', ' ', 'g'), "
+    f"'{WS_RE}', ' ', 'g'))"
+)
+# COALESCE: DuckDB's array_to_string returns NULL (not '') for an
+# anchor-free block's empty match list; Spark's array_join gives ''
+_HTML_ANCH_SQL = (
+    "coalesce(length(array_to_string("
+    f"regexp_extract_all(x, '{HTML_ANCHOR_RE}', 1), '')), 0)"
+)
+
+
+def html_block_text(x):
+    """Plain text of one HTML block (Column -> Column): tags become
+    spaces, whitespace runs collapse, ends trimmed — the Spark twin of
+    _HTML_TXT_SQL, shared by html_extract and the curate-loop chain."""
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(x, HTML_TAG_RE, " "), WS_RE, " ")
+    )
+
+
+def html_main_text(html):
+    """Extract the main text of an HTML page (Column -> struct Column
+    with fields ``extracted``/``n_blocks``): remove script/style, split
+    on block-closing tags, keep blocks that are >= HTML_MIN_BLOCK_CHARS
+    of plain text and not link-dominated, join kept block texts with
+    a newline. Pure nested Catalyst higher-order expressions — no
+    Python, fuses with whatever scan feeds it (parquet, WARC members,
+    archive bytes), which is what lets the WARC chain run extract
+    inline with ingestion at 100 TB."""
+    blocks = F.split(
+        F.regexp_replace(
+            F.regexp_replace(html, HTML_SCRIPT_RE, ""), HTML_BLOCK_RE, "\x01"
+        ),
+        "\x01",
+    )
+
+    def _anch(x):
+        return F.length(
+            F.array_join(F.regexp_extract_all(x, F.lit(HTML_ANCHOR_RE), F.lit(1)), "")
+        )
+
+    kept = F.filter(
+        blocks,
+        lambda x: (F.length(html_block_text(x)) >= HTML_MIN_BLOCK_CHARS)
+        & (_anch(x) * 2 <= F.length(html_block_text(x))),
+    )
+    return F.struct(
+        F.array_join(F.transform(kept, html_block_text), "\n").alias("extracted"),
+        F.size(kept).cast("long").alias("n_blocks"),
+    )
+
+
+@query(
+    "html_extract",
+    oracle=(
+        f"WITH h AS (SELECT doc_id, {_HTML_AUG_SQL} AS html FROM documents), "
+        "nb AS (SELECT doc_id, string_split(regexp_replace(regexp_replace(html, "
+        f"    '{HTML_SCRIPT_RE}', '', 'g'), '{HTML_BLOCK_RE}', chr(1), 'g'), chr(1)) "
+        "  AS blocks FROM h), "
+        "k AS (SELECT doc_id, list_filter(blocks, x -> "
+        f"    length({_HTML_TXT_SQL}) >= {HTML_MIN_BLOCK_CHARS} "
+        f"    AND 2 * {_HTML_ANCH_SQL} <= length({_HTML_TXT_SQL})) AS kept FROM nb), "
+        "t AS (SELECT doc_id, "
+        f"    array_to_string(list_transform(kept, x -> {_HTML_TXT_SQL}), chr(10)) "
+        "      AS extracted, len(kept) AS nb FROM k) "
+        "SELECT doc_id, extracted, CAST(nb AS BIGINT) AS n_blocks, "
+        "  CAST(length(extracted) AS BIGINT) AS n_chars FROM t"
+    ),
+)
+def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> MAIN-TEXT EXTRACTION — the crawl-pipeline stage between
+    the WARC reader and the quality/dedup filters (r12 verdict item 2;
+    the reference keeps content filters in external companion packages,
+    README.md:51-61 — this is the Spark-native in-repo twin of that
+    seam). Deterministic jusText/trafilatura-style boilerplate removal:
+    script/style stripped, the page segmented on block-closing tags,
+    each block reduced to plain text, and only prose-like blocks kept —
+    >= 25 chars AND anchor text at most half the block's text (link
+    density), so navs/footers/share bars drop while paragraphs that
+    merely CONTAIN a link keep their anchor text as content.
+
+    The input page is deterministically PLANTED from (doc_id, text)
+    with the same construction in the oracle, so every rule is
+    exercised non-vacuously at any sf: the title/nav/share/footer
+    blocks drop for different reasons and two content blocks survive.
+
+    Scale: a pure map-only stage of nested higher-order JVM
+    expressions (split/filter/transform + regexp) fused into the scan
+    — per-doc work linear in page size, zero shuffles, zero Python;
+    composes inline with stream_curate_loop_live's member chain
+    (pytest: the WARC-member variant)."""
+    docs = load(spark, sf_dir, "documents", spread=True, amplify=300)
+    topic = (F.col("doc_id") % 50).cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>body{margin:0;}</style><script>var id="),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            ';</script></head><body><nav><a href="/">Home</a> '
+            '<a href="/about">About</a></nav><div><p>'
+        ),
+        F.regexp_replace(F.col("text"), "\n", "</p><p>"),
+        F.lit("</p></div><p>Read more about topic "),
+        topic,
+        F.lit(' in <a href="/t">the topic '),
+        topic,
+        F.lit(
+            ' archive page</a> here.</p><div class="share">'
+            '<a href="/s">Share this article</a> '
+            '<a href="/t">Tweet this article</a> via</div>'
+            '<footer>(c) 2026 <a href="/p">Privacy</a></footer></body></html>'
+        ),
+    )
+    ext = html_main_text(html)
+    return (
+        docs.select("doc_id", ext.alias("e"))
+        .select(
+            "doc_id",
+            F.col("e.extracted").alias("extracted"),
+            F.col("e.n_blocks").alias("n_blocks"),
+            F.length("e.extracted").cast("long").alias("n_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer twin for the BPE pair (r12 verdict item 4): a
+# SentencePiece-style trainer — seed a substring vocab, then EM rounds of
+# (E) Viterbi-segment every distinct word under the current piece scores
+# and (M) re-score each piece by its weighted usage, pruning unused
+# pieces (single chars are pinned so every word stays segmentable).
+# Fully deterministic INTEGER arithmetic (the bpe_train_iter discipline):
+# the segmentation objective is lexicographic (fewest pieces, then
+# highest total piece count, then smallest piece sequence), encoded as
+# one BIGINT score n_pieces*2^40 - sum(cnt) plus a string tiebreak —
+# no logs, no doubles, bit-identical across engines. The oracle unrolls
+# the fixed rounds as CTE stages; the DP is a list_reduce fold whose
+# accumulator encodes dp[0..i] as chr(30)-joined '<sc zero-padded to
+# 16>|<seg>' entries, so candidate comparison is plain string least()
+# — exactly Spark's struct(sc, seg) array_min ordering.
+_UNI_MAX_PIECE = 4
+_UNI_V = 60
+_UNI_ROUNDS = 2
+_UNI_BIG = 1099511627776  # 2^40 > any piece count at any sf
+
+
+def _uni_cand_sql(k: int) -> str:
+    prev = f"list_extract(string_split(acc, chr(30)), CAST(x AS INT) - {k} + 1)"
+    piece = f"substr(w, CAST(x AS INT) - {k} + 1, {k})"
+    cnt = f"list_extract(map_extract(vmap, {piece}), 1)"
+    seg_prev = f"split_part({prev}, '|', 2)"
+    return (
+        f"CASE WHEN CAST(x AS INT) >= {k} AND {prev} IS NOT NULL "
+        f"AND {cnt} IS NOT NULL THEN "
+        f"lpad(CAST(CAST(split_part({prev}, '|', 1) AS BIGINT) + {_UNI_BIG} "
+        f"  - {cnt} AS VARCHAR), 16, '0') || '|' || "
+        f"CASE WHEN {seg_prev} = '' THEN {piece} "
+        f"  ELSE {seg_prev} || ' ' || {piece} END END"
+    )
+
+
+def _uni_seg_sql() -> str:
+    """DuckDB Viterbi over word column w with piece-score map vmap:
+    returns the best segmentation (space-joined pieces)."""
+    cands = ", ".join(_uni_cand_sql(k) for k in range(1, _UNI_MAX_PIECE + 1))
+    step = f"acc || chr(30) || least({cands})"
+    dp = (
+        "list_reduce(list_prepend(lpad('0', 16, '0') || '|', "
+        "list_transform(range(1, len(w)+1), i -> lpad(CAST(i AS VARCHAR), 4, '0'))), "
+        f"(acc, x) -> {step})"
+    )
+    return f"split_part(list_extract(string_split({dp}, chr(30)), len(w)+1), '|', 2)"
+
+
+def _uni_round_ctes(r: int) -> list[str]:
+    p = r - 1
+    return [
+        f"mp{r} AS (SELECT map_from_entries(list(row(piece, cnt))) AS vmap FROM u{p})",
+        f"sg{r} AS (SELECT w, freq, {_uni_seg_sql()} AS seg FROM v0w, mp{r})",
+        f"pu{r} AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM ("
+        f"  SELECT unnest(string_split(seg, ' ')) AS piece, freq FROM sg{r}) GROUP BY piece)",
+        f"u{r} AS (SELECT piece, cnt FROM pu{r} "
+        f"  UNION ALL SELECT piece, CAST(0 AS BIGINT) AS cnt FROM u{p} "
+        f"  WHERE len(piece) = 1 AND piece NOT IN (SELECT piece FROM pu{r}))",
+    ]
+
+
+def _uni_train_ctes() -> list[str]:
+    ctes = [
+        "wrd AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)",
+        "v0w AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM wrd GROUP BY w)",
+        "sub AS (SELECT unnest(flatten(list_transform(range(1, len(w)+1), s -> "
+        f"  list_transform(range(1, least({_UNI_MAX_PIECE}, len(w)-s+1)+1), l -> "
+        "    substr(w, CAST(s AS INT), CAST(l AS INT)))))) AS piece, freq FROM v0w)",
+        "pc AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM sub GROUP BY piece)",
+        f"top AS (SELECT piece, cnt FROM pc ORDER BY cnt DESC, piece LIMIT {_UNI_V})",
+        "u0 AS (SELECT piece, cnt FROM top UNION ALL SELECT piece, cnt FROM pc "
+        "  WHERE len(piece) = 1 AND piece NOT IN (SELECT piece FROM top))",
+    ]
+    for r in range(1, _UNI_ROUNDS + 1):
+        ctes.extend(_uni_round_ctes(r))
+    return ctes
+
+
+def _uni_train_oracle() -> str:
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, piece, cnt FROM u{r}"
+        for r in range(0, _UNI_ROUNDS + 1)
+    )
+    return "WITH " + ", ".join(_uni_train_ctes()) + " " + sel
+
+
+def _uni_apply_oracle() -> str:
+    ctes = _uni_train_ctes() + [
+        f"mpA AS (SELECT map_from_entries(list(row(piece, cnt))) AS vmap FROM u{_UNI_ROUNDS})",
+        f"sgA AS (SELECT w, {_uni_seg_sql()} AS seg FROM v0w, mpA)",
+        "dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w "
+        "  FROM documents)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, "
+        "  CAST(SUM(len(string_split(seg, ' '))) AS BIGINT) AS n_pieces "
+        "FROM dw JOIN sgA USING (w) GROUP BY doc_id"
+    )
+
+
+def unigram_viterbi_seg(w, vmap):
+    """Spark twin of _uni_seg_sql: Viterbi-segment word column ``w``
+    under piece-score map column ``vmap`` (piece -> BIGINT count).
+    dp is an aggregate() fold building array<struct<sc,seg>>; the best
+    candidate per position is array_min over the (sc, seg) structs —
+    Spark's lexicographic struct ordering IS the oracle's zero-padded
+    string least(). Pure JVM higher-order expressions, no Python."""
+
+    def merge(acc, i):
+        def cand(k):
+            pos = (i - F.lit(k) + F.lit(1)).cast("int")
+            prev = F.try_element_at(acc, pos)
+            piece = w.substr(pos, F.lit(k))
+            cnt = F.try_element_at(vmap, piece)
+            return F.when(
+                (i >= F.lit(k)) & prev.isNotNull() & cnt.isNotNull(),
+                F.struct(
+                    (prev["sc"] + F.lit(_UNI_BIG) - cnt).alias("sc"),
+                    F.when(prev["seg"] == "", piece)
+                    .otherwise(F.concat(prev["seg"], F.lit(" "), piece))
+                    .alias("seg"),
+                ),
+            )
+
+        best = F.array_min(
+            F.array_compact(
+                F.array(*[cand(k) for k in range(1, _UNI_MAX_PIECE + 1)])
+            )
+        )
+        return F.concat(acc, F.array(best))
+
+    init = F.array(F.struct(F.lit(0).cast("long").alias("sc"), F.lit("").alias("seg")))
+    dp = F.aggregate(F.sequence(F.lit(1), F.length(w)), init, merge)
+    return F.element_at(dp, -1)["seg"]
+
+
+def _uni_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+
+
+def _uni_seed_vocab(words: DataFrame) -> DataFrame:
+    """(piece, cnt) seed: every substring of length 1.._UNI_MAX_PIECE of
+    every word occurrence, weighted by word frequency; top-_UNI_V by
+    (cnt DESC, piece) plus ALL single chars (segmentability pin)."""
+    w = F.col("w")
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda s: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(_UNI_MAX_PIECE), F.length(w) - s + F.lit(1)),
+                ),
+                lambda l: w.substr(s.cast("int"), l.cast("int")),
+            ),
+        )
+    )
+    pc = (
+        words.select(F.explode(subs).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+    top = pc.orderBy(F.col("cnt").desc(), "piece").limit(_UNI_V)
+    chars = pc.filter(F.length("piece") == 1).join(top, "piece", "left_anti")
+    return top.unionByName(chars)
+
+
+def _uni_vocab_map(vocab_rows) -> "F.Column":
+    entries = []
+    for piece, cnt in vocab_rows:
+        entries.append(F.lit(piece))
+        entries.append(F.lit(int(cnt)).cast("long"))
+    return F.create_map(*entries)
+
+
+def _unigram_rounds(spark: SparkSession, sf_dir: str, rounds: int):
+    """The distributed unigram-EM loop (shared by unigram_train_iter,
+    unigram_apply, and the pytest convergence twin): returns
+    ([(round, piece, cnt)] across rounds 0..rounds, final vocab rows).
+
+    Scale: the word-frequency table is the ONLY distributed state (one
+    row per distinct word — raw text is touched once); each round is a
+    map-only Viterbi over that table + one partial-agg usage count,
+    with the vocab (<= _UNI_V + alphabet rows, bounded by construction)
+    collected per round and re-broadcast as a literal map — the
+    kmeans_iter scalar-per-round pattern. localCheckpoint is
+    unnecessary: every round's plan restarts from the checkpointed-by-
+    construction words table, so lineage stays O(1)."""
+    words = _uni_words(spark, sf_dir).localCheckpoint()
+    vocab = sorted(
+        ((r.piece, r.cnt) for r in _uni_seed_vocab(words).collect()),
+    )
+    out = [(0, p, c) for p, c in vocab]
+    for r in range(1, rounds + 1):
+        vmap = _uni_vocab_map(vocab)
+        seg = words.select(
+            "w", "freq", unigram_viterbi_seg(F.col("w"), vmap).alias("seg")
+        )
+        usage = (
+            seg.select(F.explode(F.split("seg", " ")).alias("piece"), "freq")
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        used = {r_.piece: r_.cnt for r_ in usage.collect()}
+        nxt = dict(used)
+        for piece, _cnt in vocab:
+            if len(piece) == 1 and piece not in nxt:
+                nxt[piece] = 0
+        vocab = sorted(nxt.items())
+        out.extend((r, p, c) for p, c in vocab)
+    return out, vocab
+
+
+@query("unigram_train_iter", oracle=_uni_train_oracle())
+def unigram_train_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIGRAM-LM TOKENIZER TRAINING (Kudo/SentencePiece shape) — the
+    tokenizer-training twin bpe_train_iter implies (r12 verdict item
+    4): seed a substring vocabulary over the corpus word-frequency
+    table, then _UNI_ROUNDS EM rounds of Viterbi E-step + usage-count
+    M-step with zero-usage pieces pruned (single chars pinned so every
+    word stays segmentable). The segmentation objective is the
+    deterministic integer lexicographic order (fewest pieces, highest
+    total count, smallest piece sequence) — one BIGINT score
+    n*2^40 - sum(cnt) plus the seg-string tiebreak — so both engines
+    agree bit-for-bit with NO floating point anywhere. Output is the
+    full training trajectory (round, piece, cnt), rounds 0 (seed)
+    through _UNI_ROUNDS, the artifact a tokenizer build audits. The
+    oracle unrolls the rounds as CTE stages whose DP fold encodes
+    dp as zero-padded strings (the bpe_train_iter discipline).
+
+    Scale: see _unigram_rounds — distributed state is one row per
+    distinct word; per round one map-only DP + one partial-agg
+    exchange on piece; the vocab itself is bounded (<= _UNI_V +
+    alphabet) and rides the plan as a broadcast literal, exactly how
+    corpus-scale SentencePiece trains (the word table IS the corpus
+    compression)."""
+    out, _ = _unigram_rounds(spark, sf_dir, _UNI_ROUNDS)
+    return spark.createDataFrame(out, "round bigint, piece string, cnt bigint")
+
+
+@query("unigram_apply", oracle=_uni_apply_oracle())
+def unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIGRAM TOKENIZER APPLICATION: Viterbi-segment every document
+    under the trained final vocabulary (unigram_train_iter's round
+    _UNI_ROUNDS scores) and emit the per-doc token accounting the
+    budget/packing stages consume (n_words, n_pieces). Segmentation
+    runs once per DISTINCT word, then joins back to the per-doc word
+    rows — the standard vocab-join layout (bpe_apply's shape).
+
+    Scale: at 100 TB the distinct-word table is tiny next to the
+    corpus, AQE broadcasts it, and the per-doc side stays a map-only
+    explode + one partial-agg exchange on doc_id; the Viterbi DP runs
+    |distinct words| times total, never once per occurrence.
+
+    Oracle: the train CTEs + one more segmentation stage under the
+    final vocab + the word join, all integer."""
+    _, vocab = _unigram_rounds(spark, sf_dir, _UNI_ROUNDS)
+    words = _uni_words(spark, sf_dir)
+    vmap = _uni_vocab_map(vocab)
+    seg = words.select(
+        "w",
+        F.size(F.split(unigram_viterbi_seg(F.col("w"), vmap), " "))
+        .cast("long")
+        .alias("n_pieces_w"),
+    )
+    docs = load(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("w"),
+    )
+    return (
+        dw.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_pieces_w").cast("long").alias("n_pieces"),
+        )
+    )
