@@ -1308,8 +1308,9 @@ def compact_claim_table(spark: SparkSession, claims_dir: str) -> None:
 
     Scale: one exchange on fp over |distinct contents| rows; the swap
     is a rename (object stores use a manifest/commit instead)."""
-    from flod_spark.io import atomic_swap_dir
+    from flod_spark.io import atomic_swap_dir, recover_swap_dir
 
+    recover_swap_dir(claims_dir)
     compacted = (
         spark.read.parquet(claims_dir)
         .groupBy("fp")
@@ -1387,27 +1388,28 @@ def dedup_against_claims(docs: DataFrame, spark: SparkSession, claims_dir: str) 
 # _SLICE_OFFSET (past any gate corpus's max id).
 _SLICE_OFFSET = 1_000_000
 
-
-@query(
-    "dedup_incremental",
-    oracle=(
-        # half-split twin: claims = first half's fingerprints; the
-        # slice is the WHOLE corpus plus a re-delivered copy at
-        # doc_id + offset, so all three admission paths carry weight —
-        # claimed fps reject, within-slice later arrivals reject,
-        # unclaimed firsts admit
-        "WITH m AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS mid FROM documents), "
-        "s AS (SELECT doc_id, text FROM documents "
-        f"  UNION ALL SELECT doc_id + {_SLICE_OFFSET} AS doc_id, text FROM documents), "
-        f"h AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM s), "
-        f"c AS (SELECT DISTINCT md5({_NORM_SQL}) AS fp FROM documents, m "
-        "  WHERE doc_id <= mid) "
-        "SELECT doc_id, fp, "
-        "  (doc_id = MIN(doc_id) OVER (PARTITION BY fp)) "
-        "    AND fp NOT IN (SELECT fp FROM c) AS admitted "
-        "FROM h"
-    ),
+# Shared by dedup_incremental and dedup_claims_compacted (the r12
+# verdict's lifecycle-registration ask: compaction must be invisible to
+# admission, so the compacted query reuses this oracle VERBATIM):
+# half-split twin — claims = first half's fingerprints; the slice is
+# the WHOLE corpus plus a re-delivered copy at doc_id + offset, so all
+# three admission paths carry weight — claimed fps reject, within-slice
+# later arrivals reject, unclaimed firsts admit.
+_INCR_CLAIMS_ORACLE = (
+    "WITH m AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS mid FROM documents), "
+    "s AS (SELECT doc_id, text FROM documents "
+    f"  UNION ALL SELECT doc_id + {_SLICE_OFFSET} AS doc_id, text FROM documents), "
+    f"h AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM s), "
+    f"c AS (SELECT DISTINCT md5({_NORM_SQL}) AS fp FROM documents, m "
+    "  WHERE doc_id <= mid) "
+    "SELECT doc_id, fp, "
+    "  (doc_id = MIN(doc_id) OVER (PARTITION BY fp)) "
+    "    AND fp NOT IN (SELECT fp FROM c) AS admitted "
+    "FROM h"
 )
+
+
+@query("dedup_incremental", oracle=_INCR_CLAIMS_ORACLE)
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL batch dedup against a PERSISTED claim table,
     driver-gated (r11 verdict item 1 — the nightly-pipeline shape):
@@ -1623,8 +1625,9 @@ def compact_minhash_claims(spark: SparkSession, claims_dir: str) -> None:
     Scale: one exchange on the signature key over |distinct
     signatures| rows; the swap is a rename (manifest commit on object
     stores)."""
-    from flod_spark.io import atomic_swap_dir
+    from flod_spark.io import atomic_swap_dir, recover_swap_dir
 
+    recover_swap_dir(claims_dir)
     compacted = (
         spark.read.parquet(claims_dir)
         .groupBy("band", "bs")
@@ -1632,3 +1635,43 @@ def compact_minhash_claims(spark: SparkSession, claims_dir: str) -> None:
         .withColumn("slice", F.lit(0))
     )
     atomic_swap_dir(compacted, claims_dir, "slice")
+
+
+@query("dedup_claims_compacted", oracle=_INCR_CLAIMS_ORACLE)
+def dedup_claims_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL claim-table lifecycle as one driver-gated query (r12
+    verdict item 3): build the table over the corpus's first QUARTER,
+    admit-and-advance the second quarter as slice 1, COMPACT the two
+    slices back to one (compact_claim_table -> atomic_swap_dir), then
+    dedup the same union slice dedup_incremental uses against the
+    compacted table. Because N advances == the one-shot build
+    (pytest-pinned) and compaction is value-neutral on (fp, first_id),
+    the admission verdicts are bit-identical to dedup_incremental's —
+    so this reuses dedup_incremental's ORACLE VERBATIM: any drift in
+    build, advance, the swap, or the fold shows up as a hash mismatch.
+
+    Scale: the compaction is one exchange on fp over |distinct
+    contents| rows plus a rename (manifest commit on object stores);
+    everything else is dedup_incremental's plan — fingerprints only,
+    nothing rescans prior slices' text."""
+    docs = load(spark, sf_dir, "documents")
+    mm = docs.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")).first()
+    mid = (mm.mn + mm.mx) // 2
+    q1 = (mm.mn + mid) // 2
+    claims_dir = tempfile.mkdtemp(prefix="flod_claims_cpt_")
+    build_claim_table(docs.filter(F.col("doc_id") <= q1), claims_dir)
+    verdicts = dedup_against_claims(
+        docs.filter((F.col("doc_id") > q1) & (F.col("doc_id") <= mid)).select(
+            "doc_id", "text"
+        ),
+        spark,
+        claims_dir,
+    )
+    advance_claim_table(verdicts, claims_dir, slice_id=1)
+    compact_claim_table(spark, claims_dir)
+    slice_df = docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + F.lit(_SLICE_OFFSET)).alias("doc_id"), "text"
+        )
+    )
+    return dedup_against_claims(slice_df, spark, claims_dir)

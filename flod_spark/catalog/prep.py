@@ -151,16 +151,20 @@ def prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m AS (SELECT *, CASE WHEN prev_ts IS NULL "
         "    OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM o), "
         "s AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
-        "    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM m) "
+        "    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM m), "
+        # line is || (NULL-propagating); string_agg drops NULL lines and
+        # COUNT(line) counts only rendered turns — the engine side
+        # mirrors both exactly (r12 advice: concat_ws would keep a
+        # NULL-event_type line that || drops)
+        "r AS (SELECT user_id, session_id, ts, event_id, "
+        "    event_type || '#' || CAST(event_id AS VARCHAR) AS line FROM s) "
         "SELECT user_id, session_id, "
-        "  string_agg(event_type || '#' || CAST(event_id AS VARCHAR), chr(10) "
-        "    ORDER BY ts, event_id) AS conversation, "
-        "  COUNT(*) AS n_turns, "
-        "  CAST(length(string_agg(event_type || '#' || CAST(event_id AS VARCHAR), chr(10) "
-        "    ORDER BY ts, event_id)) AS BIGINT) AS n_chars, "
-        "  CAST((length(string_agg(event_type || '#' || CAST(event_id AS VARCHAR), chr(10) "
-        "    ORDER BY ts, event_id)) + 3) // 4 AS BIGINT) AS est_tokens "
-        "FROM s GROUP BY user_id, session_id"
+        "  string_agg(line, chr(10) ORDER BY ts, event_id) AS conversation, "
+        "  COUNT(line) AS n_turns, "
+        "  CAST(length(string_agg(line, chr(10) ORDER BY ts, event_id)) AS BIGINT) AS n_chars, "
+        "  CAST((length(string_agg(line, chr(10) ORDER BY ts, event_id)) + 3) // 4 "
+        "    AS BIGINT) AS est_tokens "
+        "FROM r GROUP BY user_id, session_id"
     ),
 )
 def conversation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,6 +181,11 @@ def conversation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     where DuckDB's string_agg takes ORDER BY natively. Turn lines use
     only strings/ids (double rendering differs across engines — the
     value column stays numeric in the stats world, never the text).
+    NULL semantics match ``||`` exactly (r12 advice): the line renders
+    with NULL-propagating F.concat, NULL lines are dropped from the
+    document AND from n_turns (string_agg/COUNT(line) semantics), and
+    an all-NULL session's conversation is NULL, not '' — so a NULL
+    event_type can never diverge engine from oracle.
 
     Scale: one exchange on user_id shared by the lag window, the
     running session-id sum, and the final agg (Catalyst reuses the
@@ -189,7 +198,7 @@ def conversation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     gap_us = 30 * 60 * 1_000_000
-    line = F.concat_ws("#", "event_type", F.col("event_id").cast("string"))
+    line = F.concat(F.col("event_type"), F.lit("#"), F.col("event_id").cast("string"))
     s = (
         ev.withColumn("prev_ts", F.lag("ts").over(w))
         .withColumn(
@@ -203,16 +212,27 @@ def conversation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("session_id", F.sum("new_s").over(frame))
         .select("user_id", "session_id", "ts", "event_id", line.alias("line"))
     )
+    # collect_list skips NULL elements, so wrapping the struct in
+    # when(line IS NOT NULL, ...) drops un-rendered turns exactly like
+    # string_agg; an all-NULL session then yields conversation = NULL
+    # (not ''), matching the oracle
+    kept = F.when(F.col("line").isNotNull(), F.struct("ts", "event_id", "line"))
     conv = F.array_join(
         F.transform(
-            F.array_sort(F.collect_list(F.struct("ts", "event_id", "line"))),
+            F.array_sort(F.collect_list(kept)),
             lambda t: t["line"],
         ),
         "\n",
     )
     return (
         s.groupBy("user_id", "session_id")
-        .agg(conv.alias("conversation"), F.count("*").alias("n_turns"))
+        .agg(conv.alias("conv_raw"), F.count("line").alias("n_turns"))
+        .select(
+            "user_id",
+            "session_id",
+            F.when(F.col("n_turns") > 0, F.col("conv_raw")).alias("conversation"),
+            "n_turns",
+        )
         .select(
             "user_id",
             "session_id",

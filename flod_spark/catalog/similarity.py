@@ -2378,21 +2378,65 @@ def compact_ivfpq_index(spark: SparkSession, index_dir: str) -> None:
     directory's file count no matter how many nightly advances have
     landed. Service is bit-identical before and after (pytest-pinned).
 
+    CRASH-IDEMPOTENT (r12 advice): recover_swap_dir first finishes any
+    half-completed prior swap, and the fold dropDuplicates on
+    (vec_id, m) — codes are immutable once written, so duplicates are
+    exact — which makes a re-run after a crash between the swap and
+    the slice cleanup a no-op on the base instead of silently doubling
+    it (pytest-pinned: re-fold with a leftover already-folded slice
+    leaves the base row count and served rankings unchanged).
+
     Scale: one cell-partitioned rewrite of the codes table (the 42x-
     compressed corpus view, not the vectors); on object stores the
     rename is a manifest commit."""
     import glob as _glob
     import shutil as _shutil
 
-    from flod_spark.io import atomic_swap_dir
+    from flod_spark.io import atomic_swap_dir, recover_swap_dir
 
     base = index_dir + "/codes_by_cell"
+    recover_swap_dir(base)
     slices = sorted(_glob.glob(index_dir + "/codes_slice_*"))
     if not slices:
         return
     codes = spark.read.parquet(base)
     for p in slices:
         codes = codes.unionByName(spark.read.parquet(p))
+    codes = codes.dropDuplicates(["vec_id", "m"])
     atomic_swap_dir(codes, base, "cell")
     for p in slices:
         _shutil.rmtree(p)
+
+
+@query("sim_ivfpq_compacted", oracle=_ivfpq_advanced_oracle())
+def sim_ivfpq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL persisted-ANN index lifecycle as one driver-gated query
+    (r12 verdict item 3): build -> advance -> COMPACT -> serve. Exactly
+    sim_ivfpq_advanced's sequence, with compact_ivfpq_index folding the
+    advanced slice into the base (dropDuplicates(vec_id, m) +
+    atomic_swap_dir) before the serve — service must be bit-identical
+    to the uncompacted index (pytest-pinned), so this reuses
+    sim_ivfpq_advanced's ORACLE VERBATIM: any fold bug (lost codes,
+    doubled codes, a broken swap) surfaces as a hash mismatch. Note
+    include_slices stays True — proving the fold left nothing behind
+    for the slice-side union to pick up.
+
+    Scale: compaction is one cell-partitioned rewrite of the
+    42x-compressed codes table (never the vectors) + a rename
+    (manifest commit on object stores); it caps the serving read
+    side's file count at one directory no matter how many nightly
+    advances have landed, which is what keeps probe-fraction scan
+    economics true after months of appends."""
+    emb = _emb_v(spark, sf_dir)
+    mm = emb.agg(F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx")).first()
+    mid = (mm.mn + mm.mx) // 2
+    idx_dir = tempfile.mkdtemp(prefix="flod_ivfpq_cpt_")
+    ivfpq_index_save(emb.filter(F.col("vec_id") <= mid), idx_dir)
+    ivfpq_index_advance(
+        emb.filter(F.col("vec_id") > mid), spark, idx_dir, slice_id=1
+    )
+    compact_ivfpq_index(spark, idx_dir)
+    queries = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    return ivfpq_index_query(spark, idx_dir, queries, include_slices=True)

@@ -128,6 +128,30 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 
 
+def recover_swap_dir(target: str) -> None:
+    """Finish a half-completed :func:`atomic_swap_dir`. The rename
+    sequence there writes ``.compact`` FULLY before any rename, so if
+    ``target`` is absent the crash landed between the two renames and
+    ``.compact`` is a complete replacement — promote it. If only
+    ``.old`` survives (a ``.compact`` was lost to manual cleanup),
+    restore the pre-swap state instead. Idempotent and a no-op in the
+    healthy state; every compactor calls this BEFORE its first read of
+    ``target`` so the documented crash window is actually recoverable
+    (r12 advice: the callers used to read ``target`` unconditionally,
+    which fails while it is absent)."""
+    import shutil
+
+    tmp = target.rstrip("/") + ".compact"
+    old = target.rstrip("/") + ".old"
+    if os.path.exists(target):
+        return
+    if os.path.exists(tmp):
+        os.rename(tmp, target)
+        shutil.rmtree(old, ignore_errors=True)
+    elif os.path.exists(old):
+        os.rename(old, target)
+
+
 def atomic_swap_dir(df: DataFrame, target: str, partition_by: str) -> None:
     """Write ``df`` as ``<target>.compact`` (partitioned) and swap it in
     with a double rename — THE compaction commit sequence, shared by
@@ -135,8 +159,10 @@ def atomic_swap_dir(df: DataFrame, target: str, partition_by: str) -> None:
     IVF-PQ codes) so the crash-window semantics live in one place: the
     only non-atomic instant is between the two renames, where the
     target is absent but the fully-written ``.compact`` and ``.old``
-    dirs both exist — recoverable by re-running the compaction. Object
-    stores replace the renames with a manifest commit."""
+    dirs both exist — :func:`recover_swap_dir` (run by every compactor
+    before it reads the table) promotes the finished ``.compact`` and
+    completes the swap. Object stores replace the renames with a
+    manifest commit."""
     import shutil
 
     tmp = target.rstrip("/") + ".compact"
