@@ -225,6 +225,15 @@ HEADLINE = [
     # multi-turn conversation docs from event logs: sessionize +
     # ordered turn concat + token stats, one user_id exchange
     "conversation_pack",
+    # round-13 additions: the lifecycle closers (claim-table and IVF-PQ
+    # index build->advance->COMPACT->serve as one query each), the
+    # WARC-chain HTML->text extraction stage, and the unigram-LM
+    # tokenizer pair (EM train + Viterbi apply)
+    "dedup_claims_compacted",
+    "sim_ivfpq_compacted",
+    "html_extract",
+    "unigram_train_iter",
+    "unigram_apply",
 ]
 
 

@@ -76,7 +76,7 @@ def ensure_shipped(spark: SparkSession) -> None:
 # The rotation tests clamp driver_rounds() to this, so the driver dropping
 # CORRECTNESS_r{N+1}.json into the tree after the builder's final commit
 # cannot flip a committed-green pytest (round-6 verdict, top finding).
-_PLANNED_FROM_ROUND = 11
+_PLANNED_FROM_ROUND = 12
 
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). _GATE_ORDER makes the window explicit, and ROTATES each
@@ -86,63 +86,52 @@ _PLANNED_FROM_ROUND = 11
 # staleness from CORRECTNESS_r*.json); tests/test_chains.py pins this
 # window against the same data, clamped to _PLANNED_FROM_ROUND, so the
 # two cannot drift and later driver artifacts cannot break it.
-# Round-12 window = 17 + 1 + 5 + 27 = 50:
-#   (b) the 17 new round-12 registrations (first driver row) — no
+# Round-13 window = 5 + 1 + 18 + 26 = 50 (the r12 verdict item 1
+# burn-down: the entire six-round-stale r6 tier re-gates, plus the
+# r7-tier head):
+#   (b) the 5 new round-13 registrations (first driver row) — no
 #       recorded row at _PLANNED_FROM_ROUND, so the membership test
-#       auto-derives them as must-gate: the r11-verdict-item-1 queue
-#       (sink_tar_shards, stream_archive_live, dedup_incremental,
-#       sim_mrl_rerank, sim_pq_adc_persisted, sim_ivfpq_persisted)
-#       plus the composed streaming-ingestion qkey
-#       (stream_archive_dedup_live, r11 verdict item 5), plus the
-#       late-round pull-forward of the r13 queue (BENCH_NOTES r12):
-#       the streaming tar-shard SINK (stream_sink_tar_live), the full
-#       curation loop (stream_curate_loop_live), the crawl-native
-#       WARC writer (sink_warc_shards), the incremental fuzzy
-#       claim table (dedup_minhash_incremental), binary-quantized
-#       retrieval (sim_binary_rerank), WebDataset paired-sample
-#       assembly (scan_wds_samples) and its zero-shuffle streaming
-#       twin (stream_wds_samples_live), incremental IVF-PQ index
-#       maintenance (sim_ivfpq_advanced), the per-shard Bloom
-#       skipping index (scan_bloom_pruned), and multi-turn
-#       conversation-doc construction (conversation_pack),
-#   (c) changed-implementation re-proof: scan_archive (the shared
-#       archive_member_rows split now dispatches ZIP/tar on leading
-#       magic bytes instead of the filename — r11 ADVICE) — 1 key.
-#       (dedup_against_claims' distinct-claims fix and the claim-table
-#       slice layout ship inside the NEW dedup_incremental key.)
-#   (d) the stalest tiers in registration order: the 5-key r5 spill
-#       (sink_compact .. length_buckets — 7 rounds stale) then the
-#       first 27 of the 45-key r6 tail (scan_queue .. scd2_build);
-#       the remaining 18 r6 keys (window_rolling_median, bm25_score,
-#       vocab_coverage, embed_pq,
-#       sim_pq_adc, sim_ivfpq, embed_truncate_energy,
-#       media_audio_rms, udf_arrow, triangle_count + the agg_mad tier
-#       tail) spill to the round-13 fill pool, covered by this round's
+#       auto-derives them as must-gate: the index/claim lifecycle
+#       closers (dedup_claims_compacted, sim_ivfpq_compacted — r12
+#       verdict item 3), the WARC-chain extraction stage
+#       (html_extract — item 2), and the unigram tokenizer pair
+#       (unigram_train_iter, unigram_apply — item 4),
+#   (c) changed-implementation re-proof: conversation_pack (NULL
+#       event_type semantics now match `||`/string_agg on BOTH sides —
+#       r12 ADVICE; engine and oracle both changed, so it re-gates),
+#   (d) the stalest tiers in registration order: ALL 18 six-round-stale
+#       r6 keys (window_rolling_median .. stream_cdc_apply_live), then
+#       the first 26 of the 45-key r7 tier (by_line_sep .. dedup_ngram);
+#       the remaining 19 r7 keys (sim_topk, sim_lsh, embed_dedup,
+#       sim_mips, media_meta, udf_stage, udf_grouped_agg,
+#       graph_jaccard_approx, agg_hyperloglog_exact, graph_kcore,
+#       stream_dedup_minhash_live, sample_hash, sample_stratified,
+#       split_time_embargo, sample_group_k, stream_hll_live,
+#       stream_bars_ohlc_live, stream_bitmap_distinct_live, codec_gzip)
+#       spill to the round-14 fill pool, covered by this round's
 #       complement sweep.
 # Keys not listed here sort after listed ones, in registration order.
 _GATE_ORDER = (
-    # (b) new round-12 registrations — 17 keys
-    "sink_tar_shards", "stream_archive_live", "stream_archive_dedup_live",
-    "dedup_incremental", "sim_mrl_rerank", "sim_pq_adc_persisted",
-    "sim_ivfpq_persisted", "stream_sink_tar_live",
-    "stream_curate_loop_live", "sink_warc_shards",
-    "dedup_minhash_incremental", "sim_binary_rerank",
-    "scan_wds_samples", "sim_ivfpq_advanced", "scan_bloom_pruned",
-    "stream_wds_samples_live", "conversation_pack",
+    # (b) new round-13 registrations — 5 keys
+    "dedup_claims_compacted", "sim_ivfpq_compacted", "html_extract",
+    "unigram_train_iter", "unigram_apply",
     # (c) changed-implementation re-proof — 1 key
-    "scan_archive",
-    # (d) r5-tier spill — 5 keys
-    "sink_compact", "scan_evolved", "sink_orc", "sort_zorder",
-    "length_buckets",
-    # (d) r6-tier head in registration order — 27 keys
-    "scan_queue", "take_limit", "by_line", "by_chunk",
-    "by_chunk_arrays", "by_element", "adapter_noop", "sink_collect",
-    "sink_discard", "sink_file", "sink_copy", "scan_binary",
-    "agg_group", "agg_distinct", "join_equi", "join_anti",
-    "join_asof", "join_asof_nearest", "join_range",
-    "k_anonymity_audit", "join_bloom", "window_reset_cumsum",
-    "window_rolling_regression", "quantile_exact_2pass", "cdc_apply",
-    "cdc_time_travel", "scd2_build",
+    "conversation_pack",
+    # (d) the full six-round-stale r6 tier in registration order — 18
+    "window_rolling_median", "bm25_score", "vocab_coverage", "embed_pq",
+    "sim_pq_adc", "sim_ivfpq", "embed_truncate_energy",
+    "media_audio_rms", "udf_arrow", "triangle_count", "graph_jaccard",
+    "sketch_countmin", "agg_mad", "stream_dedup_substring_live",
+    "sample_temperature", "stream_split_router_live",
+    "stream_sketch_countmin_live", "stream_cdc_apply_live",
+    # (d) r7-tier head in registration order — 26 keys
+    "by_line_sep", "window_rank", "sort_topk", "set_union",
+    "set_except", "scalar_fns", "tpch_q6", "tpch_q3", "window_ewma",
+    "join_asof_dim", "histogram_heatmap", "join_lateral_topn",
+    "agg_skewness", "stream_window", "stream_sliding", "stream_dedup",
+    "bars_ohlc", "text_stats", "lang_id", "doc_quality",
+    "json_extract", "text_seg_dedup", "dedup_exact", "dedup_minhash",
+    "dedup_simhash", "dedup_ngram",
 )
 
 

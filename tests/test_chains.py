@@ -172,12 +172,13 @@ def test_take_stress_reference_scale(spark):
 # the staleness data can't derive. New registrations need no list: under
 # the _PLANNED_FROM_ROUND clamp they have no driver row, so the
 # membership test auto-derives them as must-gate.
-ROUND12_CHANGED = {
-    # r11 ADVICE: the shared archive_member_rows split now dispatches
-    # ZIP/tar on the leading magic bytes (PK\x03\x04) instead of the
-    # filename extension, and the oracle moved to interpolated
-    # grouping constants + non-truncating printf zero-pads
-    "scan_archive",
+ROUND13_CHANGED = {
+    # r12 ADVICE: conversation_pack's NULL-event_type semantics now
+    # match `||`/string_agg exactly — the line renders with
+    # NULL-propagating concat, NULL lines drop from the document AND
+    # from n_turns, an all-NULL session's conversation is NULL. Engine
+    # and oracle both changed, so the key re-gates.
+    "conversation_pack",
 }
 
 
@@ -198,7 +199,7 @@ def test_gate_window_membership():
     window = list(e.queries())[:50]
     rows, latest = driver_rounds(max_round=registry._PLANNED_FROM_ROUND)
     never = {q for q, rs in rows.items() if not rs}
-    must_gate = never | ROUND12_CHANGED
+    must_gate = never | ROUND13_CHANGED
     missing = must_gate - set(window)
     assert not missing, f"rotated out of the 50-entry gate window: {missing}"
     assert len(window) == 50
