@@ -234,6 +234,9 @@ HEADLINE = [
     "html_extract",
     "unigram_train_iter",
     "unigram_apply",
+    # the composed batch crawl chain: WARC pack -> member scan ->
+    # extract -> quality -> dedup, every stage non-vacuous
+    "crawl_pipeline",
 ]
 
 

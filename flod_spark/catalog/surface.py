@@ -1758,3 +1758,114 @@ def stream_wds_samples_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flod_spark.catalog.streaming_live import _drain
 
     return _drain(wds_assemble_members(raw), spark, cleanup=(adir,))
+
+
+# crawl_pipeline constructions shared by engine and oracle: docs whose
+# id hits the thin-page residue render as chrome-only stubs (the
+# quality stage MUST drop something at any sf), and the whole page set
+# is re-delivered once at doc_id + _CRAWL_REFETCH (a crawler fetching
+# the same URLs twice — the dedup stage MUST reject the copies).
+_CRAWL_THIN_MOD = 29
+_CRAWL_REFETCH = 1_000_000
+
+
+def _crawl_oracle() -> str:
+    from flod_spark.catalog.text import (
+        QUALITY_MIN_CHARS,
+        _html_plant_sql,
+        html_extract_ctes,
+    )
+
+    thin = (
+        f"CASE WHEN doc_id % {_CRAWL_THIN_MOD} = 0 "
+        "THEN substr(text, 1, 10) ELSE text END"
+    )
+    src = (
+        f"s AS (SELECT doc_id, {thin} AS text FROM documents "
+        f"  UNION ALL SELECT doc_id + {_CRAWL_REFETCH} AS doc_id, {thin} AS text "
+        "  FROM documents)"
+    )
+    plant = _html_plant_sql("substr(md5(text), 1, 4)")
+    return (
+        f"WITH {src}, {html_extract_ctes(plant, from_tbl='s')}, "
+        "q AS (SELECT doc_id, extracted, length(extracted) AS n_chars FROM t "
+        f"  WHERE length(extracted) >= {QUALITY_MIN_CHARS}) "
+        "SELECT doc_id, md5(extracted) AS fp, CAST(n_chars AS BIGINT) AS n_chars, "
+        "  (doc_id = MIN(doc_id) OVER (PARTITION BY md5(extracted))) AS admitted "
+        "FROM q"
+    )
+
+
+@query("crawl_pipeline", oracle=_crawl_oracle())
+def crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE BATCH CRAWL-CURATION CHAIN END TO END, one gated query:
+    planted HTML pages -> pack_warc_shards (distributed, byte-
+    deterministic) -> the uniform archive_member_rows WARC split with
+    content bytes -> html_main_text extraction inline on the members
+    -> quality floor (QUALITY_MIN_CHARS on the extracted text) ->
+    exact first-arrival dedup on the extracted fingerprint. This is
+    the composition the r12/r13 pieces exist for (WARC scan ->
+    EXTRACT -> quality -> dedup); the oracle states the whole thing
+    in CLOSED FORM over documents (plant + extract CTEs + quality +
+    dedup window) and never sees a WARC — so the pack->scan->parse
+    round-trip must be byte-perfect for the hash to match (the
+    sink_warc_shards discipline, extended through three more stages).
+    Every stage is NON-VACUOUS at any sf by construction: pages whose
+    id hits the thin-page residue are chrome-only stubs the quality
+    floor drops (both copies), the whole page set is re-delivered at
+    doc_id + _CRAWL_REFETCH so dedup rejects one copy of everything
+    else, and the page's variable content token keys on md5(text),
+    NOT doc_id, so re-fetched pages extract to identical text.
+
+    Scale: one hash shuffle onto shard keys for the pack, map-side
+    WARC writes, then the read side is member split + extraction
+    FUSED in one Arrow/expression stage per shard (no exchange until
+    the 16-byte-fingerprint dedup window) — the crawl-ingestion plan
+    whose only corpus-sized exchange carries fingerprints, exactly
+    like dedup_exact."""
+    import os
+
+    from flod_spark.catalog.text import (
+        QUALITY_MIN_CHARS,
+        html_main_text,
+        html_plant_col,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    thin = F.when(
+        F.col("doc_id") % _CRAWL_THIN_MOD == 0, F.substring("text", 1, 10)
+    ).otherwise(F.col("text"))
+    base = docs.select("doc_id", thin.alias("text"))
+    src = base.unionByName(
+        base.select((F.col("doc_id") + F.lit(_CRAWL_REFETCH)).alias("doc_id"), "text")
+    )
+    topic = F.substring(F.md5(F.col("text").cast("binary")), 1, 4)
+    pages = src.select(
+        "doc_id", html_plant_col(F.col("doc_id"), F.col("text"), topic).alias("text")
+    )
+    out_dir = tempfile.mkdtemp(prefix="flod_crawl_")
+    manifest = pack_warc_shards(pages, out_dir).collect()  # one row per shard
+    assert all(os.path.getsize(r.path) == r.n_bytes for r in manifest)
+    raw = spark.read.format("binaryFile").load(out_dir)
+    members = archive_member_rows(raw, keep_content=True)
+    ext = (
+        members.select(
+            # regexp, not a fixed-width substring: the re-fetched copies
+            # carry 7-digit ids past the %06d pad
+            F.regexp_extract("member", "doc_([0-9]+)[.]txt", 1)
+            .cast("long")
+            .alias("doc_id"),
+            html_main_text(F.col("content").cast("string")).alias("e"),
+        )
+        .select("doc_id", F.col("e.extracted").alias("extracted"))
+        .filter(F.length("extracted") >= QUALITY_MIN_CHARS)
+    )
+    w = Window.partitionBy("fp")
+    return (
+        ext.select(
+            "doc_id",
+            F.md5(F.col("extracted").cast("binary")).alias("fp"),
+            F.length("extracted").cast("long").alias("n_chars"),
+        )
+        .withColumn("admitted", F.col("doc_id") == F.min("doc_id").over(w))
+    )

@@ -1972,18 +1972,54 @@ HTML_MIN_BLOCK_CHARS = 25
 # mixed text+link paragraph (kept WITH its anchor text — link text is
 # content), a share <div> whose chars are mostly anchors (dropped by
 # link density despite its length), and a <footer> (dropped: short).
-_HTML_AUG_SQL = (
-    "'<html><head><title>Doc ' || doc_id || '</title>"
-    "<style>body{margin:0;}</style>"
-    "<script>var id=' || doc_id || ';</script></head><body>"
-    '<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
-    "<div><p>' || replace(text, chr(10), '</p><p>') || '</p></div>"
-    "<p>Read more about topic ' || (doc_id % 50) || ' in "
-    '<a href="/t">the topic \' || (doc_id % 50) || \' archive page</a> here.</p>'
-    '<div class="share"><a href="/s">Share this article</a> '
-    '<a href="/t">Tweet this article</a> via</div>'
-    '<footer>(c) 2026 <a href="/p">Privacy</a></footer></body></html>\''
-)
+# ``topic_sql`` parameterizes the one content token that varies:
+# html_extract keys it on doc_id; crawl_pipeline keys it on md5(text)
+# so the EXTRACTED text is a pure function of text (dedup-exact twin).
+
+
+def _html_plant_sql(topic_sql: str) -> str:
+    return (
+        "'<html><head><title>Doc ' || doc_id || '</title>"
+        "<style>body{margin:0;}</style>"
+        "<script>var id=' || doc_id || ';</script></head><body>"
+        '<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
+        "<div><p>' || replace(text, chr(10), '</p><p>') || '</p></div>"
+        f"<p>Read more about topic ' || {topic_sql} || ' in "
+        f'<a href="/t">the topic \' || {topic_sql} || \' archive page</a> here.</p>'
+        '<div class="share"><a href="/s">Share this article</a> '
+        '<a href="/t">Tweet this article</a> via</div>'
+        '<footer>(c) 2026 <a href="/p">Privacy</a></footer></body></html>\''
+    )
+
+
+_HTML_AUG_SQL = _html_plant_sql("(doc_id % 50)")
+
+
+def html_plant_col(doc_id, text, topic):
+    """Spark twin of _html_plant_sql over Columns — shared by
+    html_extract and crawl_pipeline (surface.py) so the planted page
+    construction cannot drift between the two gates."""
+    return F.concat(
+        F.lit("<html><head><title>Doc "),
+        doc_id.cast("string"),
+        F.lit("</title><style>body{margin:0;}</style><script>var id="),
+        doc_id.cast("string"),
+        F.lit(
+            ';</script></head><body><nav><a href="/">Home</a> '
+            '<a href="/about">About</a></nav><div><p>'
+        ),
+        F.regexp_replace(text, "\n", "</p><p>"),
+        F.lit("</p></div><p>Read more about topic "),
+        topic,
+        F.lit(' in <a href="/t">the topic '),
+        topic,
+        F.lit(
+            ' archive page</a> here.</p><div class="share">'
+            '<a href="/s">Share this article</a> '
+            '<a href="/t">Tweet this article</a> via</div>'
+            '<footer>(c) 2026 <a href="/p">Privacy</a></footer></body></html>'
+        ),
+    )
 
 # per-block plain text, as one reusable SQL fragment over a block `x`:
 # tags -> spaces, whitespace runs collapsed, trimmed
@@ -2040,10 +2076,13 @@ def html_main_text(html):
     )
 
 
-@query(
-    "html_extract",
-    oracle=(
-        f"WITH h AS (SELECT doc_id, {_HTML_AUG_SQL} AS html FROM documents), "
+def html_extract_ctes(plant_sql: str, from_tbl: str = "documents") -> str:
+    """The plant -> extract CTE chain ending in ``t(doc_id, extracted,
+    nb)`` — shared by html_extract's oracle and crawl_pipeline's
+    (surface.py), parameterized by the planted-page construction and
+    the (doc_id, text) source relation."""
+    return (
+        f"h AS (SELECT doc_id, {plant_sql} AS html FROM {from_tbl}), "
         "nb AS (SELECT doc_id, string_split(regexp_replace(regexp_replace(html, "
         f"    '{HTML_SCRIPT_RE}', '', 'g'), '{HTML_BLOCK_RE}', chr(1), 'g'), chr(1)) "
         "  AS blocks FROM h), "
@@ -2052,7 +2091,14 @@ def html_main_text(html):
         f"    AND 2 * {_HTML_ANCH_SQL} <= length({_HTML_TXT_SQL})) AS kept FROM nb), "
         "t AS (SELECT doc_id, "
         f"    array_to_string(list_transform(kept, x -> {_HTML_TXT_SQL}), chr(10)) "
-        "      AS extracted, len(kept) AS nb FROM k) "
+        "      AS extracted, len(kept) AS nb FROM k)"
+    )
+
+
+@query(
+    "html_extract",
+    oracle=(
+        f"WITH {html_extract_ctes(_HTML_AUG_SQL)} "
         "SELECT doc_id, extracted, CAST(nb AS BIGINT) AS n_blocks, "
         "  CAST(length(extracted) AS BIGINT) AS n_chars FROM t"
     ),
@@ -2081,27 +2127,7 @@ def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pytest: the WARC-member variant)."""
     docs = load(spark, sf_dir, "documents", spread=True, amplify=300)
     topic = (F.col("doc_id") % 50).cast("string")
-    html = F.concat(
-        F.lit("<html><head><title>Doc "),
-        F.col("doc_id").cast("string"),
-        F.lit("</title><style>body{margin:0;}</style><script>var id="),
-        F.col("doc_id").cast("string"),
-        F.lit(
-            ';</script></head><body><nav><a href="/">Home</a> '
-            '<a href="/about">About</a></nav><div><p>'
-        ),
-        F.regexp_replace(F.col("text"), "\n", "</p><p>"),
-        F.lit("</p></div><p>Read more about topic "),
-        topic,
-        F.lit(' in <a href="/t">the topic '),
-        topic,
-        F.lit(
-            ' archive page</a> here.</p><div class="share">'
-            '<a href="/s">Share this article</a> '
-            '<a href="/t">Tweet this article</a> via</div>'
-            '<footer>(c) 2026 <a href="/p">Privacy</a></footer></body></html>'
-        ),
-    )
+    html = html_plant_col(F.col("doc_id"), F.col("text"), topic)
     ext = html_main_text(html)
     return (
         docs.select("doc_id", ext.alias("e"))

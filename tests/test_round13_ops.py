@@ -256,3 +256,28 @@ def test_unigram_training_converges_and_is_stable(spark, sf_dir):
     assert set(reg) == {
         (r, p, c) for r, p, c in out if r <= _UNI_ROUNDS
     }
+
+
+def test_crawl_pipeline_stages_all_fire(spark, sf_dir):
+    """The composed crawl chain's three stages are each non-vacuous at
+    any sf BY CONSTRUCTION: thin-page stubs fall to the quality floor
+    (both fetches), every surviving original is admitted, and every
+    surviving re-fetched copy is rejected by dedup with the SAME
+    fingerprint as its original."""
+    import __spark_entry__ as e
+    from flod_spark.catalog.surface import _CRAWL_REFETCH, _CRAWL_THIN_MOD
+    from flod_spark.io import load
+
+    n = load(spark, sf_dir, "documents").count()
+    rows = e.queries()["crawl_pipeline"](spark, sf_dir).collect()
+    assert 0 < len(rows) < 2 * n  # quality dropped something
+    orig = {r.doc_id: r for r in rows if r.doc_id < _CRAWL_REFETCH}
+    copy = {r.doc_id - _CRAWL_REFETCH: r for r in rows if r.doc_id >= _CRAWL_REFETCH}
+    assert set(orig) == set(copy) and orig
+    assert all(r.admitted for r in orig.values())
+    assert not any(r.admitted for r in copy.values())
+    assert all(orig[d].fp == copy[d].fp for d in orig)
+    # the quality-dropped set is exactly the thin-page residue (their
+    # chrome-only extraction is under the floor at this corpus's sizes)
+    dropped = {d for d in range(n) if d not in orig}
+    assert dropped and dropped <= {d for d in range(n) if d % _CRAWL_THIN_MOD == 0}
