@@ -234,9 +234,10 @@ HEADLINE = [
     "html_extract",
     "unigram_train_iter",
     "unigram_apply",
-    # the composed batch crawl chain: WARC pack -> member scan ->
-    # extract -> quality -> dedup, every stage non-vacuous
+    # the composed crawl chain, batch and live: WARC pack -> member
+    # scan -> extract -> quality -> dedup, every stage non-vacuous
     "crawl_pipeline",
+    "stream_crawl_extract_live",
 ]
 
 

@@ -1825,13 +1825,27 @@ def crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     like dedup_exact."""
     import os
 
-    from flod_spark.catalog.text import (
-        QUALITY_MIN_CHARS,
-        html_main_text,
-        html_plant_col,
-    )
+    import os
 
     docs = load(spark, sf_dir, "documents")
+    pages = _crawl_pages(docs)
+    out_dir = tempfile.mkdtemp(prefix="flod_crawl_")
+    manifest = pack_warc_shards(pages, out_dir).collect()  # one row per shard
+    assert all(os.path.getsize(r.path) == r.n_bytes for r in manifest)
+    raw = spark.read.format("binaryFile").load(out_dir)
+    members = archive_member_rows(raw, keep_content=True)
+    ext = _crawl_extract_quality(members)
+    w = Window.partitionBy("fp")
+    return ext.withColumn("admitted", F.col("doc_id") == F.min("doc_id").over(w))
+
+
+def _crawl_pages(docs: DataFrame) -> DataFrame:
+    """(doc_id, text=planted page) for the crawl chain — the thin-page
+    residue + the re-fetched copy of the whole set, with the page's
+    content token keyed on md5(text); shared by crawl_pipeline and its
+    streaming twin so the two gates plant identical pages."""
+    from flod_spark.catalog.text import html_plant_col
+
     thin = F.when(
         F.col("doc_id") % _CRAWL_THIN_MOD == 0, F.substring("text", 1, 10)
     ).otherwise(F.col("text"))
@@ -1840,15 +1854,19 @@ def crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select((F.col("doc_id") + F.lit(_CRAWL_REFETCH)).alias("doc_id"), "text")
     )
     topic = F.substring(F.md5(F.col("text").cast("binary")), 1, 4)
-    pages = src.select(
+    return src.select(
         "doc_id", html_plant_col(F.col("doc_id"), F.col("text"), topic).alias("text")
     )
-    out_dir = tempfile.mkdtemp(prefix="flod_crawl_")
-    manifest = pack_warc_shards(pages, out_dir).collect()  # one row per shard
-    assert all(os.path.getsize(r.path) == r.n_bytes for r in manifest)
-    raw = spark.read.format("binaryFile").load(out_dir)
-    members = archive_member_rows(raw, keep_content=True)
-    ext = (
+
+
+def _crawl_extract_quality(members: DataFrame) -> DataFrame:
+    """member rows (with content bytes) -> (doc_id, fp, n_chars) of the
+    quality-surviving extracted docs — the stateless extract+quality
+    stages shared by the batch and streaming crawl chains (works on
+    both because the expressions are per-row)."""
+    from flod_spark.catalog.text import QUALITY_MIN_CHARS, html_main_text
+
+    return (
         members.select(
             # regexp, not a fixed-width substring: the re-fetched copies
             # carry 7-digit ids past the %06d pad
@@ -1859,13 +1877,65 @@ def crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("e.extracted").alias("extracted"))
         .filter(F.length("extracted") >= QUALITY_MIN_CHARS)
-    )
-    w = Window.partitionBy("fp")
-    return (
-        ext.select(
+        .select(
             "doc_id",
             F.md5(F.col("extracted").cast("binary")).alias("fp"),
             F.length("extracted").cast("long").alias("n_chars"),
         )
-        .withColumn("admitted", F.col("doc_id") == F.min("doc_id").over(w))
+    )
+
+
+@query(
+    "stream_crawl_extract_live",
+    oracle=(
+        # the batch chain's closed form, restricted to the admitted
+        # rows: the live claim state admits exactly each extracted
+        # fingerprint's first arrival (originals arrive before their
+        # re-fetched copies — mtime-pinned shard order — and shards
+        # pack in doc_id order, so first arrival IS min doc_id)
+        f"SELECT doc_id, fp, n_chars FROM ({_crawl_oracle()}) WHERE admitted"
+    ),
+)
+def stream_crawl_extract_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE STREAMING CRAWL-CURATION CHAIN — crawl_pipeline's live twin
+    and the extraction-bearing extension of stream_archive_dedup_live
+    (WARC shards ARRIVE -> member split with content bytes ->
+    html_main_text extraction INLINE in the micro-batch -> quality
+    floor -> claim-state dedup on the extracted fingerprint -> only
+    first arrivals flow out). Same planted pages, same thin-page and
+    re-fetch constructions, same closed-form oracle restricted to the
+    admitted rows — so the live claim state must agree with the batch
+    window rank exactly. Determinism is the stream_archive_dedup_live
+    contract: one shard per trigger scans as one partition, members
+    pack in doc_id order, originals' shards carry earlier pinned
+    mtimes than the re-fetched shards, and shuffle preserves
+    per-(map, reduce) order — the first row each fp's state partition
+    sees is the min-doc_id carrier.
+
+    Scale: the production live ingestion plan — stateless split +
+    extraction fused map-side per micro-batch, then ONE keyed claim
+    state on the 16-byte fingerprint; swap the unbounded claim for the
+    TTL/Bloom bounded regimes (stream_dedup_bounded, bloom_admit) when
+    the re-fetch horizon allows, exactly like the archive-dedup twin."""
+    import os
+
+    from flod_spark.catalog.streaming_live import _drain
+    from flod_spark.streaming.dedup import drop_duplicates_unbounded
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    shard_docs = max(1, -(-n_docs // 5))  # 5 original + ~5 copy shards
+    pages = _crawl_pages(docs)
+    adir = tempfile.mkdtemp(prefix="flod_crawl_live_")
+    manifest = pack_warc_shards(pages, adir, shard_docs=shard_docs).collect()
+    # strictly ascending mtimes in shard order: the file stream replays
+    # by mtime and copy shards must arrive AFTER the originals
+    for i, r in enumerate(sorted(manifest, key=lambda r: r.shard)):
+        os.utime(r.path, (1_600_000_000 + i, 1_600_000_000 + i))
+    members = stream_archive_members(
+        spark, adir, max_files_per_trigger=1, keep_content=True
+    )
+    admitted = drop_duplicates_unbounded(_crawl_extract_quality(members), "fp")
+    return _drain(admitted, spark, cleanup=(adir,)).select(
+        "doc_id", "fp", "n_chars"
     )

@@ -2431,3 +2431,52 @@ def unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_pieces_w").cast("long").alias("n_pieces"),
         )
     )
+
+
+def unigram_save_vocab(vocab_rows, spark: SparkSession, path: str) -> None:
+    """Persist a trained unigram vocabulary [(piece, cnt)] as a parquet
+    table — the artifact a tokenizer build ships (bpe_apply_merges'
+    discipline applied to the unigram pair). One tiny write; the table
+    is <= _UNI_V + alphabet rows by construction."""
+    spark.createDataFrame(
+        [(p, int(c)) for p, c in vocab_rows], "piece string, cnt bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def unigram_apply_from_table(docs: DataFrame, spark: SparkSession, path: str) -> DataFrame:
+    """The PRODUCTION unigram inference path: load the shipped
+    vocabulary table and segment documents WITHOUT re-training —
+    bit-identical to the registered unigram_apply when the table holds
+    unigram_train_iter's final round (pytest-pinned round-trip).
+
+    Scale: the vocab rides the plan as a broadcast-sized literal map
+    (bounded rows by construction); segmentation runs once per
+    DISTINCT word and joins back — unigram_apply's exact plan, minus
+    the training rounds."""
+    vocab = sorted((r.piece, r.cnt) for r in spark.read.parquet(path).collect())
+    vmap = _uni_vocab_map(vocab)
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("w")
+    ).groupBy("w").agg(F.count("*").cast("long").alias("freq"))
+    seg = words.select(
+        "w",
+        F.size(F.split(unigram_viterbi_seg(F.col("w"), vmap), " "))
+        .cast("long")
+        .alias("n_pieces_w"),
+    )
+    dw = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("w"),
+    )
+    return (
+        dw.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_pieces_w").cast("long").alias("n_pieces"),
+        )
+    )

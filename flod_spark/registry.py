@@ -86,10 +86,10 @@ _PLANNED_FROM_ROUND = 12
 # staleness from CORRECTNESS_r*.json); tests/test_chains.py pins this
 # window against the same data, clamped to _PLANNED_FROM_ROUND, so the
 # two cannot drift and later driver artifacts cannot break it.
-# Round-13 window = 6 + 1 + 18 + 25 = 50 (the r12 verdict item 1
+# Round-13 window = 7 + 1 + 18 + 24 = 50 (the r12 verdict item 1
 # burn-down: the entire six-round-stale r6 tier re-gates, plus the
 # r7-tier head):
-#   (b) the 6 new round-13 registrations (first driver row) — no
+#   (b) the 7 new round-13 registrations (first driver row) — no
 #       recorded row at _PLANNED_FROM_ROUND, so the membership test
 #       auto-derives them as must-gate: the index/claim lifecycle
 #       closers (dedup_claims_compacted, sim_ivfpq_compacted — r12
@@ -97,14 +97,16 @@ _PLANNED_FROM_ROUND = 12
 #       (html_extract — item 2), the unigram tokenizer pair
 #       (unigram_train_iter, unigram_apply — item 4), and the composed
 #       batch crawl chain (crawl_pipeline: WARC pack -> member scan ->
-#       extract -> quality -> dedup, closed-form oracle),
+#       extract -> quality -> dedup, closed-form oracle) and its
+#       live twin (stream_crawl_extract_live: shards arrive -> split ->
+#       extract inline -> quality -> claim-state dedup),
 #   (c) changed-implementation re-proof: conversation_pack (NULL
 #       event_type semantics now match `||`/string_agg on BOTH sides —
 #       r12 ADVICE; engine and oracle both changed, so it re-gates),
 #   (d) the stalest tiers in registration order: ALL 18 six-round-stale
 #       r6 keys (window_rolling_median .. stream_cdc_apply_live), then
-#       the first 25 of the 45-key r7 tier (by_line_sep ..
-#       dedup_simhash); the remaining 20 r7 keys (dedup_ngram,
+#       the first 24 of the 45-key r7 tier (by_line_sep ..
+#       dedup_minhash); the remaining 21 r7 keys (dedup_simhash, dedup_ngram,
 #       sim_topk, sim_lsh, embed_dedup, sim_mips, media_meta,
 #       udf_stage, udf_grouped_agg, graph_jaccard_approx,
 #       agg_hyperloglog_exact, graph_kcore, stream_dedup_minhash_live,
@@ -114,9 +116,10 @@ _PLANNED_FROM_ROUND = 12
 #       fill pool, covered by this round's complement sweep.
 # Keys not listed here sort after listed ones, in registration order.
 _GATE_ORDER = (
-    # (b) new round-13 registrations — 6 keys
+    # (b) new round-13 registrations — 7 keys
     "dedup_claims_compacted", "sim_ivfpq_compacted", "html_extract",
     "unigram_train_iter", "unigram_apply", "crawl_pipeline",
+    "stream_crawl_extract_live",
     # (c) changed-implementation re-proof — 1 key
     "conversation_pack",
     # (d) the full six-round-stale r6 tier in registration order — 18
@@ -126,14 +129,13 @@ _GATE_ORDER = (
     "sketch_countmin", "agg_mad", "stream_dedup_substring_live",
     "sample_temperature", "stream_split_router_live",
     "stream_sketch_countmin_live", "stream_cdc_apply_live",
-    # (d) r7-tier head in registration order — 25 keys
+    # (d) r7-tier head in registration order — 24 keys
     "by_line_sep", "window_rank", "sort_topk", "set_union",
     "set_except", "scalar_fns", "tpch_q6", "tpch_q3", "window_ewma",
     "join_asof_dim", "histogram_heatmap", "join_lateral_topn",
     "agg_skewness", "stream_window", "stream_sliding", "stream_dedup",
     "bars_ohlc", "text_stats", "lang_id", "doc_quality",
     "json_extract", "text_seg_dedup", "dedup_exact", "dedup_minhash",
-    "dedup_simhash",
 )
 
 

@@ -281,3 +281,30 @@ def test_crawl_pipeline_stages_all_fire(spark, sf_dir):
     # chrome-only extraction is under the floor at this corpus's sizes)
     dropped = {d for d in range(n) if d not in orig}
     assert dropped and dropped <= {d for d in range(n) if d % _CRAWL_THIN_MOD == 0}
+
+
+def test_unigram_vocab_table_roundtrip_matches_registered_apply(spark, sf_dir, tmp_path):
+    """The production inference path (ship the vocab table, never
+    re-train): unigram_save_vocab + unigram_apply_from_table equals
+    the registered unigram_apply bit-for-bit — the bpe_apply_merges
+    discipline for the unigram pair."""
+    import __spark_entry__ as e
+    from flod_spark.catalog.text import (
+        _UNI_ROUNDS,
+        _unigram_rounds,
+        unigram_apply_from_table,
+        unigram_save_vocab,
+    )
+    from flod_spark.io import load
+
+    _, vocab = _unigram_rounds(spark, sf_dir, _UNI_ROUNDS)
+    vpath = str(tmp_path / "uni_vocab")
+    unigram_save_vocab(vocab, spark, vpath)
+    docs = load(spark, sf_dir, "documents")
+    got = sorted(
+        tuple(r) for r in unigram_apply_from_table(docs, spark, vpath).collect()
+    )
+    want = sorted(
+        tuple(r) for r in e.queries()["unigram_apply"](spark, sf_dir).collect()
+    )
+    assert got == want and got
