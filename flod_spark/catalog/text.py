@@ -2159,9 +2159,20 @@ _UNI_MAX_PIECE = 4
 _UNI_V = 60
 _UNI_ROUNDS = 2
 _UNI_BIG = 1099511627776  # 2^40 > any piece count at any sf
+# max chars of a word the DP segments (the rest is truncated away in
+# BOTH engines before any other stage): the Viterbi fold is O(len^2)
+# in string/array churn, so one pathological multi-kB [a-z]+ run in a
+# corrupted doc must not own a task — the same cap every production
+# tokenizer carries (BERT max_chars_per_word, SentencePiece's max
+# sentence length), sized generously past any natural word.
+_UNI_MAX_WORD = 40
 
 
 def _uni_cand_sql(k: int) -> str:
+    # printf, NOT lpad: lpad TRUNCATES past the pad width (the r11
+    # non-truncating-pad lesson), which would corrupt the encoded
+    # score order for pathological >9999-char words; %020d covers
+    # every int64 (max 19 digits), so string least() stays numeric
     prev = f"list_extract(string_split(acc, chr(30)), CAST(x AS INT) - {k} + 1)"
     piece = f"substr(w, CAST(x AS INT) - {k} + 1, {k})"
     cnt = f"list_extract(map_extract(vmap, {piece}), 1)"
@@ -2169,8 +2180,8 @@ def _uni_cand_sql(k: int) -> str:
     return (
         f"CASE WHEN CAST(x AS INT) >= {k} AND {prev} IS NOT NULL "
         f"AND {cnt} IS NOT NULL THEN "
-        f"lpad(CAST(CAST(split_part({prev}, '|', 1) AS BIGINT) + {_UNI_BIG} "
-        f"  - {cnt} AS VARCHAR), 16, '0') || '|' || "
+        f"printf('%020d', CAST(split_part({prev}, '|', 1) AS BIGINT) + {_UNI_BIG} "
+        f"  - {cnt}) || '|' || "
         f"CASE WHEN {seg_prev} = '' THEN {piece} "
         f"  ELSE {seg_prev} || ' ' || {piece} END END"
     )
@@ -2182,8 +2193,8 @@ def _uni_seg_sql() -> str:
     cands = ", ".join(_uni_cand_sql(k) for k in range(1, _UNI_MAX_PIECE + 1))
     step = f"acc || chr(30) || least({cands})"
     dp = (
-        "list_reduce(list_prepend(lpad('0', 16, '0') || '|', "
-        "list_transform(range(1, len(w)+1), i -> lpad(CAST(i AS VARCHAR), 4, '0'))), "
+        "list_reduce(list_prepend(printf('%020d', 0) || '|', "
+        "list_transform(range(1, len(w)+1), i -> printf('%04d', i))), "
         f"(acc, x) -> {step})"
     )
     return f"split_part(list_extract(string_split({dp}, chr(30)), len(w)+1), '|', 2)"
@@ -2204,7 +2215,9 @@ def _uni_round_ctes(r: int) -> list[str]:
 
 def _uni_train_ctes() -> list[str]:
     ctes = [
-        "wrd AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)",
+        f"wrd AS (SELECT substr(w0, 1, {_UNI_MAX_WORD}) AS w FROM ("
+        "  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w0 "
+        "  FROM documents))",
         "v0w AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM wrd GROUP BY w)",
         "sub AS (SELECT unnest(flatten(list_transform(range(1, len(w)+1), s -> "
         f"  list_transform(range(1, least({_UNI_MAX_PIECE}, len(w)-s+1)+1), l -> "
@@ -2231,8 +2244,9 @@ def _uni_apply_oracle() -> str:
     ctes = _uni_train_ctes() + [
         f"mpA AS (SELECT map_from_entries(list(row(piece, cnt))) AS vmap FROM u{_UNI_ROUNDS})",
         f"sgA AS (SELECT w, {_uni_seg_sql()} AS seg FROM v0w, mpA)",
-        "dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w "
-        "  FROM documents)",
+        f"dw AS (SELECT doc_id, substr(w0, 1, {_UNI_MAX_WORD}) AS w FROM ("
+        "  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w0 "
+        "  FROM documents))",
     ]
     return (
         "WITH " + ", ".join(ctes) + " "
@@ -2278,14 +2292,22 @@ def unigram_viterbi_seg(w, vmap):
     return F.element_at(dp, -1)["seg"]
 
 
+def _uni_word_col():
+    """One extracted word, truncated to _UNI_MAX_WORD chars — the
+    O(len^2) DP's length guard, applied identically at every word
+    extraction site (train, apply, artifact path) and in the oracle."""
+    return F.explode(
+        F.transform(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0)),
+            lambda w: F.substring(w, 1, _UNI_MAX_WORD),
+        )
+    )
+
+
 def _uni_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return (
-        docs.select(
-            F.explode(
-                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
-            ).alias("w")
-        )
+        docs.select(_uni_word_col().alias("w"))
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("freq"))
     )
@@ -2386,7 +2408,10 @@ def unigram_train_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange on piece; the vocab itself is bounded (<= _UNI_V +
     alphabet) and rides the plan as a broadcast literal, exactly how
     corpus-scale SentencePiece trains (the word table IS the corpus
-    compression)."""
+    compression). The DP is O(len^2) in churn, so every extraction
+    site truncates words to _UNI_MAX_WORD chars (the production
+    max-chars-per-word guard) — one corrupted multi-kB letter run
+    cannot own a task."""
     out, _ = _unigram_rounds(spark, sf_dir, _UNI_ROUNDS)
     return spark.createDataFrame(out, "round bigint, piece string, cnt bigint")
 
@@ -2417,12 +2442,7 @@ def unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_pieces_w"),
     )
     docs = load(spark, sf_dir, "documents")
-    dw = docs.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
-        ).alias("w"),
-    )
+    dw = docs.select("doc_id", _uni_word_col().alias("w"))
     return (
         dw.join(seg, "w")
         .groupBy("doc_id")
@@ -2455,23 +2475,18 @@ def unigram_apply_from_table(docs: DataFrame, spark: SparkSession, path: str) ->
     the training rounds."""
     vocab = sorted((r.piece, r.cnt) for r in spark.read.parquet(path).collect())
     vmap = _uni_vocab_map(vocab)
-    words = docs.select(
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
-        ).alias("w")
-    ).groupBy("w").agg(F.count("*").cast("long").alias("freq"))
+    words = (
+        docs.select(_uni_word_col().alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
     seg = words.select(
         "w",
         F.size(F.split(unigram_viterbi_seg(F.col("w"), vmap), " "))
         .cast("long")
         .alias("n_pieces_w"),
     )
-    dw = docs.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
-        ).alias("w"),
-    )
+    dw = docs.select("doc_id", _uni_word_col().alias("w"))
     return (
         dw.join(seg, "w")
         .groupBy("doc_id")

@@ -308,3 +308,46 @@ def test_unigram_vocab_table_roundtrip_matches_registered_apply(spark, sf_dir, t
         tuple(r) for r in e.queries()["unigram_apply"](spark, sf_dir).collect()
     )
     assert got == want and got
+
+
+def test_unigram_dp_pads_do_not_truncate(spark):
+    """The non-truncating-pad pin (r11 lesson applied to the unigram
+    oracle): positions and scores encode via printf — which PADS TO AT
+    LEAST the width — where lpad would silently TRUNCATE past it and
+    corrupt the DP's string-encoded candidate order. Pin the primitive
+    on both engines, then pin full cross-engine DP agreement on a
+    300-char word (long enough that per-position parsing is exercised
+    far past one digit; the >9999-char cliff is covered by the
+    primitive pin since the DP treats the pad purely positionally)."""
+    import duckdb
+
+    from flod_spark.catalog.text import (
+        _uni_seg_sql,
+        _uni_vocab_map,
+        unigram_viterbi_seg,
+    )
+
+    con = duckdb.connect()
+    # the primitive: printf never truncates; lpad (the rejected form) does
+    assert con.execute("SELECT printf('%04d', 123456)").fetchone()[0] == "123456"
+    assert con.execute("SELECT lpad('123456', 4, '0')").fetchone()[0] == "1234"
+    big = 12_345_678_901_234_567
+    assert con.execute(f"SELECT printf('%020d', CAST({big} AS BIGINT))").fetchone()[
+        0
+    ] == f"{big:020d}"
+
+    w = "ab" * 150
+    vocab = sorted({"a": 5, "b": 3, "ab": 9}.items())
+    got_spark = (
+        spark.createDataFrame([(w,)], "w string")
+        .select(unigram_viterbi_seg(F.col("w"), _uni_vocab_map(vocab)).alias("seg"))
+        .first()
+        .seg
+    )
+    got_duck = con.execute(
+        "WITH v(piece, cnt) AS (VALUES ('a', CAST(5 AS BIGINT)), ('b', 3), ('ab', 9)), "
+        "m AS (SELECT map_from_entries(list(row(piece, cnt))) AS vmap FROM v), "
+        f"wrds(w) AS (VALUES ('{w}')) "
+        f"SELECT {_uni_seg_sql()} FROM wrds, m"
+    ).fetchone()[0]
+    assert got_spark == got_duck == " ".join(["ab"] * 150)
