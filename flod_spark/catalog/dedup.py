@@ -1653,7 +1653,9 @@ def dedup_claims_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the compaction is one exchange on fp over |distinct
     contents| rows plus a rename (manifest commit on object stores);
     everything else is dedup_incremental's plan — fingerprints only,
-    nothing rescans prior slices' text."""
+    nothing rescans prior slices' text. The gate's temp claim tree is
+    swept after the verdicts materialize (serve_and_cleanup — r13
+    advice: the lifecycle gates used to leak their mkdtemp state)."""
     docs = load(spark, sf_dir, "documents")
     mm = docs.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")).first()
     mid = (mm.mn + mm.mx) // 2
@@ -1674,4 +1676,8 @@ def dedup_claims_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + F.lit(_SLICE_OFFSET)).alias("doc_id"), "text"
         )
     )
-    return dedup_against_claims(slice_df, spark, claims_dir)
+    from flod_spark.io import serve_and_cleanup
+
+    return serve_and_cleanup(
+        dedup_against_claims(slice_df, spark, claims_dir), claims_dir
+    )

@@ -2426,7 +2426,9 @@ def sim_ivfpq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (manifest commit on object stores); it caps the serving read
     side's file count at one directory no matter how many nightly
     advances have landed, which is what keeps probe-fraction scan
-    economics true after months of appends."""
+    economics true after months of appends. The gate's temp index tree
+    is swept after the serve materializes (serve_and_cleanup — r13
+    advice: the lifecycle gates used to leak their mkdtemp state)."""
     emb = _emb_v(spark, sf_dir)
     mm = emb.agg(F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx")).first()
     mid = (mm.mn + mm.mx) // 2
@@ -2439,4 +2441,8 @@ def sim_ivfpq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < NQ).select(
         F.col("vec_id").alias("query_id"), "v"
     )
-    return ivfpq_index_query(spark, idx_dir, queries, include_slices=True)
+    from flod_spark.io import serve_and_cleanup
+
+    return serve_and_cleanup(
+        ivfpq_index_query(spark, idx_dir, queries, include_slices=True), idx_dir
+    )

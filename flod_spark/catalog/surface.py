@@ -1825,8 +1825,6 @@ def crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     like dedup_exact."""
     import os
 
-    import os
-
     docs = load(spark, sf_dir, "documents")
     pages = _crawl_pages(docs)
     out_dir = tempfile.mkdtemp(prefix="flod_crawl_")

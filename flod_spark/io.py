@@ -172,3 +172,27 @@ def atomic_swap_dir(df: DataFrame, target: str, partition_by: str) -> None:
     os.rename(target, old)
     os.rename(tmp, target)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def serve_and_cleanup(df: DataFrame, *dirs: str) -> DataFrame:
+    """Materialize a lifecycle query's serve result (eager
+    localCheckpoint), then remove the temp state directories it was
+    computed from — the batch analog of the streaming twins'
+    ``_drain(cleanup=...)`` pattern (r13 advice: the gated lifecycle
+    queries leaked their ``mkdtemp`` index/claim trees on every run).
+    The checkpoint pins the result's partitions in executor storage,
+    so the returned DataFrame no longer reads the swept paths; callers
+    return it directly to the driver, which collects as usual.
+
+    Scale note: the serve outputs these gates return are top-k /
+    verdict tables (orders of magnitude smaller than the state), so
+    the extra materialization is noise; a production nightly job keeps
+    its state dirs instead of sweeping them — this helper exists for
+    the self-contained gate shape that builds state, serves once, and
+    must not leak."""
+    import shutil
+
+    out = df.localCheckpoint(eager=True)
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
