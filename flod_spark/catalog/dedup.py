@@ -1384,6 +1384,51 @@ def dedup_against_claims(docs: DataFrame, spark: SparkSession, claims_dir: str) 
     )
 
 
+def build_fp_claim_table(rows: DataFrame, claims_dir: str) -> None:
+    """build_claim_table over rows that ALREADY carry a fingerprint —
+    (doc_id, fp) in, the same slice=0 partitioned (fp, first_id)
+    parquet layout out. The crawl chain claims on the md5 of the
+    EXTRACTED text (computed mid-pipeline), not on a raw-document
+    hash, so its claim build starts from fp rows; the table layout,
+    advance, and compaction machinery are shared unchanged.
+
+    Scale: one exchange on the 16-byte fp; |distinct contents| rows
+    regardless of corpus size (build_claim_table's budget)."""
+    (
+        rows.select("fp", "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("first_id"))
+        .withColumn("slice", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("slice")
+        .parquet(claims_dir)
+    )
+
+
+def admit_fp_rows_against_claims(
+    rows: DataFrame, spark: SparkSession, claims_dir: str
+) -> DataFrame:
+    """dedup_against_claims over fingerprint-bearing rows: a row is
+    ADMITTED iff its fp is absent from the claim table AND it is the
+    slice's first arrival (min doc_id) for that fp. Carried columns
+    (n_chars, …) ride through; the verdict lands as ``admitted``.
+    The claim side reads DISTINCT on fp (malformed duplicate claim
+    rows cannot fan out the join — dedup_against_claims' guard).
+
+    Scale: one anti-join-shaped left join on the 16-byte fp + one
+    within-slice window min — the claim join never touches text or
+    page bytes, only fingerprints."""
+    claims = spark.read.parquet(claims_dir).select("fp").distinct()
+    w = Window.partitionBy("fp")
+    first = F.col("doc_id") == F.min("doc_id").over(w)
+    seen = claims.withColumn("_seen", F.lit(True))
+    return (
+        rows.join(seen, "fp", "left")
+        .withColumn("admitted", first & F.col("_seen").isNull())
+        .drop("_seen")
+    )
+
+
 # dedup_incremental: the re-delivered duplicate copies get doc_id +
 # _SLICE_OFFSET (past any gate corpus's max id).
 _SLICE_OFFSET = 1_000_000

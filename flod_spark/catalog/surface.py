@@ -1937,3 +1937,116 @@ def stream_crawl_extract_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(admitted, spark, cleanup=(adir,)).select(
         "doc_id", "fp", "n_chars"
     )
+
+
+def _crawl_incr_oracle() -> str:
+    from flod_spark.catalog.text import (
+        QUALITY_MIN_CHARS,
+        _html_plant_sql,
+        html_extract_ctes,
+    )
+
+    thin = (
+        f"CASE WHEN doc_id % {_CRAWL_THIN_MOD} = 0 "
+        "THEN substr(text, 1, 10) ELSE text END"
+    )
+    src = (
+        "m AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS mid FROM documents), "
+        f"s AS (SELECT doc_id, {thin} AS text FROM documents "
+        f"  UNION ALL SELECT doc_id + {_CRAWL_REFETCH} AS doc_id, {thin} AS text "
+        "  FROM documents)"
+    )
+    plant = _html_plant_sql("substr(md5(text), 1, 4)")
+    return (
+        f"WITH {src}, {html_extract_ctes(plant, from_tbl='s')}, "
+        "q AS (SELECT doc_id, md5(extracted) AS fp, "
+        "    CAST(length(extracted) AS BIGINT) AS n_chars FROM t "
+        f"  WHERE length(extracted) >= {QUALITY_MIN_CHARS}), "
+        "c AS (SELECT DISTINCT fp FROM q, m WHERE doc_id <= mid), "
+        "sl AS (SELECT doc_id, fp, n_chars FROM q, m WHERE doc_id > mid) "
+        "SELECT doc_id, fp, n_chars, "
+        "  (doc_id = MIN(doc_id) OVER (PARTITION BY fp)) "
+        "    AND fp NOT IN (SELECT fp FROM c) AS admitted "
+        "FROM sl"
+    )
+
+
+def _crawl_slice_extract(spark: SparkSession, pages: DataFrame, prefix: str):
+    """Crawl ONE slice of planted pages: pack to WARC shards, scan the
+    members back with content bytes, extract + quality-filter — the
+    stateless front of the crawl chain, returning the (doc_id, fp,
+    n_chars) survivors and the shard dir (caller sweeps it). Each
+    nightly slice pays exactly this: one shard-key shuffle + map-side
+    WARC writes, then member split + extraction fused per shard."""
+    out_dir = tempfile.mkdtemp(prefix=prefix)
+    pack_warc_shards(pages, out_dir).collect()  # bounded: one row per shard
+    raw = spark.read.format("binaryFile").load(out_dir)
+    return _crawl_extract_quality(archive_member_rows(raw, keep_content=True)), out_dir
+
+
+@query("crawl_pipeline_incremental", oracle=_crawl_incr_oracle())
+def crawl_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE NIGHTLY CRAWL-INGESTION STATE MACHINE (r13 verdict item 6):
+    crawl_pipeline's chain composed with dedup_incremental's persisted
+    claim-table lifecycle — the batch shape whose claim state lives in
+    parquet between runs (the live twin stream_crawl_extract_live keeps
+    it in stream state). Four slices of the lifecycle run end to end:
+    BUILD the claim table from the crawl-extract of the corpus's first
+    quarter, ADMIT + ADVANCE the second quarter as slice 1, COMPACT the
+    two slices back to one (compact_claim_table -> atomic_swap_dir),
+    then admit tonight's slice — the second-half pages plus a re-fetch
+    of the ENTIRE corpus — against the compacted table. Every admission
+    path carries weight at any sf: fps claimed by the first half
+    REJECT (their re-fetched copies), within-slice later arrivals
+    REJECT (re-fetched copies of second-half pages, whose originals sit
+    in the same slice), unclaimed slice-firsts ADMIT (second-half
+    originals), and thin pages drop at quality in every slice. The
+    oracle states the whole composition in CLOSED FORM over documents
+    (plant + extract + quality + the claim split at mid) and never sees
+    a WARC or the claim table — so the pack->scan->extract round-trip
+    AND the build/advance/compact/admit state machine must BOTH be
+    exact for the hash to match (dedup_claims_compacted's discipline
+    applied to the full crawl chain).
+
+    Scale: each slice pays the crawl chain's budget (shard-key shuffle
+    + map-side pack, fused member-split/extract on read); the claim
+    machinery touches only 16-byte fingerprints (anti-join-shaped
+    admit, one fp exchange per compaction); NOTHING rescans a prior
+    slice's pages — the entire point of persisting the claim table at
+    100 TB, where re-crawled URLs dominate nightly volume. The gate's
+    temp shard + claim trees are swept once the verdicts materialize
+    (serve_and_cleanup)."""
+    from flod_spark.catalog.dedup import (
+        admit_fp_rows_against_claims,
+        advance_claim_table,
+        build_fp_claim_table,
+        compact_claim_table,
+    )
+    from flod_spark.io import serve_and_cleanup
+
+    docs = load(spark, sf_dir, "documents")
+    mm = docs.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")).first()
+    mid = (mm.mn + mm.mx) // 2
+    q1 = (mm.mn + mid) // 2
+    pages = _crawl_pages(docs)
+
+    ext1, dir1 = _crawl_slice_extract(
+        spark, pages.filter(F.col("doc_id") <= q1), "flod_crawl_incr1_"
+    )
+    claims_dir = tempfile.mkdtemp(prefix="flod_crawl_claims_")
+    build_fp_claim_table(ext1, claims_dir)
+
+    ext2, dir2 = _crawl_slice_extract(
+        spark,
+        pages.filter((F.col("doc_id") > q1) & (F.col("doc_id") <= mid)),
+        "flod_crawl_incr2_",
+    )
+    verdicts2 = admit_fp_rows_against_claims(ext2, spark, claims_dir)
+    advance_claim_table(verdicts2, claims_dir, slice_id=1)
+    compact_claim_table(spark, claims_dir)
+
+    ext3, dir3 = _crawl_slice_extract(
+        spark, pages.filter(F.col("doc_id") > mid), "flod_crawl_incr3_"
+    )
+    out = admit_fp_rows_against_claims(ext3, spark, claims_dir)
+    return serve_and_cleanup(out, dir1, dir2, dir3, claims_dir)

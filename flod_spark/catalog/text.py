@@ -2602,13 +2602,16 @@ def unigram_apply_from_table(docs: DataFrame, spark: SparkSession, path: str) ->
     form's ~1k-piece ceiling; pytest pins the two forms bit-identical
     at gate scale). OOV guard (r13 advice): unigram_save_vocab pins
     the a-z alphabet so every [a-z]+ word segments; if a hand-built
-    table omits chars anyway, the NULL segmentation RAISES
-    (raise_error) instead of silently corrupting n_pieces through
-    size(split(NULL)) = -1.
+    table omits single chars anyway, the coverage check below RAISES
+    before any segmentation runs, instead of silently corrupting
+    n_pieces through size(split(NULL)) = -1 (a DP that can dead-end
+    also trips a Spark codegen NPE on the NULL accumulator struct —
+    one more reason to fail fast driver-side).
 
     Scale: one tiny broadcast + per-DISTINCT-word DP + one doc_id
     partial agg — unigram_apply's plan minus the training rounds; the
-    overflow assert costs one aggregate over the vocab table."""
+    overflow assert and the char-coverage check each cost one bounded
+    aggregate (chars: <= 26 distinct rows)."""
     vocab_df = spark.read.parquet(path)
     mx = vocab_df.agg(F.max("cnt").alias("mx")).first().mx
     _uni_assert_counts([("<loaded>", mx)] if mx is not None else [])
@@ -2617,19 +2620,33 @@ def unigram_apply_from_table(docs: DataFrame, spark: SparkSession, path: str) ->
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("freq"))
     )
-    seg0 = unigram_viterbi_seg(F.col("w"), F.col("vmap"))
+    # fail-fast OOV check: single-char coverage is what guarantees the
+    # Viterbi DP always completes (unigram_save_vocab pins a-z exactly
+    # so this can never fire on a shipped artifact)
+    chars = words.select(F.explode(F.split("w", "")).alias("ch")).filter(
+        F.length("ch") == 1
+    )
+    missing = (
+        chars.distinct()
+        .join(
+            vocab_df.filter(F.length("piece") == 1).select(
+                F.col("piece").alias("ch")
+            ),
+            "ch",
+            "left_anti",
+        )
+        .collect()
+    )
+    if missing:
+        raise ValueError(
+            "unigram vocab cannot segment corpus — missing single-char "
+            f"pieces {sorted(r.ch for r in missing)}; ship artifacts via "
+            "unigram_save_vocab (which pins the alphabet)"
+        )
     seg = _uni_vmap_by_join(words, vocab_df).select(
         "w",
-        F.when(
-            seg0.isNull(),
-            F.raise_error(
-                F.concat(
-                    F.lit("unigram vocab cannot segment word (missing chars): "),
-                    F.col("w"),
-                )
-            ),
-        )
-        .otherwise(F.size(F.split(seg0, " ")).cast("long"))
+        F.size(F.split(unigram_viterbi_seg(F.col("w"), F.col("vmap")), " "))
+        .cast("long")
         .alias("n_pieces_w"),
     )
     dw = docs.select("doc_id", _uni_word_col().alias("w"))
