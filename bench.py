@@ -238,6 +238,13 @@ HEADLINE = [
     # scan -> extract -> quality -> dedup, every stage non-vacuous
     "crawl_pipeline",
     "stream_crawl_extract_live",
+    # round-14 additions: the tokenizer artifact-inference lifecycles
+    # (train -> save -> load -> apply) and the nightly crawl chain over
+    # the persisted claim table (build -> admit+advance -> compact ->
+    # admit, three WARC slices)
+    "bpe_apply_from_table",
+    "unigram_apply_from_table",
+    "crawl_pipeline_incremental",
 ]
 
 

@@ -76,7 +76,7 @@ def ensure_shipped(spark: SparkSession) -> None:
 # The rotation tests clamp driver_rounds() to this, so the driver dropping
 # CORRECTNESS_r{N+1}.json into the tree after the builder's final commit
 # cannot flip a committed-green pytest (round-6 verdict, top finding).
-_PLANNED_FROM_ROUND = 12
+_PLANNED_FROM_ROUND = 13
 
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). _GATE_ORDER makes the window explicit, and ROTATES each
@@ -86,56 +86,58 @@ _PLANNED_FROM_ROUND = 12
 # staleness from CORRECTNESS_r*.json); tests/test_chains.py pins this
 # window against the same data, clamped to _PLANNED_FROM_ROUND, so the
 # two cannot drift and later driver artifacts cannot break it.
-# Round-13 window = 7 + 1 + 18 + 24 = 50 (the r12 verdict item 1
-# burn-down: the entire six-round-stale r6 tier re-gates, plus the
-# r7-tier head):
-#   (b) the 7 new round-13 registrations (first driver row) — no
+# Round-14 window = 3 + 2 + 21 + 24 = 50 (the r13 verdict item 1
+# burn-down: the entire six-round-stale r7 tail re-gates, plus the
+# r8-tier head):
+#   (b) the 3 new round-14 registrations (first driver row) — no
 #       recorded row at _PLANNED_FROM_ROUND, so the membership test
-#       auto-derives them as must-gate: the index/claim lifecycle
-#       closers (dedup_claims_compacted, sim_ivfpq_compacted — r12
-#       verdict item 3), the WARC-chain extraction stage
-#       (html_extract — item 2), the unigram tokenizer pair
-#       (unigram_train_iter, unigram_apply — item 4), and the composed
-#       batch crawl chain (crawl_pipeline: WARC pack -> member scan ->
-#       extract -> quality -> dedup, closed-form oracle) and its
-#       live twin (stream_crawl_extract_live: shards arrive -> split ->
-#       extract inline -> quality -> claim-state dedup),
-#   (c) changed-implementation re-proof: conversation_pack (NULL
-#       event_type semantics now match `||`/string_agg on BOTH sides —
-#       r12 ADVICE; engine and oracle both changed, so it re-gates),
-#   (d) the stalest tiers in registration order: ALL 18 six-round-stale
-#       r6 keys (window_rolling_median .. stream_cdc_apply_live), then
-#       the first 24 of the 45-key r7 tier (by_line_sep ..
-#       dedup_minhash); the remaining 21 r7 keys (dedup_simhash, dedup_ngram,
-#       sim_topk, sim_lsh, embed_dedup, sim_mips, media_meta,
-#       udf_stage, udf_grouped_agg, graph_jaccard_approx,
-#       agg_hyperloglog_exact, graph_kcore, stream_dedup_minhash_live,
-#       sample_hash, sample_stratified, split_time_embargo,
-#       sample_group_k, stream_hll_live, stream_bars_ohlc_live,
-#       stream_bitmap_distinct_live, codec_gzip) spill to the round-14
-#       fill pool, covered by this round's complement sweep.
+#       auto-derives them as must-gate: the tokenizer
+#       artifact-inference lifecycles (bpe_apply_from_table,
+#       unigram_apply_from_table — r13 verdict item 4; the unigram one
+#       also driver-proves the scale-safe join-form vocab delivery,
+#       item 3) and the nightly crawl-ingestion state machine
+#       (crawl_pipeline_incremental — item 6: crawl chain composed
+#       with the persisted claim-table lifecycle),
+#   (c) changed-implementation re-proofs: dedup_claims_compacted and
+#       sim_ivfpq_compacted now sweep their temp state trees via
+#       serve_and_cleanup (r13 ADVICE) — values unchanged, but the
+#       serve tail is materialized differently, so both re-gate (the
+#       r11 bpe_apply re-proof discipline for value-neutral changes),
+#   (d) the stalest tiers in registration order: ALL 21 six-round-stale
+#       r7 keys (dedup_simhash .. codec_gzip — exactly the pool the
+#       r13 comment named), then the first 24 of the 43-key r8 tier
+#       (tag_roundtrip .. tpch_q18); the remaining 19 r8 keys
+#       (agg_diversity, agg_argminmax, window_cusum, window_drawdown,
+#       window_rsi, stream_session, resample_gapfill, dedup_cluster,
+#       dedup_semantic_text, sim_mips_ann, media_frame_sample,
+#       agg_bitmap_distinct, orders_market_basket, orders_pareto_abc,
+#       agg_hll_rollup, orders_cohort_ltv, sample_weighted_k,
+#       sample_token_budget, stream_market_basket_live) spill to the
+#       round-15 fill pool, covered by this round's complement sweep
+#       (committed as SWEEP_r14.json since this round — r13 verdict
+#       item 2).
 # Keys not listed here sort after listed ones, in registration order.
 _GATE_ORDER = (
-    # (b) new round-13 registrations — 7 keys
-    "dedup_claims_compacted", "sim_ivfpq_compacted", "html_extract",
-    "unigram_train_iter", "unigram_apply", "crawl_pipeline",
-    "stream_crawl_extract_live",
-    # (c) changed-implementation re-proof — 1 key
-    "conversation_pack",
-    # (d) the full six-round-stale r6 tier in registration order — 18
-    "window_rolling_median", "bm25_score", "vocab_coverage", "embed_pq",
-    "sim_pq_adc", "sim_ivfpq", "embed_truncate_energy",
-    "media_audio_rms", "udf_arrow", "triangle_count", "graph_jaccard",
-    "sketch_countmin", "agg_mad", "stream_dedup_substring_live",
-    "sample_temperature", "stream_split_router_live",
-    "stream_sketch_countmin_live", "stream_cdc_apply_live",
-    # (d) r7-tier head in registration order — 24 keys
-    "by_line_sep", "window_rank", "sort_topk", "set_union",
-    "set_except", "scalar_fns", "tpch_q6", "tpch_q3", "window_ewma",
-    "join_asof_dim", "histogram_heatmap", "join_lateral_topn",
-    "agg_skewness", "stream_window", "stream_sliding", "stream_dedup",
-    "bars_ohlc", "text_stats", "lang_id", "doc_quality",
-    "json_extract", "text_seg_dedup", "dedup_exact", "dedup_minhash",
+    # (b) new round-14 registrations — 3 keys
+    "bpe_apply_from_table", "unigram_apply_from_table",
+    "crawl_pipeline_incremental",
+    # (c) changed-implementation re-proofs — 2 keys
+    "dedup_claims_compacted", "sim_ivfpq_compacted",
+    # (d) the full six-round-stale r7 tail in registration order — 21
+    "dedup_simhash", "dedup_ngram", "sim_topk", "sim_lsh",
+    "embed_dedup", "sim_mips", "media_meta", "udf_stage",
+    "udf_grouped_agg", "graph_jaccard_approx", "agg_hyperloglog_exact",
+    "graph_kcore", "stream_dedup_minhash_live", "sample_hash",
+    "sample_stratified", "split_time_embargo", "sample_group_k",
+    "stream_hll_live", "stream_bars_ohlc_live",
+    "stream_bitmap_distinct_live", "codec_gzip",
+    # (d) r8-tier head in registration order — 24 keys
+    "tag_roundtrip", "token_count", "fingerprint", "text_clean",
+    "token_histogram", "doc_repetition", "agg_approx", "agg_rollup",
+    "agg_cube", "join_outer", "join_semi", "window_running",
+    "set_intersect", "agg_pivot", "agg_percentile", "agg_collect",
+    "tpch_q5", "array_fns", "join_salted", "agg_grouping_sets",
+    "window_range_frame", "tpch_q10", "tpch_q14", "tpch_q18",
 )
 
 

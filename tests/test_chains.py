@@ -172,13 +172,15 @@ def test_take_stress_reference_scale(spark):
 # the staleness data can't derive. New registrations need no list: under
 # the _PLANNED_FROM_ROUND clamp they have no driver row, so the
 # membership test auto-derives them as must-gate.
-ROUND13_CHANGED = {
-    # r12 ADVICE: conversation_pack's NULL-event_type semantics now
-    # match `||`/string_agg exactly — the line renders with
-    # NULL-propagating concat, NULL lines drop from the document AND
-    # from n_turns, an all-NULL session's conversation is NULL. Engine
-    # and oracle both changed, so the key re-gates.
-    "conversation_pack",
+ROUND14_CHANGED = {
+    # r13 ADVICE: the two compacted-lifecycle gates now sweep their
+    # mkdtemp state trees via serve_and_cleanup — the admission/serve
+    # VALUES are unchanged, but the serve tail materializes through an
+    # eager localCheckpoint before the sweep, so both re-gate (the r11
+    # bpe_apply discipline: value-neutral implementation changes still
+    # earn a fresh driver row).
+    "dedup_claims_compacted",
+    "sim_ivfpq_compacted",
 }
 
 
@@ -199,7 +201,7 @@ def test_gate_window_membership():
     window = list(e.queries())[:50]
     rows, latest = driver_rounds(max_round=registry._PLANNED_FROM_ROUND)
     never = {q for q, rs in rows.items() if not rs}
-    must_gate = never | ROUND13_CHANGED
+    must_gate = never | ROUND14_CHANGED
     missing = must_gate - set(window)
     assert not missing, f"rotated out of the 50-entry gate window: {missing}"
     assert len(window) == 50

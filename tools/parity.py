@@ -90,8 +90,14 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--non-gated"]
-    non_gated = "--non-gated" in sys.argv[1:]
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if a != "--non-gated"]
+    non_gated = "--non-gated" in argv
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
 
@@ -121,6 +127,7 @@ def main() -> int:
     con = duck_connect(sf_dir)
 
     n_pass = n_fail = n_noracle = 0
+    results: dict[str, dict] = {}
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
@@ -129,16 +136,19 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:
             print(f"FAIL {name}: SPARK ERROR {type(ex).__name__}: {str(ex)[:300]}")
+            results[name] = {"status": "fail", "err": f"SPARK {type(ex).__name__}: {str(ex)[:300]}"}
             n_fail += 1
             continue
         if name not in os_:
             print(f"  ok {name}: no oracle (rows={len(sdf)}) [{time.time()-t0:.1f}s]")
+            results[name] = {"status": "no-oracle", "rows": len(sdf), "sec": round(time.time() - t0, 1)}
             n_noracle += 1
             continue
         try:
             odf = con.sql(os_[name]).df()
         except Exception as ex:
             print(f"FAIL {name}: ORACLE ERROR {type(ex).__name__}: {str(ex)[:300]}")
+            results[name] = {"status": "fail", "err": f"ORACLE {type(ex).__name__}: {str(ex)[:300]}"}
             n_fail += 1
             continue
         errs = compare(name, sdf, odf)
@@ -146,11 +156,35 @@ def main() -> int:
             print(f"FAIL {name} [{time.time()-t0:.1f}s]")
             for e_ in errs:
                 print(f"     {e_}")
+            results[name] = {"status": "fail", "err": "; ".join(errs)[:500]}
             n_fail += 1
         else:
             print(f"PASS {name} (rows={len(sdf)}) [{time.time()-t0:.1f}s]")
+            results[name] = {"status": "pass", "rows": len(sdf), "sec": round(time.time() - t0, 1)}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} no-oracle")
+    if json_out:
+        # the committed complement-sweep artifact (SWEEP_r*.json — r13
+        # verdict item 2): per-key results so window ∪ sweep = the full
+        # registry is auditable, not attested
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "non_gated": non_gated,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_noracle": n_noracle,
+                    "results": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
