@@ -1863,8 +1863,13 @@ def bpe_save_merges(merges, spark: SparkSession, path: str) -> None:
     parquet artifact — the tiny file a tokenizer build ships (the
     reference's tokenizers ship exactly this; _bpe_merge_list's return
     lands verbatim so bpe_load_merges round-trips it). One coalesced
-    write; merge tables are 10k-50k rows in practice."""
-    spark.createDataFrame(
+    write via tiny_df (Arrow LocalTableScan — the list form would drag
+    every parallelize partition through a Python worker per write);
+    merge tables are 10k-50k rows in practice."""
+    from flod_spark.io import tiny_df
+
+    tiny_df(
+        spark,
         [(int(r), p, int(c)) for r, p, c in merges],
         "round bigint, pair string, cnt bigint",
     ).coalesce(1).write.mode("overwrite").parquet(path)
@@ -2578,11 +2583,13 @@ def unigram_save_vocab(vocab_rows, spark: SparkSession, path: str) -> None:
     in-corpus text — while a future slice's OOV word stays segmentable
     instead of NULLing the Viterbi DP."""
     _uni_assert_counts(vocab_rows)
+    from flod_spark.io import tiny_df
+
     have = {p for p, _ in vocab_rows}
     rows = [(p, int(c)) for p, c in vocab_rows] + [
         (ch, 0) for ch in map(chr, range(ord("a"), ord("z") + 1)) if ch not in have
     ]
-    spark.createDataFrame(rows, "piece string, cnt bigint").coalesce(1).write.mode(
+    tiny_df(spark, rows, "piece string, cnt bigint").coalesce(1).write.mode(
         "overwrite"
     ).parquet(path)
 

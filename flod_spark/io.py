@@ -174,6 +174,25 @@ def atomic_swap_dir(df: DataFrame, target: str, partition_by: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def tiny_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Build a SMALL driver-side DataFrame as a JVM LocalTableScan (via
+    pandas/Arrow) instead of ``createDataFrame(list)``'s parallelize
+    path. The list form plans as a PythonRDD — every downstream task
+    (especially a ``coalesce(1)`` artifact write) then drags all N
+    parallelize partitions through Python workers, which costs ~5 s
+    PER WRITE on a local[32] session (measured; worker startup x
+    partitions). The Arrow form lands the rows in the plan directly:
+    the same tiny write is ~0.2 s and the executors never see Python.
+    Use for bounded artifacts (merge tables, vocabularies, manifests);
+    ``schema`` is the usual DDL string and is applied exactly."""
+    import pandas as pd
+
+    names = [f.split()[0] for f in schema.split(",")]
+    return spark.createDataFrame(
+        pd.DataFrame(list(rows), columns=names), schema=schema
+    )
+
+
 def serve_and_cleanup(df: DataFrame, *dirs: str) -> DataFrame:
     """Materialize a lifecycle query's serve result (eager
     localCheckpoint), then remove the temp state directories it was
