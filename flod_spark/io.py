@@ -183,11 +183,16 @@ def tiny_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     PER WRITE on a local[32] session (measured; worker startup x
     partitions). The Arrow form lands the rows in the plan directly:
     the same tiny write is ~0.2 s and the executors never see Python.
-    Use for bounded artifacts (merge tables, vocabularies, manifests);
-    ``schema`` is the usual DDL string and is applied exactly."""
+    Use for bounded artifacts (merge tables, vocabularies, manifests,
+    replay sentinels); ``schema`` is a DDL string or a StructType and
+    is applied exactly."""
     import pandas as pd
 
-    names = [f.split()[0] for f in schema.split(",")]
+    names = (
+        schema.fieldNames()
+        if hasattr(schema, "fieldNames")
+        else [f.split()[0] for f in schema.split(",")]
+    )
     return spark.createDataFrame(
         pd.DataFrame(list(rows), columns=names), schema=schema
     )

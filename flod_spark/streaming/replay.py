@@ -184,9 +184,15 @@ def append_sentinel_batches(spark, out_dir: str, rows, schema) -> None:
         (_os.path.getmtime(f) for f in _glob.glob(f"{out_dir}/part-*")),
         default=0.0,
     )
+    from flod_spark.io import tiny_df
+
     for i, row in enumerate(rows):
         before = set(_glob.glob(f"{out_dir}/part-*"))
-        spark.createDataFrame([row], schema=schema).coalesce(1).write.mode(
+        # tiny_df, not createDataFrame(list): the parallelize form plans
+        # a PythonRDD whose coalesce(1) write walks every slice through
+        # a serial Python-worker round trip (~5 s PER SENTINEL on
+        # local[32], measured); the Arrow LocalTableScan write is ~0.2 s
+        tiny_df(spark, [row], schema).coalesce(1).write.mode(
             "append"
         ).parquet(out_dir)
         for f in set(_glob.glob(f"{out_dir}/part-*")) - before:
