@@ -33,9 +33,17 @@ class StreamingQueue:
         self._n = 0
 
     def put(self, chunk: Iterable) -> None:
-        """One micro-batch: write the chunk as the next spool file."""
+        """One micro-batch: write the chunk as the next spool file.
+
+        tiny_df, not createDataFrame(list): the parallelize form makes
+        the coalesce(1) spool write walk every slice through a serial
+        Python-worker round trip (~5 s PER put() on local[32]); the
+        Arrow LocalTableScan write is ~0.2 s — control-plane puts
+        should cost control-plane time."""
+        from flod_spark.io import tiny_df
+
         rows = [(v,) for v in chunk]
-        df = self.spark.createDataFrame(rows, f"value {self.type_hint}")
+        df = tiny_df(self.spark, rows, f"value {self.type_hint}")
         # one file, stable name order == arrival order
         df.coalesce(1).write.mode("append").parquet(os.path.join(self.dir, f"b{self._n:09d}"))
         self._n += 1
