@@ -245,6 +245,9 @@ HEADLINE = [
     "bpe_apply_from_table",
     "unigram_apply_from_table",
     "crawl_pipeline_incremental",
+    # the live+durable hybrid: streaming crawl chain whose claim state
+    # is the persisted parquet claim table (foreachBatch slice advance)
+    "stream_crawl_claims_live",
 ]
 
 

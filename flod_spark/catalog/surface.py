@@ -1939,6 +1939,127 @@ def stream_crawl_extract_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_crawl_claims_live",
+    oracle=(
+        # stream_crawl_extract_live's oracle VERBATIM: the persisted
+        # claim table must admit exactly the same first arrivals the
+        # in-memory claim state does (and the batch window rank does)
+        f"SELECT doc_id, fp, n_chars FROM ({_crawl_oracle()}) WHERE admitted"
+    ),
+)
+def stream_crawl_claims_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE PRODUCTION LIVE+DURABLE CRAWL HYBRID: the streaming crawl
+    chain whose dedup state is the PERSISTED parquet claim table —
+    stream_crawl_extract_live keeps claims in the state store (lost
+    with the checkpoint), crawl_pipeline_incremental advances the
+    table in nightly batches; this gate composes BOTH: WARC shards
+    arrive -> member split + extraction + quality fused per
+    micro-batch (stateless), then a foreachBatch sink admits the batch
+    against the claim TABLE (anti-join on fp + within-batch first
+    arrival) and ADVANCES it — each batch lands as its own
+    slice=batch_id partition via dynamic partition overwrite, so a
+    replayed trigger overwrites its own slice instead of
+    double-claiming (advance_claim_table's idempotence discipline +
+    the stream_foreach_upsert_live monotone batch_id guard). The
+    admitted rows ARE the table: the final answer reads (first_id,
+    fp, n_chars) straight from the claims — output and durable state
+    cannot disagree. Oracle = the closed form's admitted rows,
+    verbatim from the in-memory twin: all three claim-state
+    representations (window rank, state store, parquet table) must
+    agree bit-for-bit.
+
+    Scale: the per-batch admit joins 16-byte fingerprints only (AQE
+    broadcasts the batch side; at 100 TB the table side goes bucketed
+    — write_claims_bucketed); the table grows by |newly admitted| rows
+    per batch and compact_claim_table folds the slices on the nightly
+    cadence. This is the plan where a crawler's live dedup and its
+    nightly reconciliation share ONE durable state."""
+    import os
+    import shutil
+    import uuid
+
+    from flod_spark.io import serve_and_cleanup
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    shard_docs = max(1, -(-n_docs // 5))
+    pages = _crawl_pages(docs)
+    adir = tempfile.mkdtemp(prefix="flod_crawl_clv_")
+    manifest = pack_warc_shards(pages, adir, shard_docs=shard_docs).collect()
+    for i, r in enumerate(sorted(manifest, key=lambda r: r.shard)):
+        os.utime(r.path, (1_600_000_000 + i, 1_600_000_000 + i))
+    members = stream_archive_members(
+        spark, adir, max_files_per_trigger=1, keep_content=True
+    )
+    ext = _crawl_extract_quality(members)
+
+    croot = tempfile.mkdtemp(prefix="flod_crawl_claims_live_")
+    claims_dir = os.path.join(croot, "claims")
+    state = {"last": -1}
+
+    def advance(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state["last"]:
+            return  # replayed trigger: its slice is already on disk
+        sess = batch_df.sparkSession
+        w = Window.partitionBy("fp")
+        verdict = batch_df.withColumn(
+            "admitted", F.col("doc_id") == F.min("doc_id").over(w)
+        )
+        if os.path.exists(claims_dir):
+            seen = (
+                sess.read.parquet(claims_dir)
+                .select("fp")
+                .distinct()
+                .withColumn("_seen", F.lit(True))
+            )
+            verdict = (
+                verdict.join(seen, "fp", "left")
+                .withColumn("admitted", F.col("admitted") & F.col("_seen").isNull())
+                .drop("_seen")
+            )
+        adm = (
+            verdict.filter("admitted")
+            .select("fp", F.col("doc_id").alias("first_id"), "n_chars")
+            .withColumn("slice", F.lit(int(batch_id)))
+        )
+        prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            adm.write.mode("overwrite").partitionBy("slice").parquet(claims_dir)
+        finally:
+            sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        state["last"] = batch_id
+
+    name = "crawl_claims_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix=f"flod_ckpt_{name}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # _drain's rationale
+    try:
+        q = (
+            ext.writeStream.foreachBatch(advance)
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if not os.path.exists(claims_dir):
+        out = spark.createDataFrame([], "doc_id long, fp string, n_chars long")
+        shutil.rmtree(croot, ignore_errors=True)
+        shutil.rmtree(adir, ignore_errors=True)
+        return out
+    out = spark.read.parquet(claims_dir).select(
+        F.col("first_id").alias("doc_id"), "fp", "n_chars"
+    )
+    return serve_and_cleanup(out, croot, adir)
+
+
 def _crawl_incr_oracle() -> str:
     from flod_spark.catalog.text import (
         QUALITY_MIN_CHARS,

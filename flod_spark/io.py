@@ -185,17 +185,28 @@ def tiny_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     the same tiny write is ~0.2 s and the executors never see Python.
     Use for bounded artifacts (merge tables, vocabularies, manifests,
     replay sentinels); ``schema`` is a DDL string or a StructType and
-    is applied exactly."""
+    is applied exactly. One representational caveat guarded loudly:
+    pandas uses NaN for missing, so a float NaN VALUE would silently
+    become NULL through this path — no current call site ships NaN, and
+    a future one must use plain createDataFrame instead."""
+    import math
+
     import pandas as pd
 
+    rows = [tuple(r) for r in rows]
+    for r in rows:
+        for v in r:
+            if isinstance(v, float) and math.isnan(v):
+                raise ValueError(
+                    "tiny_df cannot represent float NaN (pandas would "
+                    "coerce it to NULL) — use spark.createDataFrame"
+                )
     names = (
         schema.fieldNames()
         if hasattr(schema, "fieldNames")
         else [f.split()[0] for f in schema.split(",")]
     )
-    return spark.createDataFrame(
-        pd.DataFrame(list(rows), columns=names), schema=schema
-    )
+    return spark.createDataFrame(pd.DataFrame(rows, columns=names), schema=schema)
 
 
 def serve_and_cleanup(df: DataFrame, *dirs: str) -> DataFrame:

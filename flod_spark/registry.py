@@ -86,10 +86,10 @@ _PLANNED_FROM_ROUND = 13
 # staleness from CORRECTNESS_r*.json); tests/test_chains.py pins this
 # window against the same data, clamped to _PLANNED_FROM_ROUND, so the
 # two cannot drift and later driver artifacts cannot break it.
-# Round-14 window = 3 + 2 + 21 + 24 = 50 (the r13 verdict item 1
+# Round-14 window = 4 + 2 + 21 + 23 = 50 (the r13 verdict item 1
 # burn-down: the entire six-round-stale r7 tail re-gates, plus the
 # r8-tier head):
-#   (b) the 3 new round-14 registrations (first driver row) — no
+#   (b) the 4 new round-14 registrations (first driver row) — no
 #       recorded row at _PLANNED_FROM_ROUND, so the membership test
 #       auto-derives them as must-gate: the tokenizer
 #       artifact-inference lifecycles (bpe_apply_from_table,
@@ -97,7 +97,10 @@ _PLANNED_FROM_ROUND = 13
 #       also driver-proves the scale-safe join-form vocab delivery,
 #       item 3) and the nightly crawl-ingestion state machine
 #       (crawl_pipeline_incremental — item 6: crawl chain composed
-#       with the persisted claim-table lifecycle),
+#       with the persisted claim-table lifecycle) plus the live+durable
+#       hybrid (stream_crawl_claims_live — the streaming chain whose
+#       claim state IS the parquet claim table, advanced per
+#       micro-batch via an idempotent foreachBatch slice write),
 #   (c) changed-implementation re-proofs: dedup_claims_compacted and
 #       sim_ivfpq_compacted now sweep their temp state trees via
 #       serve_and_cleanup (r13 ADVICE) — values unchanged, but the
@@ -105,9 +108,9 @@ _PLANNED_FROM_ROUND = 13
 #       r11 bpe_apply re-proof discipline for value-neutral changes),
 #   (d) the stalest tiers in registration order: ALL 21 six-round-stale
 #       r7 keys (dedup_simhash .. codec_gzip — exactly the pool the
-#       r13 comment named), then the first 24 of the 43-key r8 tier
-#       (tag_roundtrip .. tpch_q18); the remaining 19 r8 keys
-#       (agg_diversity, agg_argminmax, window_cusum, window_drawdown,
+#       r13 comment named), then the first 23 of the 43-key r8 tier
+#       (tag_roundtrip .. tpch_q14); the remaining 20 r8 keys
+#       (tpch_q18, agg_diversity, agg_argminmax, window_cusum, window_drawdown,
 #       window_rsi, stream_session, resample_gapfill, dedup_cluster,
 #       dedup_semantic_text, sim_mips_ann, media_frame_sample,
 #       agg_bitmap_distinct, orders_market_basket, orders_pareto_abc,
@@ -118,9 +121,9 @@ _PLANNED_FROM_ROUND = 13
 #       item 2).
 # Keys not listed here sort after listed ones, in registration order.
 _GATE_ORDER = (
-    # (b) new round-14 registrations — 3 keys
+    # (b) new round-14 registrations — 4 keys
     "bpe_apply_from_table", "unigram_apply_from_table",
-    "crawl_pipeline_incremental",
+    "crawl_pipeline_incremental", "stream_crawl_claims_live",
     # (c) changed-implementation re-proofs — 2 keys
     "dedup_claims_compacted", "sim_ivfpq_compacted",
     # (d) the full six-round-stale r7 tail in registration order — 21
@@ -131,13 +134,13 @@ _GATE_ORDER = (
     "sample_stratified", "split_time_embargo", "sample_group_k",
     "stream_hll_live", "stream_bars_ohlc_live",
     "stream_bitmap_distinct_live", "codec_gzip",
-    # (d) r8-tier head in registration order — 24 keys
+    # (d) r8-tier head in registration order — 23 keys
     "tag_roundtrip", "token_count", "fingerprint", "text_clean",
     "token_histogram", "doc_repetition", "agg_approx", "agg_rollup",
     "agg_cube", "join_outer", "join_semi", "window_running",
     "set_intersect", "agg_pivot", "agg_percentile", "agg_collect",
     "tpch_q5", "array_fns", "join_salted", "agg_grouping_sets",
-    "window_range_frame", "tpch_q10", "tpch_q14", "tpch_q18",
+    "window_range_frame", "tpch_q10", "tpch_q14",
 )
 
 

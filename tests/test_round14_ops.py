@@ -220,3 +220,67 @@ def test_crawl_incremental_matches_oneshot_and_is_nonvacuous(spark, sf_dir):
     assert not any(
         r.doc_id % _CRAWL_THIN_MOD == 0 for r in inc_rows if r.doc_id < _CRAWL_REFETCH
     )  # thin originals never pass quality
+
+
+def test_crawl_claim_state_representations_agree(spark, sf_dir):
+    """The three claim-state representations must produce identical
+    admitted sets: the batch window rank (crawl_pipeline's admitted
+    rows), the in-memory stream state (stream_crawl_extract_live), and
+    the persisted parquet claim table advanced per micro-batch
+    (stream_crawl_claims_live). The live pair also share an oracle
+    verbatim; this pins the engine side directly."""
+    from flod_spark.catalog.surface import (
+        crawl_pipeline,
+        stream_crawl_claims_live,
+        stream_crawl_extract_live,
+    )
+
+    batch = {
+        (r.doc_id, r.fp, r.n_chars)
+        for r in crawl_pipeline(spark, sf_dir).collect()
+        if r.admitted
+    }
+    mem = {
+        (r.doc_id, r.fp, r.n_chars)
+        for r in stream_crawl_extract_live(spark, sf_dir).collect()
+    }
+    durable = {
+        (r.doc_id, r.fp, r.n_chars)
+        for r in stream_crawl_claims_live(spark, sf_dir).collect()
+    }
+    assert batch == mem == durable and batch
+
+
+def test_tiny_df_matches_parallelize_form(spark):
+    """tiny_df is now load-bearing (replay sentinels, queue spool,
+    tokenizer artifacts): pin that the Arrow LocalTableScan form equals
+    the classic createDataFrame(list) form row-for-row across the value
+    shapes those call sites use — ints, doubles, strings, naive
+    timestamps, and NULLs — and that it plans WITHOUT a PythonRDD."""
+    import datetime
+
+    from flod_spark.io import tiny_df
+
+    rows = [
+        (1, 1.5, "a", datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)),
+        (2, -0.0, None, datetime.datetime(2024, 6, 1)),
+        (None, None, "", None),
+    ]
+    ddl = "i long, x double, s string, ts timestamp_ntz"
+    got = tiny_df(spark, rows, ddl)
+    want = spark.createDataFrame(rows, ddl)
+    assert got.schema == want.schema
+
+    def canon(df):
+        return sorted((tuple(r) for r in df.collect()), key=str)
+
+    assert canon(got) == canon(want)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan and "PythonRDD" not in plan
+    # StructType schema form (the sentinel path)
+    got2 = tiny_df(spark, rows, want.schema)
+    assert got2.schema == want.schema and canon(got2) == canon(want)
+    # the one representational hole is guarded loudly: pandas would
+    # coerce a float NaN VALUE to NULL, so tiny_df refuses it
+    with pytest.raises(ValueError, match="NaN"):
+        tiny_df(spark, [(1, float("nan"), "a", None)], ddl)
