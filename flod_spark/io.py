@@ -188,10 +188,22 @@ def tiny_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     is applied exactly. One representational caveat guarded loudly:
     pandas uses NaN for missing, so a float NaN VALUE would silently
     become NULL through this path — no current call site ships NaN, and
-    a future one must use plain createDataFrame instead."""
+    a future one must use plain createDataFrame instead.
+
+    Two pandas coercion traps are closed here (r14 ADVICE):
+    - the frame is built COLUMN-WISE with object dtype — a row-wise
+      ``pd.DataFrame(rows)`` coerces a None-bearing int column to
+      float64, silently corrupting int64 values beyond 2^53 before the
+      cast back to long (2^60+1 became 1.15e18); object columns hand
+      Arrow the exact Python ints and the declared schema types them;
+    - DDL field names come from the real parser
+      (``StructType.fromDDL``), not a split on ',' — comma-bearing
+      types (decimal(10,2), map<string,int>) broke the string split,
+      and StreamingQueue.put feeds caller-supplied DDL through here."""
     import math
 
     import pandas as pd
+    from pyspark.sql.types import StructType
 
     rows = [tuple(r) for r in rows]
     for r in rows:
@@ -204,9 +216,13 @@ def tiny_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     names = (
         schema.fieldNames()
         if hasattr(schema, "fieldNames")
-        else [f.split()[0] for f in schema.split(",")]
+        else StructType.fromDDL(schema).fieldNames()
     )
-    return spark.createDataFrame(pd.DataFrame(rows, columns=names), schema=schema)
+    pdf = pd.DataFrame(
+        {n: pd.Series([r[i] for r in rows], dtype=object) for i, n in enumerate(names)},
+        columns=names,
+    )
+    return spark.createDataFrame(pdf, schema=schema)
 
 
 def serve_and_cleanup(df: DataFrame, *dirs: str) -> DataFrame:

@@ -88,7 +88,10 @@ def test_unigram_count_overflow_asserts_loudly(spark, tmp_path):
     """r13 ADVICE (low): a piece count >= 2^40 breaks the BIGINT score
     encoding (and the oracle's printf('%020d') string order inverts on
     the now-possible negatives) — every driver-side vocabulary
-    materialization must fail loudly instead of silently diverging."""
+    materialization must fail loudly instead of silently diverging.
+    The guard raises ValueError, not AssertionError (r14 ADVICE:
+    ``python -O`` strips asserts exactly at the scale the guard is
+    for)."""
     from flod_spark.catalog.text import (
         _UNI_BIG,
         _uni_vocab_map,
@@ -97,16 +100,16 @@ def test_unigram_count_overflow_asserts_loudly(spark, tmp_path):
     )
 
     bad = [("a", _UNI_BIG), ("b", 1)]
-    with pytest.raises(AssertionError, match="2\\^40"):
+    with pytest.raises(ValueError, match="2\\^40"):
         _uni_vocab_map(bad)
-    with pytest.raises(AssertionError, match="2\\^40"):
+    with pytest.raises(ValueError, match="2\\^40"):
         unigram_save_vocab(bad, spark, str(tmp_path / "v1"))
     # a hand-built overflowing table is caught at load too
     spark.createDataFrame(bad, "piece string, cnt bigint").write.parquet(
         str(tmp_path / "v2")
     )
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
-    with pytest.raises(AssertionError, match="2\\^40"):
+    with pytest.raises(ValueError, match="2\\^40"):
         unigram_apply_from_table(docs, spark, str(tmp_path / "v2"))
 
 

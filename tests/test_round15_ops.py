@@ -1,0 +1,203 @@
+"""Round-15 additions: tiny_df coercion hardening (r14 ADVICE), the
+restart-safe live crawl claim sink, bucketed claim admission as a real
+code path, and the streaming IVF-PQ index-ingest lifecycle."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_tiny_df_large_int_with_null_exact(spark):
+    """r14 ADVICE (io.py): a column mixing None with ints used to be
+    coerced by the row-wise pandas constructor to float64, silently
+    corrupting int64 values beyond 2^53 (2^60+1 became 1.15e18) BEFORE
+    the cast back to long. The column-wise object-dtype build hands
+    Arrow the exact Python ints — pin bit-exactness and that the plan
+    stays a LocalTableScan."""
+    from flod_spark.io import tiny_df
+
+    big = 2**60 + 1
+    rows = [(big, "a"), (None, "b"), (-(2**62) - 7, None)]
+    got = tiny_df(spark, rows, "v long, s string")
+    vals = {r.s: r.v for r in got.collect()}
+    assert vals == {"a": big, "b": None, None: -(2**62) - 7}
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan and "PythonRDD" not in plan
+
+
+def test_tiny_df_comma_bearing_ddl_types(spark):
+    """r14 ADVICE (io.py): field names now come from the real DDL
+    parser, not a split on ',' — decimal(10,2) / map<string,int> used
+    to produce a wrong column-name list and a pandas shape error."""
+    from decimal import Decimal
+
+    from flod_spark.io import tiny_df
+
+    rows = [(1, Decimal("12.34"), {"a": 1}), (2, None, None)]
+    got = tiny_df(spark, rows, "id long, amt decimal(10,2), m map<string,int>")
+    assert got.columns == ["id", "amt", "m"]
+    out = {r.id: (r.amt, r.m) for r in got.collect()}
+    assert out[1] == (Decimal("12.34"), {"a": 1})
+    assert out[2] == (None, None)
+
+
+def _fp_batch(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, fp string, n_chars long")
+
+
+def test_crawl_claims_sink_empty_first_batch(spark, tmp_path):
+    """r14 ADVICE (medium): a first micro-batch admitting NOTHING used
+    to write a claims dir with no parquet footers; every later batch
+    then died at the bare os.path.exists gate with
+    UNABLE_TO_INFER_SCHEMA. Reads now gate on real part files — pin
+    that an all-rejected batch 0 is harmless and batch 1 admits
+    normally against an effectively-empty table."""
+    from flod_spark.catalog.surface import _dir_has_parquet, crawl_claims_sink
+
+    claims_dir = str(tmp_path / "claims")
+    advance = crawl_claims_sink(claims_dir)
+    advance(_fp_batch(spark, []), 0)
+    assert not _dir_has_parquet(claims_dir)
+    advance(_fp_batch(spark, [(7, "aa", 10), (9, "aa", 10), (8, "bb", 11)]), 1)
+    got = {
+        (r.first_id, r.fp) for r in spark.read.parquet(claims_dir).collect()
+    }
+    assert got == {(7, "aa"), (8, "bb")}
+
+
+def test_crawl_claims_sink_restart_replay_idempotent(spark, tmp_path):
+    """r14 verdict (What's wrong #1): after a restart-from-checkpoint
+    the in-memory last-batch guard resets and the re-delivered batch
+    used to read its OWN slice in the seen set — admitting nothing,
+    and (with a partially-visible slice) stranding fps entirely. The
+    seen read now excludes slice == batch_id, so re-admission is
+    explicit: replay a batch through a FRESH sink instance with its
+    slice artificially truncated to half the rows, and the table must
+    come back exactly to the uninterrupted state."""
+    import glob
+    import os
+
+    from flod_spark.catalog.surface import crawl_claims_sink
+
+    claims_dir = str(tmp_path / "claims")
+    b0 = [(1, "aa", 5), (2, "bb", 6)]
+    b1 = [(3, "bb", 6), (4, "cc", 7), (5, "cc", 7), (6, "dd", 8)]
+
+    def table():
+        return {
+            (r.first_id, r.fp, r.n_chars, r.slice)
+            for r in spark.read.parquet(claims_dir).collect()
+        }
+
+    advance = crawl_claims_sink(claims_dir)
+    advance(_fp_batch(spark, b0), 0)
+    advance(_fp_batch(spark, b1), 1)
+    want = table()
+    assert {(t[0], t[1]) for t in want} == {(1, "aa"), (2, "bb"), (4, "cc"), (6, "dd")}
+
+    # simulate the crash: slice=1 is only PARTIALLY visible (drop one
+    # of its part files), then the restarted query re-delivers batch 1
+    # to a fresh sink whose in-memory guard has reset
+    parts = sorted(glob.glob(os.path.join(claims_dir, "slice=1", "*.parquet")))
+    assert parts, "slice=1 must have part files to truncate"
+    os.remove(parts[0])
+    assert table() != want  # the damage is real
+    advance2 = crawl_claims_sink(claims_dir)
+    advance2(_fp_batch(spark, b1), 1)
+    assert table() == want
+    # and a SECOND replay of the same batch is a no-op too
+    advance2(_fp_batch(spark, b1), 1)
+    assert table() == want
+
+
+def test_stream_crawl_claims_checkpoint_restart(spark, sf_dir, tmp_path):
+    """The full streaming restart discipline (test_round10_ops style)
+    applied to the table-backed crawl sink: run the live crawl chain
+    over the first half of the WARC shards, stop, DELETE the last
+    commit from the checkpoint (forcing that batch to replay), stage
+    the remaining shards, and restart with a FRESH sink instance on
+    the same checkpoint + claim table. The final claim table must
+    equal the uninterrupted run's AND the batch window-rank truth."""
+    import glob
+    import os
+    import shutil as sh
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flod_spark.catalog.surface import (
+        _crawl_extract_quality,
+        _crawl_pages,
+        archive_member_rows,
+        crawl_claims_sink,
+        pack_warc_shards,
+        stream_archive_members,
+    )
+    from flod_spark.io import load
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    pages = _crawl_pages(docs)
+    src = str(tmp_path / "shards")
+    manifest = pack_warc_shards(pages, src, shard_docs=10).collect()
+    files = [r.path for r in sorted(manifest, key=lambda r: r.shard)]
+    assert len(files) >= 4
+
+    def run(tag, subsets, fresh_sink_each=False, break_last_commit=False):
+        live = str(tmp_path / f"live_{tag}")
+        ckpt = str(tmp_path / f"ck_{tag}")
+        claims = str(tmp_path / f"claims_{tag}")
+        os.makedirs(live, exist_ok=True)
+        order = {f: i for i, f in enumerate(files)}
+        sink = crawl_claims_sink(claims)
+        for si, subset in enumerate(subsets):
+            for f in subset:
+                dst = os.path.join(live, os.path.basename(f))
+                sh.copy(f, dst)
+                os.utime(dst, (1_700_000_000 + order[f],) * 2)
+            if fresh_sink_each:
+                sink = crawl_claims_sink(claims)
+            ext = _crawl_extract_quality(
+                stream_archive_members(spark, live, 1, keep_content=True)
+            )
+            q = (
+                ext.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            if break_last_commit and si == 0:
+                commits = sorted(
+                    (p for p in glob.glob(os.path.join(ckpt, "commits", "*"))
+                     if os.path.basename(p).isdigit()),
+                    key=lambda p: int(os.path.basename(p)),
+                )
+                os.remove(commits[-1])  # forces that batch to replay
+                crc = os.path.join(
+                    os.path.dirname(commits[-1]),
+                    "." + os.path.basename(commits[-1]) + ".crc",
+                )
+                if os.path.exists(crc):  # ChecksumFs: stale crc blocks rewrite
+                    os.remove(crc)
+        return {
+            (r.first_id, r.fp, r.n_chars)
+            for r in spark.read.parquet(claims).collect()
+        }
+
+    half = len(files) // 2
+    interrupted = run(
+        "split", [files[:half], files[half:]],
+        fresh_sink_each=True, break_last_commit=True,
+    )
+    single = run("once", [files])
+    raw = spark.read.format("binaryFile").load(src)
+    ext = _crawl_extract_quality(archive_member_rows(raw, keep_content=True))
+    w = Window.partitionBy("fp")
+    truth = {
+        (r.doc_id, r.fp, r.n_chars)
+        for r in ext.withColumn(
+            "adm", F.col("doc_id") == F.min("doc_id").over(w)
+        ).filter("adm").collect()
+    }
+    assert single == truth
+    assert interrupted == truth
