@@ -1299,15 +1299,29 @@ def advance_claim_table(admitted: DataFrame, claims_dir: str, slice_id: int) -> 
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
-def compact_claim_table(spark: SparkSession, claims_dir: str) -> None:
+def compact_claim_table(
+    spark: SparkSession, claims_dir: str, bucketed_table: str | None = None
+) -> None:
     """Periodic claim-table COMPACTION: fold all slice partitions back
     into slice=0 (groupBy fp, min first_id — a no-op on values, since
     each fp exists in exactly one slice) and atomically swap the
     directory. Keeps the nightly job's read side at one partition's
     file count no matter how many slices have advanced.
 
+    ``bucketed_table`` (r14 verdict item 4 — the bucketed layout as
+    CODE, not a docstring): when given, the compacted claims are ALSO
+    written fp-bucketed into the session catalog
+    (write_claims_bucketed), so every subsequent slice admission can
+    join co-partitioned with no claims-side exchange
+    (dedup_against_claims' bucketed_table path; plan pinned in
+    tests/test_round12_ops.py, value parity driver-gated by
+    dedup_claims_bucketed). Compaction time is exactly when the layout
+    is worth refreshing: the fold already pays the one exchange on fp
+    the bucketed write needs.
+
     Scale: one exchange on fp over |distinct contents| rows; the swap
-    is a rename (object stores use a manifest/commit instead)."""
+    is a rename (object stores use a manifest/commit instead); the
+    bucketed refresh re-bucket-writes the same compacted rows."""
     from flod_spark.io import atomic_swap_dir, recover_swap_dir
 
     recover_swap_dir(claims_dir)
@@ -1318,10 +1332,23 @@ def compact_claim_table(spark: SparkSession, claims_dir: str) -> None:
         .withColumn("slice", F.lit(0))
     )
     atomic_swap_dir(compacted, claims_dir, "slice")
+    if bucketed_table is not None:
+        # the layout lives NEXT TO the claim state (<claims_dir>.bucketed,
+        # an EXTERNAL table) so the whole lifecycle sweeps as one root
+        write_claims_bucketed(
+            spark.read.parquet(claims_dir),
+            spark,
+            bucketed_table,
+            path=claims_dir.rstrip("/") + ".bucketed",
+        )
 
 
 def write_claims_bucketed(
-    claims: DataFrame, spark: SparkSession, table: str, buckets: int = 32
+    claims: DataFrame,
+    spark: SparkSession,
+    table: str,
+    buckets: int = 32,
+    path: str | None = None,
 ) -> None:
     """Write a claim table BUCKETED (and sorted) by fp into the session
     catalog — the at-scale layout the docstrings promise: a slice
@@ -1338,19 +1365,51 @@ def write_claims_bucketed(
     precisely because of the one-file-per-bucket write) then elide the
     join-side Sorts too — bucketed scans feed the SortMergeJoin
     directly, zero exchanges AND zero sorts (pinned in
-    tests/test_round12_ops.py)."""
-    (
+    tests/test_round12_ops.py).
+
+    ``path`` pins the table's file location (EXTERNAL table) — the
+    self-contained gates use a temp dir so their state sweeps with the
+    rest (serve_and_cleanup) instead of landing in the session's
+    warehouse directory; a production catalog omits it."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    w = (
         claims.select("fp", "first_id")
         .repartition(buckets, F.col("fp"))
         .write.mode("overwrite")
         .bucketBy(buckets, "fp")
         .sortBy("fp")
         .format("parquet")
-        .saveAsTable(table)
     )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
 
 
-def dedup_against_claims(docs: DataFrame, spark: SparkSession, claims_dir: str) -> DataFrame:
+def _claims_fp_side(
+    spark: SparkSession, claims_dir: str, bucketed_table: str | None
+) -> DataFrame:
+    """The claims side of an admission join. Default: the parquet dir,
+    read DISTINCT on fp (a malformed table holding duplicate fp rows —
+    a partially retried legacy append — cannot fan out the join).
+    With ``bucketed_table``: the fp-bucketed catalog table
+    compact_claim_table refreshed — scanned straight from its buckets
+    (HashPartitioning on fp, no exchange; tests/test_round12_ops.py
+    pins the zero-exchange/zero-sort SortMergeJoin). NO distinct on
+    this path: the bucketed layout is written only from compacted
+    claims (groupBy fp), so fp is unique by construction, and a
+    distinct would re-insert exactly the exchange the layout exists to
+    remove."""
+    if bucketed_table is not None:
+        return spark.table(bucketed_table).select("fp")
+    return spark.read.parquet(claims_dir).select("fp").distinct()
+
+
+def dedup_against_claims(
+    docs: DataFrame,
+    spark: SparkSession,
+    claims_dir: str,
+    bucketed_table: str | None = None,
+) -> DataFrame:
     """Dedup a NEW SLICE against the persisted claim table: a doc is
     ADMITTED iff its fingerprint is absent from the table AND it is the
     slice's first arrival (min doc_id) for that fingerprint — exactly
@@ -1364,12 +1423,11 @@ def dedup_against_claims(docs: DataFrame, spark: SparkSession, claims_dir: str) 
     Scale: one anti-join-shaped left join on the 16-byte fp (AQE
     broadcasts the claim side only if it measures small — at 100 TB
     it will not, and the join co-partitions when both sides are
-    fp-bucketed) + one within-slice min; nothing rescans prior
-    slices' text. The claim side is read DISTINCT on fp, so even a
-    malformed claim table holding duplicate fp rows (a partially
-    retried legacy append) cannot fan out the join and multiply slice
-    rows."""
-    claims = spark.read.parquet(claims_dir).select("fp").distinct()
+    fp-bucketed: pass ``bucketed_table`` = the layout
+    compact_claim_table refreshed, and the claims side scans
+    shuffle-free from its buckets — _claims_fp_side) + one
+    within-slice min; nothing rescans prior slices' text."""
+    claims = _claims_fp_side(spark, claims_dir, bucketed_table)
     h = docs.select("doc_id", F.md5(_norm_col().cast("binary")).alias("fp"))
     w = Window.partitionBy("fp")
     first_in_slice = F.col("doc_id") == F.min("doc_id").over(w)
@@ -1406,19 +1464,24 @@ def build_fp_claim_table(rows: DataFrame, claims_dir: str) -> None:
 
 
 def admit_fp_rows_against_claims(
-    rows: DataFrame, spark: SparkSession, claims_dir: str
+    rows: DataFrame,
+    spark: SparkSession,
+    claims_dir: str,
+    bucketed_table: str | None = None,
 ) -> DataFrame:
     """dedup_against_claims over fingerprint-bearing rows: a row is
     ADMITTED iff its fp is absent from the claim table AND it is the
     slice's first arrival (min doc_id) for that fp. Carried columns
     (n_chars, …) ride through; the verdict lands as ``admitted``.
     The claim side reads DISTINCT on fp (malformed duplicate claim
-    rows cannot fan out the join — dedup_against_claims' guard).
+    rows cannot fan out the join — dedup_against_claims' guard), or
+    shuffle-free from the fp-bucketed layout when ``bucketed_table``
+    is given (_claims_fp_side).
 
     Scale: one anti-join-shaped left join on the 16-byte fp + one
     within-slice window min — the claim join never touches text or
     page bytes, only fingerprints."""
-    claims = spark.read.parquet(claims_dir).select("fp").distinct()
+    claims = _claims_fp_side(spark, claims_dir, bucketed_table)
     w = Window.partitionBy("fp")
     first = F.col("doc_id") == F.min("doc_id").over(w)
     seen = claims.withColumn("_seen", F.lit(True))
@@ -1726,3 +1789,59 @@ def dedup_claims_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serve_and_cleanup(
         dedup_against_claims(slice_df, spark, claims_dir), claims_dir
     )
+
+
+@query("dedup_claims_bucketed", oracle=_INCR_CLAIMS_ORACLE)
+def dedup_claims_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The claim lifecycle served through the FP-BUCKETED layout — the
+    100 TB admission join as CODE, driver-gated (r14 verdict item 4:
+    write_claims_bucketed used to exist only as a pytest-pinned plan
+    property; this row proves the layout is admission-INVISIBLE).
+    dedup_claims_compacted's exact sequence — build the first quarter,
+    admit+advance the second quarter, compact — except the compaction
+    ALSO refreshes the fp-bucketed catalog table, and tonight's
+    admission joins against THAT (dedup_against_claims'
+    bucketed_table path: bucket-sorted scans feed the SortMergeJoin
+    with no claims-side exchange and no distinct — uniqueness is by
+    construction of the compacted fold). Oracle =
+    dedup_incremental's VERBATIM, the compacted-gate discipline: the
+    serving layout must change NOTHING about who is admitted.
+
+    Scale: this is the plan the nightly job runs at 100 TB — the
+    claims side (billions of 16-byte fps) never shuffles again after
+    its compaction write; each slice pays one hash exchange onto the
+    same bucket function and merges. The gate's temp claim tree,
+    bucketed files, and catalog entry are all swept after the
+    verdicts materialize."""
+    import uuid as _uuid
+
+    from flod_spark.io import serve_and_cleanup
+
+    docs = load(spark, sf_dir, "documents")
+    mm = docs.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")).first()
+    mid = (mm.mn + mm.mx) // 2
+    q1 = (mm.mn + mid) // 2
+    claims_dir = tempfile.mkdtemp(prefix="flod_claims_bkt_")
+    tbl = "flod_claims_bkt_" + _uuid.uuid4().hex[:10]
+    build_claim_table(docs.filter(F.col("doc_id") <= q1), claims_dir)
+    verdicts = dedup_against_claims(
+        docs.filter((F.col("doc_id") > q1) & (F.col("doc_id") <= mid)).select(
+            "doc_id", "text"
+        ),
+        spark,
+        claims_dir,
+    )
+    advance_claim_table(verdicts, claims_dir, slice_id=1)
+    compact_claim_table(spark, claims_dir, bucketed_table=tbl)
+    slice_df = docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + F.lit(_SLICE_OFFSET)).alias("doc_id"), "text"
+        )
+    )
+    out = serve_and_cleanup(
+        dedup_against_claims(slice_df, spark, claims_dir, bucketed_table=tbl),
+        claims_dir,
+        claims_dir.rstrip("/") + ".bucketed",
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    return out

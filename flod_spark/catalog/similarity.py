@@ -1927,7 +1927,16 @@ def ivfpq_index_query(
     if include_slices:
         import glob as _glob
 
-        paths += sorted(_glob.glob(index_dir + "/codes_slice_*"))
+        from flod_spark.io import dir_has_parquet
+
+        # footer-gated (r14 ADVICE discipline): an advance handed an
+        # empty slice leaves a dir with no parquet files — reading it
+        # would kill the serve with UNABLE_TO_INFER_SCHEMA
+        paths += [
+            p
+            for p in sorted(_glob.glob(index_dir + "/codes_slice_*"))
+            if dir_has_parquet(p)
+        ]
     codes = None
     for p in paths:
         part = spark.read.parquet(p).filter(F.col("cell").isin(probe_cells))
@@ -2445,4 +2454,111 @@ def sim_ivfpq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return serve_and_cleanup(
         ivfpq_index_query(spark, idx_dir, queries, include_slices=True), idx_dir
+    )
+
+
+def ivfpq_ingest_sink(index_dir: str):
+    """The foreachBatch sink that ADVANCES a persisted IVF-PQ index as
+    vectors arrive — crawl_claims_sink's discipline applied to index
+    maintenance (r14 verdict item 6, the last open lifecycle ×
+    streaming cross): each micro-batch PQ-encodes against the LOADED
+    codebook / IVF centroids (training never reruns; codes are
+    per-vector deterministic, so batch boundaries are invisible to the
+    serve) and lands as its own ``codes_slice_<batch_id>`` directory —
+    a whole-directory overwrite, so a trigger re-delivered after a
+    restart-from-checkpoint rewrites its own slice and nothing else
+    (ivfpq_index_advance's pinned idempotence). The in-memory guard is
+    the same-run fast path only; empty batches leave footer-less slice
+    dirs that the serve's dir_has_parquet gate skips.
+
+    Scale: per trigger this is map-side encode over the NEW vectors
+    only (broadcast codebook + centroids, one per-(vec, m) argmin) —
+    the live twin of the nightly advance; compact_ivfpq_index folds
+    slices on the nightly cadence exactly as before."""
+    state = {"last": -1}
+
+    def advance(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state["last"]:
+            return
+        ivfpq_index_advance(
+            batch_df.select("vec_id", "v"),
+            batch_df.sparkSession,
+            index_dir,
+            slice_id=int(batch_id),
+        )
+        state["last"] = batch_id
+
+    return advance
+
+
+@query("stream_ivfpq_ingest_live", oracle=_ivfpq_advanced_oracle())
+def stream_ivfpq_ingest_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE ANN INDEX MAINTENANCE: sim_ivfpq_advanced's lifecycle with
+    the advance side driven by a REAL Structured Streaming query —
+    ivfpq_index_save trains and persists the index over the corpus's
+    first half, then the second half ARRIVES as time-ordered
+    micro-batches (replay source) and a foreachBatch sink
+    (ivfpq_ingest_sink) encodes each batch against the loaded
+    codebook/centroids and appends it as its own cell-partitioned
+    slice directory; ivfpq_index_query(include_slices=True) serves the
+    combined index after the stream runs dry. Oracle =
+    sim_ivfpq_advanced's VERBATIM: codes are per-vector deterministic
+    and slices are disjoint, so the streaming ingest's served top-K
+    must equal the one-shot batch advance bit-for-bit — batch count,
+    trigger pacing, and slice layout all invisible to queries.
+
+    Scale: the production shape for vector corpora that grow while
+    they serve — per trigger the cost is a map-side encode of the NEW
+    vectors only (broadcast codebook + centroids); the existing codes
+    are never rescanned or rewritten; serving I/O stays probe-fraction
+    × 42× compression across base + slices; compaction folds slices
+    nightly (sim_ivfpq_compacted). Swap the replay source for Kafka
+    with zero changes downstream."""
+    import os
+    import shutil
+    import uuid
+
+    from flod_spark.io import serve_and_cleanup
+    from flod_spark.streaming import replay_stream
+
+    emb = _emb_v(spark, sf_dir)
+    mm = emb.agg(F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx")).first()
+    mid = (mm.mn + mm.mx) // 2
+    idx_dir = tempfile.mkdtemp(prefix="flod_ivfpq_ing_")
+    ivfpq_index_save(emb.filter(F.col("vec_id") <= mid), idx_dir)
+
+    feed = emb.filter(F.col("vec_id") > mid).withColumn(
+        "ingest_ts", F.timestamp_micros(F.col("vec_id") * 1_000_000)
+    )
+    replay_dir = tempfile.mkdtemp(prefix="flod_replay_ivfpq_")
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    stream = replay_stream(
+        spark, feed, "ingest_ts", replay_dir, n_batches=3, tiebreak=("vec_id",)
+    )
+    sink = ivfpq_ingest_sink(idx_dir)
+    name = "ivfpq_ingest_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix=f"flod_ckpt_{name}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # _drain's rationale
+    try:
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    queries = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    return serve_and_cleanup(
+        ivfpq_index_query(spark, idx_dir, queries, include_slices=True),
+        idx_dir,
+        replay_dir,
     )

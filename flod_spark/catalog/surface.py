@@ -1940,16 +1940,12 @@ def stream_crawl_extract_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dir_has_parquet(d: str) -> bool:
-    """True iff ``d`` holds at least one parquet data file. Bare
-    ``os.path.exists`` is the WRONG gate for claim-table reads (r14
-    ADVICE, medium): a micro-batch that admits nothing still creates
-    the directory (+ _SUCCESS) with no footers, and every later read
-    then dies with UNABLE_TO_INFER_SCHEMA — gate on actual part files
-    instead, so zero-admission batches are harmless by construction."""
-    import glob as _g
-    import os
+    """io.dir_has_parquet under its original local name (the r14 ADVICE
+    fix landed here first; the helper moved to io.py when the IVF-PQ
+    slice reads needed the same guard)."""
+    from flod_spark.io import dir_has_parquet
 
-    return bool(_g.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
+    return dir_has_parquet(d)
 
 
 def crawl_claims_sink(claims_dir: str):

@@ -225,6 +225,19 @@ def tiny_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema=schema)
 
 
+def dir_has_parquet(d: str) -> bool:
+    """True iff ``d`` holds at least one parquet data file. Bare
+    ``os.path.exists`` is the WRONG gate for reading back incrementally
+    written state (r14 ADVICE, medium): a writer handed an empty
+    DataFrame still creates the directory (+ _SUCCESS) with no footers,
+    and a later read of it dies with UNABLE_TO_INFER_SCHEMA — gate on
+    actual part files so zero-row writes are harmless by construction.
+    Shared by the claim-table and IVF-PQ-slice read paths."""
+    import glob
+
+    return bool(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
+
+
 def serve_and_cleanup(df: DataFrame, *dirs: str) -> DataFrame:
     """Materialize a lifecycle query's serve result (eager
     localCheckpoint), then remove the temp state directories it was

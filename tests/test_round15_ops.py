@@ -110,6 +110,111 @@ def test_crawl_claims_sink_restart_replay_idempotent(spark, tmp_path):
     assert table() == want
 
 
+def test_bucketed_admission_invisible_and_shuffle_free(spark, sf_dir, tmp_path):
+    """r14 verdict item 4: compact_claim_table(bucketed_table=...) must
+    refresh an fp-bucketed layout whose admission verdicts are
+    BIT-IDENTICAL to the parquet-dir path, while the claims side scans
+    straight from its buckets (no exchange, no distinct aggregate —
+    the layout exists to remove exactly those)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from flod_spark.catalog.dedup import (
+        advance_claim_table,
+        build_claim_table,
+        compact_claim_table,
+        dedup_against_claims,
+    )
+    from flod_spark.io import load
+
+    docs = load(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("(MIN(doc_id) + MAX(doc_id)) div 2")).first()[0]
+    cdir = str(tmp_path / "claims")
+    tbl = "t_bkt_" + uuid.uuid4().hex[:8]
+    build_claim_table(docs.filter(F.col("doc_id") <= mid), cdir)
+    v = dedup_against_claims(
+        docs.filter(F.col("doc_id") > mid).select("doc_id", "text"), spark, cdir
+    )
+    advance_claim_table(v, cdir, slice_id=1)
+    compact_claim_table(spark, cdir, bucketed_table=tbl)
+    try:
+        import os
+
+        assert os.path.isdir(cdir + ".bucketed")  # external, co-located
+        sl = docs.select("doc_id", "text")
+        via_dir = dedup_against_claims(sl, spark, cdir)
+        via_tbl = dedup_against_claims(sl, spark, cdir, bucketed_table=tbl)
+        a = sorted(map(tuple, via_dir.collect()))
+        b = sorted(map(tuple, via_tbl.collect()))
+        assert a == b and a
+        # plan property: the bucketed claims side scans from its
+        # buckets with no distinct aggregate; the dir path pays one
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            p_tbl = via_tbl._jdf.queryExecution().executedPlan().toString()
+            p_dir = via_dir._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "Bucketed: true" in p_tbl
+        assert p_tbl.count("Exchange") < p_dir.count("Exchange")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_ivfpq_ingest_sink_batching_invisible(spark, sf_dir, tmp_path):
+    """The live index-maintenance contract (r14 verdict item 6): codes
+    are per-vector deterministic, so (a) two micro-batch slices serve
+    bit-identically to the one-shot batch advance, (b) a replayed
+    batch through a FRESH sink instance is a no-op, and (c) an EMPTY
+    batch's footer-less slice dir is skipped by the serve instead of
+    killing it."""
+    from pyspark.sql import functions as F
+
+    from flod_spark.catalog.similarity import (
+        NQ,
+        _emb_v,
+        ivfpq_index_advance,
+        ivfpq_index_query,
+        ivfpq_index_save,
+        ivfpq_ingest_sink,
+    )
+
+    emb = _emb_v(spark, sf_dir)
+    mm = emb.agg(F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx")).first()
+    mid = (mm.mn + mm.mx) // 2
+    q3 = (mid + mm.mx) // 2
+    queries = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+
+    def served(idx):
+        return sorted(
+            map(tuple, ivfpq_index_query(spark, idx, queries, include_slices=True).collect())
+        )
+
+    one = str(tmp_path / "one")
+    ivfpq_index_save(emb.filter(F.col("vec_id") <= mid), one)
+    ivfpq_index_advance(emb.filter(F.col("vec_id") > mid), spark, one, slice_id=1)
+    want = served(one)
+
+    live = str(tmp_path / "live")
+    ivfpq_index_save(emb.filter(F.col("vec_id") <= mid), live)
+    sink = ivfpq_ingest_sink(live)
+    b0 = emb.filter((F.col("vec_id") > mid) & (F.col("vec_id") <= q3))
+    b1 = emb.filter(F.col("vec_id") > q3)
+    empty = emb.filter(F.lit(False))
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(empty, 2)  # footer-less slice dir must not poison the serve
+    assert served(live) == want
+    # restart replay: fresh sink instance, same slice id — idempotent
+    sink2 = ivfpq_ingest_sink(live)
+    sink2(b1, 1)
+    assert served(live) == want
+
+
 def test_stream_crawl_claims_checkpoint_restart(spark, sf_dir, tmp_path):
     """The full streaming restart discipline (test_round10_ops style)
     applied to the table-backed crawl sink: run the live crawl chain
