@@ -1547,7 +1547,11 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + F.lit(_SLICE_OFFSET)).alias("doc_id"), "text"
         )
     )
-    return dedup_against_claims(slice_df, spark, claims_dir)
+    from flod_spark.io import serve_and_cleanup
+
+    return serve_and_cleanup(
+        dedup_against_claims(slice_df, spark, claims_dir), claims_dir
+    )
 
 
 def _band_sig_rows(docs: DataFrame) -> DataFrame:
@@ -1720,7 +1724,11 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + F.lit(_SLICE_OFFSET)).alias("doc_id"), "text"
         )
     )
-    return dedup_minhash_against_claims(slice_df, spark, claims_dir)
+    from flod_spark.io import serve_and_cleanup
+
+    return serve_and_cleanup(
+        dedup_minhash_against_claims(slice_df, spark, claims_dir), claims_dir
+    )
 
 
 def compact_minhash_claims(spark: SparkSession, claims_dir: str) -> None:

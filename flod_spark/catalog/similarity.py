@@ -2097,7 +2097,11 @@ def sim_pq_adc_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < NQ).select(
         F.col("vec_id").alias("query_id"), "v"
     )
-    return pq_index_adc_query(spark, idx_dir, queries)
+    from flod_spark.io import serve_and_cleanup
+
+    return serve_and_cleanup(
+        pq_index_adc_query(spark, idx_dir, queries), idx_dir
+    )
 
 
 @query("sim_ivfpq_persisted", oracle=_ivfpq_oracle())
@@ -2124,7 +2128,11 @@ def sim_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < NQ).select(
         F.col("vec_id").alias("query_id"), "v"
     )
-    return ivfpq_index_query(spark, idx_dir, queries)
+    from flod_spark.io import serve_and_cleanup
+
+    return serve_and_cleanup(
+        ivfpq_index_query(spark, idx_dir, queries), idx_dir
+    )
 
 
 # Binary (sign-bit) quantization: 64 dims -> two 32-bit sign words
@@ -2375,7 +2383,11 @@ def sim_ivfpq_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < NQ).select(
         F.col("vec_id").alias("query_id"), "v"
     )
-    return ivfpq_index_query(spark, idx_dir, queries, include_slices=True)
+    from flod_spark.io import serve_and_cleanup
+
+    return serve_and_cleanup(
+        ivfpq_index_query(spark, idx_dir, queries, include_slices=True), idx_dir
+    )
 
 
 def compact_ivfpq_index(spark: SparkSession, index_dir: str) -> None:

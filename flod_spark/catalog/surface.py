@@ -811,10 +811,12 @@ def scan_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage unless projected on. Archives are one-file-one-task, so
     shard archives to ~100 MB-1 GB for parallelism, exactly how WARC
     corpora ship."""
+    from flod_spark.io import serve_and_cleanup
+
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     adir = _pack_archive_fixture(docs)
     raw = spark.read.format("binaryFile").load(adir)
-    return archive_member_rows(raw)
+    return serve_and_cleanup(archive_member_rows(raw), adir)
 
 
 @query(
@@ -1407,13 +1409,18 @@ def scan_wds_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("ext") == "img", F.col("content"))).alias("img"),
     )
     js = F.col("js").cast("string")
-    return g.select(
-        F.regexp_extract("stem", r"s_(\d+)", 1).cast("long").alias("sample_id"),
-        F.col("txt").cast("string").alias("text"),
-        F.get_json_object(js, "$.lang").alias("lang"),
-        F.get_json_object(js, "$.source").alias("source"),
-        F.md5("img").alias("img_md5"),
-        F.length("img").cast("long").alias("img_bytes"),
+    from flod_spark.io import serve_and_cleanup
+
+    return serve_and_cleanup(
+        g.select(
+            F.regexp_extract("stem", r"s_(\d+)", 1).cast("long").alias("sample_id"),
+            F.col("txt").cast("string").alias("text"),
+            F.get_json_object(js, "$.lang").alias("lang"),
+            F.get_json_object(js, "$.source").alias("source"),
+            F.md5("img").alias("img_md5"),
+            F.length("img").cast("long").alias("img_bytes"),
+        ),
+        adir,
     )
 
 
@@ -1834,7 +1841,12 @@ def crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = archive_member_rows(raw, keep_content=True)
     ext = _crawl_extract_quality(members)
     w = Window.partitionBy("fp")
-    return ext.withColumn("admitted", F.col("doc_id") == F.min("doc_id").over(w))
+    from flod_spark.io import serve_and_cleanup
+
+    return serve_and_cleanup(
+        ext.withColumn("admitted", F.col("doc_id") == F.min("doc_id").over(w)),
+        out_dir,
+    )
 
 
 def _crawl_pages(docs: DataFrame) -> DataFrame:

@@ -4,6 +4,8 @@ code path, and the streaming IVF-PQ index-ingest lifecycle."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 
@@ -161,6 +163,45 @@ def test_bucketed_admission_invisible_and_shuffle_free(spark, sf_dir, tmp_path):
         assert p_tbl.count("Exchange") < p_dir.count("Exchange")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+@pytest.mark.parametrize(
+    "qk",
+    [
+        # the r15 serve_and_cleanup rollout (r14 verdict item 3 — the
+        # named hygiene queue): each of these used to leak its mkdtemp
+        # state tree on every gated run
+        "crawl_pipeline",
+        "dedup_incremental",
+        "dedup_minhash_incremental",
+        "sim_pq_adc_persisted",
+        "sim_ivfpq_persisted",
+        "sim_ivfpq_advanced",
+        "scan_archive",
+        "scan_wds_samples",
+        # and the r15 registrations, born clean
+        "dedup_claims_bucketed",
+        "stream_ivfpq_ingest_live",
+    ],
+)
+def test_gated_query_leaves_no_tmp_trees(spark, sf_dir, qk):
+    """No gated query may leave a mkdtemp tree behind (r14 verdict
+    item 3's done-criterion): snapshot the flod_* entries under the
+    temp root, run the query to completion, and require the snapshot
+    unchanged."""
+    import glob
+    import tempfile as tf
+
+    from flod_spark.registry import QUERIES, load_catalog
+
+    load_catalog()
+    pat = os.path.join(tf.gettempdir(), "flod_*")
+    before = set(glob.glob(pat))
+    QUERIES[qk](spark, sf_dir).collect()
+    leaked = set(glob.glob(pat)) - before
+    # the package-ship zip and checkpoint dirs are swept by their own
+    # paths; nothing new may remain
+    assert not leaked, f"{qk} leaked temp trees: {sorted(leaked)}"
 
 
 def test_ivfpq_ingest_sink_batching_invisible(spark, sf_dir, tmp_path):
