@@ -76,7 +76,7 @@ def ensure_shipped(spark: SparkSession) -> None:
 # The rotation tests clamp driver_rounds() to this, so the driver dropping
 # CORRECTNESS_r{N+1}.json into the tree after the builder's final commit
 # cannot flip a committed-green pytest (round-6 verdict, top finding).
-_PLANNED_FROM_ROUND = 13
+_PLANNED_FROM_ROUND = 14
 
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). _GATE_ORDER makes the window explicit, and ROTATES each
@@ -86,61 +86,61 @@ _PLANNED_FROM_ROUND = 13
 # staleness from CORRECTNESS_r*.json); tests/test_chains.py pins this
 # window against the same data, clamped to _PLANNED_FROM_ROUND, so the
 # two cannot drift and later driver artifacts cannot break it.
-# Round-14 window = 4 + 2 + 21 + 23 = 50 (the r13 verdict item 1
-# burn-down: the entire six-round-stale r7 tail re-gates, plus the
-# r8-tier head):
-#   (b) the 4 new round-14 registrations (first driver row) — no
-#       recorded row at _PLANNED_FROM_ROUND, so the membership test
-#       auto-derives them as must-gate: the tokenizer
-#       artifact-inference lifecycles (bpe_apply_from_table,
-#       unigram_apply_from_table — r13 verdict item 4; the unigram one
-#       also driver-proves the scale-safe join-form vocab delivery,
-#       item 3) and the nightly crawl-ingestion state machine
-#       (crawl_pipeline_incremental — item 6: crawl chain composed
-#       with the persisted claim-table lifecycle) plus the live+durable
-#       hybrid (stream_crawl_claims_live — the streaming chain whose
-#       claim state IS the parquet claim table, advanced per
-#       micro-batch via an idempotent foreachBatch slice write),
-#   (c) changed-implementation re-proofs: dedup_claims_compacted and
-#       sim_ivfpq_compacted now sweep their temp state trees via
-#       serve_and_cleanup (r13 ADVICE) — values unchanged, but the
-#       serve tail is materialized differently, so both re-gate (the
-#       r11 bpe_apply re-proof discipline for value-neutral changes),
-#   (d) the stalest tiers in registration order: ALL 21 six-round-stale
-#       r7 keys (dedup_simhash .. codec_gzip — exactly the pool the
-#       r13 comment named), then the first 23 of the 43-key r8 tier
-#       (tag_roundtrip .. tpch_q14); the remaining 20 r8 keys
-#       (tpch_q18, agg_diversity, agg_argminmax, window_cusum, window_drawdown,
-#       window_rsi, stream_session, resample_gapfill, dedup_cluster,
-#       dedup_semantic_text, sim_mips_ann, media_frame_sample,
-#       agg_bitmap_distinct, orders_market_basket, orders_pareto_abc,
-#       agg_hll_rollup, orders_cohort_ltv, sample_weighted_k,
-#       sample_token_budget, stream_market_basket_live) spill to the
-#       round-15 fill pool, covered by this round's complement sweep
-#       (committed as SWEEP_r14.json since this round — r13 verdict
-#       item 2).
+# Round-15 window = 2 + 15 + 20 + 13 = 50 (the r14 verdict item 1
+# burn-down: the spilled r8 tail re-gates in full, plus the r9-tier
+# head; the changed-re-proof class is unusually wide this round
+# because the serve_and_cleanup rollout and the claim/ivfpq read-path
+# hardening each touched several gated lifecycles):
+#   (b) the 2 new round-15 registrations (first driver row, membership
+#       test auto-derives them as must-gate): dedup_claims_bucketed
+#       (r14 verdict item 4 — the fp-bucketed claim layout wired into
+#       compaction + admission, oracle = dedup_incremental's verbatim)
+#       and stream_ivfpq_ingest_live (item 6 — live ANN index
+#       maintenance: a foreachBatch sink advancing the persisted
+#       IVF-PQ index per micro-batch, oracle = sim_ivfpq_advanced's
+#       verbatim),
+#   (c) changed-implementation re-proofs (tests/test_chains.py::
+#       ROUND15_CHANGED documents each): the restart-safe crawl claim
+#       sink (stream_crawl_claims_live), the admission-path signature
+#       + _claims_fp_side refactor (crawl_pipeline_incremental,
+#       dedup_incremental, dedup_claims_compacted), the
+#       footer-gated IVF-PQ slice reads (sim_ivfpq_persisted,
+#       sim_ivfpq_advanced, sim_ivfpq_compacted), the
+#       serve_and_cleanup rollout (crawl_pipeline,
+#       dedup_minhash_incremental, sim_pq_adc_persisted, scan_archive,
+#       scan_wds_samples — persisted/advanced double-dip with the read
+#       fix), and the unigram overflow guard's assert->ValueError
+#       (unigram_train_iter, unigram_apply, unigram_apply_from_table),
+#   (d) the stalest tiers in registration order: ALL 20 remaining
+#       r8-tier keys (tpch_q18 .. stream_market_basket_live — exactly
+#       the r14 spill pool), then the first 13 of the 44-key r9 tier
+#       (by_line_wide .. window_bollinger); the remaining 31 r9 keys
+#       spill to the round-16 fill pool, covered by this round's
+#       committed complement sweep (SWEEP_r15.json).
 # Keys not listed here sort after listed ones, in registration order.
 _GATE_ORDER = (
-    # (b) new round-14 registrations — 4 keys
-    "bpe_apply_from_table", "unigram_apply_from_table",
-    "crawl_pipeline_incremental", "stream_crawl_claims_live",
-    # (c) changed-implementation re-proofs — 2 keys
-    "dedup_claims_compacted", "sim_ivfpq_compacted",
-    # (d) the full six-round-stale r7 tail in registration order — 21
-    "dedup_simhash", "dedup_ngram", "sim_topk", "sim_lsh",
-    "embed_dedup", "sim_mips", "media_meta", "udf_stage",
-    "udf_grouped_agg", "graph_jaccard_approx", "agg_hyperloglog_exact",
-    "graph_kcore", "stream_dedup_minhash_live", "sample_hash",
-    "sample_stratified", "split_time_embargo", "sample_group_k",
-    "stream_hll_live", "stream_bars_ohlc_live",
-    "stream_bitmap_distinct_live", "codec_gzip",
-    # (d) r8-tier head in registration order — 23 keys
-    "tag_roundtrip", "token_count", "fingerprint", "text_clean",
-    "token_histogram", "doc_repetition", "agg_approx", "agg_rollup",
-    "agg_cube", "join_outer", "join_semi", "window_running",
-    "set_intersect", "agg_pivot", "agg_percentile", "agg_collect",
-    "tpch_q5", "array_fns", "join_salted", "agg_grouping_sets",
-    "window_range_frame", "tpch_q10", "tpch_q14",
+    # (b) new round-15 registrations — 2 keys
+    "dedup_claims_bucketed", "stream_ivfpq_ingest_live",
+    # (c) changed-implementation re-proofs — 15 keys
+    "stream_crawl_claims_live", "crawl_pipeline_incremental",
+    "dedup_incremental", "dedup_claims_compacted",
+    "sim_ivfpq_persisted", "sim_ivfpq_advanced", "sim_ivfpq_compacted",
+    "crawl_pipeline", "dedup_minhash_incremental", "sim_pq_adc_persisted",
+    "scan_archive", "scan_wds_samples",
+    "unigram_train_iter", "unigram_apply", "unigram_apply_from_table",
+    # (d) the full r8 spill pool in registration order — 20 keys
+    "tpch_q18", "agg_diversity", "agg_argminmax", "window_cusum",
+    "window_drawdown", "window_rsi", "stream_session",
+    "resample_gapfill", "dedup_cluster", "dedup_semantic_text",
+    "sim_mips_ann", "media_frame_sample", "agg_bitmap_distinct",
+    "orders_market_basket", "orders_pareto_abc", "agg_hll_rollup",
+    "orders_cohort_ltv", "sample_weighted_k", "sample_token_budget",
+    "stream_market_basket_live",
+    # (d) r9-tier head in registration order — 13 keys
+    "by_line_wide", "scan_pysource", "bpe_train_iter", "ngram_novelty",
+    "tpch_q1", "merge_upsert", "quality_buckets", "key_skew_stats",
+    "tpch_q7", "tpch_q8", "tpch_q17", "null_semantics",
+    "window_bollinger",
 )
 
 

@@ -172,15 +172,38 @@ def test_take_stress_reference_scale(spark):
 # the staleness data can't derive. New registrations need no list: under
 # the _PLANNED_FROM_ROUND clamp they have no driver row, so the
 # membership test auto-derives them as must-gate.
-ROUND14_CHANGED = {
-    # r13 ADVICE: the two compacted-lifecycle gates now sweep their
-    # mkdtemp state trees via serve_and_cleanup — the admission/serve
-    # VALUES are unchanged, but the serve tail materializes through an
-    # eager localCheckpoint before the sweep, so both re-gate (the r11
-    # bpe_apply discipline: value-neutral implementation changes still
-    # earn a fresh driver row).
+ROUND15_CHANGED = {
+    # The restart-safe live crawl claim sink (r14 verdict #1 + ADVICE
+    # medium): own-slice exclusion in the seen read, footer-gated
+    # claim reads.
+    "stream_crawl_claims_live",
+    # The admission path now threads an optional bucketed_table
+    # through _claims_fp_side (r14 verdict item 4), and
+    # compact_claim_table grew the bucketed-refresh arm — every gate
+    # on that path re-gates even though the default path is
+    # value-identical (the r11 bpe_apply discipline).
+    "crawl_pipeline_incremental",
+    "dedup_incremental",
     "dedup_claims_compacted",
+    # ivfpq_index_query's slice reads are now footer-gated
+    # (dir_has_parquet) so an empty advance can't kill the serve.
+    "sim_ivfpq_persisted",
+    "sim_ivfpq_advanced",
     "sim_ivfpq_compacted",
+    # The r15 serve_and_cleanup rollout (r14 verdict item 3): these
+    # gates now sweep their mkdtemp state trees after the serve
+    # materializes (persisted/advanced above double-dip with the read
+    # fix; dedup_incremental with the admission refactor).
+    "crawl_pipeline",
+    "dedup_minhash_incremental",
+    "sim_pq_adc_persisted",
+    "scan_archive",
+    "scan_wds_samples",
+    # The unigram 2^40 score-encoding guard raises ValueError instead
+    # of a python -O-strippable assert (r14 ADVICE).
+    "unigram_train_iter",
+    "unigram_apply",
+    "unigram_apply_from_table",
 }
 
 
@@ -201,7 +224,7 @@ def test_gate_window_membership():
     window = list(e.queries())[:50]
     rows, latest = driver_rounds(max_round=registry._PLANNED_FROM_ROUND)
     never = {q for q, rs in rows.items() if not rs}
-    must_gate = never | ROUND14_CHANGED
+    must_gate = never | ROUND15_CHANGED
     missing = must_gate - set(window)
     assert not missing, f"rotated out of the 50-entry gate window: {missing}"
     assert len(window) == 50
