@@ -248,6 +248,12 @@ HEADLINE = [
     # the live+durable hybrid: streaming crawl chain whose claim state
     # is the persisted parquet claim table (foreachBatch slice advance)
     "stream_crawl_claims_live",
+    # round-15 additions: the fp-bucketed claim admission lifecycle,
+    # live IVF-PQ index maintenance (foreachBatch slice advances +
+    # combined serve), and hybrid sparse+dense retrieval fused by RRF
+    "dedup_claims_bucketed",
+    "stream_ivfpq_ingest_live",
+    "sim_hybrid_rrf",
 ]
 
 

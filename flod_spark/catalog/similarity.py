@@ -2574,3 +2574,211 @@ def stream_ivfpq_ingest_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx_dir,
         replay_dir,
     )
+
+
+# Hybrid retrieval constants: per-leg candidate depth, the RRF damping
+# constant (60 — the value from the original reciprocal-rank-fusion
+# paper, Cormack et al. SIGIR'09), and the fused top-K served.
+_RRF_CAND = 20
+_RRF_K0 = 60
+_RRF_TOP = 10
+
+
+def _hybrid_rrf_oracle() -> str:
+    from flod_spark.catalog.text import _BM25_SHIFT, TOKEN_RE
+
+    cos = _cos_sql("qv", "cv")
+    tf = "CAST(len(list_filter(toks, x -> x = t{i})) AS BIGINT)"
+    contrib = (
+        "(CASE WHEN tf{i} > 0 THEN "
+        f"CAST((length(bin(((nd + 1) * {_BM25_SHIFT}) // (df{{i}} + 1))) - 1) "
+        "  * (44 * tt * tf{i}) AS DOUBLE) "
+        "/ (20 * tt * tf{i} + 6 * tt + 18 * dl * nd) ELSE 0.0 END)"
+    )
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings "
+        "  WHERE embedding IS NOT NULL), "
+        f"dq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {NQ}), "
+        "ds AS (SELECT query_id, e.vec_id AS cand, "
+        f"    {cos.replace('cv', 'e.v')} AS cos "
+        "  FROM dq, e WHERE e.vec_id <> query_id), "
+        "dr AS (SELECT query_id, cand, row_number() OVER "
+        "    (PARTITION BY query_id ORDER BY cos DESC, cand) AS rd FROM ds), "
+        f"dcand AS (SELECT query_id, cand, rd FROM dr WHERE rd <= {_RRF_CAND}), "
+        "t AS (SELECT doc_id, "
+        f"    regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents), "
+        "qt AS (SELECT doc_id AS query_id, toks[1] AS t1, "
+        "    CASE WHEN toks[2] IS DISTINCT FROM toks[1] THEN toks[2] END AS t2, "
+        "    CASE WHEN toks[3] IS DISTINCT FROM toks[1] "
+        "      AND toks[3] IS DISTINCT FROM toks[2] THEN toks[3] END AS t3 "
+        f"  FROM t WHERE doc_id < {NQ}), "
+        "terms AS (SELECT DISTINCT term FROM (SELECT t1 AS term FROM qt "
+        "  UNION SELECT t2 FROM qt UNION SELECT t3 FROM qt) WHERE term IS NOT NULL), "
+        "p AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t), "
+        "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, "
+        "    CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS tt FROM p), "
+        "tdf AS (SELECT term, CAST(SUM(CASE WHEN "
+        "    len(list_filter(toks, x -> x = term)) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df "
+        "  FROM terms, p GROUP BY term), "
+        "qtd AS (SELECT query_id, t1, d1.df AS df1, t2, d2.df AS df2, "
+        "    t3, d3.df AS df3 FROM qt "
+        "  LEFT JOIN tdf d1 ON qt.t1 = d1.term "
+        "  LEFT JOIN tdf d2 ON qt.t2 = d2.term "
+        "  LEFT JOIN tdf d3 ON qt.t3 = d3.term), "
+        "sp AS (SELECT q.query_id, p.doc_id AS cand, dl, nd, tt, "
+        "    df1, df2, df3, "
+        + ", ".join(tf.format(i=i) + f" AS tf{i}" for i in (1, 2, 3))
+        + "  FROM qtd q, p, g WHERE p.doc_id <> q.query_id), "
+        "ss AS (SELECT query_id, cand, "
+        + " + ".join(contrib.format(i=i) for i in (1, 2, 3))
+        + "    AS score, (tf1 > 0 OR tf2 > 0 OR tf3 > 0) AS matched FROM sp), "
+        "sr AS (SELECT query_id, cand, row_number() OVER "
+        "    (PARTITION BY query_id ORDER BY score DESC, cand) AS rs "
+        "  FROM ss WHERE matched), "
+        f"scand AS (SELECT query_id, cand, rs FROM sr WHERE rs <= {_RRF_CAND}), "
+        "f AS (SELECT COALESCE(d.query_id, s.query_id) AS query_id, "
+        "    COALESCE(d.cand, s.cand) AS doc_id, "
+        f"    COALESCE(1.0 / ({_RRF_K0} + d.rd), 0.0) "
+        f"      + COALESCE(1.0 / ({_RRF_K0} + s.rs), 0.0) AS rrf "
+        "  FROM dcand d FULL JOIN scand s "
+        "    ON d.query_id = s.query_id AND d.cand = s.cand), "
+        "r AS (SELECT query_id, doc_id, rrf, row_number() OVER "
+        "    (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rk FROM f) "
+        f"SELECT query_id, doc_id, rrf, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= {_RRF_TOP}"
+    )
+
+
+@query("sim_hybrid_rrf", oracle=_hybrid_rrf_oracle())
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL — sparse (BM25) ⊕ dense (cosine) candidate
+    generation fused by reciprocal-rank fusion, the standard two-tower
+    serving shape (RRF: Cormack et al., SIGIR'09; every production RAG
+    / decontamination-retrieval stack runs some form of this). Query q
+    (< NQ) retrieves with BOTH representations of document q: the
+    dense leg is sim_topk's brute-force cosine over embeddings to
+    depth _RRF_CAND; the sparse leg is bm25_score's INTEGER-EXACT
+    algebra generalized to per-query terms — q's first three distinct
+    tokens fill fixed slots t1..t3, so each (query, doc) score is a
+    written-order sum of three slot contributions (never a
+    float SUM over an exploded group, whose partial-agg order would
+    diverge cross-engine), with per-term df from one tiny broadcast
+    term table. RRF = 1/(60+rank_dense) + 1/(60+rank_sparse) over the
+    outer-joined candidate sets — exact IEEE divisions of small ints,
+    added in fixed order — ranked with a doc_id tiebreak. Both legs'
+    determinism contracts are inherited wholesale (sim_topk's
+    sequential-fold dot product, bm25_score's cleared-denominator
+    rationals), which is what makes a bit-exact DuckDB oracle of a
+    HYBRID ranker possible at all.
+
+    Scale: candidate generation is per-leg and independent — at 100 TB
+    the dense leg swaps to the persisted IVF-PQ index
+    (sim_ivfpq_persisted) and the sparse leg to an inverted (term,
+    doc, tf) layout joined against the broadcast query terms; the
+    fusion join touches only NQ × 2·_RRF_CAND (query, cand, rank)
+    rows, which is why RRF is the fusion industry default — no score
+    calibration across legs, only ranks. The gate's brute-force legs
+    are the documented small-NQ forms."""
+    from flod_spark.catalog.text import _BM25_SHIFT, TOKEN_RE
+
+    emb = _emb_v(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cand"), F.col("v").alias("cv"))
+    dense = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand") != F.col("query_id"))
+        .select(
+            "query_id", "cand", _cos_spark(F.col("qv"), F.col("cv")).alias("cos")
+        )
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand"))
+    dcand = (
+        dense.withColumn("rd", F.row_number().over(wd).cast("long"))
+        .filter(F.col("rd") <= _RRF_CAND)
+        .select("query_id", "cand", "rd")
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))
+    t = docs.select("doc_id", toks.alias("toks"))
+    e1, e2, e3 = (F.element_at("toks", i) for i in (1, 2, 3))
+    qt = t.filter(F.col("doc_id") < NQ).select(
+        F.col("doc_id").alias("query_id"),
+        e1.alias("t1"),
+        F.when(~e2.eqNullSafe(e1), e2).alias("t2"),
+        F.when(~e3.eqNullSafe(e1) & ~e3.eqNullSafe(e2), e3).alias("t3"),
+    )
+    terms = (
+        qt.select(F.explode(F.array("t1", "t2", "t3")).alias("term"))
+        .filter(F.col("term").isNotNull())
+        .distinct()
+    )
+    p = t.select("doc_id", F.size("toks").cast("long").alias("dl"), "toks")
+    g = p.agg(
+        F.count("*").cast("long").alias("nd"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("tt"),
+    )
+    hit = F.size(F.filter(F.col("toks"), lambda x: x == F.col("term"))) > 0
+    tdf = (
+        p.crossJoin(F.broadcast(terms))
+        .select("term", hit.cast("long").alias("h"))
+        .groupBy("term")
+        .agg(F.sum("h").cast("long").alias("df"))
+    )
+    qtd = qt
+    for i in (1, 2, 3):
+        qtd = qtd.join(
+            F.broadcast(tdf.select(F.col("term").alias(f"t{i}"), F.col("df").alias(f"df{i}"))),
+            f"t{i}",
+            "left",
+        )
+    sp = (
+        p.crossJoin(F.broadcast(qtd))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(g))
+    )
+    def _tf(i: int):
+        # a plain closure: a 2-arg lambda (even via default args) would
+        # be read by F.filter as the (element, index) form
+        return F.size(
+            F.filter(F.col("toks"), lambda x: x == F.col(f"t{i}"))
+        ).cast("long")
+
+    for i in (1, 2, 3):
+        sp = sp.withColumn(f"tf{i}", _tf(i))
+    score = None
+    for i in (1, 2, 3):
+        idf = (
+            F.length(F.bin(F.expr(f"((nd + 1) * {_BM25_SHIFT}) div (df{i} + 1)"))) - 1
+        ).cast("long")
+        num = (idf * 44 * F.col("tt") * F.col(f"tf{i}")).cast("double")
+        den = (
+            20 * F.col("tt") * F.col(f"tf{i}")
+            + 6 * F.col("tt")
+            + 18 * F.col("dl") * F.col("nd")
+        ).cast("double")
+        ci = F.when(F.col(f"tf{i}") > 0, num / den).otherwise(F.lit(0.0))
+        score = ci if score is None else score + ci
+    matched = (F.col("tf1") > 0) | (F.col("tf2") > 0) | (F.col("tf3") > 0)
+    ss = sp.select(
+        "query_id", F.col("doc_id").alias("cand"), score.alias("score"), matched.alias("m")
+    ).filter("m")
+    ws = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand"))
+    scand = (
+        ss.withColumn("rs", F.row_number().over(ws).cast("long"))
+        .filter(F.col("rs") <= _RRF_CAND)
+        .select("query_id", "cand", "rs")
+    )
+
+    rrf = F.coalesce(F.lit(1.0) / (F.lit(_RRF_K0) + F.col("rd")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K0) + F.col("rs")), F.lit(0.0)
+    )
+    fused = dcand.join(scand, ["query_id", "cand"], "full").select(
+        "query_id", F.col("cand").alias("doc_id"), rrf.alias("rrf")
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rk") <= _RRF_TOP)
+    )

@@ -86,19 +86,21 @@ _PLANNED_FROM_ROUND = 14
 # staleness from CORRECTNESS_r*.json); tests/test_chains.py pins this
 # window against the same data, clamped to _PLANNED_FROM_ROUND, so the
 # two cannot drift and later driver artifacts cannot break it.
-# Round-15 window = 2 + 15 + 20 + 13 = 50 (the r14 verdict item 1
+# Round-15 window = 3 + 15 + 20 + 12 = 50 (the r14 verdict item 1
 # burn-down: the spilled r8 tail re-gates in full, plus the r9-tier
 # head; the changed-re-proof class is unusually wide this round
 # because the serve_and_cleanup rollout and the claim/ivfpq read-path
 # hardening each touched several gated lifecycles):
-#   (b) the 2 new round-15 registrations (first driver row, membership
+#   (b) the 3 new round-15 registrations (first driver row, membership
 #       test auto-derives them as must-gate): dedup_claims_bucketed
 #       (r14 verdict item 4 — the fp-bucketed claim layout wired into
-#       compaction + admission, oracle = dedup_incremental's verbatim)
-#       and stream_ivfpq_ingest_live (item 6 — live ANN index
+#       compaction + admission, oracle = dedup_incremental's verbatim),
+#       stream_ivfpq_ingest_live (item 6 — live ANN index
 #       maintenance: a foreachBatch sink advancing the persisted
 #       IVF-PQ index per micro-batch, oracle = sim_ivfpq_advanced's
-#       verbatim),
+#       verbatim), and sim_hybrid_rrf (sparse BM25 ⊕ dense cosine
+#       candidate legs fused by reciprocal-rank fusion — the two-tower
+#       retrieval shape the similarity family was missing),
 #   (c) changed-implementation re-proofs (tests/test_chains.py::
 #       ROUND15_CHANGED documents each): the restart-safe crawl claim
 #       sink (stream_crawl_claims_live), the admission-path signature
@@ -113,14 +115,14 @@ _PLANNED_FROM_ROUND = 14
 #       (unigram_train_iter, unigram_apply, unigram_apply_from_table),
 #   (d) the stalest tiers in registration order: ALL 20 remaining
 #       r8-tier keys (tpch_q18 .. stream_market_basket_live — exactly
-#       the r14 spill pool), then the first 13 of the 44-key r9 tier
-#       (by_line_wide .. window_bollinger); the remaining 31 r9 keys
+#       the r14 spill pool), then the first 12 of the 44-key r9 tier
+#       (by_line_wide .. null_semantics); the remaining 32 r9 keys
 #       spill to the round-16 fill pool, covered by this round's
 #       committed complement sweep (SWEEP_r15.json).
 # Keys not listed here sort after listed ones, in registration order.
 _GATE_ORDER = (
-    # (b) new round-15 registrations — 2 keys
-    "dedup_claims_bucketed", "stream_ivfpq_ingest_live",
+    # (b) new round-15 registrations — 3 keys
+    "dedup_claims_bucketed", "stream_ivfpq_ingest_live", "sim_hybrid_rrf",
     # (c) changed-implementation re-proofs — 15 keys
     "stream_crawl_claims_live", "crawl_pipeline_incremental",
     "dedup_incremental", "dedup_claims_compacted",
@@ -136,11 +138,10 @@ _GATE_ORDER = (
     "orders_market_basket", "orders_pareto_abc", "agg_hll_rollup",
     "orders_cohort_ltv", "sample_weighted_k", "sample_token_budget",
     "stream_market_basket_live",
-    # (d) r9-tier head in registration order — 13 keys
+    # (d) r9-tier head in registration order — 12 keys
     "by_line_wide", "scan_pysource", "bpe_train_iter", "ngram_novelty",
     "tpch_q1", "merge_upsert", "quality_buckets", "key_skew_stats",
     "tpch_q7", "tpch_q8", "tpch_q17", "null_semantics",
-    "window_bollinger",
 )
 
 

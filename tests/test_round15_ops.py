@@ -256,6 +256,35 @@ def test_ivfpq_ingest_sink_batching_invisible(spark, sf_dir, tmp_path):
     assert served(live) == want
 
 
+def test_hybrid_rrf_semantics(spark, sf_dir):
+    """Planted-semantics pin for the RRF fusion (the bm25_score
+    discipline): ranks are 1.._RRF_TOP and contiguous per query, rrf
+    is monotone nonincreasing in rank, every score is in
+    (0, 2/(K0+1)], and any candidate whose rrf exceeds the best
+    possible single-leg score 1/(K0+1) must have been retrieved by
+    BOTH legs — at least one such both-leg candidate exists (the
+    fusion is non-vacuous: document q's own text and embedding
+    neighborhoods overlap by construction of the synthetic corpus)."""
+    from flod_spark.catalog.similarity import _RRF_K0, _RRF_TOP, sim_hybrid_rrf
+
+    rows = sim_hybrid_rrf(spark, sf_dir).collect()
+    assert rows
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append((r.rk, r.rrf, r.doc_id))
+    single_max = 1.0 / (_RRF_K0 + 1)
+    both = 0
+    for q, lst in per_q.items():
+        lst.sort()
+        assert [rk for rk, _, _ in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) <= _RRF_TOP
+        rrfs = [s for _, s, _ in lst]
+        assert all(a >= b for a, b in zip(rrfs, rrfs[1:]))
+        assert all(0.0 < s <= 2 * single_max for s in rrfs)
+        both += sum(1 for s in rrfs if s > single_max)
+    assert both > 0
+
+
 def test_stream_crawl_claims_checkpoint_restart(spark, sf_dir, tmp_path):
     """The full streaming restart discipline (test_round10_ops style)
     applied to the table-backed crawl sink: run the live crawl chain
