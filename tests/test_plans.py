@@ -420,14 +420,16 @@ HEADLINE_PINS = {
     # the shard pack+write is eager (applyInPandas collect); the gated
     # read-back is binaryFile + Arrow member split, map-only
     "sink_tar_shards": (0, 0),
-    # slice fp hash + within-slice min window; the claim join
-    # broadcasts at gate scale (AQE-measured small — at 100 TB it
-    # shuffle-joins or goes bucketed, see write_claims_bucketed)
-    "dedup_incremental": (2, 0),
-    # serving from the loaded artifacts: codes scan + broadcast LUT +
-    # per-query rank — the index SAVE is eager and not in this plan
-    "sim_pq_adc_persisted": (2, 0),
-    "sim_ivfpq_persisted": (2, 0),
+    # r15: the lifecycle gates serve through serve_and_cleanup (an
+    # eager localCheckpoint so the temp state trees can be swept) —
+    # the admission/serve exchanges run at materialization and the
+    # RETURNED plan is the checkpoint scan (the sim_ivfpq_compacted
+    # precedent); the live plan shapes stay pinned by
+    # test_bucketed_claims_anti_join_has_no_claims_shuffle and the
+    # PartitionFilters pins
+    "dedup_incremental": (0, 0),
+    "sim_pq_adc_persisted": (0, 0),
+    "sim_ivfpq_persisted": (0, 0),
     # prefix-retrieve rank + full-dim rerank rank, one exchange
     "sim_mrl_rerank": (1, 0),
     # late round-12 additions (fingerprinted at sf0.001 at introduction)
@@ -436,20 +438,15 @@ HEADLINE_PINS = {
     "sink_warc_shards": (0, 0),
     "stream_sink_tar_live": (0, 0),
     "stream_curate_loop_live": (0, 0),
-    # slice sig build (per-doc partial agg) + (band, bs) first-carrier
-    # window + claims-side distinct + the per-doc admission agg; the
-    # claim join broadcasts at gate scale (AQE-measured small)
-    "dedup_minhash_incremental": (4, 0),
+    # r15: serve_and_cleanup checkpoint scan (see dedup_incremental)
+    "dedup_minhash_incremental": (0, 0),
     # packed-sign Hamming scan (16 B/row crosses the rank exchange) +
     # candidate-only vector fetch via broadcast join-back + the
     # candidate-sized rerank exchange
     "sim_binary_rerank": (2, 0),
-    # binaryFile scan + Arrow member split, then the one stem-keyed
-    # sample-assembly pivot
-    "scan_wds_samples": (1, 0),
-    # save+advance are eager; the serve plan is sim_ivfpq_persisted's
-    # (codes scans + broadcast LUT + per-query rank) over base + slice
-    "sim_ivfpq_advanced": (2, 0),
+    # r15: serve_and_cleanup checkpoint scans (see dedup_incremental)
+    "scan_wds_samples": (0, 0),
+    "sim_ivfpq_advanced": (0, 0),
     # index build/write are eager; the lookup plan is needle-sized
     # groupBys + broadcast joins around the ONE pruned data scan
     "scan_bloom_pruned": (4, 0),
