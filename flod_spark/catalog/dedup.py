@@ -1325,10 +1325,18 @@ def compact_claim_table(
     from flod_spark.io import atomic_swap_dir, recover_swap_dir
 
     recover_swap_dir(claims_dir)
+    cur = spark.read.parquet(claims_dir)
+    # carried columns (e.g. the crawl table's n_chars) fold with their
+    # first_id's row — min_by is exact here (each fp lives in exactly
+    # one slice, so the group has one row) and deterministic even
+    # against a malformed duplicate-fp table
+    extras = [c for c in cur.columns if c not in ("fp", "first_id", "slice")]
     compacted = (
-        spark.read.parquet(claims_dir)
-        .groupBy("fp")
-        .agg(F.min("first_id").alias("first_id"))
+        cur.groupBy("fp")
+        .agg(
+            F.min("first_id").alias("first_id"),
+            *[F.min_by(c, "first_id").alias(c) for c in extras],
+        )
         .withColumn("slice", F.lit(0))
     )
     atomic_swap_dir(compacted, claims_dir, "slice")

@@ -1960,7 +1960,7 @@ def _dir_has_parquet(d: str) -> bool:
     return dir_has_parquet(d)
 
 
-def crawl_claims_sink(claims_dir: str):
+def crawl_claims_sink(claims_dir: str, bucketed_table: str | None = None):
     """The foreachBatch sink that admits a micro-batch against the
     persisted parquet claim table and ADVANCES it — module-level so the
     checkpoint-restart test drives the EXACT sink the gated query runs.
@@ -1978,11 +1978,18 @@ def crawl_claims_sink(claims_dir: str):
     (_dir_has_parquet), so an all-rejected first batch cannot poison
     later reads (r14 ADVICE, medium).
 
-    Scale: the per-trigger ``seen`` read is the full claim table's fp
-    column — fine nightly, but at 100 TB serve it from the compacted
-    base + post-compaction slices or the fp-bucketed layout
-    (write_claims_bucketed / admit_fp_rows_against_claims'
-    bucketed_table path, driver-proven by dedup_claims_bucketed)."""
+    ``bucketed_table`` is the 100 TB ``seen`` read (closing the r14
+    scale note as code, not a docstring): when the nightly
+    compact_claim_table(bucketed_table=...) has refreshed the
+    fp-bucketed layout, every compacted fp lives in slice=0 AND in the
+    bucketed table, and any ``slice != 0`` partition was by
+    construction written AFTER that refresh — so
+    ``seen = bucketed base ∪ (dir pruned to slice != 0)`` is exact
+    while reading the full-table fp column zero times: the base scans
+    shuffle-free from its buckets and the dir read partition-prunes to
+    only the small post-compaction slices (pytest-pinned bit-equal to
+    the full-dir read). Without it the per-trigger read is the whole
+    claim table — fine nightly, the gate's documented form."""
     state = {"last": -1}
 
     def advance(batch_df: DataFrame, batch_id: int) -> None:
@@ -1990,25 +1997,35 @@ def crawl_claims_sink(claims_dir: str):
             return  # same-run replayed trigger: its slice is already on disk
         sess = batch_df.sparkSession
         w = Window.partitionBy("fp")
-        verdict = batch_df.withColumn(
+        firsts = batch_df.withColumn(
             "admitted", F.col("doc_id") == F.min("doc_id").over(w)
-        )
-        if _dir_has_parquet(claims_dir):
+        ).filter("admitted")
+        seen = None
+        if bucketed_table is not None and sess.catalog.tableExists(bucketed_table):
+            seen = sess.table(bucketed_table).select("fp")
+            if _dir_has_parquet(claims_dir):
+                seen = seen.unionByName(
+                    sess.read.parquet(claims_dir)
+                    .filter(
+                        (F.col("slice") != 0)
+                        & (F.col("slice") != F.lit(int(batch_id)))
+                    )
+                    .select("fp")
+                )
+        elif _dir_has_parquet(claims_dir):
             seen = (
                 sess.read.parquet(claims_dir)
                 .filter(F.col("slice") != F.lit(int(batch_id)))
                 .select("fp")
-                .distinct()
-                .withColumn("_seen", F.lit(True))
             )
-            verdict = (
-                verdict.join(seen, "fp", "left")
-                .withColumn("admitted", F.col("admitted") & F.col("_seen").isNull())
-                .drop("_seen")
-            )
+        if seen is not None:
+            # LEFT ANTI, not flag-join: immune to fp duplicates in a
+            # malformed claim table (an anti join never fans out the
+            # batch side), and it drops the per-trigger distinct
+            # exchange the flag-join needed for the same guarantee
+            firsts = firsts.join(seen, "fp", "left_anti")
         adm = (
-            verdict.filter("admitted")
-            .select("fp", F.col("doc_id").alias("first_id"), "n_chars")
+            firsts.select("fp", F.col("doc_id").alias("first_id"), "n_chars")
             .withColumn("slice", F.lit(int(batch_id)))
         )
         prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

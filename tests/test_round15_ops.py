@@ -43,6 +43,40 @@ def test_tiny_df_comma_bearing_ddl_types(spark):
     assert out[2] == (None, None)
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+            st.one_of(st.none(), st.text(max_size=20)),
+            st.one_of(
+                st.none(),
+                st.floats(allow_nan=False, allow_infinity=True, width=64),
+            ),
+        ),
+        max_size=12,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_tiny_df_round_trips_arbitrary_rows(spark, rows):
+    """Property pin for the r14 ADVICE coercion fixes: tiny_df must
+    round-trip ANY mix of full-range int64 (including beyond 2^53,
+    where the old float64 coercion corrupted silently), unicode text,
+    NULLs, and non-NaN doubles bit-exactly against the classic
+    createDataFrame form."""
+    from flod_spark.io import tiny_df
+
+    ddl = "i long, s string, x double"
+    got = sorted(map(tuple, tiny_df(spark, rows, ddl).collect()), key=str)
+    want = sorted(
+        map(tuple, spark.createDataFrame(rows, ddl).collect()), key=str
+    )
+    assert got == want
+
+
 def _fp_batch(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, fp string, n_chars long")
 
@@ -254,6 +288,49 @@ def test_ivfpq_ingest_sink_batching_invisible(spark, sf_dir, tmp_path):
     sink2 = ivfpq_ingest_sink(live)
     sink2(b1, 1)
     assert served(live) == want
+
+
+def test_crawl_claims_sink_bucketed_seen_bit_equal(spark, sf_dir, tmp_path):
+    """The 100 TB seen read as code (r14 scale note closed): after a
+    compaction refreshes the fp-bucketed layout, the live sink's seen
+    set can be served as bucketed base ∪ partition-pruned post-
+    compaction slices — pin that a sink wired that way admits
+    BIT-IDENTICALLY to the full-dir-read sink on the same batch
+    sequence (compaction + layout invisible to admission), across a
+    compaction that lands mid-stream."""
+    import uuid
+
+    from flod_spark.catalog.dedup import compact_claim_table
+    from flod_spark.catalog.surface import crawl_claims_sink
+
+    b0 = [(1, "aa", 5), (2, "bb", 6)]
+    b1 = [(3, "bb", 6), (4, "cc", 7)]
+    b2 = [(5, "aa", 5), (6, "dd", 8), (7, "dd", 8)]
+
+    def run(tag, bucketed):
+        cdir = str(tmp_path / f"claims_{tag}")
+        tbl = "t_live_bkt_" + uuid.uuid4().hex[:8] if bucketed else None
+        sink = crawl_claims_sink(cdir, bucketed_table=tbl)
+        sink(_fp_batch(spark, b0), 0)
+        sink(_fp_batch(spark, b1), 1)
+        # nightly compaction lands between triggers; only the bucketed
+        # run refreshes the layout, and batch 2 must see base + nothing
+        compact_claim_table(spark, cdir, bucketed_table=tbl)
+        sink(_fp_batch(spark, b2), 2)
+        got = {
+            (r.first_id, r.fp, r.n_chars)
+            for r in spark.read.parquet(cdir).collect()
+        }
+        if tbl:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        return got
+
+    via_dir = run("dir", bucketed=False)
+    via_bkt = run("bkt", bucketed=True)
+    assert via_dir == via_bkt
+    assert {(t[0], t[1]) for t in via_dir} == {
+        (1, "aa"), (2, "bb"), (4, "cc"), (6, "dd")
+    }
 
 
 def test_hybrid_rrf_semantics(spark, sf_dir):
