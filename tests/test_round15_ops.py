@@ -333,6 +333,142 @@ def test_crawl_claims_sink_bucketed_seen_bit_equal(spark, sf_dir, tmp_path):
     }
 
 
+def test_dir_has_parquet_edges(tmp_path):
+    """The footer gate (r14 ADVICE): absent dir, empty dir,
+    _SUCCESS-only dir, and a nested partition layout must classify
+    correctly."""
+    import os
+
+    from flod_spark.io import dir_has_parquet
+
+    d = str(tmp_path / "t")
+    assert not dir_has_parquet(d)  # absent
+    os.makedirs(d)
+    assert not dir_has_parquet(d)  # empty
+    open(os.path.join(d, "_SUCCESS"), "w").close()
+    assert not dir_has_parquet(d)  # the empty-dynamic-overwrite state
+    os.makedirs(os.path.join(d, "slice=3"))
+    assert not dir_has_parquet(d)  # partition dir but no footers
+    open(os.path.join(d, "slice=3", "part-0.parquet"), "w").close()
+    assert dir_has_parquet(d)  # nested part file found
+
+
+def test_crawl_claims_sink_malformed_table_no_fanout(spark, tmp_path):
+    """The anti-join guard: a malformed claim table holding DUPLICATE
+    fp rows (a partially retried legacy append) must not fan out the
+    batch side — each batch row admits or rejects exactly once, and a
+    claimed fp still rejects."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flod_spark.catalog.surface import crawl_claims_sink
+
+    claims_dir = str(tmp_path / "claims")
+    # slice 0 written with fp 'aa' DUPLICATED (malformed)
+    spark.createDataFrame(
+        [("aa", 1, 5), ("aa", 1, 5), ("bb", 2, 6)],
+        "fp string, first_id long, n_chars long",
+    ).withColumn("slice", F.lit(0)).write.partitionBy("slice").parquet(claims_dir)
+    advance = crawl_claims_sink(claims_dir)
+    advance(_fp_batch(spark, [(7, "aa", 5), (8, "cc", 9)]), 1)
+    got = sorted(
+        (r.first_id, r.fp)
+        for r in spark.read.parquet(os.path.join(claims_dir, "slice=1")).collect()
+    )
+    assert got == [(8, "cc")]  # 'aa' rejected once, no duplicate rows
+
+
+def test_stream_ivfpq_ingest_checkpoint_restart(spark, sf_dir, tmp_path):
+    """The crawl restart discipline applied to the index-ingest sink:
+    run the vector stream over the first half of the replay files,
+    stop, DELETE the last commit (forcing that batch to replay into a
+    FRESH sink), stage the rest, restart on the same checkpoint + index
+    — the served top-K must equal the one-shot batch advance's
+    bit-for-bit."""
+    import glob
+    import os
+    import shutil as sh
+
+    from pyspark.sql import functions as F
+
+    from flod_spark.catalog.similarity import (
+        NQ,
+        _emb_v,
+        ivfpq_index_advance,
+        ivfpq_index_query,
+        ivfpq_index_save,
+        ivfpq_ingest_sink,
+    )
+    from flod_spark.streaming import replay_stream
+
+    emb = _emb_v(spark, sf_dir)
+    mm = emb.agg(F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx")).first()
+    mid = (mm.mn + mm.mx) // 2
+    queries = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+
+    def served(idx):
+        return sorted(
+            map(tuple, ivfpq_index_query(spark, idx, queries, include_slices=True).collect())
+        )
+
+    one = str(tmp_path / "one")
+    ivfpq_index_save(emb.filter(F.col("vec_id") <= mid), one)
+    ivfpq_index_advance(emb.filter(F.col("vec_id") > mid), spark, one, slice_id=1)
+    want = served(one)
+
+    # materialize the replay batch files once, then stage them manually
+    feed = emb.filter(F.col("vec_id") > mid).withColumn(
+        "ingest_ts", F.timestamp_micros(F.col("vec_id") * 1_000_000)
+    )
+    src = str(tmp_path / "src")
+    replay_stream(spark, feed, "ingest_ts", src, n_batches=4, tiebreak=("vec_id",))
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")), key=os.path.getmtime)
+    assert len(files) == 4
+    schema = spark.read.parquet(files[0]).schema
+
+    live = str(tmp_path / "live")
+    ckpt = str(tmp_path / "ck")
+    idx = str(tmp_path / "idx")
+    os.makedirs(live)
+    ivfpq_index_save(emb.filter(F.col("vec_id") <= mid), idx)
+    order = {f: i for i, f in enumerate(files)}
+    for si, subset in enumerate([files[:2], files[2:]]):
+        for f in subset:
+            dst = os.path.join(live, os.path.basename(f))
+            sh.copy(f, dst)
+            os.utime(dst, (1_700_000_000 + order[f],) * 2)
+        sink = ivfpq_ingest_sink(idx)  # fresh per run: restart semantics
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(live)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        if si == 0:
+            commits = sorted(
+                (p for p in glob.glob(os.path.join(ckpt, "commits", "*"))
+                 if os.path.basename(p).isdigit()),
+                key=lambda p: int(os.path.basename(p)),
+            )
+            os.remove(commits[-1])  # forces that batch to replay
+            crc = os.path.join(
+                os.path.dirname(commits[-1]),
+                "." + os.path.basename(commits[-1]) + ".crc",
+            )
+            if os.path.exists(crc):
+                os.remove(crc)
+    assert served(idx) == want
+
+
 def test_hybrid_rrf_semantics(spark, sf_dir):
     """Planted-semantics pin for the RRF fusion (the bm25_score
     discipline): ranks are 1.._RRF_TOP and contiguous per query, rrf
