@@ -1315,13 +1315,27 @@ def compact_claim_table(
     join co-partitioned with no claims-side exchange
     (dedup_against_claims' bucketed_table path; plan pinned in
     tests/test_round12_ops.py, value parity driver-gated by
-    dedup_claims_bucketed). Compaction time is exactly when the layout
-    is worth refreshing: the fold already pays the one exchange on fp
-    the bucketed write needs.
+    dedup_claims_bucketed).
 
-    Scale: one exchange on fp over |distinct contents| rows; the swap
-    is a rename (object stores use a manifest/commit instead); the
-    bucketed refresh re-bucket-writes the same compacted rows."""
+    CRASH ORDER MATTERS: the bucketed refresh runs BEFORE the
+    directory swap. The live sink reads ``seen = bucketed base ∪
+    (slice != 0)``, which is only safe when the bucketed table is
+    never STALER than the fold — refresh-first makes every crash
+    point sound: before the refresh nothing changed; between refresh
+    and swap the bucketed table OVER-covers (it already holds the
+    fps the still-unswapped slices carry — a duplicate fp in the seen
+    union is harmless under the LEFT ANTI admission); between the
+    swap's renames the dir is briefly absent and the bucketed base
+    alone still covers every claimed fp. The reverse order had a real
+    hole: a crash after the swap but before the refresh left a
+    bucketed base MISSING the just-folded slices' fps, re-admitting
+    them as duplicates (pytest-pinned via the pre-swap crash state).
+
+    Scale: one exchange on fp over |distinct contents| rows for the
+    swap write, plus (with bucketed_table) a second fold feeding the
+    bucketed write — refresh-first means the two cannot share one
+    materialization, the price of the crash ordering; the swap is a
+    rename (object stores use a manifest/commit instead)."""
     from flod_spark.io import atomic_swap_dir, recover_swap_dir
 
     recover_swap_dir(claims_dir)
@@ -1339,16 +1353,16 @@ def compact_claim_table(
         )
         .withColumn("slice", F.lit(0))
     )
-    atomic_swap_dir(compacted, claims_dir, "slice")
     if bucketed_table is not None:
         # the layout lives NEXT TO the claim state (<claims_dir>.bucketed,
         # an EXTERNAL table) so the whole lifecycle sweeps as one root
         write_claims_bucketed(
-            spark.read.parquet(claims_dir),
+            compacted,
             spark,
             bucketed_table,
             path=claims_dir.rstrip("/") + ".bucketed",
         )
+    atomic_swap_dir(compacted, claims_dir, "slice")
 
 
 def write_claims_bucketed(

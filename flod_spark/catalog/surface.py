@@ -1996,6 +1996,14 @@ def crawl_claims_sink(claims_dir: str, bucketed_table: str | None = None):
         if batch_id <= state["last"]:
             return  # same-run replayed trigger: its slice is already on disk
         sess = batch_df.sparkSession
+        # a nightly compactor can crash between its two renames, leaving
+        # the table as <dir>.compact — repair before reading (idempotent
+        # no-op in the healthy state), else this trigger would see an
+        # absent dir and re-admit everything (recover_swap_dir's
+        # documented crash window, now covered on the SINK side too)
+        from flod_spark.io import recover_swap_dir
+
+        recover_swap_dir(claims_dir)
         w = Window.partitionBy("fp")
         firsts = batch_df.withColumn(
             "admitted", F.col("doc_id") == F.min("doc_id").over(w)

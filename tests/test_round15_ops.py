@@ -333,6 +333,62 @@ def test_crawl_claims_sink_bucketed_seen_bit_equal(spark, sf_dir, tmp_path):
     }
 
 
+def test_compaction_crash_windows_are_seen_safe(spark, tmp_path):
+    """The bucketed seen read across compactor crash states: (a) the
+    PRE-SWAP state (bucketed refreshed, dir not yet folded) must
+    over-cover, never under-cover — a claimed fp still rejects; (b)
+    the BETWEEN-RENAMES state (dir absent, .compact complete) is
+    repaired by the sink's recover_swap_dir before its read. The
+    reverse refresh order had a real hole (stale bucketed base
+    missing just-folded fps → duplicate re-admission)."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from flod_spark.catalog.dedup import compact_claim_table
+    from flod_spark.catalog.surface import crawl_claims_sink
+
+    # (a) pre-swap crash: compact refreshed the bucketed table but the
+    # dir still holds the unfolded slices — simulate by compacting a
+    # COPY for the bucketed layout, then restoring the unfolded dir
+    cdir = str(tmp_path / "claims")
+    tbl = "t_crash_" + uuid.uuid4().hex[:8]
+    sink = crawl_claims_sink(cdir, bucketed_table=tbl)
+    sink(_fp_batch(spark, [(1, "aa", 5)]), 0)
+    sink(_fp_batch(spark, [(2, "bb", 6)]), 1)
+    pre_swap = spark.read.parquet(cdir).collect()  # slices 0 and 1
+    compact_claim_table(spark, cdir, bucketed_table=tbl)
+    # restore the UNFOLDED dir (as if the swap never happened) while
+    # keeping the refreshed bucketed table = the pre-swap crash state
+    import shutil as sh
+
+    sh.rmtree(cdir)
+    spark.createDataFrame(pre_swap).write.partitionBy("slice").parquet(cdir)
+    try:
+        sink2 = crawl_claims_sink(cdir, bucketed_table=tbl)
+        sink2(_fp_batch(spark, [(3, "bb", 6), (4, "cc", 7)]), 2)
+        got = {
+            (r.first_id, r.fp)
+            for r in spark.read.parquet(cdir).filter(F.col("slice") == 2).collect()
+        }
+        assert got == {(4, "cc")}  # 'bb' (claimed pre-swap) still rejects
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    # (b) between-renames crash: target absent, .compact complete —
+    # the DIR-path sink must repair and still reject claimed fps
+    cdir2 = str(tmp_path / "claims2")
+    s3 = crawl_claims_sink(cdir2)
+    s3(_fp_batch(spark, [(1, "aa", 5)]), 0)
+    os.rename(cdir2, cdir2 + ".compact")
+    assert not os.path.exists(cdir2)
+    s4 = crawl_claims_sink(cdir2)
+    s4(_fp_batch(spark, [(5, "aa", 5), (6, "dd", 8)]), 1)
+    got2 = {(r.first_id, r.fp) for r in spark.read.parquet(cdir2).collect()}
+    assert got2 == {(1, "aa"), (6, "dd")}  # repaired, 'aa' rejected
+
+
 def test_dir_has_parquet_edges(tmp_path):
     """The footer gate (r14 ADVICE): absent dir, empty dir,
     _SUCCESS-only dir, and a nested partition layout must classify
