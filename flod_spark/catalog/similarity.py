@@ -1906,6 +1906,12 @@ def ivfpq_index_query(
     corpus — the two multiplicative prunings that make billion-vector
     serving cheap, both now visible in the physical plan
     (PartitionFilters + code-word ReadSchema)."""
+    from flod_spark.io import recover_swap_dir
+
+    # a compactor can crash between its two renames, leaving the codes
+    # base as .compact — repair before serving (idempotent no-op in the
+    # healthy state; the crawl_claims_sink discipline on the read side)
+    recover_swap_dir(index_dir + "/codes_by_cell")
     ivf_cent = spark.read.parquet(index_dir + "/ivf_centroids")
     pq_cent = spark.read.parquet(index_dir + "/codebook")
     q = queries.select("query_id", F.col("v").alias("qv"))

@@ -525,6 +525,36 @@ def test_stream_ivfpq_ingest_checkpoint_restart(spark, sf_dir, tmp_path):
     assert served(idx) == want
 
 
+def test_ivfpq_serve_repairs_half_swapped_base(spark, sf_dir, tmp_path):
+    """ivfpq_index_query must repair a compactor's between-renames
+    crash state (codes base absent, .compact complete) before serving
+    — the crawl_claims_sink read-side discipline applied to the index:
+    served top-K equals the healthy state's bit-for-bit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flod_spark.catalog.similarity import (
+        NQ,
+        _emb_v,
+        ivfpq_index_query,
+        ivfpq_index_save,
+    )
+
+    emb = _emb_v(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    ivfpq_index_save(emb, idx)
+    queries = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    want = sorted(map(tuple, ivfpq_index_query(spark, idx, queries).collect()))
+    base = os.path.join(idx, "codes_by_cell")
+    os.rename(base, base + ".compact")  # the between-renames crash
+    assert not os.path.exists(base)
+    got = sorted(map(tuple, ivfpq_index_query(spark, idx, queries).collect()))
+    assert got == want and os.path.exists(base)
+
+
 def test_hybrid_rrf_semantics(spark, sf_dir):
     """Planted-semantics pin for the RRF fusion (the bm25_score
     discipline): ranks are 1.._RRF_TOP and contiguous per query, rrf
