@@ -1420,7 +1420,16 @@ def _claims_fp_side(
     this path: the bucketed layout is written only from compacted
     claims (groupBy fp), so fp is unique by construction, and a
     distinct would re-insert exactly the exchange the layout exists to
-    remove."""
+    remove.
+
+    Either way the dir is repaired first (recover_swap_dir): a
+    compactor crashed between its renames leaves the table as
+    .compact, and an admission running before the next compaction
+    would otherwise fail on the absent dir (the crawl_claims_sink
+    read-side discipline)."""
+    from flod_spark.io import recover_swap_dir
+
+    recover_swap_dir(claims_dir)
     if bucketed_table is not None:
         return spark.table(bucketed_table).select("fp")
     return spark.read.parquet(claims_dir).select("fp").distinct()
@@ -1644,7 +1653,12 @@ def dedup_minhash_against_claims(
     the claim table carries everything transitivity needs.
 
     Scale: dedup_minhash's signature cost (map-side shingle hashing +
-    one per-doc partial agg) + the signature-keyed admission joins."""
+    one per-doc partial agg) + the signature-keyed admission joins.
+    The dir is repaired first (recover_swap_dir — the _claims_fp_side
+    read-side discipline for the fuzzy table's compactor)."""
+    from flod_spark.io import recover_swap_dir
+
+    recover_swap_dir(claims_dir)
     claims = spark.read.parquet(claims_dir)
     return admit_by_first_carrier(_band_sig_rows(docs), claims)
 
