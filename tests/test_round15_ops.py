@@ -555,6 +555,65 @@ def test_ivfpq_serve_repairs_half_swapped_base(spark, sf_dir, tmp_path):
     assert got == want and os.path.exists(base)
 
 
+def test_ivfpq_ingest_then_compact_serves_identically(spark, sf_dir, tmp_path):
+    """Composition: slices written by the STREAMING ingest sink fold
+    through compact_ivfpq_index exactly like batch advances — served
+    top-K identical before and after the compaction, with
+    include_slices=True proving the fold left nothing behind."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flod_spark.catalog.similarity import (
+        NQ,
+        _emb_v,
+        compact_ivfpq_index,
+        ivfpq_index_query,
+        ivfpq_index_save,
+        ivfpq_ingest_sink,
+    )
+
+    emb = _emb_v(spark, sf_dir)
+    mm = emb.agg(F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx")).first()
+    mid = (mm.mn + mm.mx) // 2
+    q3 = (mid + mm.mx) // 2
+    idx = str(tmp_path / "idx")
+    ivfpq_index_save(emb.filter(F.col("vec_id") <= mid), idx)
+    sink = ivfpq_ingest_sink(idx)
+    sink(emb.filter((F.col("vec_id") > mid) & (F.col("vec_id") <= q3)), 0)
+    sink(emb.filter(F.col("vec_id") > q3), 1)
+    queries = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+
+    def served():
+        return sorted(
+            map(tuple, ivfpq_index_query(spark, idx, queries, include_slices=True).collect())
+        )
+
+    before = served()
+    compact_ivfpq_index(spark, idx)
+    assert not glob.glob(os.path.join(idx, "codes_slice_*"))
+    assert served() == before
+
+
+def test_crawl_claims_sink_single_fp_batch(spark, tmp_path):
+    """Degenerate batch: every row carries ONE fingerprint — exactly
+    the min-doc_id row admits, and a replay of the same batch through
+    a fresh sink leaves the table unchanged."""
+    from flod_spark.catalog.surface import crawl_claims_sink
+
+    claims_dir = str(tmp_path / "claims")
+    b = [(9, "zz", 4), (3, "zz", 4), (7, "zz", 4)]
+    advance = crawl_claims_sink(claims_dir)
+    advance(_fp_batch(spark, b), 0)
+    got = [(r.first_id, r.fp) for r in spark.read.parquet(claims_dir).collect()]
+    assert got == [(3, "zz")]
+    crawl_claims_sink(claims_dir)(_fp_batch(spark, b), 0)
+    assert [(r.first_id, r.fp) for r in spark.read.parquet(claims_dir).collect()] == [(3, "zz")]
+
+
 def test_hybrid_rrf_semantics(spark, sf_dir):
     """Planted-semantics pin for the RRF fusion (the bm25_score
     discipline): ranks are 1.._RRF_TOP and contiguous per query, rrf
