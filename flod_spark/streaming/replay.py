@@ -19,7 +19,9 @@ are the full determinism contract catalog/streaming_live.py relies on.
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,13 +52,14 @@ def replay_stream(
     # and cross-batch ts ordering holds because boundaries are monotone.
     # Micros fit a double exactly (< 2^53) so the round-trip is lossless.
     mc = "_replay_us"
+    bc = "_replay_b"
     from pyspark import StorageLevel
 
     from flod_spark.io import ts_micros
 
-    # one materialization feeds the quantile pass, the per-batch counts,
-    # and every filtered write — without it the source table is rescanned
-    # 2*n_batches+1 times (measured >2x the whole build cost at sf0.1)
+    # one materialization feeds the quantile pass and the batch write —
+    # without it the source table is rescanned per pass (measured >2x
+    # the whole build cost at sf0.1)
     with_us = df.withColumn(mc, ts_micros(order_col)).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         fracs = [b / n_batches for b in range(1, n_batches)]
@@ -64,49 +67,56 @@ def replay_stream(
             [int(v) for v in with_us.stat.approxQuantile(mc, fracs, 0.001)] if fracs else []
         )
         # approxQuantile returns [] on an empty (or all-NULL order key)
-        # input: fall back to a single unbounded batch instead of
-        # indexing past edges
-        edges = [None, *bounds, None]  # (lo, hi] per batch; None = unbounded
-        # batch membership as ONE aggregation pass (replaces a per-batch
-        # isEmpty job): bucket = #boundaries <= mc; NULL order keys sort
-        # first, i.e. bucket 0 — matching the filters below exactly
+        # input: everything lands in one unbounded batch below.
+        # Batch membership as ONE column expression (identical to the
+        # former per-batch range filters, counts-job-verified before the
+        # rewrite): bucket = #boundaries <= mc; NULL order keys sort
+        # first, i.e. bucket 0. Duplicate boundaries leave their earlier
+        # bucket indexes provably empty — they simply write no file.
         bucket = F.lit(0)
         for bnd in bounds:
             bucket = bucket + (F.col(mc) >= bnd).cast("int")
-        counts = {
-            r["b"]: r["n"]
-            for r in with_us.select(F.coalesce(bucket, F.lit(0)).alias("b"))
-            .groupBy("b")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        for b in range(len(edges) - 1):
-            lo, hi = edges[b], edges[b + 1]
-            if lo is not None and hi is not None and lo >= hi:
-                continue  # duplicate boundary -> provably empty bucket
-            # duplicate boundaries collapse earlier buckets into this
-            # one's bucket index, but those were skipped above, so the
-            # count at index b is exactly this batch's row count
-            if not counts.get(b, 0):
-                continue
-            part = with_us
-            if lo is None:
-                # NULL order keys belong to the first batch, where a
-                # plain < filter would silently drop them
-                if hi is not None:
-                    part = part.filter(F.col(mc).isNull() | (F.col(mc) < hi))
-            else:
-                part = part.filter(F.col(mc) >= lo)
-                if hi is not None:
-                    part = part.filter(F.col(mc) < hi)
-            # written sequentially -> file mod-times ascend in ts order,
-            # which is the order the file stream source replays them in.
-            # The sort AFTER coalesce(1) totally orders the one output
-            # file — the within-batch half of the determinism contract
-            # (cross-batch ordering comes from the range boundaries).
-            part.coalesce(1).sortWithinPartitions(
-                mc, *tiebreak
-            ).drop(mc).write.mode("append").parquet(out_dir)
+        # ONE write job for every batch file (replaces n_batches
+        # sequential coalesce(1) jobs — guide §1.2 'remove passes'):
+        # repartition ON the bucket id puts each bucket's rows in exactly
+        # one task; the partitioned write then emits exactly one file per
+        # non-empty bucket, sorted within the file by (mc, *tiebreak) —
+        # the same total within-batch order the sequential writes
+        # enforced. Hash collisions across buckets only co-locate two
+        # buckets in one task; partitionBy still splits them into their
+        # own directories.
+        staged = out_dir + ".staging"
+        shutil.rmtree(staged, ignore_errors=True)
+        (
+            with_us.withColumn(bc, F.coalesce(bucket, F.lit(0)))
+            .repartition(n_batches, F.col(bc))
+            .sortWithinPartitions(bc, mc, *tiebreak)
+            .drop(mc)
+            .write.mode("overwrite")
+            .partitionBy(bc)
+            .parquet(staged)
+        )
+        # publish <staged>/<bc>=<b>/part-* as out_dir/part-b<b>.parquet
+        # with EXPLICITLY pinned ascending mod-times (the file source
+        # replays in mod-time order; pinning removes the coarse-mtime
+        # hazard the sequential writes tolerated by luck — the
+        # replay_buckets discipline)
+        os.makedirs(out_dir, exist_ok=True)
+        for d in sorted(
+            glob.glob(os.path.join(staged, f"{bc}=*")),
+            key=lambda p: int(p.rsplit("=", 1)[1]),
+        ):
+            b = int(d.rsplit("=", 1)[1])
+            files = [
+                f
+                for f in glob.glob(os.path.join(d, "part-*"))
+                if not f.endswith(".crc")
+            ]
+            assert len(files) == 1, f"bucket {b}: {files}"
+            dst = os.path.join(out_dir, f"part-b{b:05d}.parquet")
+            os.replace(files[0], dst)
+            os.utime(dst, (10.0 * (b + 1), 10.0 * (b + 1)))
+        shutil.rmtree(staged, ignore_errors=True)
     finally:
         with_us.unpersist()
     # an all-empty input writes no file; the stream source still needs the
@@ -135,8 +145,6 @@ def replay_buckets(
     Scale: the only driver-side collect is the distinct bucket VALUES
     (micro-batch count, a test-harness constant — never rows); each
     write is one pushdown-filtered scan of the persisted input."""
-    import glob as _glob
-
     from pyspark import StorageLevel
 
     dfp = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -144,18 +152,36 @@ def replay_buckets(
         buckets = sorted(
             r[0] for r in dfp.select(bucket_col).distinct().collect()
         )
+        # ONE write job for every bucket file (the replay_stream
+        # single-pass discipline): repartition on the bucket value puts
+        # each bucket in one task, the partitioned write emits one file
+        # per bucket dir, and the publish loop pins ascending mod-times
+        # in bucket order — bucket MEMBERSHIP is this replay's whole
+        # contract, and the explicit utime removes the coarse-mtime
+        # hazard outright.
+        staged = out_dir + ".staging"
+        shutil.rmtree(staged, ignore_errors=True)
+        (
+            dfp.repartition(max(len(buckets), 1), F.col(bucket_col))
+            .write.mode("overwrite")
+            .partitionBy(bucket_col)
+            .parquet(staged)
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        by_dir = {
+            d.rsplit("=", 1)[1]: d
+            for d in glob.glob(os.path.join(staged, f"{bucket_col}=*"))
+        }
         for i, b in enumerate(buckets):
-            before = set(_glob.glob(f"{out_dir}/part-*"))
-            dfp.filter(F.col(bucket_col) == b).drop(bucket_col).coalesce(
-                1
-            ).write.mode("append").parquet(out_dir)
-            # pin mod-times explicitly (the append_sentinel_batches
-            # discipline): sequential writes USUALLY ascend, but a
-            # coarse-mtime filesystem can land two buckets in one tick
-            # and the file source would order them arbitrarily —
-            # bucket MEMBERSHIP is this replay's whole contract
-            for f in set(_glob.glob(f"{out_dir}/part-*")) - before:
-                os.utime(f, (10.0 * (i + 1), 10.0 * (i + 1)))
+            d = by_dir.get(str(b))
+            if d is None:
+                continue
+            files = glob.glob(os.path.join(d, "part-*"))
+            assert len(files) == 1, f"bucket {b}: {files}"
+            dst = os.path.join(out_dir, f"part-b{i:05d}.parquet")
+            os.replace(files[0], dst)
+            os.utime(dst, (10.0 * (i + 1), 10.0 * (i + 1)))
+        shutil.rmtree(staged, ignore_errors=True)
     finally:
         dfp.unpersist()
     os.makedirs(out_dir, exist_ok=True)

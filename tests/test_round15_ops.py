@@ -131,11 +131,12 @@ def test_crawl_claims_sink_restart_replay_idempotent(spark, tmp_path):
     want = table()
     assert {(t[0], t[1]) for t in want} == {(1, "aa"), (2, "bb"), (4, "cc"), (6, "dd")}
 
-    # simulate the crash: slice=1 is only PARTIALLY visible (drop one
-    # of its part files), then the restarted query re-delivers batch 1
-    # to a fresh sink whose in-memory guard has reset
-    parts = sorted(glob.glob(os.path.join(claims_dir, "slice=1", "*.parquet")))
-    assert parts, "slice=1 must have part files to truncate"
+    # simulate the crash: batch 1's slice (= batch_id + 1 = 2; slice 0
+    # is reserved for the compaction fold) is only PARTIALLY visible
+    # (drop one of its part files), then the restarted query re-delivers
+    # batch 1 to a fresh sink whose in-memory guard has reset
+    parts = sorted(glob.glob(os.path.join(claims_dir, "slice=2", "*.parquet")))
+    assert parts, "slice=2 must have part files to truncate"
     os.remove(parts[0])
     assert table() != want  # the damage is real
     advance2 = crawl_claims_sink(claims_dir)
@@ -370,7 +371,7 @@ def test_compaction_crash_windows_are_seen_safe(spark, tmp_path):
         sink2(_fp_batch(spark, [(3, "bb", 6), (4, "cc", 7)]), 2)
         got = {
             (r.first_id, r.fp)
-            for r in spark.read.parquet(cdir).filter(F.col("slice") == 2).collect()
+            for r in spark.read.parquet(cdir).filter(F.col("slice") == 3).collect()
         }
         assert got == {(4, "cc")}  # 'bb' (claimed pre-swap) still rejects
     finally:
@@ -430,7 +431,7 @@ def test_crawl_claims_sink_malformed_table_no_fanout(spark, tmp_path):
     advance(_fp_batch(spark, [(7, "aa", 5), (8, "cc", 9)]), 1)
     got = sorted(
         (r.first_id, r.fp)
-        for r in spark.read.parquet(os.path.join(claims_dir, "slice=1")).collect()
+        for r in spark.read.parquet(os.path.join(claims_dir, "slice=2")).collect()
     )
     assert got == [(8, "cc")]  # 'aa' rejected once, no duplicate rows
 
