@@ -281,7 +281,10 @@ def pagerank_converged(
     ).localCheckpoint(eager=True)
     deltas: list = []
     for _ in range(max_rounds):
-        cur = _pr_round(e, deg, nodes, nn, dang, prev).localCheckpoint(eager=True)
+        # lazy: the delta aggregate below is the round's only action and
+        # materializes the round's ranks as it computes (the kmeans_fit
+        # r16 fusion — one job per round instead of two)
+        cur = _pr_round(e, deg, nodes, nn, dang, prev).localCheckpoint(eager=False)
         delta = (
             cur.join(prev.withColumnRenamed("r", "_pr"), "node")
             .agg(F.max(F.abs(F.col("r") - F.col("_pr"))).alias("m"))

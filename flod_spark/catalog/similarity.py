@@ -1572,21 +1572,32 @@ def _pca_matvec(e: DataFrame, v: list) -> list:
     fixed point. len(v) decimal cells cross the exchange (map-side
     combine), never a matrix, never a row; the driver reads them back
     as correctly-rounded doubles."""
-    vlit = F.array(*[F.lit(c) for c in v])
-    s = _dot_spark(F.col("x"), vlit)
-    rows = e.select(F.posexplode("x").alias("d", "xd"), s.alias("s"))
-    w = rows.groupBy("d").agg(
-        # decimal accumulator: a LONG sum would wrap silently past
-        # 2^63 (~1e8 rows at these term magnitudes) while the
-        # DuckDB oracle widens to int128 — the decimal sum keeps
-        # both engines exact at any corpus size
+    # the iterate enters as a BROADCAST 1-row frame, not as literals
+    # (r16): literal vectors bake 64 fresh constants into the plan every
+    # round, so whole-stage codegen recompiles per round — with a column
+    # the generated source is round-invariant and the codegen cache
+    # hits. Values are the same doubles either way.
+    from flod_spark.io import tiny_df
+
+    vdf = tiny_df(e.sparkSession, [(list(v),)], "_pca_v array<double>")
+    s = _dot_spark(F.col("x"), F.col("_pca_v"))
+    # ONE map-side aggregate with len(v) decimal-sum columns (r16):
+    # the posexplode + groupBy(d) form shuffled rows x dim exploded
+    # rows every round; as column aggregates the whole matvec is a
+    # single partial-agg stage — no explode, no keyed exchange, one
+    # 1-row result. Term arithmetic is unchanged cell for cell
+    # (floor(x_d * s * Q) summed in decimal — a LONG sum would wrap
+    # silently past 2^63 while the DuckDB oracle widens to int128).
+    rows = e.crossJoin(F.broadcast(vdf)).select(F.col("x"), s.alias("s"))
+    aggs = [
         F.sum(
-            F.floor(F.col("xd") * F.col("s") * F.lit(float(_PCA_Q)))
+            F.floor(F.get(F.col("x"), d) * F.col("s") * F.lit(float(_PCA_Q)))
             .cast("decimal(28,0)")
-        ).alias("w")
-    )
-    ws = {int(r["d"]): int(r["w"]) for r in w.collect()}
-    return [float(ws[d]) / float(_PCA_Q) for d in range(len(v))]
+        ).alias(f"w{d}")
+        for d in range(len(v))
+    ]
+    r = rows.agg(*aggs).collect()[0]
+    return [float(int(r[f"w{d}"])) / float(_PCA_Q) for d in range(len(v))]
 
 
 def pca_power_converged(

@@ -2726,26 +2726,40 @@ def _ttl_claim_fold(ks, lasts, mx, bk, bus, ttl):
 
 def _novelty_claim_fn(key, pdfs, state):
     """Per-shard gram claim state: state = the gram hashes this shard
-    has ever seen. Batch rows sort by arrival (doc_id); a gram's FIRST
-    claimant — unseen in state AND first within the batch — emits a
-    claim row; everything else emits nothing. Fully vectorized:
-    np.isin against the carried hash array + pandas duplicated() for
-    the within-batch first-occurrence mask (rows are doc_id-sorted, so
-    'first non-duplicate' IS the min-doc_id claimant)."""
+    has ever seen, carried as ONE packed binary blob of 16-byte md5s
+    (r16: an array<string> of 33-char hex cost a full per-element
+    Arrow round trip per trigger; the blob is 2x smaller and
+    serializes as a single cell, and fixed-width |S16 compares are
+    memcmp-vectorized). Batch rows sort by arrival (doc_id); a gram's
+    FIRST claimant — unseen in state AND first within the batch —
+    claims it. Emits per-doc CLAIM COUNTS, not claim rows (r16: the
+    drain only ever aggregated count(*) per doc_id, so shipping one
+    row per (doc, trigger) instead of one per claim changes nothing
+    downstream and cuts the update-sink traffic by the gram
+    multiplicity). Fully vectorized: np.isin on |S16 + pandas
+    duplicated() (rows are doc_id-sorted, so 'first non-duplicate' IS
+    the min-doc_id claimant)."""
     import numpy as np
     import pandas as pd
 
-    seen = np.asarray(state.get[0] if state.exists else [], dtype="object")
-    b = _drain_sorted(pdfs, ("doc_id", "h"), keys=("doc_id",))
-    h = b["h"]
+    blob = state.get[0] if state.exists else b""
+    seen = np.frombuffer(blob, dtype="S16") if blob else np.empty(0, dtype="S16")
+    b = _drain_sorted(pdfs, ("doc_id", "hb"), keys=("doc_id",))
+    h = b["hb"].astype("S16")
     new = ~np.isin(h, seen)
     first = ~pd.Series(h).duplicated().to_numpy()
     keep = new & first
-    state.update((np.concatenate([seen, h[keep]]).tolist(),))
+    state.update(((blob or b"") + h[keep].tobytes(),))
+    d = b["doc_id"][keep]
+    docs, counts = (
+        np.unique(d, return_counts=True)
+        if len(d)
+        else (np.empty(0, dtype="int64"), np.empty(0, dtype="int64"))
+    )
     yield pd.DataFrame(
         {
-            "doc_id": b["doc_id"][keep],
-            "h": h[keep],
+            "doc_id": docs.astype("int64"),
+            "n": counts.astype("int64"),
         }
     )
 
@@ -2798,18 +2812,24 @@ def stream_ngram_novelty_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # the 16-byte binary form of the gram hash crosses the exchange and
+    # lives in state; the hex form never leaves the batch side (shard
+    # assignment hashes the SAME hex string as before, so shard
+    # membership — and therefore every claim — is unchanged)
     src = with_event_time(stream, "ingest_ts").select(
-        F.pmod(F.xxhash64("h"), F.lit(8)).alias("shard"), "doc_id", "h"
+        F.pmod(F.xxhash64("h"), F.lit(8)).alias("shard"),
+        "doc_id",
+        F.unhex("h").alias("hb"),
     )
     claims = src.groupBy("shard").applyInPandasWithState(
         _novelty_claim_fn,
-        outputStructType="doc_id long, h string",
-        stateStructType="ks array<string>",
+        outputStructType="doc_id long, n long",
+        stateStructType="seen binary",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     got = _drain(claims, spark, output_mode="update", cleanup=(replay_dir,))
-    nv = got.groupBy("doc_id").agg(F.count("*").alias("n_novel"))
+    nv = got.groupBy("doc_id").agg(F.sum("n").alias("n_novel"))
     ng = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     base = docs.select("doc_id")
     j = base.join(ng, "doc_id", "left").join(nv, "doc_id", "left")
@@ -2851,7 +2871,17 @@ def _novelty_ttl_fn(key, pdfs, state):
         hs, ls, mx, b["h"], b["doc_id"], _NOV_TTL_DOCS
     )
     state.update((hs2.tolist(), ls2.tolist(), mx2))
-    yield pd.DataFrame({"doc_id": b["doc_id"][claim], "h": b["h"][claim]})
+    # per-doc claim COUNTS, not claim rows (the _novelty_claim_fn r16
+    # rationale: the drain only aggregates count(*) per doc_id)
+    d = b["doc_id"][claim]
+    docs, counts = (
+        np.unique(d.astype("int64"), return_counts=True)
+        if len(d)
+        else (np.empty(0, dtype="int64"), np.empty(0, dtype="int64"))
+    )
+    yield pd.DataFrame(
+        {"doc_id": docs.astype("int64"), "n": counts.astype("int64")}
+    )
 
 
 def _novelty_bounded_oracle() -> str:
@@ -2921,13 +2951,13 @@ def stream_ngram_novelty_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     claims = src.groupBy("shard").applyInPandasWithState(
         _novelty_ttl_fn,
-        outputStructType="doc_id long, h string",
+        outputStructType="doc_id long, n long",
         stateStructType="hs array<string>, lasts array<long>, mx long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     got = _drain(claims, spark, output_mode="update", cleanup=(replay_dir,))
-    nv = got.groupBy("doc_id").agg(F.count("*").alias("n_novel"))
+    nv = got.groupBy("doc_id").agg(F.sum("n").alias("n_novel"))
     ng = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     base = docs.select("doc_id")
     j = base.join(ng, "doc_id", "left").join(nv, "doc_id", "left")

@@ -1185,11 +1185,16 @@ def stream_sink_tar_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="flod_sinktar_out_")
     ck = tempfile.mkdtemp(prefix="flod_sinktar_ck_")
     stream = replay_stream(spark, timed, "ts", spool, n_batches=4)
-    q = stream_pack_tar_shards(stream.select("doc_id", "text"), out, ck)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # _drain's rationale
     try:
-        q.processAllAvailable()
+        q = stream_pack_tar_shards(stream.select("doc_id", "text"), out, ck)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     shutil.rmtree(spool, ignore_errors=True)
     shutil.rmtree(ck, ignore_errors=True)
     raw = spark.read.format("binaryFile").load(out)
@@ -1266,11 +1271,19 @@ def stream_curate_loop_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = tempfile.mkdtemp(prefix="flod_curate_out_")
     ck = tempfile.mkdtemp(prefix="flod_curate_ck_")
-    q = stream_pack_tar_shards(clean, out, ck, shard_docs=100)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # _drain's rationale: the claim state pays a per-partition-per-batch
+    # commit (this loop ran at the session default 32 x 10 triggers
+    # before r16 — the only live gate that missed the pin)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
+        q = stream_pack_tar_shards(clean, out, ck, shard_docs=100)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     shutil.rmtree(adir, ignore_errors=True)
     shutil.rmtree(ck, ignore_errors=True)
     raw = spark.read.format("binaryFile").load(out)

@@ -96,7 +96,11 @@ def connected_components(
     )
     prev_sig = None
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # LAZY checkpoint: the signature aggregate below is the round's
+        # only action and materializes the contracted edge set into the
+        # checkpoint as it computes — one job per round instead of two
+        # (kmeans_fit's r16 fusion; lineage truncation unchanged)
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
         # bit_xor, not sum: order-insensitive, immune to ANSI long
         # overflow, and exact because the edge set is distinct
         sig = e2.agg(
@@ -157,7 +161,8 @@ def kcore_converged(sym: DataFrame, k: int, with_rounds: bool = False):
         e2 = (
             e.join(surv, "a", "left_semi")
             .join(surv.select(F.col("a").alias("b")), "b", "left_semi")
-            .localCheckpoint(eager=True)
+            # lazy: the count below materializes the round (see above)
+            .localCheckpoint(eager=False)
         )
         n = e2.count()
         e.unpersist()
