@@ -259,18 +259,43 @@ def _cent_df(e: DataFrame) -> DataFrame:
     )
 
 
-def _assign_cells(e: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, v) -> nearest cell. Argmax over centroids via
-    max_by(struct): highest cos, ties to the smallest cent_id (== the
-    oracle's ORDER BY cos DESC, cent_id rn=1). Partial aggregation
-    collapses the N_CELLS scored copies to one row per vector per task
-    BEFORE the exchange."""
-    cos_vc = _cos_spark(F.col("v"), F.col("cv"))
+def _assign_cells(
+    e: DataFrame, cent: DataFrame, extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """(vec_id, v) -> nearest cell, MAP-SIDE (r16, guide §2.3/§2.4).
+
+    The former form crossJoined the broadcast centroid table and
+    collapsed the N_CELLS scored copies with groupBy(vec_id, v) —
+    partial aggregation kept the exchange to one row per vector, but
+    that row CARRIES THE VECTOR: every call shuffled the full payload
+    column once (at 100 TB, a corpus-sized exchange per Lloyd round).
+    Now the centroid table folds into ONE broadcast row holding the
+    (cent_id, cv) array and the argmax runs as an array expression on
+    the scan side: array_max over (cos, -cent_id) structs — highest
+    cos, ties to the smallest cent_id, the EXACT max_by(struct)
+    ordering (struct comparison is field-lexicographic in both forms,
+    including the NaN-greatest rule), over the EXACT same _cos_spark
+    arithmetic per centroid. Zero exchange; vectors never leave their
+    scan task.
+
+    ``extra`` names input columns to pass through (kmeans_fit's
+    previous-cell carry — free here, impossible for the groupBy form)."""
+    centarr = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cv"))).alias("_cents")
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                _cos_spark(F.col("v"), c["cv"]).alias("cos"),
+                (-c["cent_id"]).alias("neg"),
+            ),
+        )
+    )
     return (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "cent_id", cos_vc.alias("cos"))
-        .groupBy("vec_id", "v")
-        .agg(F.max_by("cent_id", F.struct(F.col("cos"), (-F.col("cent_id")).alias("neg"))).alias("cell"))
+        e.crossJoin(F.broadcast(centarr))
+        .withColumn("cell", -best["neg"])
+        .select("vec_id", "v", *extra, "cell")
     )
 
 
@@ -717,8 +742,17 @@ def update_centroids(a: DataFrame) -> DataFrame:
     """Lloyd centroid update from an assignment (vec_id, v, cell) ->
     (cent_id, cv). Per-dimension means through 2^40 fixed-point sums so
     the result is order-independent and bit-identical cross-engine (the
-    embed_centroids rule). One (cell, pos) partial-agg shuffle; the
-    collect_list is |cells| rows of dim doubles — driver-free and tiny."""
+    embed_centroids rule).
+
+    Kept in the posexplode + (cell, pos) partial-agg form DELIBERATELY
+    (r16, measured): a column-wise rewrite with DIM sum columns (the
+    _pca_matvec shape) was tried and REVERTED — it costs ~0.8 s of
+    driver ANALYSIS per Lloyd round (64 aggregate expressions) vs
+    0.08 s for this form, dominating the loop at any scale, while the
+    exchange it saves is trivial here: partial aggregation collapses
+    the exploded rows to |cells| x dim cells per task BEFORE the
+    exchange, so unlike _pca_matvec's old form nothing row-sized ever
+    crosses. One explode + two tiny exchanges is the right trade."""
     x = a.select("cell", F.posexplode("v").alias("pos0", "val")).select(
         "cell", (F.col("pos0") + 1).alias("pos"), "val"
     )
@@ -768,14 +802,21 @@ def kmeans_fit(
     a = _ckpt(_assign_cells(e, cent0 if cent0 is not None else _cent_df(e)))
     moved: list[int] = []
     for _ in range(n_rounds):
-        nxt = _ckpt(_assign_cells(a.select("vec_id", "v"), update_centroids(a)))
-        moved.append(
-            nxt.alias("n")
-            .join(a.alias("p"), F.col("n.vec_id") == F.col("p.vec_id"))
-            .filter(F.col("n.cell") != F.col("p.cell"))
-            .count()
+        # carry the previous cell THROUGH the map-side assignment
+        # (r16): the moved count is then a filter+count on the round's
+        # own frame — the former self-join of consecutive checkpoints
+        # (an exchange+sort pair per round just to compare cells) is
+        # gone, and counting still materializes the lazy checkpoint in
+        # the same job (one job per round total).
+        nxt = _ckpt(
+            _assign_cells(
+                a.select("vec_id", "v", F.col("cell").alias("_prev")),
+                update_centroids(a),
+                extra=("_prev",),
+            )
         )
-        a = nxt
+        moved.append(nxt.filter(F.col("cell") != F.col("_prev")).count())
+        a = nxt.drop("_prev")
         if until_moved_le is not None and moved[-1] <= until_moved_le:
             break
     return a, moved
@@ -2522,7 +2563,21 @@ def ivfpq_ingest_sink(index_dir: str):
     Scale: per trigger this is map-side encode over the NEW vectors
     only (broadcast codebook + centroids, one per-(vec, m) argmin) —
     the live twin of the nightly advance; compact_ivfpq_index folds
-    slices on the nightly cadence exactly as before."""
+    slices on the nightly cadence exactly as before.
+
+    Operational constraint (r15 ADVICE, low): compaction must NOT run
+    between a trigger's slice write and its checkpoint commit. If the
+    process dies in that window and a nightly compact_ivfpq_index
+    folds-and-deletes the uncommitted ``codes_slice_<id>``, the
+    restarted query re-delivers the batch and recreates the slice —
+    its vectors then exist in both the base and the slice, duplicating
+    candidate rows in the served top-K (the claims sink tolerates this
+    via anti-join over-coverage; the index sink has no equivalent
+    guard). Gate compaction on the stream being stopped, or run it
+    from the same scheduler that owns the stream. A base-membership
+    guard on advance (skip when the slice's vec_ids are already in the
+    base) would close the window in code but costs a per-trigger read
+    of the base — measured as not worth it at gate scale (r16)."""
     state = {"last": -1}
 
     def advance(batch_df: DataFrame, batch_id: int) -> None:

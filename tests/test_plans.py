@@ -347,7 +347,10 @@ HEADLINE_PINS = {
     "sketch_countmin": (3, 0),
     "window_rolling_regression": (1, 0),
     "entity_resolve": (5, 1),
-    "sim_ivfpq": (6, 1),
+    # r16: 6 -> 5 — _assign_cells went map-side (broadcast centroid
+    # array + array_max argmax), removing the groupBy(vec_id, v)
+    # exchange that shuffled the vector payload
+    "sim_ivfpq": (5, 1),
     "quantile_exact_2pass": (0, 0),
     # round-7 additions (fingerprinted at sf0.001 at introduction)
     "graph_jaccard_approx": (7, 0),
