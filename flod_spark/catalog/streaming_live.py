@@ -39,6 +39,16 @@ from flod_spark.functions.hashbridge import salted_mod, salted_mod_sql
 from flod_spark.io import load
 from flod_spark.registry import query
 from flod_spark.streaming import replay_stream, streaming_take_per_key, tumbling_counts
+from flod_spark.streaming.packfold import (
+    _gather,
+    _hist_vals,
+    _lookup,
+    _merge_packed,
+    _packed_get,
+    _ragged_pos,
+    _segments,
+    _take_last,
+)
 from flod_spark.streaming.windows import as_naive, with_event_time
 
 _WINDOW = "1 hour"
@@ -1893,49 +1903,98 @@ def _drain_sorted(pdfs, cols, keys=("us", "event_id")):
     return arrs
 
 
-def _ewma_live_fn(key, pdfs, state):
-    """Per-user EWMA state fold: state = the last H-1 quantized values
-    (micros-scaled longs), each arriving event emits its truncated-
-    horizon weighted sum as EXACT int64 (num, den) — the float
-    division happens once, batch-side after the drain, in the same op
-    order as window_ewma's, so values match the batch oracle bitwise.
-    Batch rows sort by (us, event_id) — the oracle's ORDER BY.
+# --- sharded per-user detector folds (r17, guide §4) -----------------
+#
+# The five per-user detector gates (ewma / cusum / drawdown / rsi /
+# bollinger) used one applyInPandasWithState GROUP PER USER: ~1.5k
+# Python fn invocations + per-key state round trips per trigger, each
+# over a ~17-row frame — the Python-call machinery, not the arithmetic,
+# was the cost (the r16 verdict's top item; _novelty_claim_fn's 8-shard
+# pattern is the proven fix in this codebase). Each gate now groups by
+# pmod(xxhash64(user_id), _DET_SHARDS); per-shard state is the PACKED
+# per-user state of every user the shard owns (sorted int64 user ids +
+# aligned int64 blobs, serialized as raw bytes — the novelty blob
+# discipline), and the fold is vectorized ACROSS users (pandas groupby
+# cumops / zero-padded concat convolutions). Per-user arithmetic is
+# identical op for op — the same int64 operations in the same order,
+# seeded with the same carried values — so every emitted row is
+# bit-identical and the gates keep their batch-window oracles VERBATIM.
+# Results are _DET_SHARDS-independent (each user's fold never crosses
+# shards); 8 matches the novelty gates and the _drain partition pin.
 
-    VECTORIZED (round-9; the r6 _asof_enrich_fn precedent): the frame
-    sum over [carried history ++ batch values] is one integer
-    np.convolve with the weight kernel — out[j] = sum_k W[k]*x[j-k],
-    exactly the per-event truncated-horizon dot product (zero padding
-    contributes W[k]*0 to short frames, and den counts only the REAL
-    lags via cumsum(W) clamped at the frame length) — no per-event
-    Python loop; all ops int64, so the bit contract is untouched."""
+_DET_SHARDS = 8
+
+
+def _det_shard(col):
+    return F.pmod(F.xxhash64(col), F.lit(_DET_SHARDS)).alias("shard")
+
+
+def _det_drain(pdfs, vcol):
+    """Drain one SHARD's chunks sorted by (user_id, us, event_id) —
+    each user's rows are contiguous and in the exact (us, event_id)
+    order the per-key form processed them in."""
+    return _drain_sorted(
+        pdfs,
+        ("user_id", "event_id", "us", vcol),
+        keys=("user_id", "us", "event_id"),
+    )
+
+
+def _ewma_shard_fn(key, pdfs, state):
+    """Per-SHARD EWMA fold, vectorized across users: state = packed
+    (users, hist length, last H-1 values per user); each user's block
+    in one concatenated array is [H-1 zeros ++ carried hist ++ batch
+    values], so ONE integer np.convolve over the concat computes every
+    user's truncated-horizon weighted sums — the zero inter-user
+    padding contributes W[k]*0, exactly the short-frame semantics the
+    per-key convolve already had, and den counts real lags via
+    cumsum(W) clamped at the user-local frame length. All int64; each
+    emitted (num, den) is bit-identical to the per-key fold's."""
     import numpy as np
     import pandas as pd
 
     from flod_spark.catalog.relational import _EWMA_H, _EWMA_W
 
-    hist = list(state.get[0]) if state.exists else []
-    b = _drain_sorted(pdfs, ("event_id", "us", "xq"))
+    su, shc, shist = _packed_get(state, (1, 1, _EWMA_H - 1))
+    b = _det_drain(pdfs, "xq")
+    uid = b["user_id"]
     x = b["xq"]
-    full = np.concatenate([np.asarray(hist, dtype="int64"), x])
+    starts, seg, uu, inner, lens = _segments(uid)
+    found, pos = _lookup(su, uu)
+    hc = _gather(shc, pos, found)
     w = np.asarray(_EWMA_W, dtype="int64")
+    pad = _EWMA_H - 1
+    blk = pad + hc + lens
+    offs = np.concatenate([[0], np.cumsum(blk)[:-1]]).astype("int64")
+    cat = np.zeros(int(blk.sum()), dtype="int64")
+    cat[_ragged_pos(offs + pad, hc)] = _hist_vals(_gather(shist, pos, found), hc)
+    posx = np.repeat(offs + pad + hc, lens) + inner
+    cat[posx] = x
     # int64 headroom: each convolve cell is <= max|xq| * sum(w), and
-    # np.convolve wraps silently on overflow (the Python-int path this
-    # replaced raised). Explicit raise, not assert — must fail LOUDLY
-    # under python -O too (the _boll_live_fn guard discipline).
-    if len(full) and np.abs(full).max() > (2**63 - 1) // int(w.sum()):
+    # np.convolve wraps silently on overflow. Explicit raise, not
+    # assert — must fail LOUDLY under python -O too. The inter-user
+    # zeros never raise the max, so this is the per-key check applied
+    # to every user at once.
+    if len(cat) and np.abs(cat).max() > (2**63 - 1) // int(w.sum()):
         raise ValueError(
             "stream_ewma_live: micros-scaled weighted sum caps "
             f"|value| <= ~{(2**63 - 1) // int(w.sum()) // 1_000_000:.0e} "
             "at the 255x weight sum — widen to a split-channel state"
         )
-    # num_j = sum_k w[k] * full[j-k] for the batch's global positions
-    j = np.arange(len(hist), len(full))
-    num = np.convolve(full, w)[j] if len(full) else np.zeros(0, dtype="int64")
+    # num at batch row p = sum_k w[k] * cat[p-k]; j is the user-local
+    # frame length index (hist carries ALL prior values until H-1, so
+    # hc + inner counts the real lags exactly as the per-key j did)
+    num = (
+        np.convolve(cat, w)[posx] if len(cat) else np.zeros(0, dtype="int64")
+    )
+    j = hc[seg] + inner
     den = np.cumsum(w)[np.minimum(j, _EWMA_H - 1)]
-    state.update((full[-(_EWMA_H - 1):].tolist(),))
+    hist2, hc2 = _take_last(cat, offs + pad, hc + lens, pad)
+    nu = _merge_packed(su, [shc, shist], uu, found, pos, [hc2, hist2])
+    state.update((nu[0].tobytes(), nu[1].tobytes(), nu[2].tobytes()))
     yield pd.DataFrame(
         {
-            "user_id": np.full(len(x), int(key[0]), dtype="int64"),
+            "user_id": uid,
             "event_id": b["event_id"],
             "us": b["us"],
             "num": num.astype("int64"),
@@ -1984,12 +2043,18 @@ def stream_ewma_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         with_event_time(stream)
         .withWatermark("ts", _WATERMARK)
-        .select("user_id", "event_id", ts_micros("ts").alias("us"), "xq")
+        .select(
+            _det_shard("user_id"),
+            "user_id",
+            "event_id",
+            ts_micros("ts").alias("us"),
+            "xq",
+        )
     )
-    out = src.groupBy("user_id").applyInPandasWithState(
-        _ewma_live_fn,
+    out = src.groupBy("shard").applyInPandasWithState(
+        _ewma_shard_fn,
         outputStructType="user_id long, event_id long, us long, num long, den long",
-        stateStructType="h array<long>",
+        stateStructType="users binary, hcnt binary, h binary",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -2002,33 +2067,41 @@ def stream_ewma_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cusum_live_fn(key, pdfs, state):
-    """Per-user CUSUM fold in EXACT integers: state = (prefix sum,
-    running min of prefix) in micros units; cusum_i = pf_i - min(0,
-    runmin_i) — the same clamp identity window_cusum's two running
-    frames compute, so the drained values equal the batch oracle after
-    one shared float division."""
+def _cusum_shard_fn(key, pdfs, state):
+    """Per-SHARD CUSUM fold in EXACT integers, vectorized across users:
+    state = packed (users, prefix sum, running min) in micros units;
+    cusum_i = pf_i - min(0, runmin_i) — the clamp identity
+    window_cusum's two running frames compute. Per-user prefix sums /
+    running mins come from pandas groupby cumsum/cummin (the same int64
+    additions and comparisons, in the same order, as the per-key
+    np.cumsum / np.minimum.accumulate), seeded with the carried state —
+    values equal the batch oracle after one shared float division."""
     import numpy as np
     import pandas as pd
 
-    if state.exists:
-        pf, mn = state.get
-    else:
-        pf, mn = 0, None
-    b = _drain_sorted(pdfs, ("event_id", "us", "dq"))
+    su, spf, smn = _packed_get(state, (1, 1, 1))
+    b = _det_drain(pdfs, "dq")
+    uid = b["user_id"]
     dq = b["dq"]
-    # VECTORIZED (round-9): prefix sums seeded with the carried state,
-    # running min via np.minimum.accumulate — exact int64 throughout
-    pfs = pf + np.cumsum(dq)
-    mns = np.minimum.accumulate(pfs)
-    if mn is not None:
-        mns = np.minimum(mns, mn)
+    starts, seg, uu, inner, lens = _segments(uid)
+    found, pos = _lookup(su, uu)
+    pf0 = _gather(spf, pos, found)
+    f = pd.DataFrame({"u": uid, "v": dq})
+    g = f.groupby("u", sort=False)
+    pfs = g["v"].cumsum().to_numpy() + pf0[seg]
+    f["p"] = pfs
+    mns = f.groupby("u", sort=False)["p"].cummin().to_numpy()
+    if len(su):
+        # the carried running min clamps only users the state knows
+        # (mn was None on a key's first batch in the per-key form)
+        mns = np.where(found[seg], np.minimum(mns, _gather(smn, pos, found)[seg]), mns)
     cs = pfs - np.minimum(mns, 0)
-    state.update((int(pfs[-1]) if len(pfs) else pf,
-                  int(mns[-1]) if len(mns) else mn))
+    ends = np.flatnonzero(np.concatenate([starts[1:], [True]])) if len(uid) else []
+    nu = _merge_packed(su, [spf, smn], uu, found, pos, [pfs[ends], mns[ends]])
+    state.update((nu[0].tobytes(), nu[1].tobytes(), nu[2].tobytes()))
     yield pd.DataFrame(
         {
-            "user_id": np.full(len(dq), int(key[0]), dtype="int64"),
+            "user_id": uid,
             "event_id": b["event_id"],
             "us": b["us"],
             "cusum_us": cs.astype("int64"),
@@ -2076,12 +2149,18 @@ def stream_cusum_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         with_event_time(stream)
         .withWatermark("ts", _WATERMARK)
-        .select("user_id", "event_id", ts_micros("ts").alias("us"), "dq")
+        .select(
+            _det_shard("user_id"),
+            "user_id",
+            "event_id",
+            ts_micros("ts").alias("us"),
+            "dq",
+        )
     )
-    out = src.groupBy("user_id").applyInPandasWithState(
-        _cusum_live_fn,
+    out = src.groupBy("shard").applyInPandasWithState(
+        _cusum_shard_fn,
         outputStructType="user_id long, event_id long, us long, cusum_us long",
-        stateStructType="pf long, mn long",
+        stateStructType="users binary, pf binary, mn binary",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -2094,32 +2173,40 @@ def stream_cusum_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _drawdown_live_fn(key, pdfs, state):
-    """Per-user drawdown fold in EXACT integers: state = (running peak,
-    running max drawdown) in micros units."""
+def _drawdown_shard_fn(key, pdfs, state):
+    """Per-SHARD drawdown fold in EXACT integers, vectorized across
+    users: state = packed (users, running peak, running max drawdown)
+    in micros units. Per-user running maxes come from pandas groupby
+    cummax (same int64 comparisons in the same order as the per-key
+    np.maximum.accumulate); the INT64_MIN seed for unseen users is the
+    identity under max, exactly the per-key 'no carried peak' case,
+    and the 0 mdd seed is the identity too (dd >= 0 always)."""
     import numpy as np
     import pandas as pd
 
-    if state.exists:
-        peak, mdd = state.get
-    else:
-        peak, mdd = None, 0
-    b = _drain_sorted(pdfs, ("event_id", "us", "xq"))
+    su, speak, smdd = _packed_get(state, (1, 1, 1))
+    b = _det_drain(pdfs, "xq")
+    uid = b["user_id"]
     x = b["xq"]
-    # VECTORIZED (round-9): two np.maximum.accumulate passes seeded
-    # with the carried (peak, mdd) — exact int64 throughout
-    peaks = np.maximum.accumulate(x)
-    if peak is not None:
-        peaks = np.maximum(peaks, peak)
+    starts, seg, uu, inner, lens = _segments(uid)
+    found, pos = _lookup(su, uu)
+    peak0 = _gather(speak, pos, found, default=np.iinfo("int64").min)
+    mdd0 = _gather(smdd, pos, found)
+    f = pd.DataFrame({"u": uid, "v": x})
+    peaks = np.maximum(
+        f.groupby("u", sort=False)["v"].cummax().to_numpy(), peak0[seg]
+    )
     dd = peaks - x
-    mdds = np.maximum.accumulate(dd)
-    if mdd:
-        mdds = np.maximum(mdds, mdd)
-    state.update((int(peaks[-1]) if len(x) else peak,
-                  int(mdds[-1]) if len(x) else mdd))
+    f["d"] = dd
+    mdds = np.maximum(
+        f.groupby("u", sort=False)["d"].cummax().to_numpy(), mdd0[seg]
+    )
+    ends = np.flatnonzero(np.concatenate([starts[1:], [True]])) if len(uid) else []
+    nu = _merge_packed(su, [speak, smdd], uu, found, pos, [peaks[ends], mdds[ends]])
+    state.update((nu[0].tobytes(), nu[1].tobytes(), nu[2].tobytes()))
     yield pd.DataFrame(
         {
-            "user_id": np.full(len(x), int(key[0]), dtype="int64"),
+            "user_id": uid,
             "event_id": b["event_id"],
             "us": b["us"],
             "dd_us": dd.astype("int64"),
@@ -2161,12 +2248,18 @@ def stream_drawdown_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         with_event_time(stream)
         .withWatermark("ts", _WATERMARK)
-        .select("user_id", "event_id", ts_micros("ts").alias("us"), "xq")
+        .select(
+            _det_shard("user_id"),
+            "user_id",
+            "event_id",
+            ts_micros("ts").alias("us"),
+            "xq",
+        )
     )
-    out = src.groupBy("user_id").applyInPandasWithState(
-        _drawdown_live_fn,
+    out = src.groupBy("shard").applyInPandasWithState(
+        _drawdown_shard_fn,
         outputStructType="user_id long, event_id long, us long, dd_us long, mdd_us long",
-        stateStructType="peak long, mdd long",
+        stateStructType="users binary, peak binary, mdd binary",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -2306,64 +2399,94 @@ def stream_weighted_sample_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rsi_live_fn(key, pdfs, state):
-    """Per-user RSI fold in EXACT integers: state = (previous quantized
-    value, the last _RSI_N - 1 diffs). Each event's trailing frame is
-    its own diff plus the stored 13, matching the batch form's 14-ROW
-    window (whose rows each contribute their OWN diff); gain/loss sums
-    stay integer micros, division batch-side."""
+def _rsi_shard_fn(key, pdfs, state):
+    """Per-SHARD RSI fold in EXACT integers, vectorized across users:
+    state = packed (users, previous quantized value, diff count, last
+    _RSI_N - 1 diffs per user). Each user's diff block in one
+    concatenated array is [carried diffs ++ batch diffs] (a user the
+    state knows contributes a diff for its FIRST batch row via the
+    carried prev; an unseen user's first row contributes none — the
+    per-key first_off rule); per-event trailing gain/loss frames are
+    shifted-prefix differences through per-user groupby cumsums of the
+    one-signed channels, exact int64 — each (gain, loss, nd) is
+    bit-identical to the per-key fold's, NULL contract included."""
     import numpy as np
     import pandas as pd
 
     from flod_spark.catalog.relational import _RSI_N
 
-    if state.exists:
-        prev, hist = state.get
-        hist = list(hist)
-    else:
-        prev, hist = None, []
-    b = _drain_sorted(pdfs, ("event_id", "us", "xq"))
+    su, sprev, sdc, sdh = _packed_get(state, (1, 1, 1, _RSI_N - 1))
+    b = _det_drain(pdfs, "xq")
+    uid = b["user_id"]
     x = b["xq"]
-    # VECTORIZED (round-9): the per-event trailing frame of the last
-    # min(avail, N) diffs is a shifted-cumsum difference over
-    # [carried diffs ++ batch diffs] — positives and negatives summed
-    # through separate exclusive prefix arrays, exact int64. prev is
-    # None only on a key's very first batch (then hist is empty and
-    # its first event contributes no diff — nd = 0, the NULL contract).
-    hist_a = np.asarray(hist, dtype="int64")
-    if prev is None:
-        d = np.diff(x)
-        first_off = 0  # event 0 has no diff of its own
-    else:
-        d = np.diff(np.concatenate([[prev], x]))
-        first_off = 1
-    full_d = np.concatenate([hist_a, d])
-    # int64 headroom: the one-signed prefix sums peak at
-    # max|diff| * len(full_d), and np.cumsum wraps silently on overflow
-    # (the Python-int path this replaced raised). Explicit raise, not
-    # assert — must fail LOUDLY under python -O too (the _boll_live_fn
-    # guard discipline).
-    if len(full_d) and np.abs(full_d).max() > (2**63 - 1) // len(full_d):
-        raise ValueError(
-            "stream_rsi_live: micros-scaled diff prefix sums cap "
-            "max|diff| * batch_len below 2^63 — split the batch or "
-            "widen to a split-channel state"
+    starts, seg, uu, inner, lens = _segments(uid)
+    found, pos = _lookup(su, uu)
+    dc = _gather(sdc, pos, found)
+    prev0 = _gather(sprev, pos, found)
+    foundi = found.astype("int64")
+    # per-row diff: vs the previous batch row within the user, or vs
+    # the carried prev on a known user's first row; an unseen user's
+    # first row has no diff
+    xshift = np.concatenate([[0], x[:-1]]) if len(x) else x
+    drow = np.where(starts, x - prev0[seg], x - xshift)
+    has_d = ~starts | found[seg]
+    dlen = lens - 1 + foundi
+    blk = dc + dlen
+    offs = np.concatenate([[0], np.cumsum(blk)[:-1]]).astype("int64")
+    fd = np.zeros(int(blk.sum()), dtype="int64")
+    fd[_ragged_pos(offs, dc)] = _hist_vals(_gather(sdh, pos, found), dc)
+    innerd = inner - 1 + foundi[seg]
+    fd[(offs + dc)[seg][has_d] + innerd[has_d]] = drow[has_d]
+    # int64 headroom per USER: the one-signed prefix sums peak at
+    # max|diff| * len(full_d) — the per-key check applied to each
+    # user's block (np.cumsum wraps silently on overflow). Explicit
+    # raise, not assert — must fail LOUDLY under python -O too.
+    nz = blk > 0
+    if nz.any():
+        segmax = np.maximum.reduceat(np.abs(fd), offs[nz])
+        if (segmax > (2**63 - 1) // blk[nz]).any():
+            raise ValueError(
+                "stream_rsi_live: micros-scaled diff prefix sums cap "
+                "max|diff| * batch_len below 2^63 — split the batch or "
+                "widen to a split-channel state"
+            )
+    f = pd.DataFrame(
+        {
+            "u": np.repeat(uu, blk),
+            "g": np.maximum(fd, 0),
+            "l": np.minimum(fd, 0),
+        }
+    )
+    g = f.groupby("u", sort=False)
+    posi = g["g"].cumsum().to_numpy()
+    negi = g["l"].cumsum().to_numpy()
+    # event i's frame ends at exclusive user-local index e_i; P(t) is
+    # the inclusive cumsum at t-1 (0 at t=0) — the exclusive-prefix
+    # convention of the per-key pos/neg arrays. The index clamp only
+    # touches masked t == 0 lanes (np.where evaluates both branches);
+    # every t > 0 lane indexes inside its own user's block.
+    def _pref(arr, t, base):
+        if not len(arr):
+            return np.zeros(len(t), dtype="int64")
+        return np.where(
+            t > 0,
+            arr[np.minimum(base + np.maximum(t, 1) - 1, len(arr) - 1)],
+            0,
         )
-    pos = np.concatenate([[0], np.cumsum(np.maximum(full_d, 0))])
-    neg = np.concatenate([[0], np.cumsum(np.minimum(full_d, 0))])
-    # event i's frame ends at exclusive index e_i into full_d
-    e = len(hist_a) + np.arange(len(x)) + first_off
+
+    e = dc[seg] + inner + foundi[seg]
     s = np.maximum(e - _RSI_N, 0)
-    gains = pos[e] - pos[s]
-    losses = -(neg[e] - neg[s])
+    base = offs[seg]
+    gains = _pref(posi, e, base) - _pref(posi, s, base)
+    losses = -(_pref(negi, e, base) - _pref(negi, s, base))
     nds = e - s
-    if len(x):
-        state.update((int(x[-1]), full_d[-(_RSI_N - 1):].tolist()))
-    else:
-        state.update((prev, hist))
+    ends = np.flatnonzero(np.concatenate([starts[1:], [True]])) if len(uid) else []
+    dh2, dc2 = _take_last(fd, offs, blk, _RSI_N - 1)
+    nu = _merge_packed(su, [sprev, sdc, sdh], uu, found, pos, [x[ends], dc2, dh2])
+    state.update((nu[0].tobytes(), nu[1].tobytes(), nu[2].tobytes(), nu[3].tobytes()))
     yield pd.DataFrame(
         {
-            "user_id": np.full(len(x), int(key[0]), dtype="int64"),
+            "user_id": uid,
             "event_id": b["event_id"],
             "us": b["us"],
             "gain": gains.astype("int64"),
@@ -2409,12 +2532,18 @@ def stream_rsi_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         with_event_time(stream)
         .withWatermark("ts", _WATERMARK)
-        .select("user_id", "event_id", ts_micros("ts").alias("us"), "xq")
+        .select(
+            _det_shard("user_id"),
+            "user_id",
+            "event_id",
+            ts_micros("ts").alias("us"),
+            "xq",
+        )
     )
-    out = src.groupBy("user_id").applyInPandasWithState(
-        _rsi_live_fn,
+    out = src.groupBy("shard").applyInPandasWithState(
+        _rsi_shard_fn,
         outputStructType="user_id long, event_id long, us long, gain long, loss long, nd long",
-        stateStructType="prev long, hist array<long>",
+        stateStructType="users binary, prev binary, dcnt binary, dh binary",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -2435,51 +2564,61 @@ def stream_rsi_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _boll_live_fn(key, pdfs, state):
-    """Per-user Bollinger fold in EXACT integers: state = (events seen,
-    the last W-1 quantized values). Each event emits its trailing-frame
-    (n, sum, sum-of-squares) as int64 — the decimal variance identity
-    and the one sqrt/divisions run batch-side in window_bollinger's
-    exact op order, so the drained values equal the batch oracle
-    bitwise. VECTORIZED: both trailing sums are sliding_window_view
-    row-sums over [carried history ++ batch] (window sums, not
-    unbounded cumsums, so the squares channel peaks at W * max(xq^2)
-    — the asserted int64 headroom), no per-event Python loop."""
+def _boll_shard_fn(key, pdfs, state):
+    """Per-SHARD Bollinger fold in EXACT integers, vectorized across
+    users: state = packed (users, events seen, hist length, last W-1
+    quantized values per user). Each user's block in one concatenated
+    array is [W-1 zeros ++ carried hist ++ batch values]; both
+    trailing sums are sliding_window_view row-sums over the concat
+    (the zero padding isolates users AND supplies the short-frame
+    zeros, exactly the per-key pad), window sums not unbounded
+    cumsums, so the squares channel keeps the asserted W * max(xq^2)
+    int64 headroom. Each (n, sx, ssq) is bit-identical to the per-key
+    fold's; the decimal variance identity runs batch-side as before."""
     import numpy as np
     import pandas as pd
 
     from flod_spark.catalog.relational import _BOLL_W
 
-    if state.exists:
-        seen, hist = state.get
-        hist = list(hist)
-    else:
-        seen, hist = 0, []
-    b = _drain_sorted(pdfs, ("event_id", "us", "xq"))
+    su, sseen, shc, shist = _packed_get(state, (1, 1, 1, _BOLL_W - 1))
+    b = _det_drain(pdfs, "xq")
+    uid = b["user_id"]
     x = b["xq"]
-    full = np.concatenate([np.asarray(hist, dtype="int64"), x])
+    starts, seg, uu, inner, lens = _segments(uid)
+    found, pos = _lookup(su, uu)
+    seen0 = _gather(sseen, pos, found)
+    hc = _gather(shc, pos, found)
+    pad = _BOLL_W - 1
+    blk = pad + hc + lens
+    offs = np.concatenate([[0], np.cumsum(blk)[:-1]]).astype("int64")
+    cat = np.zeros(int(blk.sum()), dtype="int64")
+    cat[_ragged_pos(offs + pad, hc)] = _hist_vals(_gather(shist, pos, found), hc)
+    posx = np.repeat(offs + pad + hc, lens) + inner
+    cat[posx] = x
     # int64 headroom: the W-row square sum must stay below 2^63. An
-    # explicit raise, not assert — the guard must fail LOUDLY under
-    # python -O too (a stripped assert would let the squares channel
-    # wrap silently and emit wrong bands)
-    if len(full) and np.abs(full).max() > 679_000_000:
+    # explicit raise, not assert — must fail LOUDLY under python -O
+    # too (a stripped assert would let the squares channel wrap
+    # silently and emit wrong bands)
+    if len(cat) and np.abs(cat).max() > 679_000_000:
         raise ValueError(
             "stream_bollinger_live: micros-scaled square channel caps "
             "|value| <= ~679 at W=20 — widen to a split-channel state "
             "(the batch window_bollinger handles these magnitudes)"
         )
-    pad = np.concatenate([np.zeros(_BOLL_W - 1, dtype="int64"), full])
-    sw = np.lib.stride_tricks.sliding_window_view(pad, _BOLL_W)
-    idx = len(hist) + np.arange(len(x))
-    sx = sw[idx].sum(axis=1)
-    padq = np.concatenate([np.zeros(_BOLL_W - 1, dtype="int64"), full * full])
-    swq = np.lib.stride_tricks.sliding_window_view(padq, _BOLL_W)
-    ssq = swq[idx].sum(axis=1)
-    n = np.minimum(seen + 1 + np.arange(len(x)), _BOLL_W)
-    state.update((int(seen + len(x)), full[-(_BOLL_W - 1):].tolist()))
+    widx = posx - pad
+    sw = np.lib.stride_tricks.sliding_window_view(cat, _BOLL_W)
+    sx = sw[widx].sum(axis=1)
+    swq = np.lib.stride_tricks.sliding_window_view(cat * cat, _BOLL_W)
+    ssq = swq[widx].sum(axis=1)
+    n = np.minimum(seen0[seg] + 1 + inner, _BOLL_W)
+    hist2, hc2 = _take_last(cat, offs + pad, hc + lens, pad)
+    nu = _merge_packed(
+        su, [sseen, shc, shist], uu, found, pos, [seen0 + lens, hc2, hist2]
+    )
+    state.update((nu[0].tobytes(), nu[1].tobytes(), nu[2].tobytes(), nu[3].tobytes()))
     yield pd.DataFrame(
         {
-            "user_id": np.full(len(x), int(key[0]), dtype="int64"),
+            "user_id": uid,
             "event_id": b["event_id"],
             "us": b["us"],
             "n": n.astype("int64"),
@@ -2526,12 +2665,18 @@ def stream_bollinger_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         with_event_time(stream)
         .withWatermark("ts", _WATERMARK)
-        .select("user_id", "event_id", ts_micros("ts").alias("us"), "xq")
+        .select(
+            _det_shard("user_id"),
+            "user_id",
+            "event_id",
+            ts_micros("ts").alias("us"),
+            "xq",
+        )
     )
-    out = src.groupBy("user_id").applyInPandasWithState(
-        _boll_live_fn,
+    out = src.groupBy("shard").applyInPandasWithState(
+        _boll_shard_fn,
         outputStructType="user_id long, event_id long, us long, n long, sx long, ssq long",
-        stateStructType="seen long, h array<long>",
+        stateStructType="users binary, seen binary, hcnt binary, h binary",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -83,6 +83,13 @@ def _fold_sessions(pdfs, start, last, n, gap_us):
     return starts, ends, ns, new_state
 
 
+# Shard count for the packed-state form (r17): results are
+# shard-count independent — a key's sessions never cross shards — so
+# this is a machinery knob (Python invocations per trigger), not a
+# semantics one. 8 matches the novelty/detector gates.
+_SESS_SHARDS = 8
+
+
 def streaming_sessionize(
     events: DataFrame,
     gap_us: int = GAP_US,
@@ -93,47 +100,142 @@ def streaming_sessionize(
     """(key, session_start_us, session_end_us, n_events) per closed
     session. Input is a streaming DF; rows of one key must arrive in
     event-time order ACROSS micro-batches (replay_stream guarantees it;
-    within a batch we sort)."""
+    within a batch we sort).
+
+    r17 (guide §4): grouped by pmod(xxhash64(key), _SESS_SHARDS)
+    instead of per key — one Python invocation + state round trip per
+    SHARD per trigger, per-key session state packed inside the shard
+    row (streaming/packfold.py), fold vectorized across keys. The
+    per-key form registered one event-time timeout per key; the shard
+    registers the MIN deadline of its open sessions and emits every
+    session whose deadline the current watermark passed (wm_ms >
+    (last_us + gap_us) // 1000 — the module's exact emission rule) on
+    each invocation, re-arming with the next min. Equivalence of the
+    eager per-invocation sweep: the watermark is monotone, so any
+    session it emits would have emitted by per-key timeout in this or
+    a later batch with the SAME (start, last, n) — any later event of
+    that key passes the watermark filter (ts_ms >= wm > deadline),
+    hence gap > gap_us, hence it could only have closed the carried
+    session by data with identical values."""
+    import numpy as np
+
+    from flod_spark.streaming.packfold import (
+        _gather,
+        _lookup,
+        _merge_packed,
+        _packed_get,
+        _segments,
+    )
+
     src = (
         with_event_time(events, time_col)
         .withWatermark(time_col, watermark)
-        .select(key_col, time_col, ts_micros(time_col).alias("_us"))
+        .select(
+            F.pmod(F.xxhash64(key_col), F.lit(_SESS_SHARDS)).alias("_shard"),
+            F.col(key_col).alias("_k"),
+            time_col,
+            ts_micros(time_col).alias("_us"),
+        )
     )
 
     def sess_fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
-            start, last, n = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {"key": [key[0]], "start_us": [start], "end_us": [last], "n_events": [n]}
+        su, sst, sla, sn = _packed_get(state, (1, 1, 1, 1))
+        out = []  # (keys, starts, ends, ns) blocks to emit
+        chunks = [] if state.hasTimedOut else list(pdfs)
+        if chunks:
+            pdf = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
             )
-            return
-        start, last, n = state.get if state.exists else (None, None, 0)
-        out_start, out_end, out_n, (start, last, n) = _fold_sessions(
-            pdfs, start, last, n, gap_us
-        )
-        if start is None:  # defensively: invoked with no rows and no timeout
-            return
-        state.update((start, last, n))
-        # event-time timeout: fires when the watermark passes the gap
-        # after the last event (ms — Spark's watermark granularity)
-        state.setTimeoutTimestamp((last + gap_us) // 1000)
-        if len(out_start):
+            uid = pdf["_k"].to_numpy("int64")
+            us = pdf["_us"].to_numpy("int64")
+            order = np.lexsort((us, uid))
+            uid, us = uid.take(order), us.take(order)
+            starts_m, seg, uu, inner, lens = _segments(uid)
+            found, pos = _lookup(su, uu)
+            st0 = _gather(sst, pos, found)
+            la0 = _gather(sla, pos, found)
+            n0 = _gather(sn, pos, found)
+            # session runs: maximal per-key time runs with gaps <= gap
+            prev = np.concatenate([[0], us[:-1]])
+            brk = starts_m | ((us - prev) > gap_us)
+            rs = np.flatnonzero(brk)
+            re_ = np.append(rs[1:] - 1, len(us) - 1)
+            r_start = us[rs].copy()
+            r_end = us[re_]
+            r_n = (re_ - rs + 1).astype("int64")
+            r_seg = seg[rs]
+            # each key's FIRST run extends its carried open session iff
+            # the gap allows (the _fold_sessions carry rule, applied to
+            # every key at once); otherwise the carry closes ahead
+            fr = np.flatnonzero(starts_m[rs])  # one first-run per key
+            ext = np.zeros(len(rs), dtype=bool)
+            ext[fr] = found & ((r_start[fr] - la0) <= gap_us)
+            r_n = r_n + np.where(ext, n0[r_seg], 0)
+            r_start = np.where(ext, st0[r_seg], r_start)
+            carry_closed = found & ~ext[fr]
+            if carry_closed.any():
+                out.append(
+                    (
+                        uu[carry_closed],
+                        st0[carry_closed],
+                        la0[carry_closed],
+                        n0[carry_closed],
+                    )
+                )
+            # every run but each key's last closes by data; the last
+            # stays open as the key's new state
+            lr = np.append(fr[1:] - 1, len(rs) - 1)
+            open_m = np.zeros(len(rs), dtype=bool)
+            open_m[lr] = True
+            if (~open_m).any():
+                c = ~open_m
+                out.append((uu[r_seg[c]], r_start[c], r_end[c], r_n[c]))
+            su, sst, sla, sn = _merge_packed(
+                su,
+                [sst, sla, sn],
+                uu,
+                found,
+                pos,
+                [r_start[lr], r_end[lr], r_n[lr]],
+            )
+        # watermark sweep: emit + evict every open session whose
+        # event-time deadline the current watermark passed (ms — the
+        # per-key timeout's exact firing rule), then re-arm with the
+        # min remaining deadline (>= wm by construction, which
+        # setTimeoutTimestamp requires)
+        wm = state.getCurrentWatermarkMs()
+        dl = (sla + gap_us) // 1000
+        exp = dl < wm
+        if exp.any():
+            out.append((su[exp], sst[exp], sla[exp], sn[exp]))
+            keep = ~exp
+            su, sst, sla, sn = su[keep], sst[keep], sla[keep], sn[keep]
+            dl = dl[keep]
+        if len(su):
+            state.update(
+                (su.tobytes(), sst.tobytes(), sla.tobytes(), sn.tobytes())
+            )
+            state.setTimeoutTimestamp(int(dl.min()))
+        elif state.exists:
+            state.remove()
+        if out:
             yield pd.DataFrame(
                 {
-                    "key": [key[0]] * len(out_start),
-                    "start_us": out_start,
-                    "end_us": out_end,
-                    "n_events": out_n,
+                    "key": np.concatenate([o[0] for o in out]),
+                    "start_us": np.concatenate([o[1] for o in out]),
+                    "end_us": np.concatenate([o[2] for o in out]),
+                    "n_events": np.concatenate([o[3] for o in out]),
                 }
             )
 
-    return src.groupBy(key_col).applyInPandasWithState(
+    return src.groupBy("_shard").applyInPandasWithState(
         sess_fn,
         outputStructType="key long, start_us long, end_us long, n_events long",
-        stateStructType="start_us long, last_us long, n long",
+        stateStructType="users binary, start_us binary, last_us binary, n binary",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     ).select(

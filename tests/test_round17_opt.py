@@ -1,0 +1,320 @@
+"""Round-17 optimization pins.
+
+The five per-user detector gates (ewma/cusum/drawdown/rsi/bollinger)
+moved from one applyInPandasWithState group PER USER to _DET_SHARDS
+shard groups with packed per-user state, vectorized across users
+(streaming_live.py r17). The oracle gate proves end-to-end equality at
+the registered SFs; these tests prove the shard folds are BIT-IDENTICAL
+to the per-key folds on adversarial inputs the gates never see —
+random user interleavings, many triggers, users appearing/disappearing
+across triggers, multi-chunk Arrow drains, negative values — by
+fuzzing each shard fold against a verbatim copy of the r16 per-key
+fold it replaced."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from flod_spark.catalog.relational import _BOLL_W, _EWMA_H, _EWMA_W, _RSI_N
+
+
+class FakeState:
+    """The slice of GroupState the folds touch."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+# --- verbatim r16 per-key folds (the reference semantics) -------------
+
+
+def _ref_ewma(key, pdfs, state):
+    from flod_spark.catalog.streaming_live import _drain_sorted
+
+    hist = list(state.get[0]) if state.exists else []
+    b = _drain_sorted(pdfs, ("event_id", "us", "xq"))
+    x = b["xq"]
+    full = np.concatenate([np.asarray(hist, dtype="int64"), x])
+    w = np.asarray(_EWMA_W, dtype="int64")
+    j = np.arange(len(hist), len(full))
+    num = np.convolve(full, w)[j] if len(full) else np.zeros(0, dtype="int64")
+    den = np.cumsum(w)[np.minimum(j, _EWMA_H - 1)]
+    state.update((full[-(_EWMA_H - 1):].tolist(),))
+    yield pd.DataFrame(
+        {
+            "user_id": np.full(len(x), int(key[0]), dtype="int64"),
+            "event_id": b["event_id"],
+            "us": b["us"],
+            "num": num.astype("int64"),
+            "den": den.astype("int64"),
+        }
+    )
+
+
+def _ref_cusum(key, pdfs, state):
+    from flod_spark.catalog.streaming_live import _drain_sorted
+
+    if state.exists:
+        pf, mn = state.get
+    else:
+        pf, mn = 0, None
+    b = _drain_sorted(pdfs, ("event_id", "us", "dq"))
+    dq = b["dq"]
+    pfs = pf + np.cumsum(dq)
+    mns = np.minimum.accumulate(pfs)
+    if mn is not None:
+        mns = np.minimum(mns, mn)
+    cs = pfs - np.minimum(mns, 0)
+    state.update(
+        (int(pfs[-1]) if len(pfs) else pf, int(mns[-1]) if len(mns) else mn)
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": np.full(len(dq), int(key[0]), dtype="int64"),
+            "event_id": b["event_id"],
+            "us": b["us"],
+            "cusum_us": cs.astype("int64"),
+        }
+    )
+
+
+def _ref_drawdown(key, pdfs, state):
+    from flod_spark.catalog.streaming_live import _drain_sorted
+
+    if state.exists:
+        peak, mdd = state.get
+    else:
+        peak, mdd = None, 0
+    b = _drain_sorted(pdfs, ("event_id", "us", "xq"))
+    x = b["xq"]
+    peaks = np.maximum.accumulate(x)
+    if peak is not None:
+        peaks = np.maximum(peaks, peak)
+    dd = peaks - x
+    mdds = np.maximum.accumulate(dd)
+    if mdd:
+        mdds = np.maximum(mdds, mdd)
+    state.update(
+        (int(peaks[-1]) if len(x) else peak, int(mdds[-1]) if len(x) else mdd)
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": np.full(len(x), int(key[0]), dtype="int64"),
+            "event_id": b["event_id"],
+            "us": b["us"],
+            "dd_us": dd.astype("int64"),
+            "mdd_us": mdds.astype("int64"),
+        }
+    )
+
+
+def _ref_rsi(key, pdfs, state):
+    from flod_spark.catalog.streaming_live import _drain_sorted
+
+    if state.exists:
+        prev, hist = state.get
+        hist = list(hist)
+    else:
+        prev, hist = None, []
+    b = _drain_sorted(pdfs, ("event_id", "us", "xq"))
+    x = b["xq"]
+    hist_a = np.asarray(hist, dtype="int64")
+    if prev is None:
+        d = np.diff(x)
+        first_off = 0
+    else:
+        d = np.diff(np.concatenate([[prev], x]))
+        first_off = 1
+    full_d = np.concatenate([hist_a, d])
+    pos = np.concatenate([[0], np.cumsum(np.maximum(full_d, 0))])
+    neg = np.concatenate([[0], np.cumsum(np.minimum(full_d, 0))])
+    e = len(hist_a) + np.arange(len(x)) + first_off
+    s = np.maximum(e - _RSI_N, 0)
+    gains = pos[e] - pos[s]
+    losses = -(neg[e] - neg[s])
+    nds = e - s
+    if len(x):
+        state.update((int(x[-1]), full_d[-(_RSI_N - 1):].tolist()))
+    else:
+        state.update((prev, hist))
+    yield pd.DataFrame(
+        {
+            "user_id": np.full(len(x), int(key[0]), dtype="int64"),
+            "event_id": b["event_id"],
+            "us": b["us"],
+            "gain": gains.astype("int64"),
+            "loss": losses.astype("int64"),
+            "nd": nds.astype("int64"),
+        }
+    )
+
+
+def _ref_boll(key, pdfs, state):
+    from flod_spark.catalog.streaming_live import _drain_sorted
+
+    if state.exists:
+        seen, hist = state.get
+        hist = list(hist)
+    else:
+        seen, hist = 0, []
+    b = _drain_sorted(pdfs, ("event_id", "us", "xq"))
+    x = b["xq"]
+    full = np.concatenate([np.asarray(hist, dtype="int64"), x])
+    pad = np.concatenate([np.zeros(_BOLL_W - 1, dtype="int64"), full])
+    sw = np.lib.stride_tricks.sliding_window_view(pad, _BOLL_W)
+    idx = len(hist) + np.arange(len(x))
+    sx = sw[idx].sum(axis=1)
+    padq = np.concatenate([np.zeros(_BOLL_W - 1, dtype="int64"), full * full])
+    swq = np.lib.stride_tricks.sliding_window_view(padq, _BOLL_W)
+    ssq = swq[idx].sum(axis=1)
+    n = np.minimum(seen + 1 + np.arange(len(x)), _BOLL_W)
+    state.update((int(seen + len(x)), full[-(_BOLL_W - 1):].tolist()))
+    yield pd.DataFrame(
+        {
+            "user_id": np.full(len(x), int(key[0]), dtype="int64"),
+            "event_id": b["event_id"],
+            "us": b["us"],
+            "n": n.astype("int64"),
+            "sx": sx.astype("int64"),
+            "ssq": ssq.astype("int64"),
+        }
+    )
+
+
+# --- fuzz harness -----------------------------------------------------
+
+
+def _gate(name):
+    from flod_spark.catalog import streaming_live as sl
+
+    return {
+        "ewma": (sl._ewma_shard_fn, _ref_ewma, "xq"),
+        "cusum": (sl._cusum_shard_fn, _ref_cusum, "dq"),
+        "drawdown": (sl._drawdown_shard_fn, _ref_drawdown, "xq"),
+        "rsi": (sl._rsi_shard_fn, _ref_rsi, "xq"),
+        "boll": (sl._boll_shard_fn, _ref_boll, "xq"),
+    }[name]
+
+
+def _run_triggers(shard_fn, ref_fn, vcol, triggers, n_chunks=1):
+    """Feed the same trigger frames through the shard fold (one state,
+    one call per trigger) and the per-key reference (one state per
+    user), returning two row multisets per form."""
+    shard_state = FakeState()
+    ref_states: dict[int, FakeState] = {}
+    got_rows, ref_rows = [], []
+    for pdf in triggers:
+        if n_chunks == 1:
+            chunks = [pdf]
+        else:
+            shuf = pdf.sample(frac=1.0, random_state=7).reset_index(drop=True)
+            bounds = np.linspace(0, len(shuf), n_chunks + 1).astype(int)
+            chunks = [
+                shuf.iloc[a:b].reset_index(drop=True)
+                for a, b in zip(bounds[:-1], bounds[1:])
+                if b > a
+            ]
+        for out in shard_fn((0,), iter(chunks), shard_state):
+            got_rows.append(out)
+        for u in sorted(pdf["user_id"].unique()):
+            st = ref_states.setdefault(int(u), FakeState())
+            sub = pdf[pdf["user_id"] == u].reset_index(drop=True)
+            for out in ref_fn((int(u),), iter([sub]), st):
+                ref_rows.append(out)
+    got = pd.concat(got_rows, ignore_index=True)
+    ref = pd.concat(ref_rows, ignore_index=True)
+    key = ["user_id", "event_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    ref = ref.sort_values(key).reset_index(drop=True)
+    return got, ref[got.columns]
+
+
+def _mk_triggers(rng, n_users, n_triggers, vcol, lo=-2_000_000, hi=2_000_000):
+    """Random per-user event sequences split into triggers in time
+    order — users drop in and out of triggers, event ids interleave
+    arbitrarily across users within a trigger."""
+    rows = []
+    eid = 0
+    for u in range(n_users):
+        n = int(rng.integers(0, 25))
+        for i in range(n):
+            rows.append((u + 100, eid, int(rng.integers(lo, hi))))
+            eid += 1
+    rng.shuffle(rows)
+    df = pd.DataFrame(rows, columns=["user_id", "event_id", vcol])
+    df["us"] = np.arange(len(df), dtype="int64") * 1000 + 17
+    cuts = np.sort(rng.integers(0, len(df) + 1, size=n_triggers - 1))
+    out = []
+    prev = 0
+    for c in list(cuts) + [len(df)]:
+        t = df.iloc[prev:c].reset_index(drop=True)
+        prev = c
+        if len(t):
+            out.append(
+                t.astype(
+                    {
+                        "user_id": "int64",
+                        "event_id": "int64",
+                        vcol: "int64",
+                        "us": "int64",
+                    }
+                )
+            )
+    return out
+
+
+@pytest.mark.parametrize("gate", ["ewma", "cusum", "drawdown", "rsi", "boll"])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_shard_fold_matches_per_key_fold(gate, seed):
+    shard_fn, ref_fn, vcol = _gate(gate)
+    rng = np.random.default_rng(seed * 101 + 7)
+    triggers = _mk_triggers(rng, n_users=23, n_triggers=5, vcol=vcol)
+    got, ref = _run_triggers(shard_fn, ref_fn, vcol, triggers)
+    pd.testing.assert_frame_equal(got, ref)
+
+
+@pytest.mark.parametrize("gate", ["ewma", "cusum", "drawdown", "rsi", "boll"])
+def test_shard_fold_invariant_under_chunked_drain(gate):
+    """The _det_drain whole-shard lexsort makes the fold independent of
+    Arrow chunking AND of row order within a trigger (the
+    test_round10 tiny-chunk pin, applied at the fold level)."""
+    shard_fn, ref_fn, vcol = _gate(gate)
+    rng = np.random.default_rng(42)
+    triggers = _mk_triggers(rng, n_users=11, n_triggers=4, vcol=vcol)
+    got, ref = _run_triggers(shard_fn, ref_fn, vcol, triggers, n_chunks=3)
+    pd.testing.assert_frame_equal(got, ref)
+
+
+@pytest.mark.parametrize("gate", ["ewma", "cusum", "drawdown", "rsi", "boll"])
+def test_shard_fold_single_user_single_row_triggers(gate):
+    """Degenerate shapes: one user, one row per trigger (every state
+    transition crosses a trigger boundary), including a negative
+    value stream."""
+    shard_fn, ref_fn, vcol = _gate(gate)
+    vals = [5, -3, -3, 7, 0, -11, 2]
+    triggers = [
+        pd.DataFrame(
+            {
+                "user_id": np.array([1], dtype="int64"),
+                "event_id": np.array([i], dtype="int64"),
+                vcol: np.array([v], dtype="int64"),
+                "us": np.array([i * 1000], dtype="int64"),
+            }
+        )
+        for i, v in enumerate(vals)
+    ]
+    got, ref = _run_triggers(shard_fn, ref_fn, vcol, triggers)
+    pd.testing.assert_frame_equal(got, ref)
