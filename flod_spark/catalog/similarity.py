@@ -279,18 +279,25 @@ def _assign_cells(
     scan task.
 
     ``extra`` names input columns to pass through (kmeans_fit's
-    previous-cell carry — free here, impossible for the groupBy form)."""
+    previous-cell carry — free here, impossible for the groupBy form).
+
+    The argmax expression is built as ONE F.expr SQL parse (r17, §1.2
+    driver cost): the python-lambda form issued ~780 py4j round trips
+    per call (~70 ms), which dominated kmeans_fit's per-round driver
+    loop; the parsed tree is the IDENTICAL expression (verified
+    bitwise on every (cell, cos) at sf0.1), parsed JVM-side in
+    ~0.4 ms."""
     centarr = cent.agg(
         F.array_sort(F.collect_list(F.struct("cent_id", "cv"))).alias("_cents")
     )
-    best = F.array_max(
-        F.transform(
-            F.col("_cents"),
-            lambda c: F.struct(
-                _cos_spark(F.col("v"), c["cv"]).alias("cos"),
-                (-c["cent_id"]).alias("neg"),
-            ),
-        )
+    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, t) -> acc + t)"
+    cos = (
+        dot.format(a="v", b="c.cv")
+        + " / (sqrt(" + dot.format(a="v", b="v") + ")"
+        + " * sqrt(" + dot.format(a="c.cv", b="c.cv") + "))"
+    )
+    best = F.expr(
+        f"array_max(transform(_cents, c -> struct({cos} AS cos, -c.cent_id AS neg)))"
     )
     return (
         e.crossJoin(F.broadcast(centarr))
@@ -744,25 +751,34 @@ def update_centroids(a: DataFrame) -> DataFrame:
     the result is order-independent and bit-identical cross-engine (the
     embed_centroids rule).
 
-    Kept in the posexplode + (cell, pos) partial-agg form DELIBERATELY
-    (r16, measured): a column-wise rewrite with DIM sum columns (the
-    _pca_matvec shape) was tried and REVERTED — it costs ~0.8 s of
-    driver ANALYSIS per Lloyd round (64 aggregate expressions) vs
-    0.08 s for this form, dominating the loop at any scale, while the
-    exchange it saves is trivial here: partial aggregation collapses
-    the exploded rows to |cells| x dim cells per task BEFORE the
-    exchange, so unlike _pca_matvec's old form nothing row-sized ever
-    crosses. One explode + two tiny exchanges is the right trade."""
-    x = a.select("cell", F.posexplode("v").alias("pos0", "val")).select(
-        "cell", (F.col("pos0") + 1).alias("pos"), "val"
-    )
-    m = x.groupBy("cell", "pos").agg(
-        (F.sum(F.floor(F.col("val") * _FXP)).cast("double") / _FXP / F.count("*")).alias("c")
+    Column-wise single-exchange form (r17): groupBy(cell) with one
+    array of DIM long sums — the r16 round TRIED this shape and
+    reverted it because building DIM aggregate Columns through the
+    Python API cost ~0.8 s of py4j/analysis per Lloyd round; built as
+    ONE F.expr parse that cost is gone (~40 ms cheaper per round than
+    the posexplode form, measured), and the (cell, pos) exchange +
+    the collect_list re-assembly exchange collapse to ONE exchange
+    carrying |cells| rows. Per-dimension arithmetic is the identical
+    op sequence (sum of exact floor longs -> cast double -> / 2^40 ->
+    / count), so cv is bit-identical (verified element-wise on the
+    sf0.1 assignment). Fixed DIM is the catalog's embedding contract
+    (the SQL indexes v[0..DIM-1]); ragged inputs would need the
+    posexplode form back."""
+    fxp = f"{_FXP!r}D"  # double literal (a bare 1099511627776.0 parses as DECIMAL)
+    sums = F.expr(
+        "array("
+        + ", ".join(f"sum(floor(v[{i}] * {fxp}))" for i in range(DIM))
+        + ")"
     )
     return (
-        m.groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).getField("c").alias("cv"))
-        .select(F.col("cell").alias("cent_id"), "cv")
+        a.groupBy("cell")
+        .agg(sums.alias("s"), F.count("*").alias("n"))
+        .select(
+            F.col("cell").alias("cent_id"),
+            F.expr(
+                f"transform(s, x -> cast(x AS DOUBLE) / {fxp} / n)"
+            ).alias("cv"),
+        )
     )
 
 
@@ -2361,7 +2377,21 @@ def ivfpq_index_advance(
     Scale: encoding is map-side (broadcast codebook/centroids, one
     per-(vec, m) partial-agg argmin) over ONLY the new slice — the
     existing corpus is never rescanned; periodic compaction folds
-    slice dirs into the base exactly like compact_claim_table."""
+    slice dirs into the base exactly like compact_claim_table.
+
+    Compaction watermark (r17, closing the r15/r16 documented
+    ingest-compaction race IN CODE): compact_ivfpq_index records the
+    max slice id it folded; an advance whose slice_id is at or below
+    that watermark is a NO-OP — its vectors are already in the base.
+    This is the crash sequence that used to duplicate served
+    candidates: trigger writes slice N -> process dies before the
+    checkpoint commit -> nightly compaction folds-and-deletes slice N
+    -> restart re-delivers batch N and recreated the slice, putting
+    its codes in base AND slice. The guard costs one tiny file read
+    per advance (never a base scan)."""
+    wm = _ivfpq_compacted_watermark(index_dir)
+    if wm is not None and int(slice_id) <= wm:
+        return
     pq_cent = spark.read.parquet(index_dir + "/codebook")
     ivf_cent = spark.read.parquet(index_dir + "/ivf_centroids")
     codes = _pq_codes(
@@ -2467,6 +2497,27 @@ def sim_ivfpq_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_watermark_path(index_dir: str) -> str:
+    import os as _os
+
+    return _os.path.join(index_dir, "compacted_slices.txt")
+
+
+def _ivfpq_compacted_watermark(index_dir: str) -> int | None:
+    """Max slice id ever folded into the base, or None before the
+    first compaction. One tiny file read — the advance-side guard."""
+    import os as _os
+
+    p = _ivfpq_watermark_path(index_dir)
+    if not _os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
 def compact_ivfpq_index(spark: SparkSession, index_dir: str) -> None:
     """Periodic IVF-PQ slice COMPACTION (compact_claim_table's pattern
     applied to the index): fold every ``codes_slice_*`` directory back
@@ -2502,6 +2553,20 @@ def compact_ivfpq_index(spark: SparkSession, index_dir: str) -> None:
         codes = codes.unionByName(spark.read.parquet(p))
     codes = codes.dropDuplicates(["vec_id", "m"])
     atomic_swap_dir(codes, base, "cell")
+    # record the fold watermark BEFORE deleting the slices (r17): an
+    # advance replaying a folded slice id sees the watermark and
+    # no-ops instead of recreating the slice next to its folded codes
+    # (the r15-documented crash-window duplication, now closed in
+    # code). Written atomically; monotone across compactions.
+    import os as _os
+
+    ids = [int(p.rsplit("_", 1)[-1]) for p in slices]
+    prev_wm = _ivfpq_compacted_watermark(index_dir)
+    wm = max(ids + ([prev_wm] if prev_wm is not None else []))
+    wp = _ivfpq_watermark_path(index_dir)
+    with open(wp + ".tmp", "w") as f:
+        f.write(str(wm))
+    _os.replace(wp + ".tmp", wp)
     for p in slices:
         _shutil.rmtree(p)
 
@@ -2565,19 +2630,16 @@ def ivfpq_ingest_sink(index_dir: str):
     the live twin of the nightly advance; compact_ivfpq_index folds
     slices on the nightly cadence exactly as before.
 
-    Operational constraint (r15 ADVICE, low): compaction must NOT run
-    between a trigger's slice write and its checkpoint commit. If the
-    process dies in that window and a nightly compact_ivfpq_index
-    folds-and-deletes the uncommitted ``codes_slice_<id>``, the
-    restarted query re-delivers the batch and recreates the slice —
-    its vectors then exist in both the base and the slice, duplicating
-    candidate rows in the served top-K (the claims sink tolerates this
-    via anti-join over-coverage; the index sink has no equivalent
-    guard). Gate compaction on the stream being stopped, or run it
-    from the same scheduler that owns the stream. A base-membership
-    guard on advance (skip when the slice's vec_ids are already in the
-    base) would close the window in code but costs a per-trigger read
-    of the base — measured as not worth it at gate scale (r16)."""
+    The r15-documented ingest/compaction race is CLOSED IN CODE (r17):
+    compact_ivfpq_index records the max slice id it folded, and
+    ivfpq_index_advance no-ops on any slice_id at or below that
+    watermark — a trigger re-delivered after a crash whose slice a
+    nightly compaction already folded-and-deleted can no longer
+    recreate the slice next to its folded codes (which duplicated
+    candidate rows in the served top-K). The guard is one tiny file
+    read per advance, not the per-trigger base scan r16 measured as
+    too costly; pytest-pinned by replaying the exact crash sequence
+    (tests/test_round17_opt.py)."""
     state = {"last": -1}
 
     def advance(batch_df: DataFrame, batch_id: int) -> None:

@@ -298,6 +298,74 @@ def test_shard_fold_invariant_under_chunked_drain(gate):
     pd.testing.assert_frame_equal(got, ref)
 
 
+def test_ivfpq_compaction_watermark_blocks_replayed_folded_slice(spark, sf_dir, tmp_path):
+    """The r15-documented ingest/compaction crash race, replayed and
+    CLOSED (r17): a trigger's slice is written but its checkpoint
+    never commits; the nightly compaction folds-and-deletes the slice
+    (recording the fold watermark); the restarted stream re-delivers
+    the batch. The replayed advance must NO-OP — no recreated slice
+    directory, no duplicated candidates in the served top-K — while a
+    genuinely NEW slice id past the watermark still advances."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flod_spark.catalog.similarity import (
+        NQ,
+        _emb_v,
+        _ivfpq_compacted_watermark,
+        compact_ivfpq_index,
+        ivfpq_index_advance,
+        ivfpq_index_query,
+        ivfpq_index_save,
+    )
+
+    emb = _emb_v(spark, sf_dir)
+    mm = emb.agg(F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx")).first()
+    mid = (mm.mn + mm.mx) // 2
+    hi = (mid + mm.mx) // 2
+    queries = emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    idx = str(tmp_path / "idx")
+
+    def serve():
+        return sorted(
+            (r.query_id, r.rk, r.neighbor_id, r.adist)
+            for r in ivfpq_index_query(
+                spark, idx, queries, include_slices=True
+            ).collect()
+        )
+
+    ivfpq_index_save(emb.filter(F.col("vec_id") <= mid), idx)
+    # the trigger whose checkpoint commit never lands
+    ivfpq_index_advance(
+        emb.filter((F.col("vec_id") > mid) & (F.col("vec_id") <= hi)), spark, idx, 1
+    )
+    compact_ivfpq_index(spark, idx)
+    assert _ivfpq_compacted_watermark(idx) == 1
+    assert glob.glob(os.path.join(idx, "codes_slice_*")) == []
+    want = serve()
+
+    # restart re-delivers batch 1: the advance must no-op, not
+    # recreate codes_slice_00001 next to its folded codes
+    ivfpq_index_advance(
+        emb.filter((F.col("vec_id") > mid) & (F.col("vec_id") <= hi)), spark, idx, 1
+    )
+    assert glob.glob(os.path.join(idx, "codes_slice_*")) == []
+    assert serve() == want and want
+
+    # a NEW slice past the watermark still advances, and a second
+    # compaction folds it while the watermark stays monotone
+    ivfpq_index_advance(emb.filter(F.col("vec_id") > hi), spark, idx, 2)
+    assert glob.glob(os.path.join(idx, "codes_slice_*"))
+    full = serve()
+    compact_ivfpq_index(spark, idx)
+    assert _ivfpq_compacted_watermark(idx) == 2
+    assert serve() == full
+
+
 @pytest.mark.parametrize("gate", ["ewma", "cusum", "drawdown", "rsi", "boll"])
 def test_shard_fold_single_user_single_row_triggers(gate):
     """Degenerate shapes: one user, one row per trigger (every state
