@@ -65,37 +65,34 @@ def _drain(
     """Run a streaming DataFrame to completion into a memory sink and
     return the materialized result (unique names: re-entrant per call).
 
-    Shuffle partitions are pinned low for the stream's lifetime: state
-    stores pay a per-partition-per-batch commit (32 partitions x 5
-    triggers = 160 commit files of mostly-empty state at gate scale —
-    measured ~12% of wall time), and results are partition-count
-    independent (keys hash to exactly one state partition either way;
-    the RocksDB-vs-default test pins that). On a real cluster this
-    number tracks executor count, not a benchmark constant.
+    Shuffle partitions are pinned low for the stream's lifetime via
+    io.pinned_stream_partitions (derived min(8, defaultParallelism),
+    restored on exit — see its docstring for the state-store-commit
+    rationale and the production scaling story).
 
     ``cleanup``: temp dirs (replay spools) to remove once the stream has
     run dry — the memory sink holds the materialized result, so the
     source files are dead weight afterwards; without this every gated
     live query leaks a full copy of its input table to /tmp per run."""
+    from flod_spark.io import pinned_stream_partitions
+
     name = "live_" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix=f"flod_ckpt_{name}_")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            shutil.rmtree(ckpt, ignore_errors=True)
+        with pinned_stream_partitions(spark):
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                shutil.rmtree(ckpt, ignore_errors=True)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         for d in cleanup:
             shutil.rmtree(d, ignore_errors=True)
     return spark.table(name)
@@ -566,24 +563,24 @@ def stream_foreach_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["path"] = nxt
         state["last_batch"] = batch_id
 
+    from flod_spark.io import pinned_stream_partitions
+
     name = "fb_" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix=f"flod_ckpt_{name}_")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")  # _drain's rationale
     try:
-        q = (
-            stream.writeStream.foreachBatch(upsert)
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            shutil.rmtree(ckpt, ignore_errors=True)
+        with pinned_stream_partitions(spark):  # _drain's rationale
+            q = (
+                stream.writeStream.foreachBatch(upsert)
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                shutil.rmtree(ckpt, ignore_errors=True)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(replay_dir, ignore_errors=True)
     # empty-first-run guard: a zero-batch stream (empty events input
     # writes no replay files, so foreachBatch never fires) leaves no
@@ -1144,24 +1141,24 @@ def stream_split_router_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             # double-append; empty parts still write a dir (harmless)
             part.write.mode("overwrite").parquet(f"{root}/{s}/b{batch_id}")
 
+    from flod_spark.io import pinned_stream_partitions
+
     name = "rt_" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix=f"flod_ckpt_{name}_")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")  # _drain's rationale
     try:
-        q = (
-            stream.writeStream.foreachBatch(route)
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            shutil.rmtree(ckpt, ignore_errors=True)
+        with pinned_stream_partitions(spark):  # _drain's rationale
+            q = (
+                stream.writeStream.foreachBatch(route)
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                shutil.rmtree(ckpt, ignore_errors=True)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(replay_dir, ignore_errors=True)
     outs = []
     for s in ("train", "val", "test"):

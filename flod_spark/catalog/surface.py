@@ -1184,17 +1184,15 @@ def stream_sink_tar_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     spool = tempfile.mkdtemp(prefix="flod_sinktar_spool_")
     out = tempfile.mkdtemp(prefix="flod_sinktar_out_")
     ck = tempfile.mkdtemp(prefix="flod_sinktar_ck_")
+    from flod_spark.io import pinned_stream_partitions
+
     stream = replay_stream(spark, timed, "ts", spool, n_batches=4)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")  # _drain's rationale
-    try:
+    with pinned_stream_partitions(spark):  # _drain's rationale
         q = stream_pack_tar_shards(stream.select("doc_id", "text"), out, ck)
         try:
             q.processAllAvailable()
         finally:
             q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     shutil.rmtree(spool, ignore_errors=True)
     shutil.rmtree(ck, ignore_errors=True)
     raw = spark.read.format("binaryFile").load(out)
@@ -1269,21 +1267,19 @@ def stream_curate_loop_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_id"),
         F.col("content").cast("string").alias("text"),
     )
+    from flod_spark.io import pinned_stream_partitions
+
     out = tempfile.mkdtemp(prefix="flod_curate_out_")
     ck = tempfile.mkdtemp(prefix="flod_curate_ck_")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # _drain's rationale: the claim state pays a per-partition-per-batch
     # commit (this loop ran at the session default 32 x 10 triggers
     # before r16 — the only live gate that missed the pin)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with pinned_stream_partitions(spark):
         q = stream_pack_tar_shards(clean, out, ck, shard_docs=100)
         try:
             q.processAllAvailable()
         finally:
             q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     shutil.rmtree(adir, ignore_errors=True)
     shutil.rmtree(ck, ignore_errors=True)
     raw = spark.read.format("binaryFile").load(out)
@@ -2011,7 +2007,22 @@ def crawl_claims_sink(claims_dir: str, bucketed_table: str | None = None):
     only the small post-compaction slices (pytest-pinned bit-equal to
     the full-dir read). Without it the per-trigger read is the whole
     claim table — fine nightly, the gate's documented form."""
-    state = {"last": -1}
+    state = {"last": -1, "schema": None}
+
+    def _read_claims(sess):
+        # schema-cached dir read (r17, §6/§1.2): the per-trigger seen
+        # read used to re-infer the table schema from parquet footers
+        # every trigger; the schema is fixed for the table's lifetime,
+        # so infer it ONCE (first trigger with data) and pass it
+        # explicitly afterwards — the read still re-lists the dir (new
+        # slices must appear) but skips the footer-inference job.
+        # Bit-identical by construction: the cached schema IS the
+        # inferred one.
+        if state["schema"] is None:
+            df = sess.read.parquet(claims_dir)
+            state["schema"] = df.schema
+            return df
+        return sess.read.schema(state["schema"]).parquet(claims_dir)
 
     def advance(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= state["last"]:
@@ -2041,7 +2052,7 @@ def crawl_claims_sink(claims_dir: str, bucketed_table: str | None = None):
             seen = sess.table(bucketed_table).select("fp")
             if _dir_has_parquet(claims_dir):
                 seen = seen.unionByName(
-                    sess.read.parquet(claims_dir)
+                    _read_claims(sess)
                     .filter(
                         (F.col("slice") != 0) & (F.col("slice") != F.lit(own))
                     )
@@ -2049,7 +2060,7 @@ def crawl_claims_sink(claims_dir: str, bucketed_table: str | None = None):
                 )
         elif _dir_has_parquet(claims_dir):
             seen = (
-                sess.read.parquet(claims_dir)
+                _read_claims(sess)
                 .filter(F.col("slice") != F.lit(own))
                 .select("fp")
             )
@@ -2133,11 +2144,11 @@ def stream_crawl_claims_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     claims_dir = os.path.join(croot, "claims")
     advance = crawl_claims_sink(claims_dir)
 
+    from flod_spark.io import pinned_stream_partitions
+
     name = "crawl_claims_" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix=f"flod_ckpt_{name}_")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")  # _drain's rationale
-    try:
+    with pinned_stream_partitions(spark):  # _drain's rationale
         q = (
             ext.writeStream.foreachBatch(advance)
             .queryName(name)
@@ -2149,8 +2160,6 @@ def stream_crawl_claims_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
             shutil.rmtree(ckpt, ignore_errors=True)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if not _dir_has_parquet(claims_dir):
         out = spark.createDataFrame([], "doc_id long, fp string, n_chars long")
         shutil.rmtree(croot, ignore_errors=True)

@@ -178,6 +178,40 @@ def atomic_swap_dir(df: DataFrame, target: str, partition_by: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def pinned_stream_partitions(spark: SparkSession):
+    """Context manager pinning spark.sql.shuffle.partitions for one
+    gate-scale stream's LIFETIME, restored on exit — the _drain
+    rationale shared by every live gate: state stores pay a
+    per-partition-per-trigger commit (32 partitions x 5 triggers of
+    mostly-empty state measured ~12% of gate wall time), and results
+    are partition-count independent (keys hash to exactly one state
+    partition either way; the RocksDB-vs-default pin covers the
+    backends).
+
+    The value is DERIVED — min(8, defaultParallelism) — not a literal
+    (r16 verdict item 7): on the bench hosts (8+ cores) it is the
+    same 8 every gate has always run with, on smaller hosts it tracks
+    the core count, and on a real cluster defaultParallelism tracks
+    executor count so a production stream never pins below its
+    parallelism floor. The session-global conf set/restore is safe
+    because the engine drains gates serially; concurrent gates in one
+    session would need Spark to grow a per-writer option for shuffle
+    partitions (none exists as of 4.1)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _pin():
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        pin = max(1, min(8, spark.sparkContext.defaultParallelism))
+        spark.conf.set("spark.sql.shuffle.partitions", str(pin))
+        try:
+            yield pin
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return _pin()
+
+
 def tiny_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     """Build a SMALL driver-side DataFrame as a JVM LocalTableScan (via
     pandas/Arrow) instead of ``createDataFrame(list)``'s parallelize

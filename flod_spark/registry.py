@@ -81,7 +81,7 @@ def ensure_shipped(spark: SparkSession) -> None:
 # The rotation tests clamp driver_rounds() to this, so the driver dropping
 # CORRECTNESS_r{N+1}.json into the tree after the builder's final commit
 # cannot flip a committed-green pytest (round-6 verdict, top finding).
-_PLANNED_FROM_ROUND = 14
+_PLANNED_FROM_ROUND = 16
 
 # The driver's correctness gate checks only the FIRST 50 entries of
 # queries(). _GATE_ORDER makes the window explicit, and ROTATES each
@@ -91,62 +91,55 @@ _PLANNED_FROM_ROUND = 14
 # staleness from CORRECTNESS_r*.json); tests/test_chains.py pins this
 # window against the same data, clamped to _PLANNED_FROM_ROUND, so the
 # two cannot drift and later driver artifacts cannot break it.
-# Round-15 window = 3 + 15 + 20 + 12 = 50 (the r14 verdict item 1
-# burn-down: the spilled r8 tail re-gates in full, plus the r9-tier
-# head; the changed-re-proof class is unusually wide this round
-# because the serve_and_cleanup rollout and the claim/ivfpq read-path
-# hardening each touched several gated lifecycles):
-#   (b) the 3 new round-15 registrations (first driver row, membership
-#       test auto-derives them as must-gate): dedup_claims_bucketed
-#       (r14 verdict item 4 — the fp-bucketed claim layout wired into
-#       compaction + admission, oracle = dedup_incremental's verbatim),
-#       stream_ivfpq_ingest_live (item 6 — live ANN index
-#       maintenance: a foreachBatch sink advancing the persisted
-#       IVF-PQ index per micro-batch, oracle = sim_ivfpq_advanced's
-#       verbatim), and sim_hybrid_rrf (sparse BM25 ⊕ dense cosine
-#       candidate legs fused by reciprocal-rank fusion — the two-tower
-#       retrieval shape the similarity family was missing),
+# Round-17 window = 22 + 26 + 2 = 50 (no new registrations this round
+# — it is the second optimization round; the changed-re-proof class is
+# the keys whose physical implementation round 17 rewrote, and the fill
+# drains the ENTIRE r9 staleness tier, leaving r10 the oldest tier):
+#   (b) new round-17 registrations: none,
 #   (c) changed-implementation re-proofs (tests/test_chains.py::
-#       ROUND15_CHANGED documents each): the restart-safe crawl claim
-#       sink (stream_crawl_claims_live), the admission-path signature
-#       + _claims_fp_side refactor (crawl_pipeline_incremental,
-#       dedup_incremental, dedup_claims_compacted), the
-#       footer-gated IVF-PQ slice reads (sim_ivfpq_persisted,
-#       sim_ivfpq_advanced, sim_ivfpq_compacted), the
-#       serve_and_cleanup rollout (crawl_pipeline,
-#       dedup_minhash_incremental, sim_pq_adc_persisted, scan_archive,
-#       scan_wds_samples — persisted/advanced double-dip with the read
-#       fix), and the unigram overflow guard's assert->ValueError
-#       (unigram_train_iter, unigram_apply, unigram_apply_from_table),
-#   (d) the stalest tiers in registration order: ALL 20 remaining
-#       r8-tier keys (tpch_q18 .. stream_market_basket_live — exactly
-#       the r14 spill pool), then the first 12 of the 44-key r9 tier
-#       (by_line_wide .. null_semantics); the remaining 32 r9 keys
-#       spill to the round-16 fill pool, covered by this round's
-#       committed complement sweep (SWEEP_r15.json).
+#       ROUND17_CHANGED documents each): the six shard-folded
+#       applyInPandasWithState gates (stream_sessionize_live, ewma,
+#       cusum, drawdown, rsi, bollinger — per-key folds became 8-shard
+#       packed-state vectorized folds), the map-side-assignment /
+#       single-exchange-centroid-update family (sim_ivf, semdedup,
+#       semdedup_bounded, kmeans_iter, kmeans_fit, sim_ivfpq,
+#       sim_ivfpq_persisted, sim_ivfpq_advanced, sim_ivfpq_compacted,
+#       dedup_semantic_text), the ivfpq ingest watermark + once-per-
+#       stream artifact loads (stream_ivfpq_ingest_live), and the
+#       explicit pinned_stream_partitions call sites
+#       (stream_sink_tar_live, stream_curate_loop_live,
+#       stream_crawl_claims_live, stream_foreach_upsert_live,
+#       stream_split_router_live),
+#   (d) the stalest tiers in registration order: ALL 26 remaining
+#       r9-tier keys (window_bollinger .. prep_pipeline — the other 6
+#       r9 keys re-gate via (c)), then the first 2 of the r10 tier
+#       (scan_file, pii_scrub); the remaining r10 keys spill to the
+#       round-18 fill pool, covered by this round's committed
+#       complement sweep (SWEEP_r17.json).
 # Keys not listed here sort after listed ones, in registration order.
 _GATE_ORDER = (
-    # (b) new round-15 registrations — 3 keys
-    "dedup_claims_bucketed", "stream_ivfpq_ingest_live", "sim_hybrid_rrf",
-    # (c) changed-implementation re-proofs — 15 keys
-    "stream_crawl_claims_live", "crawl_pipeline_incremental",
-    "dedup_incremental", "dedup_claims_compacted",
-    "sim_ivfpq_persisted", "sim_ivfpq_advanced", "sim_ivfpq_compacted",
-    "crawl_pipeline", "dedup_minhash_incremental", "sim_pq_adc_persisted",
-    "scan_archive", "scan_wds_samples",
-    "unigram_train_iter", "unigram_apply", "unigram_apply_from_table",
-    # (d) the full r8 spill pool in registration order — 20 keys
-    "tpch_q18", "agg_diversity", "agg_argminmax", "window_cusum",
-    "window_drawdown", "window_rsi", "stream_session",
-    "resample_gapfill", "dedup_cluster", "dedup_semantic_text",
-    "sim_mips_ann", "media_frame_sample", "agg_bitmap_distinct",
-    "orders_market_basket", "orders_pareto_abc", "agg_hll_rollup",
-    "orders_cohort_ltv", "sample_weighted_k", "sample_token_budget",
-    "stream_market_basket_live",
-    # (d) r9-tier head in registration order — 12 keys
-    "by_line_wide", "scan_pysource", "bpe_train_iter", "ngram_novelty",
-    "tpch_q1", "merge_upsert", "quality_buckets", "key_skew_stats",
-    "tpch_q7", "tpch_q8", "tpch_q17", "null_semantics",
+    # (c) changed-implementation re-proofs — 22 keys
+    "stream_sessionize_live", "stream_ewma_live", "stream_cusum_live",
+    "stream_drawdown_live", "stream_rsi_live", "stream_bollinger_live",
+    "sim_ivf", "semdedup", "semdedup_bounded", "kmeans_iter", "kmeans_fit",
+    "sim_ivfpq", "sim_ivfpq_persisted", "sim_ivfpq_advanced",
+    "sim_ivfpq_compacted", "dedup_semantic_text",
+    "stream_ivfpq_ingest_live",
+    "stream_sink_tar_live", "stream_curate_loop_live",
+    "stream_crawl_claims_live", "stream_foreach_upsert_live",
+    "stream_split_router_live",
+    # (d) the full remaining r9 staleness tier in registration order — 26 keys
+    "window_bollinger", "dedup_apply", "decontaminate", "embed_centroids",
+    "udf_scalar", "udf_grouped", "orders_assoc_rules",
+    "orders_basket_triples", "stream_window_live", "stream_session_live",
+    "stream_join_live", "stream_queue_live", "sample_mixture",
+    "split_assign", "sample_token_budget_sharded",
+    "sample_importance_reweight", "stream_token_budget_live",
+    "stream_ngram_novelty_live", "sink_csv", "sink_json",
+    "sink_partitioned", "join_bucketed", "sink_xml", "pack_sequences",
+    "sample_shuffle", "prep_pipeline",
+    # (d) r10-tier head in registration order — 2 keys
+    "scan_file", "pii_scrub",
 )
 
 

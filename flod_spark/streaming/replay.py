@@ -174,8 +174,16 @@ def replay_buckets(
         }
         for i, b in enumerate(buckets):
             d = by_dir.get(str(b))
-            if d is None:
-                continue
+            # every collected bucket MUST have a staged dir: a miss here
+            # means the str() key didn't round-trip Hive's partition-dir
+            # encoding (escaped strings, floats, NULL) and a silent
+            # `continue` would drop an entire micro-batch (r16 ADVICE).
+            # Int buckets (every current caller) always round-trip.
+            assert d is not None, (
+                f"bucket {b!r} collected but no staged dir matches "
+                f"{bucket_col}={b} — partition-value encoding mismatch "
+                f"(staged: {sorted(by_dir)})"
+            )
             files = glob.glob(os.path.join(d, "part-*"))
             assert len(files) == 1, f"bucket {b}: {files}"
             dst = os.path.join(out_dir, f"part-b{i:05d}.parquet")

@@ -172,38 +172,45 @@ def test_take_stress_reference_scale(spark):
 # the staleness data can't derive. New registrations need no list: under
 # the _PLANNED_FROM_ROUND clamp they have no driver row, so the
 # membership test auto-derives them as must-gate.
-ROUND15_CHANGED = {
-    # The restart-safe live crawl claim sink (r14 verdict #1 + ADVICE
-    # medium): own-slice exclusion in the seen read, footer-gated
-    # claim reads.
-    "stream_crawl_claims_live",
-    # The admission path now threads an optional bucketed_table
-    # through _claims_fp_side (r14 verdict item 4), and
-    # compact_claim_table grew the bucketed-refresh arm — every gate
-    # on that path re-gates even though the default path is
-    # value-identical (the r11 bpe_apply discipline).
-    "crawl_pipeline_incremental",
-    "dedup_incremental",
-    "dedup_claims_compacted",
-    # ivfpq_index_query's slice reads are now footer-gated
-    # (dir_has_parquet) so an empty advance can't kill the serve.
+ROUND17_CHANGED = {
+    # The six per-user applyInPandasWithState gates became 8-shard
+    # packed-state vectorized folds (r16 verdict item 1 —
+    # streaming/packfold.py + the rewritten fold fns): per-user
+    # arithmetic preserved op for op, fuzz-pinned, but the physical
+    # implementation is new end to end.
+    "stream_sessionize_live",
+    "stream_ewma_live",
+    "stream_cusum_live",
+    "stream_drawdown_live",
+    "stream_rsi_live",
+    "stream_bollinger_live",
+    # _assign_cells's argmax is now ONE F.expr parse and
+    # update_centroids is the column-wise single-exchange form —
+    # every caller of either re-gates (the r11 bpe_apply discipline:
+    # value-identical is the claim the gate re-proves).
+    "sim_ivf",
+    "semdedup",
+    "semdedup_bounded",
+    "kmeans_iter",
+    "kmeans_fit",
+    "sim_ivfpq",
     "sim_ivfpq_persisted",
     "sim_ivfpq_advanced",
     "sim_ivfpq_compacted",
-    # The r15 serve_and_cleanup rollout (r14 verdict item 3): these
-    # gates now sweep their mkdtemp state trees after the serve
-    # materializes (persisted/advanced above double-dip with the read
-    # fix; dedup_incremental with the admission refactor).
-    "crawl_pipeline",
-    "dedup_minhash_incremental",
-    "sim_pq_adc_persisted",
-    "scan_archive",
-    "scan_wds_samples",
-    # The unigram 2^40 score-encoding guard raises ValueError instead
-    # of a python -O-strippable assert (r14 ADVICE).
-    "unigram_train_iter",
-    "unigram_apply",
-    "unigram_apply_from_table",
+    "dedup_semantic_text",
+    # ivfpq_index_advance gained the compaction watermark no-op and the
+    # ingest sink loads the immutable codebook/centroid artifacts once
+    # per stream (r16 verdict items 5 + 6).
+    "stream_ivfpq_ingest_live",
+    # The literal-8 shuffle-partition pins became the derived
+    # io.pinned_stream_partitions context manager at these explicit
+    # call sites (r16 verdict item 7; _drain's gates share the same
+    # helper and re-prove via the (d) tier over subsequent rounds).
+    "stream_sink_tar_live",
+    "stream_curate_loop_live",
+    "stream_crawl_claims_live",
+    "stream_foreach_upsert_live",
+    "stream_split_router_live",
 }
 
 
@@ -224,7 +231,7 @@ def test_gate_window_membership():
     window = list(e.queries())[:50]
     rows, latest = driver_rounds(max_round=registry._PLANNED_FROM_ROUND)
     never = {q for q, rs in rows.items() if not rs}
-    must_gate = never | ROUND15_CHANGED
+    must_gate = never | ROUND17_CHANGED
     missing = must_gate - set(window)
     assert not missing, f"rotated out of the 50-entry gate window: {missing}"
     assert len(window) == 50

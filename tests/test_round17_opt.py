@@ -386,3 +386,26 @@ def test_shard_fold_single_user_single_row_triggers(gate):
     ]
     got, ref = _run_triggers(shard_fn, ref_fn, vcol, triggers)
     pd.testing.assert_frame_equal(got, ref)
+
+
+def test_assign_cells_degenerate_inputs_pinned(spark):
+    """r16 ADVICE (low): the map-side _assign_cells diverges from the
+    pre-r16 max_by form on two inputs no internal caller can produce —
+    an EMPTY centroid frame (now: one row per vector with NULL cell;
+    then: empty result) and a fully-NULL vector (now: smallest cent_id;
+    then: NULL). A runtime guard would cost a Spark job or a plan node
+    in 11 gated keys for unreachable input, so instead the divergence is
+    pinned HERE: an external caller feeding either shape changes this
+    test's expectations, not silently its results."""
+    from flod_spark.catalog.similarity import _assign_cells
+
+    e = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, v array<double>")
+    empty_cent = spark.createDataFrame([], "cent_id long, cv array<double>")
+    out = _assign_cells(e, empty_cent).collect()
+    assert len(out) == 1 and out[0].cell is None
+
+    cent = spark.createDataFrame(
+        [(3, [1.0, 0.0]), (5, [0.0, 1.0])], "cent_id long, cv array<double>"
+    )
+    nullvec = spark.createDataFrame([(7, None)], "vec_id long, v array<double>")
+    assert _assign_cells(nullvec, cent).collect()[0].cell == 3
