@@ -286,18 +286,33 @@ def _assign_cells(
     per call (~70 ms), which dominated kmeans_fit's per-round driver
     loop; the parsed tree is the IDENTICAL expression (verified
     bitwise on every (cell, cos) at sf0.1), parsed JVM-side in
-    ~0.4 ms."""
-    centarr = cent.agg(
-        F.array_sort(F.collect_list(F.struct("cent_id", "cv"))).alias("_cents")
-    )
+    ~0.4 ms.
+
+    Loop-invariant norms are HOISTED out of the per-(row, centroid)
+    argmax (r17, guide §1.2 per-task work): sqrt(dot(cv, cv)) is
+    computed once per CENTROID into the broadcast struct, and
+    sqrt(dot(v, v)) once per ROW — bound as a lambda variable through a
+    1-element transform so projection collapse cannot re-inline it per
+    centroid. The interpreted higher-order fold (zip_with + aggregate,
+    no codegen) ran THREE times per (row, centroid); now once, plus one
+    per row and one per centroid. Every cos is the same three values
+    combined in the same order (dot / (row_norm * cent_norm)), so
+    assignments are bit-identical (parity-verified on all callers)."""
     dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, t) -> acc + t)"
-    cos = (
-        dot.format(a="v", b="c.cv")
-        + " / (sqrt(" + dot.format(a="v", b="v") + ")"
-        + " * sqrt(" + dot.format(a="c.cv", b="c.cv") + "))"
+    centarr = cent.select(
+        "cent_id",
+        "cv",
+        F.expr("sqrt(" + dot.format(a="cv", b="cv") + ")").alias("nrm"),
+    ).agg(
+        # sort key is the struct's leading cent_id (unique), so the added
+        # nrm field cannot change the order
+        F.array_sort(F.collect_list(F.struct("cent_id", "cv", "nrm"))).alias("_cents")
     )
+    cos = dot.format(a="v", b="c.cv") + " / (nv * c.nrm)"
     best = F.expr(
-        f"array_max(transform(_cents, c -> struct({cos} AS cos, -c.cent_id AS neg)))"
+        "array_max(flatten(transform("
+        "array(sqrt(" + dot.format(a="v", b="v") + ")), "
+        f"nv -> transform(_cents, c -> struct({cos} AS cos, -c.cent_id AS neg)))))"
     )
     return (
         e.crossJoin(F.broadcast(centarr))
@@ -814,6 +829,20 @@ def kmeans_fit(
         # the eager form paid two (materialize, then count). Lineage
         # truncation is identical once materialized.
         return df.localCheckpoint(eager=False) if persist else df
+
+    if persist:
+        # Scale-adaptive input parallelism (r17, guide §2.5 input skew /
+        # §1.2): a corpus that arrives as fewer scan splits than cores
+        # (one small parquet file at probe scale) would run EVERY round's
+        # argmax on those few tasks — the checkpoint pins the layout, so
+        # the under-split is paid n_rounds times. One deterministic hash
+        # repartition on vec_id before round 0 fixes the whole loop; at
+        # production scale the scan already has >= cores splits and this
+        # is a no-op. Results are placement-independent: the assignment
+        # is per-row and update_centroids sums exact fixed-point longs.
+        par = e.sparkSession.sparkContext.defaultParallelism
+        if e.rdd.getNumPartitions() < par:
+            e = e.repartition(par, "vec_id")
 
     a = _ckpt(_assign_cells(e, cent0 if cent0 is not None else _cent_df(e)))
     moved: list[int] = []

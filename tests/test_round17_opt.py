@@ -409,3 +409,113 @@ def test_assign_cells_degenerate_inputs_pinned(spark):
     )
     nullvec = spark.createDataFrame([(7, None)], "vec_id long, v array<double>")
     assert _assign_cells(nullvec, cent).collect()[0].cell == 3
+
+
+def test_assign_cells_hoisted_norms_bitwise(spark, sf_dir):
+    """r17 hoist pin: _assign_cells computes sqrt(dot(v,v)) once per ROW
+    (lambda-bound through a 1-element transform) and sqrt(dot(cv,cv))
+    once per CENTROID (in the broadcast struct) instead of re-folding
+    both per (row, centroid). Every per-pair cos must be BIT-identical
+    to the 3-dot form it replaced (same three doubles combined in the
+    same order), and every assignment identical — checked here against
+    a verbatim copy of the r16/early-r17 expression on the sf0.001
+    embeddings (double-to-string is shortest-round-trip in Spark, so
+    string equality is bit equality)."""
+    from pyspark.sql import functions as F
+
+    from flod_spark.catalog.similarity import _as_double, _assign_cells, _cent_df
+    from flod_spark.io import load
+
+    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, t) -> acc + t)"
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    cent = _cent_df(e)
+
+    # verbatim pre-hoist form: full 3-dot cos per (row, centroid)
+    centarr_old = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cv"))).alias("_cents")
+    )
+    cos_old = (
+        dot.format(a="v", b="c.cv")
+        + " / (sqrt(" + dot.format(a="v", b="v") + ")"
+        + " * sqrt(" + dot.format(a="c.cv", b="c.cv") + "))"
+    )
+    pairs_old = (
+        e.crossJoin(F.broadcast(centarr_old))
+        .select(
+            "vec_id",
+            F.explode(
+                F.expr(
+                    "transform(_cents, c -> struct(c.cent_id AS cent_id, "
+                    f"cast({cos_old} AS string) AS cs))"
+                )
+            ).alias("p"),
+        )
+        .select("vec_id", "p.cent_id", "p.cs")
+    )
+
+    # hoisted form, exposing the same per-pair cos
+    centarr_new = cent.select(
+        "cent_id", "cv",
+        F.expr("sqrt(" + dot.format(a="cv", b="cv") + ")").alias("nrm"),
+    ).agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cv", "nrm"))).alias("_cents")
+    )
+    cos_new = dot.format(a="v", b="c.cv") + " / (nv * c.nrm)"
+    pairs_new = (
+        e.crossJoin(F.broadcast(centarr_new))
+        .select(
+            "vec_id",
+            F.explode(
+                F.expr(
+                    "flatten(transform(array(sqrt(" + dot.format(a="v", b="v") + ")), "
+                    "nv -> transform(_cents, c -> struct(c.cent_id AS cent_id, "
+                    f"cast({cos_new} AS string) AS cs))))"
+                )
+            ).alias("p"),
+        )
+        .select("vec_id", "p.cent_id", "p.cs")
+    )
+
+    old = sorted(map(tuple, pairs_old.collect()))
+    new = sorted(map(tuple, pairs_new.collect()))
+    assert old == new and len(old) > 0
+
+    # and the production entry point picks the same cell everywhere
+    old_best = (
+        e.crossJoin(F.broadcast(centarr_old))
+        .withColumn(
+            "cell",
+            -F.expr(
+                f"array_max(transform(_cents, c -> struct({cos_old} AS cos, "
+                "-c.cent_id AS neg)))"
+            )["neg"],
+        )
+        .select("vec_id", "cell")
+    )
+    got = {r.vec_id: r.cell for r in _assign_cells(e, cent).select("vec_id", "cell").collect()}
+    ref = {r.vec_id: r.cell for r in old_best.collect()}
+    assert got == ref
+
+
+def test_kmeans_fit_repartition_gate_results_identical(spark, sf_dir):
+    """r17 scale-adaptive input parallelism pin: kmeans_fit repartitions
+    its input once before round 0 when the scan has fewer splits than
+    cores. Assignments and per-round moved counts must be identical with
+    and without the repartition (placement-independence: per-row argmax
+    + exact fixed-point centroid sums)."""
+    from flod_spark.catalog.similarity import _as_double, kmeans_fit
+    from flod_spark.io import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+
+    a1, m1 = kmeans_fit(e, 2, persist=True)
+    par = spark.sparkContext.defaultParallelism
+    a2, m2 = kmeans_fit(e.repartition(par + 3, "vec_id"), 2, persist=True)
+
+    assert m1 == m2
+    r1 = {r.vec_id: r.cell for r in a1.select("vec_id", "cell").collect()}
+    r2 = {r.vec_id: r.cell for r in a2.select("vec_id", "cell").collect()}
+    assert r1 == r2
