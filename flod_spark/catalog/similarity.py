@@ -2881,15 +2881,32 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flod_spark.catalog.text import _BM25_SHIFT, TOKEN_RE
 
     emb = _emb_v(spark, sf_dir)
+    # dense-leg norms hoisted (r17, guide §1.2 per-task work): each side's
+    # sqrt(dot(x, x)) computes once per ROW on its own side of the cross
+    # join instead of once per (cand, query) pair — the join boundary
+    # keeps the per-side projects from re-inlining. cos is the same three
+    # doubles combined in the same order as _cos_spark (dot / (q_norm *
+    # c_norm)), so every value is bit-identical.
     q = emb.filter(F.col("vec_id") < NQ).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.sqrt(_dot_spark(F.col("v"), F.col("v"))).alias("qn"),
     )
-    c = emb.select(F.col("vec_id").alias("cand"), F.col("v").alias("cv"))
+    c = emb.select(
+        F.col("vec_id").alias("cand"),
+        F.col("v").alias("cv"),
+        F.sqrt(_dot_spark(F.col("v"), F.col("v"))).alias("cn"),
+    )
     dense = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand") != F.col("query_id"))
         .select(
-            "query_id", "cand", _cos_spark(F.col("qv"), F.col("cv")).alias("cos")
+            "query_id",
+            "cand",
+            (
+                _dot_spark(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cos"),
         )
     )
     wd = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand"))
@@ -2924,34 +2941,61 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("nd"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("tt"),
     )
-    hit = F.size(F.filter(F.col("toks"), lambda x: x == F.col("term"))) > 0
-    tdf = (
-        p.crossJoin(F.broadcast(terms))
-        .select("term", hit.cast("long").alias("h"))
-        .groupBy("term")
-        .agg(F.sum("h").cast("long").alias("df"))
-    )
-    qtd = qt
-    for i in (1, 2, 3):
-        qtd = qtd.join(
-            F.broadcast(tdf.select(F.col("term").alias(f"t{i}"), F.col("df").alias(f"df{i}"))),
-            f"t{i}",
-            "left",
+    # INVERTED-INDEX sparse leg (r17, guide §3.2/§4.1) — the docstring's
+    # own 100 TB form, now also the gate form. The old shape paid an
+    # interpreted array scan per (doc, term) for df and per (doc, query,
+    # slot) for tf — O(corpus x terms x doc_len) higher-order-function
+    # work. Now ONE codegen explode over the tokens feeds a broadcast
+    # semi-join against the tiny query-term set (drops non-matching
+    # tokens BEFORE any shuffle), a (doc, term) count gives tf, a
+    # count-over-term window gives df, and only MATCHED (query, cand)
+    # pairs ever materialize. Value equivalence: tf is the same
+    # occurrence count size(filter(toks, = term)) computed by explode +
+    # count; df the same contains-count; every score double is the same
+    # WHEN tf>0 expression over the same (tf, df, dl, nd, tt) longs —
+    # pairs with all-zero tf contributed nothing (they were filtered)
+    # and cannot rank. Pinned bitwise against the verbatim old leg in
+    # tests/test_round17_opt.py; oracle unchanged and green.
+    matched_tf = (
+        t.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.explode("toks").alias("term"),
         )
-    sp = (
-        p.crossJoin(F.broadcast(qtd))
+        .join(F.broadcast(terms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"), F.max("dl").alias("dl"))
+        .withColumn(
+            "df", F.count("*").over(Window.partitionBy("term")).cast("long")
+        )
+    )
+    qslots = None
+    for i in (1, 2, 3):
+        s = qt.select(
+            "query_id", F.lit(i).alias("slot"), F.col(f"t{i}").alias("term")
+        ).filter(F.col("term").isNotNull())
+        qslots = s if qslots is None else qslots.unionByName(s)
+    hits = (
+        matched_tf.join(F.broadcast(qslots), "term")
         .filter(F.col("doc_id") != F.col("query_id"))
+    )
+    sp = (
+        hits.groupBy("query_id", "doc_id")
+        .agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("slot") == i, F.col("tf"))), F.lit(0)
+                ).cast("long").alias(f"tf{i}")
+                for i in (1, 2, 3)
+            ],
+            *[
+                F.max(F.when(F.col("slot") == i, F.col("df"))).alias(f"df{i}")
+                for i in (1, 2, 3)
+            ],
+            F.max("dl").alias("dl"),
+        )
         .crossJoin(F.broadcast(g))
     )
-    def _tf(i: int):
-        # a plain closure: a 2-arg lambda (even via default args) would
-        # be read by F.filter as the (element, index) form
-        return F.size(
-            F.filter(F.col("toks"), lambda x: x == F.col(f"t{i}"))
-        ).cast("long")
-
-    for i in (1, 2, 3):
-        sp = sp.withColumn(f"tf{i}", _tf(i))
     score = None
     for i in (1, 2, 3):
         idf = (

@@ -519,3 +519,104 @@ def test_kmeans_fit_repartition_gate_results_identical(spark, sf_dir):
     r1 = {r.vec_id: r.cell for r in a1.select("vec_id", "cell").collect()}
     r2 = {r.vec_id: r.cell for r in a2.select("vec_id", "cell").collect()}
     assert r1 == r2
+
+
+def test_hybrid_rrf_inverted_sparse_leg_bitwise(spark, sf_dir):
+    """r17 sparse-leg pin: sim_hybrid_rrf's BM25 candidate generation
+    moved from per-(doc, term) interpreted array scans (a crossJoin of
+    the corpus with the query-term set, then three more array scans per
+    (doc, query) pair) to the inverted layout its docstring promises at
+    scale: one explode over the tokens, a broadcast semi-join against
+    the query-term set BEFORE any shuffle, (doc, term) counts for tf, a
+    count-over-term window for df. The (query, cand, score) set must be
+    BIT-identical to the old leg's (same tf/df/dl/nd/tt longs through
+    the same WHEN expression) — checked against a verbatim copy of the
+    old leg."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from flod_spark.catalog.similarity import NQ
+    from flod_spark.catalog.text import _BM25_SHIFT, TOKEN_RE
+    from flod_spark.io import load
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))
+    t = docs.select("doc_id", toks.alias("toks"))
+    e1, e2, e3 = (F.try_element_at("toks", F.lit(i)) for i in (1, 2, 3))
+    qt = t.filter(F.col("doc_id") < NQ).select(
+        F.col("doc_id").alias("query_id"), e1.alias("t1"),
+        F.when(~e2.eqNullSafe(e1), e2).alias("t2"),
+        F.when(~e3.eqNullSafe(e1) & ~e3.eqNullSafe(e2), e3).alias("t3"),
+    )
+    terms = (qt.select(F.explode(F.array("t1", "t2", "t3")).alias("term"))
+             .filter(F.col("term").isNotNull()).distinct())
+    p = t.select("doc_id", F.size("toks").cast("long").alias("dl"), "toks")
+    g = p.agg(F.count("*").cast("long").alias("nd"),
+              F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("tt"))
+
+    def score_over(sp):
+        score = None
+        for i in (1, 2, 3):
+            idf = (F.length(F.bin(F.expr(
+                f"((nd + 1) * {_BM25_SHIFT}) div (df{i} + 1)"))) - 1).cast("long")
+            num = (idf * 44 * F.col("tt") * F.col(f"tf{i}")).cast("double")
+            den = (20 * F.col("tt") * F.col(f"tf{i}") + 6 * F.col("tt")
+                   + 18 * F.col("dl") * F.col("nd")).cast("double")
+            ci = F.when(F.col(f"tf{i}") > 0, num / den).otherwise(F.lit(0.0))
+            score = ci if score is None else score + ci
+        m = (F.col("tf1") > 0) | (F.col("tf2") > 0) | (F.col("tf3") > 0)
+        return (sp.select("query_id", F.col("doc_id").alias("cand"),
+                          score.alias("score"), m.alias("m")).filter("m")
+                .select("query_id", "cand", F.col("score").cast("string").alias("s")))
+
+    # verbatim old leg
+    hit = F.size(F.filter(F.col("toks"), lambda x: x == F.col("term"))) > 0
+    tdf = (p.crossJoin(F.broadcast(terms))
+           .select("term", hit.cast("long").alias("h"))
+           .groupBy("term").agg(F.sum("h").cast("long").alias("df")))
+    qtd = qt
+    for i in (1, 2, 3):
+        qtd = qtd.join(F.broadcast(tdf.select(
+            F.col("term").alias(f"t{i}"), F.col("df").alias(f"df{i}"))), f"t{i}", "left")
+    sp_old = (p.crossJoin(F.broadcast(qtd))
+              .filter(F.col("doc_id") != F.col("query_id"))
+              .crossJoin(F.broadcast(g)))
+
+    def _tf(i):
+        return F.size(F.filter(F.col("toks"), lambda x: x == F.col(f"t{i}"))).cast("long")
+
+    for i in (1, 2, 3):
+        sp_old = sp_old.withColumn(f"tf{i}", _tf(i))
+
+    # the production inverted leg, rebuilt column-for-column
+    matched_tf = (
+        t.select("doc_id", F.size("toks").cast("long").alias("dl"),
+                 F.explode("toks").alias("term"))
+        .join(F.broadcast(terms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"), F.max("dl").alias("dl"))
+        .withColumn("df", F.count("*").over(W.partitionBy("term")).cast("long"))
+    )
+    qslots = None
+    for i in (1, 2, 3):
+        s = qt.select("query_id", F.lit(i).alias("slot"),
+                      F.col(f"t{i}").alias("term")).filter(F.col("term").isNotNull())
+        qslots = s if qslots is None else qslots.unionByName(s)
+    hits = (matched_tf.join(F.broadcast(qslots), "term")
+            .filter(F.col("doc_id") != F.col("query_id")))
+    sp_new = (
+        hits.groupBy("query_id", "doc_id")
+        .agg(
+            *[F.coalesce(F.max(F.when(F.col("slot") == i, F.col("tf"))), F.lit(0))
+              .cast("long").alias(f"tf{i}") for i in (1, 2, 3)],
+            *[F.max(F.when(F.col("slot") == i, F.col("df"))).alias(f"df{i}")
+              for i in (1, 2, 3)],
+            F.max("dl").alias("dl"),
+        )
+        .crossJoin(F.broadcast(g))
+    )
+
+    old = sorted(map(tuple, score_over(sp_old).collect()))
+    new = sorted(map(tuple, score_over(sp_new).collect()))
+    assert len(old) > 0
+    assert old == new
