@@ -61,6 +61,7 @@ def _drain(
     spark: SparkSession,
     output_mode: str = "append",
     cleanup: tuple = (),
+    wide_state: bool = False,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink and
     return the materialized result (unique names: re-entrant per call).
@@ -68,7 +69,9 @@ def _drain(
     Shuffle partitions are pinned low for the stream's lifetime via
     io.pinned_stream_partitions (derived min(8, defaultParallelism),
     restored on exit — see its docstring for the state-store-commit
-    rationale and the production scaling story).
+    rationale and the production scaling story). ``wide_state=True``
+    pins defaultParallelism instead, for gates whose state is
+    corpus-scale (see pinned_stream_partitions).
 
     ``cleanup``: temp dirs (replay spools) to remove once the stream has
     run dry — the memory sink holds the materialized result, so the
@@ -79,7 +82,7 @@ def _drain(
     name = "live_" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix=f"flod_ckpt_{name}_")
     try:
-        with pinned_stream_partitions(spark):
+        with pinned_stream_partitions(spark, wide=wide_state):
             q = (
                 stream_df.writeStream.format("memory")
                 .queryName(name)
@@ -1774,7 +1777,7 @@ def stream_market_basket_bounded(
     shard = salted_mod(F.col("k"), "", 8)
     got = _drain(
         lossy_count(pairs, shard=shard), spark, output_mode="update",
-        cleanup=(replay_dir,),
+        cleanup=(replay_dir,), wide_state=True,
     )
     if emissions:
         return got
@@ -1845,7 +1848,9 @@ def stream_market_basket_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .agg(F.count("*").alias("support"))
     )
-    got = _drain(sup, spark, output_mode="update", cleanup=(replay_dir,))
+    got = _drain(
+        sup, spark, output_mode="update", cleanup=(replay_dir,), wide_state=True
+    )
     pairs = (
         got.groupBy("p1", "p2")
         .agg(F.max("support").alias("support"))
